@@ -1,0 +1,676 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The analytic query surface (SURVEY §2E): everything the reference
+  * delegates to ClickHouse, supplied natively by Catalyst built-ins.
+  * Each query has a DuckDB oracle in [[oracle]]; result columns are
+  * engineered for exact cross-engine hash-equality:
+  *   - money sums run in Decimal(18,2) (exact, order-independent) and are
+  *     cast to double at the end — identical bits in both engines;
+  *   - counts/ids are BIGINT in both;
+  *   - every query ends in an ORDER BY over a unique key set;
+  *   - nullable sort keys get explicit NULLS FIRST on both sides.
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a 2-dp double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** The events table carries INT64 TIMESTAMP(NANOS), which Spark 4's
+    * parquet reader rejects outright; read it as raw nanos (legacy conf)
+    * and derive `_ms` = epoch milliseconds by exact integer division —
+    * the same value DuckDB's epoch_ms(ts) produces, so both engines
+    * order and subtract on identical integers. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("_ms", expr("ts DIV 1000000"))
+  }
+
+  // ------------------------------------------------------------------
+  // q01: TPC-H Q1-shaped pricing summary — scan+filter+agg+sort spine.
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D))
+          * (lit(1).cast(D) + col("l_tax").cast(D))).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(D)).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q02: filter + projection — predicate/column pushdown to parquet.
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q03: star join with broadcast dims — orders ⋈ customer ⋈ nation ⋈ region.
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = broadcast(t(s, dir, "customer"))
+    val n = broadcast(t(s, dir, "nation"))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q03Sql =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q04: big-big shuffle join lineitem ⋈ orders + distinct agg.
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q04Sql =
+    """SELECT o_orderpriority, COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q05: semi join (EXISTS) — customers with any order above 400k.
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q06: anti join (NOT EXISTS) — customers with no order above 450k.
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q07: top-K per group via ranking window.
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q07Sql =
+    """SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q08: daily totals + running cumulative sum per priority (frame window).
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate").cast("date").as("d"))
+      .agg(sum(col("o_totalprice").cast(D)).as("_daily_dec"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running", sum(col("_daily_dec")).over(w).cast("double"))
+      .select(col("o_orderpriority"), col("d"),
+        col("_daily_dec").cast("double").as("daily"), col("running"))
+      .orderBy(col("o_orderpriority"), col("d"))
+  }
+
+  private val q08Sql =
+    """SELECT o_orderpriority, d, CAST(daily_dec AS DOUBLE) AS daily,
+      |  CAST(SUM(daily_dec) OVER (PARTITION BY o_orderpriority ORDER BY d
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+      |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_dec
+      |      FROM orders GROUP BY 1, 2)
+      |ORDER BY o_orderpriority, d""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q09: lag/lead — per-user inter-event gaps in milliseconds.
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    // Window ordered by epoch millis, not raw ts: the parquet carries ns
+    // timestamps that Spark truncates to micros — ordering by a shared
+    // integer key keeps both engines' row order identical.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        (col("_ms") - lag(col("_ms"), 1).over(w)).as("gap_ms"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q09Sql =
+    """SELECT user_id, event_id,
+      |  lag(event_id) OVER w AS prev_event_id,
+      |  lead(event_id) OVER w AS next_event_id,
+      |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q10: rollup — subtotals and grand total over (status, priority).
+  def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q10Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q11: cube with grouping_id over (returnflag, linestatus).
+  def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q11Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q12: distinct + count distinct per group.
+  def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q12Sql =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q13: global top-K (TakeOrderedAndProject).
+  def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  private val q13Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q14: set operations — EXCEPT and INTERSECT arms unioned.
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val machinery = c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"))
+    val spenders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(spenders).withColumn("src", lit("building_not_spender"))
+      .union(machinery.intersect(spenders).withColumn("src", lit("machinery_spender")))
+      .orderBy(col("src"), col("c_custkey"))
+  }
+
+  private val q14Sql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'building_not_spender' AS src FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |  UNION ALL
+      |  SELECT c_custkey, 'machinery_spender' AS src FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000))
+      |ORDER BY src, c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q15: string function surface.
+  def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 10).as("name10"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"))
+      .orderBy(col("p_partkey"))
+
+  private val q15Sql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 10) AS name10,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+      |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q16: date/time function surface.
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  private val q16Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q17: JSON extraction over events.props.
+  def q17(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"), (col("k_val") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"), col("k_mod"))
+
+  private val q17Sql =
+    """SELECT event_type, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, k_mod""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q18: array function surface over embeddings (all-exact, no fp sums).
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        array_max(col("embedding")).cast("double").as("max_elem"),
+        array_min(col("embedding")).cast("double").as("min_elem"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_positive"))
+      .orderBy(col("vec_id"))
+
+  private val q18Sql =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+      |  CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q19: conditional aggregation (CASE WHEN pivot by hand).
+  def q19(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        count(lit(1)).as("total"))
+      .orderBy(col("user_id"))
+
+  private val q19Sql =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      |  COUNT(*) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q20: pivot (event_type -> columns).
+  def q20(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy(col("user_id"))
+
+  private val q20Sql =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q21: range join — purchases within 5 minutes after a click, same user.
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("_ms").as("click_ms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("_ms").as("p_ms"))
+    clicks.join(purchases,
+        clicks("user_id") === purchases("p_user") &&
+          purchases("p_ms") >= clicks("click_ms") &&
+          purchases("p_ms") <= clicks("click_ms") + 300000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("p_ms") - col("click_ms")).as("gap_ms"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  private val q21Sql =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND epoch_ms(p.ts) >= epoch_ms(c.ts) AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 300000
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q22: as-of join — for each purchase, the most recent prior click of
+  // the same user (deterministic via packed (ms, id) ordering).
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("_ms").as("p_ms"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        (col("_ms") * 1000000L + col("event_id")).as("_pack"), col("_ms").as("c_ms"))
+    purchases.join(clicks,
+        purchases("user_id") === clicks("c_user") && clicks("c_ms") <= purchases("p_ms"), "left")
+      .groupBy(col("user_id"), col("purchase_id"))
+      .agg(max(col("_pack")).as("_best"))
+      .select(col("user_id"), col("purchase_id"),
+        (col("_best") % 1000000L).as("last_click_id"),
+        expr("_best DIV 1000000").as("last_click_ms"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  private val q22Sql =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  MAX(epoch_ms(c.ts) * 1000000 + c.event_id) % 1000000 AS last_click_id,
+      |  MAX(epoch_ms(c.ts) * 1000000 + c.event_id) // 1000000 AS last_click_ms
+      |FROM events p LEFT JOIN events c
+      |  ON c.user_id = p.user_id AND c.event_type = 'click' AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q23: deterministic dedup (D5 machinery with an oracle): one event row
+  // per (user_id, event_type), keeping the lowest event_id.
+  def q23(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Dedup.deterministic(
+        events(s, dir), Seq("user_id", "event_type"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q23Sql =
+    """SELECT user_id, event_type, event_id FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q24: correlated-style aggregate — customers above their nation's mean
+  // balance (multiplied through to stay in exact arithmetic).
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val stats = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(col("c_acctbal").cast(D)).as("_sum"), count(lit(1)).as("_cnt"))
+    val n = broadcast(t(s, dir, "nation"))
+    c.join(broadcast(stats), c("c_nationkey") === stats("nk"))
+      .filter(col("c_acctbal").cast(D) * col("_cnt") > col("_sum"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q24Sql =
+    """SELECT n_name, COUNT(*) AS n_above_avg
+      |FROM customer
+      |JOIN (SELECT c_nationkey AS nk, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS cnt
+      |      FROM customer GROUP BY c_nationkey) AS st ON c_nationkey = nk
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > s
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q25: sessionization — 30-minute inactivity gap splits sessions.
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("_new", when(
+        col("_ms") - lag(col("_ms"), 1).over(wOrd) > 1800000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("_ms")).as("start_ms"),
+        max(col("_ms")).as("end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q25Sql =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ms) AS start_ms, MAX(ms) AS end_ms
+      |FROM (
+      |  SELECT user_id, ms, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |      CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |           > 1800000 THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q26: exact percentiles (interpolated) per event_type.
+  def q26(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+      .orderBy(col("event_type"))
+
+  private val q26Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  MIN(value) AS v_min, MAX(value) AS v_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q27: histogram — fixed-width buckets over event value.
+  def q27(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("bucket_sum"))
+      .orderBy(col("bucket"))
+
+  private val q27Sql =
+    """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q28: deterministic arg-max per group via packed ordering.
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir)
+      .withColumn("_pack",
+        (round(col("value") * 100, 0).cast("long") * 10000000000L + col("event_id")))
+      .groupBy(col("event_type"))
+      .agg(max(col("_pack")).as("_best"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (expr("_best DIV 10000000000").cast("double") / 100).as("max_value"),
+        (col("_best") % 10000000000L).as("argmax_event_id"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q28Sql =
+    """SELECT event_type,
+      |  CAST(best // 10000000000 AS DOUBLE) / 100 AS max_value,
+      |  best % 10000000000 AS argmax_event_id, n
+      |FROM (SELECT event_type,
+      |        MAX(CAST(round(value * 100, 0) AS BIGINT) * 10000000000 + event_id) AS best,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_broadcast" -> (q03 _),
+    "q04_join_shuffle" -> (q04 _),
+    "q05_semi_join" -> (q05 _),
+    "q06_anti_join" -> (q06 _),
+    "q07_topk_per_group" -> (q07 _),
+    "q08_window_running" -> (q08 _),
+    "q09_lag_lead" -> (q09 _),
+    "q10_rollup" -> (q10 _),
+    "q11_cube" -> (q11 _),
+    "q12_count_distinct" -> (q12 _),
+    "q13_topk_global" -> (q13 _),
+    "q14_setops" -> (q14 _),
+    "q15_string_funcs" -> (q15 _),
+    "q16_date_funcs" -> (q16 _),
+    "q17_json" -> (q17 _),
+    "q18_array_funcs" -> (q18 _),
+    "q19_conditional_agg" -> (q19 _),
+    "q20_pivot" -> (q20 _),
+    "q21_range_join" -> (q21 _),
+    "q22_asof_join" -> (q22 _),
+    "q23_dedup_deterministic" -> (q23 _),
+    "q24_correlated_agg" -> (q24 _),
+    "q25_sessionization" -> (q25 _),
+    "q26_percentiles" -> (q26 _),
+    "q27_histogram" -> (q27 _),
+    "q28_argmax" -> (q28 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_broadcast" -> q03Sql,
+    "q04_join_shuffle" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_topk_per_group" -> q07Sql,
+    "q08_window_running" -> q08Sql,
+    "q09_lag_lead" -> q09Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_cube" -> q11Sql,
+    "q12_count_distinct" -> q12Sql,
+    "q13_topk_global" -> q13Sql,
+    "q14_setops" -> q14Sql,
+    "q15_string_funcs" -> q15Sql,
+    "q16_date_funcs" -> q16Sql,
+    "q17_json" -> q17Sql,
+    "q18_array_funcs" -> q18Sql,
+    "q19_conditional_agg" -> q19Sql,
+    "q20_pivot" -> q20Sql,
+    "q21_range_join" -> q21Sql,
+    "q22_asof_join" -> q22Sql,
+    "q23_dedup_deterministic" -> q23Sql,
+    "q24_correlated_agg" -> q24Sql,
+    "q25_sessionization" -> q25Sql,
+    "q26_percentiles" -> q26Sql,
+    "q27_histogram" -> q27Sql,
+    "q28_argmax" -> q28Sql
+  )
+}

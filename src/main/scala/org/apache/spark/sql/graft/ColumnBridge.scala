@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Column⇄Expression bridging `private[sql]`
+  * (columnNodeSupport.scala); this shim re-exports it for graft's custom
+  * Catalyst expressions. Lives under org.apache.spark.sql to satisfy the
+  * access modifier — no Spark internals are modified.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

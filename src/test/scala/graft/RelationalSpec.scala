@@ -1,0 +1,40 @@
+package graft
+
+class RelationalSpec extends SparkSuite {
+
+  // Exact hash-equality vs DuckDB is checked by the driver (and locally by
+  // tools/check_oracle.py); these specs pin non-empty results, stable
+  // schemas, and a few hand-computed invariants at sf0.001.
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("entry() flagship returns the 6 pricing-summary groups") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(0)).distinct.sorted.sameElements(Array("A", "N", "R")))
+  }
+
+  test("q01 aggregates reconcile: sum_disc_price <= sum_base_price") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Relational.q01(spark, sf)
+    val bad = df.filter(col("sum_disc_price") > col("sum_base_price"))
+    assert(bad.count() == 0)
+  }
+
+  test("q22 as-of join: every purchase appears exactly once") {
+    import org.apache.spark.sql.functions._
+    val asof = graft.queries.Relational.q22(spark, sf)
+    val dup = asof.groupBy("purchase_id").count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+}
