@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
 import graft.queries.{ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,9 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ ChainQueries.queries
+    Relational.queries ++ ChainQueries.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Relational.oracle
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
+      SimilarityOps.oracle ++ Multimodal.oracle
 }

