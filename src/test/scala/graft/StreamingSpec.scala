@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowed counts aggregate into 5-minute tumbling windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(6), 1, "view", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, total_value FROM wc ORDER BY event_type").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("watermark drops events later than 10 minutes behind max ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(2, ts(30), 1, "click", 1.0)) // advances watermark to 10:20
+    q.processAllAvailable()
+    in.addData(Event(3, ts(1), 1, "click", 99.0)) // late beyond watermark -> dropped
+    q.processAllAvailable()
+    in.addData(Event(4, ts(45), 1, "click", 1.0)) // flush closed windows
+    q.processAllAvailable()
+    val emitted = spark.sql("SELECT sum(n) FROM wm WHERE w_start = timestamp'2024-01-01 10:00:00'")
+      .collect()(0).getLong(0)
+    q.stop()
+    assert(emitted == 1L, "late event must not be counted")
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("complete").start()
+    in.addData(
+      Event(1, ts(0), 7, "click", 0), Event(2, ts(10), 7, "click", 0), // same session
+      Event(3, ts(55), 7, "click", 0)) // > 30 min gap -> new session
+    q.processAllAvailable()
+    val n = spark.sql("SELECT count(*) FROM sess WHERE user_id = 7").collect()(0).getLong(0)
+    q.stop()
+    assert(n == 2, s"expected 2 sessions, got $n")
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("rt").outputMode("append").start()
+    in.addData(Event(1, ts(0), 5, "click", 10.0))
+    q.processAllAvailable()
+    in.addData(Event(2, ts(1), 5, "click", 5.0))
+    q.processAllAvailable()
+    val last = spark.sql("SELECT n, total FROM rt WHERE user_id = 5 ORDER BY n DESC LIMIT 1")
+      .collect()(0)
+    q.stop()
+    assert(last.getLong(0) == 2L && last.getDouble(1) == 15.0)
+  }
+
+  test("foreachBatch chain ingest reuses batch flattens and lands correct rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = MemoryStream[Long]
+    val q = StreamOps.chainIngestStream(spark, in.toDF().withColumnRenamed("value", "number"), dir)
+    in.addData(0L to 9L: _*)
+    q.processAllAvailable()
+    in.addData(10L to 19L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$dir/transactions_stream")
+    val expected = (0L to 19L).map(n => (n % 5) + 1).sum
+    assert(got.count() == expected)
+    // identical to the batch path over the same range
+    val batch = graft.etl.Flatten.transactionRows(
+      graft.etl.ChainFixture.blocks(spark, 0, 19),
+      graft.etl.ChainFixture.receipts(spark, 0, 19))
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+}
