@@ -76,7 +76,10 @@ object DedupOps {
 
   /** MinHash signatures: explode perms, map-side min per (doc, perm). */
   def signatures(d: DataFrame): DataFrame =
-    shingles(d)
+    signaturesFromShingles(shingles(d))
+
+  def signaturesFromShingles(sh: DataFrame): DataFrame =
+    sh
       .select(col("doc_id"), expr(
         s"posexplode(transform(sequence(0, ${NumPerms - 1}), i -> xxhash64(shingle, i)))")
         .as(Seq("perm", "h")))
@@ -84,8 +87,11 @@ object DedupOps {
       .agg(min(col("h")).as("minhash"))
 
   /** Candidate pairs via banding; bucket-capped against skew. */
-  def minhashCandidates(d: DataFrame): DataFrame = {
-    val sigs = signatures(d)
+  def minhashCandidates(d: DataFrame): DataFrame =
+    minhashCandidatesFromShingles(shingles(d))
+
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val sigs = signaturesFromShingles(sh)
       .withColumn("band", (col("perm") / BandRows).cast("int"))
     val bandKeys = sigs
       .groupBy(col("doc_id"), col("band"))
@@ -119,13 +125,16 @@ object DedupOps {
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ 0.5. */
+  /** Full MinHash near-dup pipeline: LSH candidates → exact Jaccard ≥ 0.5.
+    * The shingle set feeds both the signature build and the exact verify —
+    * persist it so the corpus is shingled once, not twice (at 100 TB this
+    * is a checkpoint of the tokenized corpus, standard practice). */
   def minhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val base = withTwins(docs(s, dir))
-    val out = jaccard(minhashCandidates(base), shingles(base))
+    val sh = shingles(withTwins(docs(s, dir)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccard(minhashCandidatesFromShingles(sh), sh)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a"), col("b"))
-    out
   }
 
   // ------------------------------------------------------------------
