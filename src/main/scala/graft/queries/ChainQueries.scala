@@ -89,7 +89,20 @@ object ChainQueries {
       .orderBy(col("range100"))
   }
 
+  /** A2 as DSv2: scan via the chainblocks source with a pushed-down range
+    * predicate, then aggregate — proves the source feeds ordinary Catalyst
+    * plans and the filter prunes partitions before the scan. */
+  def chainSourceScan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("chainblocks")
+      .option("from", 0).option("to", 999).option("blocksPerPartition", 100)
+      .load()
+      .filter(col("number") >= 800)
+      .groupBy((col("number") % 10).as("mod10"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("gasUsed")).cast("long").as("gas"))
+      .orderBy(col("mod10"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_source_scan" -> (chainSourceScan _),
     "chain_tables" -> (chainTables _),
     "chain_zip_vs_join" -> (chainZipVsJoin _),
     "chain_dedup_idempotent" -> (chainDedupIdempotent _),
