@@ -64,40 +64,43 @@ object DedupOps {
   val BandRows = 4 // => 8 bands
   val MaxBucket = 64
 
-  /** (doc_id, shingle) distinct pairs — word 3-gram shingles. */
+  /** (doc_id, shingle) pairs — word 3-gram shingles, deduped per doc via
+    * array_distinct BEFORE the explode: narrow, no shuffle (the old
+    * `.distinct()` shuffled the whole exploded corpus). */
   private def shingles(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), toks.as("_t"))
       .select(col("doc_id"), expr(
-        "explode(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
-          "i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1])))").as("shingle"))
-      .distinct()
+        "explode(array_distinct(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
+          "i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))))").as("shingle"))
   }
 
-  /** MinHash signatures: explode perms, map-side min per (doc, perm). */
-  def signatures(d: DataFrame): DataFrame =
-    signaturesFromShingles(shingles(d))
+  /** MinHash signatures as ONE wide aggregation: 32 min-columns in a
+    * single groupBy(doc) — no 32x row explosion, one shuffle whose rows
+    * are already partially aggregated map-side. */
+  def signatures(d: DataFrame): DataFrame = signaturesFromShingles(shingles(d))
 
-  def signaturesFromShingles(sh: DataFrame): DataFrame =
-    sh
-      .select(col("doc_id"), expr(
-        s"posexplode(transform(sequence(0, ${NumPerms - 1}), i -> xxhash64(shingle, i)))")
-        .as(Seq("perm", "h")))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(col("h")).as("minhash"))
+  def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
-  /** Candidate pairs via banding; bucket-capped against skew. */
+  /** Candidate pairs via banding; bucket-capped against skew. Band keys
+    * hash BandRows consecutive signature columns directly (xxhash64 is
+    * variadic) — no collect_list / JSON detour. */
   def minhashCandidates(d: DataFrame): DataFrame =
     minhashCandidatesFromShingles(shingles(d))
 
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
-    val sigs = signaturesFromShingles(sh)
-      .withColumn("band", (col("perm") / BandRows).cast("int"))
-    val bandKeys = sigs
-      .groupBy(col("doc_id"), col("band"))
-      .agg(collect_list(struct(col("perm"), col("minhash"))).as("_pm"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(to_json(array_sort(col("_pm")))).as("band_key"))
+    val nBands = NumPerms / BandRows
+    val bandStructs = (0 until nBands).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+    }
+    val bandKeys = signaturesFromShingles(sh)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val buckets = bandKeys
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -139,18 +142,19 @@ object DedupOps {
 
   // ------------------------------------------------------------------
   // SimHash near-dup: 64-bit signature, banded hamming candidates.
+  // One wide aggregation (64 conditional-sum columns) per doc instead of
+  // exploding 64 rows per token: single shuffle, map-side combined.
   def simhashSignatures(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"shiftrightunsigned(h, $b) % 2 = 1"), 1).otherwise(-1)).as(s"s$b"))
+    val packed = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     d.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-      .select(col("doc_id"), expr("posexplode(transform(sequence(0, 63), " +
-        "b -> CASE WHEN shiftrightunsigned(h, b) % 2 = 1 THEN 1 ELSE -1 END))")
-        .as(Seq("bit", "w")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("w")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(expr("sum(CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) " +
-        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
