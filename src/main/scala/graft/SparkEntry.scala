@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, Multimodal, SimilarityOps, TextOps, VectorAgg}
 import graft.queries.{ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChainQueries.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries ++
+      VectorAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -59,6 +59,24 @@ class OpsSpec extends SparkSuite {
       s"LSH recall too low: $overlap")
   }
 
+  test("centroid Aggregator: mean of vectors, mergeable across partitions") {
+    import spark.implicits._
+    val data = Seq(Seq(1.0f, 3.0f), Seq(3.0f, 5.0f), Seq(5.0f, 1.0f))
+    val ds = spark.createDataset(data).repartition(3) // force partial merges
+    val got = ds.select(graft.ops.VectorAgg.centroid(2)).collect()(0)
+    assert(got == Seq(3.0, 3.0))
+  }
+
+  test("IVF ANN probes nearest cells and recalls most of brute-force top-10") {
+    val bf = SimilarityOps.annBruteForce(spark, sf).select("q_id", "c_id")
+    val ivf = graft.ops.VectorAgg.annIvf(spark, sf).select("q_id", "c_id")
+    val overlap = bf.intersect(ivf).count()
+    // random labels make cells uninformative, but 3/10 probed cells must
+    // still recall roughly >= 30% of the true top-10
+    assert(overlap.toDouble / (SimilarityOps.ProbeIds * SimilarityOps.TopK) > 0.15,
+      s"IVF recall too low: $overlap")
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
