@@ -73,7 +73,10 @@ object ChainQueries {
     tx.agg(
       count(lit(1)).as("n_tx"),
       sum(when(col("value_rt") === col("value"), 1).otherwise(0)).as("n_roundtrip_ok"),
-      sum(col("value_dec")).cast("string").as("total_value_wei"))
+      sum(col("value_dec")).cast("string").as("total_value_wei"),
+      // exact binary-domain sum (wraps mod 2^256, ClickHouse semantics) —
+      // must agree with the decimal path while values fit in 38 digits
+      lower(hex(graft.types.U256Arith.u256Sum(col("value")))).as("total_value_u256_hex"))
   }
 
   /** Aggregate over the flattened chain — gas usage per 1000-block bucket

@@ -1,0 +1,80 @@
+package graft.types
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** u256 arithmetic on the canonical 32-byte big-endian binary form
+  * (SURVEY §7.4) — for columns whose domain exceeds Decimal(38,0)
+  * (value / difficulty class). Semantics match ClickHouse UInt256:
+  * addition and SUM wrap modulo 2^256.
+  */
+object U256Arith {
+
+  /** a + b mod 2^256 over 32-byte big-endian arrays. Allocation-free
+    * carry loop; called from generated code. */
+  def addBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](U256.WIDTH)
+    var carry = 0
+    var i = U256.WIDTH - 1
+    while (i >= 0) {
+      val s = (a(i) & 0xff) + (b(i) & 0xff) + carry
+      out(i) = (s & 0xff).toByte
+      carry = s >>> 8
+      i -= 1
+    }
+    out // carry out of bit 256 drops: wrap semantics
+  }
+
+  case class U256Add(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      addBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.types.U256Arith.addBytes($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Add =
+      copy(left = l, right = r)
+    override def prettyName: String = "u256_add"
+  }
+
+  /** SUM over u256 binaries, wrapping mod 2^256 — a TypedImperativeAggregate
+    * whose buffer is the running 32-byte total (partial sums merge
+    * associatively, so map-side combine applies as usual). */
+  case class U256Sum(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]]
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](U256.WIDTH)
+    override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v == null) buf else addBytes(buf, v.asInstanceOf[Array[Byte]])
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = addBytes(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(offset: Int): U256Sum =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): U256Sum =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): U256Sum = copy(child = c)
+    override def prettyName: String = "u256_sum"
+  }
+
+  // ---- Column API ----
+  def u256Add(a: Column, b: Column): Column =
+    ColumnBridge.column(U256Add(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def u256Sum(c: Column): Column =
+    ColumnBridge.column(U256Sum(ColumnBridge.expression(c)).toAggregateExpression())
+}

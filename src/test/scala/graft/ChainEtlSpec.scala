@@ -76,6 +76,13 @@ class ChainEtlSpec extends SparkSuite {
     assert(post.filter(col("status").isNull || col("root").isNotNull).count() == 0)
   }
 
+  test("u256 binary sum agrees with the decimal projection on chain values") {
+    val row = graft.queries.ChainQueries.chainU256(spark, sf).collect()(0)
+    val dec = BigInt(row.getAs[String]("total_value_wei"))
+    val bin = BigInt(row.getAs[String]("total_value_u256_hex"), 16)
+    assert(dec == bin)
+  }
+
   test("D5: dedup of doubled ingest is idempotent (exact + deterministic)") {
     val one = Flatten.blockRows(blocks)
     val two = one.unionByName(Flatten.blockRows(ChainFixture.blocks(spark, From, To)))
