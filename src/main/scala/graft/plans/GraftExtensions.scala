@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.types.U256.{DecimalToU256, U256ToDecimal}
+import graft.types.U256Arith.U256Add
+
+/** Catalyst integration (SURVEY §4.2): a custom optimizer rule plus SQL
+  * registration for the u256 expression family, injected through the
+  * standard SparkSessionExtensions hook:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).…
+  *   // or: spark.sql.extensions=graft.plans.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => EliminateU256Roundtrips)
+    GraftExtensions.functions.foreach(e.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** SQL-visible u256 functions: `SELECT u256_to_decimal(value) …`. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("u256_to_decimal"),
+      new ExpressionInfo(classOf[U256ToDecimal].getName, "u256_to_decimal"),
+      (args: Seq[Expression]) => U256ToDecimal(args.head)),
+    (FunctionIdentifier("decimal_to_u256"),
+      new ExpressionInfo(classOf[DecimalToU256].getName, "decimal_to_u256"),
+      (args: Seq[Expression]) => DecimalToU256(args.head)),
+    (FunctionIdentifier("u256_add"),
+      new ExpressionInfo(classOf[U256Add].getName, "u256_add"),
+      (args: Seq[Expression]) => U256Add(args(0), args(1)))
+  )
+}
+
+/** Optimizer rule: collapse the u256 codec roundtrip
+  * u256_to_decimal(decimal_to_u256(d)) -> d. Pipelines that encode a
+  * decimal projection to the canonical binary and immediately decode it
+  * back (decimal view over a binary-canonical write path) generate this
+  * pair; every Decimal(38,0) value fits in 256 bits (1e38 << 2^256), so
+  * the pair is the identity for the non-negative domain u256 columns
+  * carry by contract. (The opposite direction binary->decimal->binary is
+  * NOT collapsed: it nulls values beyond 38 digits by design.) */
+object EliminateU256Roundtrips extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case U256ToDecimal(DecimalToU256(inner)) => inner
+    }
+}

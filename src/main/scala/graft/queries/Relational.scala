@@ -611,8 +611,28 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // q29: the SQL text entry path (§3.4) — parsed by Spark's own parser,
+  // with a scalar subquery, over temp views.
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v
+        |WHERE o_totalprice > (SELECT max(c_acctbal) FROM customer_v) * 40
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q29Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (SELECT max(c_acctbal) FROM customer) * 40
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_sql_scalar_subquery" -> (q29 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_broadcast" -> (q03 _),
@@ -644,6 +664,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q29_sql_scalar_subquery" -> q29Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_broadcast" -> q03Sql,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.U256
+
+/** Exercises the SparkSessionExtensions hook: SQL-registered u256
+  * functions and the codec-roundtrip elimination rule. Needs its own
+  * session (extensions are builder-time), hence not SparkSuite. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // extensions are builder-time: getOrCreate would silently reuse a
+    // previous suite's session without them, so start clean
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("u256 functions are callable from SQL") {
+    import spark.implicits._
+    Seq(U256.toBytes32(BigInt("123456789012345678901234567890")))
+      .toDF("bin").createOrReplaceTempView("t_u256")
+    val dec = spark.sql("SELECT u256_to_decimal(bin) AS d FROM t_u256")
+      .collect()(0).getDecimal(0)
+    assert(dec.toBigInteger.toString == "123456789012345678901234567890")
+    val rt = spark.sql(
+      "SELECT u256_add(bin, decimal_to_u256(CAST(1 AS DECIMAL(38,0)))) AS s FROM t_u256")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(U256.fromBytes32(rt) == BigInt("123456789012345678901234567891"))
+  }
+
+  test("optimizer eliminates decimal->binary->decimal roundtrips") {
+    import spark.implicits._
+    // repartition blocks ConvertToLocalRelation from pre-evaluating the
+    // expression over the literal input — we want the rule, not folding
+    val df = Seq(BigDecimal(42)).toDF("d").repartition(1)
+      .selectExpr("u256_to_decimal(decimal_to_u256(CAST(d AS DECIMAL(38,0)))) AS out")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("u256_to_decimal"),
+      s"roundtrip not eliminated:\n$optimized")
+    assert(df.collect()(0).getDecimal(0).intValue == 42)
+  }
+
+  test("rule leaves the lossy direction (binary->decimal->binary) intact") {
+    import spark.implicits._
+    val df = Seq(U256.toBytes32(BigInt(10).pow(40))).toDF("bin").repartition(1)
+      .selectExpr("decimal_to_u256(u256_to_decimal(bin)) AS out")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("u256_to_decimal"))
+    // 10^40 exceeds Decimal(38,0): the pair must null it, not pass it through
+    assert(df.collect()(0).isNullAt(0))
+  }
+}
