@@ -630,9 +630,26 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // q30: q07's semantics through the CUSTOM TopKPerGroup operator
+  // (LogicalPlan + Strategy + heap-based two-phase exec) — same oracle.
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerGroupOps.Sort
+    graft.plans.TopKPerGroupOps.topKPerGroup(
+        t(s, dir, "lineitem"),
+        groupCols = Seq("l_returnflag"),
+        orderBy = Seq(Sort("l_extendedprice", desc = true),
+          Sort("l_orderkey"), Sort("l_linenumber")),
+        k = 3)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sql_scalar_subquery" -> (q29 _),
+    "q30_topk_custom_operator" -> (q30 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_broadcast" -> (q03 _),
@@ -665,6 +682,8 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q29_sql_scalar_subquery" -> q29Sql,
+    "q30_topk_custom_operator" -> q07Sql, // identical semantics to q07
+
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_broadcast" -> q03Sql,
