@@ -646,10 +646,22 @@ object Relational {
   }
 
   // ------------------------------------------------------------------
+  // q31: approx distinct (HLL++) next to the exact count — approximate by
+  // design, so no cross-engine oracle; the spec pins the error bound.
+  def q31(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_sql_scalar_subquery" -> (q29 _),
     "q30_topk_custom_operator" -> (q30 _),
+    "q31_approx_distinct" -> (q31 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_broadcast" -> (q03 _),

@@ -72,6 +72,15 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedup — D5's contract on a live stream: one row per
+    * event_id, with state bounded by the watermark (an id older than the
+    * watermark can no longer produce a duplicate, so its state is
+    * dropped — the streaming analog of ReplacingMergeTree merges). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming chain ingest: a stream of block heights drives the SAME
     * batch flattens (C1-C4) + dedup (D5) through foreachBatch — the
     * micro-batch is the reference's 1000-block flush unit, arriving live. */

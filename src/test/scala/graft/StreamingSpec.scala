@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSuite {
     assert(last.getLong(0) == 2L && last.getDouble(1) == 15.0)
   }
 
+  test("streaming dedup emits each event_id once within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(2), 1, "click", 9.0), Event(2, ts(3), 2, "view", 2.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_id, count(*) FROM dd GROUP BY 1 ORDER BY 1").collect()
+    q.stop()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
+  test("salted join equals the plain join exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = graft.ops.Skew.saltedJoin(li, o, "l_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("l_orderkey", "l_linenumber", "o_totalprice")
+      .except(plain.select("l_orderkey", "l_linenumber", "o_totalprice")).count() == 0)
+  }
+
   test("foreachBatch chain ingest reuses batch flattens and lands correct rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
