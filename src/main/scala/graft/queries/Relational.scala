@@ -458,19 +458,21 @@ object Relational {
 
   // ------------------------------------------------------------------
   // q22: as-of join — for each purchase, the most recent prior click of
-  // the same user (deterministic via packed (ms, id) ordering).
+  // the same user. Union + running-window form: one shuffle on user_id,
+  // no click×purchase pair explosion (the naive join+argmax is O(C×P)
+  // per user; this is O(C+P) and state-free). `_kind` orders same-ms
+  // clicks before purchases so the window matches `c.ms <= p.ms`.
   def q22(s: SparkSession, dir: String): DataFrame = {
-    val e = events(s, dir)
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("_ms").as("p_ms"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"),
-        (col("_ms") * 1000000L + col("event_id")).as("_pack"), col("_ms").as("c_ms"))
-    purchases.join(clicks,
-        purchases("user_id") === clicks("c_user") && clicks("c_ms") <= purchases("p_ms"), "left")
-      .groupBy(col("user_id"), col("purchase_id"))
-      .agg(max(col("_pack")).as("_best"))
-      .select(col("user_id"), col("purchase_id"),
+    val e = events(s, dir).filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("_ms"),
+        when(col("event_type") === "click", 0).otherwise(1).as("_kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_ms"), col("_kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("_best",
+        max(when(col("_kind") === 0, col("_ms") * 1000000L + col("event_id"))).over(w))
+      .filter(col("_kind") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
         (col("_best") % 1000000L).as("last_click_id"),
         expr("_best DIV 1000000").as("last_click_ms"))
       .orderBy(col("user_id"), col("purchase_id"))
