@@ -55,6 +55,22 @@ object Load {
     Await.result(Future.sequence(jobs), Duration.Inf)
   }
 
+  /** Bucketed managed table: co-locates future joins/aggregations on the
+    * bucket key — two tables bucketed the same way join with NO shuffle
+    * (verified in ChainEtlSpec). At 100 TB this is the difference between
+    * re-shuffling the fact table per query and never shuffling it. */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortKeys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sortKeys.head, sortKeys.tail: _*)
+      .saveAsTable(table)
+
   /** A4: schema bootstrap — idempotent CREATE over the warehouse paths
     * (reference `--schema`, main.rs:36-37,52-163). */
   def createTables(spark: SparkSession, warehouse: String): Unit = {

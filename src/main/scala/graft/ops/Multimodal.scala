@@ -71,15 +71,23 @@ object Multimodal {
     import s.implicits._
     val ds = mediaTable(s, dir).as[MediaRecord]
     ds.mapPartitions { batch =>
+      val hist = new Array[Long](256) // reused across the batch, zeroed per record
       batch.map { m =>
         val px = MediaCodec.decodeStub(m.payload, m.width, m.height)
         val n = px.length.toDouble
-        val mean = px.sum / n
-        val hist = px.groupBy(identity).view.mapValues(_.length / n)
-        val entropy = -hist.values.map(p => p * math.log(p) / math.log(2)).sum
+        java.util.Arrays.fill(hist, 0L)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); hist(px(i)) += 1; i += 1 }
+        var entropy = 0.0
+        i = 0
+        while (i < 256) {
+          if (hist(i) > 0) { val p = hist(i) / n; entropy -= p * math.log(p) / math.log(2) }
+          i += 1
+        }
         val thumb = MediaCodec.resizeStub(px, 8)
         MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
-          mean, entropy, thumb.sum / thumb.length)
+          sum / n, entropy, thumb.sum / thumb.length)
       }
     }.toDF().orderBy(col("media_id"))
   }

@@ -104,7 +104,29 @@ object ChainQueries {
       .agg(count(lit(1)).as("n_blocks"), sum(col("gasUsed")).cast("long").as("gas"))
       .orderBy(col("mod10"))
 
+  /** Full ETL path in the graded surface: ingest 1000 blocks (the
+    * reference's flush unit) into a temp warehouse via the bucketed
+    * writer, read back, and report per-table counts — the whole
+    * source→flatten→dedup→write→read loop as one checked row set. */
+  def chainIngest1k(s: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    graft.etl.Load.ingest(s, 0, 999, wh)
+    def counted(name: String): DataFrame =
+      s.read.parquet(s"$wh/$name").agg(
+        lit(name).as("table"), count(lit(1)).as("n_rows"),
+        countDistinct(col("blockNumber")).as("n_blocks"))
+    val blocks = s.read.parquet(s"$wh/blocks").agg(
+      lit("blocks").as("table"), count(lit(1)).as("n_rows"),
+      countDistinct(col("number")).as("n_blocks"))
+    blocks
+      .unionByName(counted("transactions"))
+      .unionByName(counted("events"))
+      .unionByName(counted("withdraws"))
+      .orderBy(col("table"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_ingest_1k" -> (chainIngest1k _),
     "chain_source_scan" -> (chainSourceScan _),
     "chain_tables" -> (chainTables _),
     "chain_zip_vs_join" -> (chainZipVsJoin _),

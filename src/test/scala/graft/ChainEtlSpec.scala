@@ -92,6 +92,38 @@ class ChainEtlSpec extends SparkSuite {
     assert(det.except(one).count() == 0)
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    // managed tables land in the default warehouse; clear leftovers from
+    // any previously failed run, DROP below cleans up on success
+    spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
+    Seq("tx_b", "ev_b").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete() }; del(loc) }
+    }
+    val tx = Flatten.transactionRows(blocks, receipts)
+    val ev = Flatten.eventRows(blocks, receipts)
+    graft.etl.Load.writeBucketedTable(tx, "tx_b", "blockNumber", 4, Seq("blockNumber"))
+    graft.etl.Load.writeBucketedTable(ev, "ev_b", "blockNumber", 4, Seq("blockNumber"))
+    val joined = spark.table("tx_b").groupBy("blockNumber").agg(count(lit(1)).as("ntx"))
+      .join(spark.table("ev_b").groupBy("blockNumber").agg(count(lit(1)).as("nev")),
+        Seq("blockNumber"))
+    // bucketing must eliminate the groupBy/join SHUFFLES; a tiny
+    // BroadcastExchange on one side is fine (and desirable)
+    val plan = joined.queryExecution.sparkPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"bucketed join still shuffles:\n$plan")
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.bucketedScan
+    }
+    assert(scans.nonEmpty && scans.forall(identity), s"scans not bucketed:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
+  }
+
   test("D1/D2: bucketed write partitions by floor(number/1000) and re-run overwrites idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     graft.etl.Load.ingest(spark, 0, 30, dir)
