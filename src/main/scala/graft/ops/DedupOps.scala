@@ -241,9 +241,25 @@ object DedupOps {
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
 
+  private val ngramJaccardSql =
+    """,
+      |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      |       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      |          FROM sh a JOIN sh b USING (shingle)
+      |          WHERE a.doc_id < 20 AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+      |SELECT a, b, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
+      |ORDER BY a, b""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql)
-    // near-dup pipelines (minhash/simhash/LSH) are not SQL-expressible in
-    // a portable way -> rows-only checks + ScalaTest assertions.
+    "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
+    // exact pairwise jaccard IS SQL-expressible (same shingling, same
+    // integer-exact division) — only the LSH *candidate generation*
+    // pipelines (minhash/simhash bands) stay rows-only + property-tested
+    "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql)
   )
 }
