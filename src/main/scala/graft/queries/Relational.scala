@@ -659,8 +659,80 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   // ------------------------------------------------------------------
+  // q32: explicit GROUPING SETS (neither pure rollup nor cube).
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val q32Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q33: multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates).
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
+    val b = li.filter(col("l_discount") >= 0.05).select(col("l_orderkey"))
+    a.intersectAll(b).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_inter"))
+      .join(a.exceptAll(b).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_except")),
+        Seq("l_orderkey"), "full")
+      .na.fill(0L, Seq("n_inter", "n_except"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  private val q33Sql =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25),
+      |     b AS (SELECT l_orderkey FROM lineitem WHERE l_discount >= 0.05),
+      |     i AS (SELECT l_orderkey, COUNT(*) AS n_inter
+      |           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+      |     e AS (SELECT l_orderkey, COUNT(*) AS n_except
+      |           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+      |SELECT COALESCE(i.l_orderkey, e.l_orderkey) AS l_orderkey,
+      |  COALESCE(n_inter, 0) AS n_inter, COALESCE(n_except, 0) AS n_except
+      |FROM i FULL JOIN e ON i.l_orderkey = e.l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q34: analytic window functions — first/nth value, ntile, percent_rank.
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0) // keep output modest
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        first_value(col("o_orderkey")).over(w).as("top_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  private val q34Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  first_value(o_orderkey) OVER w AS top_order,
+      |  nth_value(o_orderkey, 2) OVER w AS second_order,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM orders WHERE o_orderkey % 10 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_grouping_sets" -> (q32 _),
+    "q33_setops_all" -> (q33 _),
+    "q34_window_analytic" -> (q34 _),
     "q29_sql_scalar_subquery" -> (q29 _),
     "q30_topk_custom_operator" -> (q30 _),
     "q31_approx_distinct" -> (q31 _),
@@ -695,6 +767,9 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q32_grouping_sets" -> q32Sql,
+    "q33_setops_all" -> q33Sql,
+    "q34_window_analytic" -> q34Sql,
     "q29_sql_scalar_subquery" -> q29Sql,
     "q30_topk_custom_operator" -> q07Sql, // identical semantics to q07
 
