@@ -94,6 +94,24 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // Rolling (polynomial) hash fingerprint: h = fold((acc*31 + byte) % p)
+  // over the characters — the Rabin-Karp building block, as a pure
+  // sequential fold in exact integer arithmetic (engine-independent).
+  def rollingHash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("roll_hash"))
+      .orderBy(col("doc_id"))
+
+  val rollingHashSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // Language ID: stopword-profile n-gram heuristic. Deterministic scoring:
   // argmax over per-language marker-token hit counts, ties broken by
   // language code order. Pure column algebra — no UDF, codegen-friendly.
@@ -128,13 +146,15 @@ object TextOps {
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
     "text_fingerprints" -> (fingerprints _),
+    "text_rolling_hash" -> (rollingHash _),
     "text_language_id" -> (languageId _)
   )
 
   val oracle: Map[String, String] = Map(
     "text_token_counts" -> tokenCountsSql,
     "text_quality_scores" -> qualityScoresSql,
-    "text_fingerprints" -> fingerprintsSql
+    "text_fingerprints" -> fingerprintsSql,
+    "text_rolling_hash" -> rollingHashSql
     // text_language_id: heuristic not SQL-oracle-able portably -> rows-only
   )
 }
