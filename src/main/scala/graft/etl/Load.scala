@@ -55,6 +55,32 @@ object Load {
     Await.result(Future.sequence(jobs), Duration.Inf)
   }
 
+  /** Interchange formats: schema-enforced JSON/CSV export + import of any
+    * chain table (binary columns as base64 in JSON; CSV additionally hex-
+    * encodes binaries since CSV has no binary type). Parquet stays the
+    * analytical format; these are the interchange paths (dumps, sharing,
+    * loading into engines without parquet readers). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSON back under an explicit schema — no inference, mirroring the
+    * fixed-schema stance of the reference DDL. */
+  def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** CSV export: binary/array columns hex/JSON-encoded into strings. */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.BinaryType => hex(col(f.name)).as(f.name)
+        case _: org.apache.spark.sql.types.ArrayType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
   /** Bucketed managed table: co-locates future joins/aggregations on the
     * bucket key — two tables bucketed the same way join with NO shuffle
     * (verified in ChainEtlSpec). At 100 TB this is the difference between

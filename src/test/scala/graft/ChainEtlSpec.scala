@@ -92,6 +92,38 @@ class ChainEtlSpec extends SparkSuite {
     assert(det.except(one).count() == 0)
   }
 
+  test("JSON interchange roundtrips the blocks table losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val b = Flatten.blockRows(blocks)
+    graft.etl.Load.writeJson(b, s"$dir/blocks_json")
+    val back = graft.etl.Load.readJson(spark, s"$dir/blocks_json", Schemas.blocks)
+    assert(back.count() == b.count())
+    assert(back.except(b).count() == 0 && b.except(back).count() == 0)
+  }
+
+  test("CSV export encodes binaries as hex and preserves row count") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val wd = Flatten.withdrawalRows(blocks)
+    graft.etl.Load.writeCsv(wd, s"$dir/withdraws_csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/withdraws_csv")
+    assert(back.count() == wd.count())
+    // hex(address) decodes back to the original 20-byte address
+    val joined = back.select(col("blockNumber").cast("long").as("blockNumber"),
+        col("index").cast("long").as("index"), unhex(col("address")).as("address"))
+      .join(wd.select(col("blockNumber"), col("index"), col("address").as("orig")),
+        Seq("blockNumber", "index"))
+    assert(joined.filter(not(col("address") === col("orig"))).count() == 0)
+  }
+
+  test("HLL approx distinct stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val q31 = graft.queries.Relational.q31(spark, sf)
+    val bad = q31.filter(
+      abs(col("approx_orders") - col("exact_orders")) > col("exact_orders") * 0.05)
+    assert(bad.count() == 0, q31.collect().mkString(","))
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     import org.apache.spark.sql.functions._
     // managed tables land in the default warehouse; clear leftovers from
