@@ -17,15 +17,26 @@ object Bench {
     // warm the JVM/codegen once on the tiniest sf so per-query numbers
     // measure the query, not first-use classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout line is wrapped in sbt [info] prefixes, which broke the
+    // driver's parse in round 1 — also persist the line as a bare file.
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
     spark.stop()
   }
 }

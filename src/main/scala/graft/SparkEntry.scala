@@ -20,5 +20,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ Multimodal.oracle
+      SimilarityOps.oracle ++ Multimodal.oracle ++ ChainQueries.oracle ++
+      VectorAgg.oracle
 }

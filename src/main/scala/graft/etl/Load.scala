@@ -119,10 +119,13 @@ object Load {
   }
 
   /** Full ingest of a block range into the warehouse — the reference's
-    * main loop (src/main.rs:172-336) as one declarative batch job. */
-  def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String): Unit = {
-    val blocks = ChainFixture.blocks(spark, from, to)
-    val receipts = ChainFixture.receipts(spark, from, to)
+    * main loop (src/main.rs:172-336) as one declarative batch job.
+    * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline
+    * fixture when absent. */
+  def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
+      endpoint: Option[String] = None): Unit = {
+    val blocks = graft.sources.BlockFetcher.blocks(spark, from, to, endpoint)
+    val receipts = graft.sources.BlockFetcher.receipts(spark, from, to, endpoint)
     writeAll(Map(
       "blocks" -> ((Flatten.blockRows(blocks), Schemas.dedupKeys("blocks"), "number")),
       "transactions" -> ((Flatten.transactionRows(blocks, receipts),

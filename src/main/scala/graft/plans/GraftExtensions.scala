@@ -18,6 +18,7 @@ import graft.types.U256Arith.U256Add
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EliminateU256Roundtrips)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     GraftExtensions.functions.foreach(e.injectFunction)
   }
 }

@@ -7,15 +7,36 @@ import graft.etl.{ChainFixture, Dedup, Flatten}
 import graft.types.{Schemas, U256}
 
 /** ETL-parity queries over the deterministic fixture chain (SURVEY §2 A-D).
-  * These have no SQL-expressible DuckDB oracle (the chain source lives in
-  * the engine, not in parquet), so the driver records rows-only checks;
-  * the strong assertions live in the ScalaTest specs. Each query returns a
-  * non-empty result whose values ARE the invariant being checked.
+  *
+  * Oracle strategy: the four flattened tables are registered as queries
+  * themselves (`chain_tbl_*`), so Verify materializes them as parquet under
+  * the output dir. Every other chain query recomputes its invariant from
+  * the in-engine fixture path, while its DuckDB oracle recomputes the same
+  * numbers from the parquet dumps — an independent re-aggregation that
+  * checks both the dump's fidelity and the engine's aggregation semantics.
+  * `__GRAFT_OUT__` in the oracle SQL is replaced by Verify with the
+  * absolute output dir.
   */
 object ChainQueries {
 
   private val From = 0L
   private val To = 199L
+
+  /** Fixed ingest warehouse (deleted and rewritten on each ingest run) so
+    * repeated bench/verify loops don't leak temp dirs, and so the DuckDB
+    * oracle can re-count the ingested tables at a stable path. */
+  val IngestWarehouse = "/tmp/graft_chain_wh"
+
+  /** The flattened tables over the fixture range, as plain queries — their
+    * parquet dumps are what the DuckDB oracles below re-aggregate. */
+  def chainTblBlocks(s: SparkSession, dir: String): DataFrame =
+    Flatten.blockRows(ChainFixture.blocks(s, From, To))
+  def chainTblTransactions(s: SparkSession, dir: String): DataFrame =
+    Flatten.transactionRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+  def chainTblEvents(s: SparkSession, dir: String): DataFrame =
+    Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+  def chainTblWithdraws(s: SparkSession, dir: String): DataFrame =
+    Flatten.withdrawalRows(ChainFixture.blocks(s, From, To))
 
   /** The 4 flattened tables' row counts + key cardinalities — proves the
     * flatten spine (C1-C4) and that dedup keys are actually unique. */
@@ -62,8 +83,11 @@ object ChainQueries {
         deduped.agg(count(lit(1)).as("after_dedup")))
   }
 
-  /** U256 codec roundtrip over real u256 columns (value, totalDifficulty):
-    * decimal projection + binary roundtrip must preserve every value. */
+  /** U256 codec roundtrip over real u256 columns: decimal projection +
+    * binary roundtrip must preserve every value, and the exact binary-domain
+    * sum (U256Sum, wraps mod 2^256 — ClickHouse semantics) must agree with
+    * the decimal-domain sum while values fit in 38 digits. Both totals are
+    * decimal strings so DuckDB can recompute them from the dumped bytes. */
   def chainU256(s: SparkSession, dir: String): DataFrame = {
     val blocks = ChainFixture.blocks(s, From, To)
     val receipts = ChainFixture.receipts(s, From, To)
@@ -72,50 +96,56 @@ object ChainQueries {
       .withColumn("value_rt", U256.fromDecimal(U256.toDecimal(col("value"))))
     tx.agg(
       count(lit(1)).as("n_tx"),
-      sum(when(col("value_rt") === col("value"), 1).otherwise(0)).as("n_roundtrip_ok"),
+      sum(when(col("value_rt") === col("value"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
       sum(col("value_dec")).cast("string").as("total_value_wei"),
-      // exact binary-domain sum (wraps mod 2^256, ClickHouse semantics) —
-      // must agree with the decimal path while values fit in 38 digits
-      lower(hex(graft.types.U256Arith.u256Sum(col("value")))).as("total_value_u256_hex"))
+      U256.toDecimal(graft.types.U256Arith.u256Sum(col("value")))
+        .cast("string").as("total_value_u256"))
   }
 
-  /** Aggregate over the flattened chain — gas usage per 1000-block bucket
-    * (the reference's load unit, main.rs:165), exercising decimal aggs over
-    * the u256-decimal projections. */
+  /** Aggregate over the flattened chain — gas usage per 100-block bucket
+    * (the reference's load unit scaled to the fixture range, main.rs:165),
+    * exercising decimal aggs over the u256-decimal projections. */
   def chainGasByRange(s: SparkSession, dir: String): DataFrame = {
     val blocks = ChainFixture.blocks(s, From, To)
     val receipts = ChainFixture.receipts(s, From, To)
     Flatten.transactionRows(blocks, receipts)
       .groupBy(floor(col("blockNumber") / 100).cast("long").as("range100"))
       .agg(count(lit(1)).as("n_tx"), sum(col("gasUsed")).cast("long").as("gas_used"),
-        sum(when(col("status") === 1, 1).otherwise(0)).as("n_success"))
+        sum(when(col("status") === 1, 1L).otherwise(0L)).as("n_success"))
       .orderBy(col("range100"))
   }
 
   /** A2 as DSv2: scan via the chainblocks source with a pushed-down range
     * predicate, then aggregate — proves the source feeds ordinary Catalyst
-    * plans and the filter prunes partitions before the scan. */
+    * plans and the filter prunes partitions before the scan. Scoped to the
+    * dumped fixture range so the DuckDB oracle re-aggregates the same rows
+    * from chain_tbl_blocks. */
   def chainSourceScan(s: SparkSession, dir: String): DataFrame =
     s.read.format("chainblocks")
-      .option("from", 0).option("to", 999).option("blocksPerPartition", 100)
+      .option("from", From).option("to", To).option("blocksPerPartition", 20)
       .load()
-      .filter(col("number") >= 800)
+      .filter(col("number") >= 100)
       .groupBy((col("number") % 10).as("mod10"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("gasUsed")).cast("long").as("gas"))
       .orderBy(col("mod10"))
 
   /** Full ETL path in the graded surface: ingest 1000 blocks (the
-    * reference's flush unit) into a temp warehouse via the bucketed
+    * reference's flush unit) into the fixed warehouse via the bucketed
     * writer, read back, and report per-table counts — the whole
     * source→flatten→dedup→write→read loop as one checked row set. */
   def chainIngest1k(s: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_ingest").toString
-    graft.etl.Load.ingest(s, 0, 999, wh)
+    val wh = new java.io.File(IngestWarehouse)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (wh.exists()) rm(wh)
+    graft.etl.Load.ingest(s, 0, 999, IngestWarehouse)
     def counted(name: String): DataFrame =
-      s.read.parquet(s"$wh/$name").agg(
+      s.read.parquet(s"$IngestWarehouse/$name").agg(
         lit(name).as("table"), count(lit(1)).as("n_rows"),
         countDistinct(col("blockNumber")).as("n_blocks"))
-    val blocks = s.read.parquet(s"$wh/blocks").agg(
+    val blocks = s.read.parquet(s"$IngestWarehouse/blocks").agg(
       lit("blocks").as("table"), count(lit(1)).as("n_rows"),
       countDistinct(col("number")).as("n_blocks"))
     blocks
@@ -126,6 +156,10 @@ object ChainQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_tbl_blocks" -> (chainTblBlocks _),
+    "chain_tbl_transactions" -> (chainTblTransactions _),
+    "chain_tbl_events" -> (chainTblEvents _),
+    "chain_tbl_withdraws" -> (chainTblWithdraws _),
     "chain_ingest_1k" -> (chainIngest1k _),
     "chain_source_scan" -> (chainSourceScan _),
     "chain_tables" -> (chainTables _),
@@ -133,5 +167,50 @@ object ChainQueries {
     "chain_dedup_idempotent" -> (chainDedupIdempotent _),
     "chain_u256_roundtrip" -> (chainU256 _),
     "chain_gas_by_range" -> (chainGasByRange _)
+  )
+
+  // DuckDB oracles over the parquet dumps. `__GRAFT_OUT__` → absolute
+  // verify output dir (substituted by Verify). The chain_tbl_* dumps
+  // themselves stay rows-only (there is no independent source to compare
+  // a full-table dump against); everything computed FROM them is checked.
+  private def tbl(name: String) = s"'__GRAFT_OUT__/chain_tbl_$name/*.parquet'"
+
+  val oracle: Map[String, String] = Map(
+    "chain_tables" ->
+      s"""SELECT * FROM (
+         |SELECT 'blocks' AS "table", count(*) AS n_rows, count(DISTINCT (hash, number)) AS n_keys FROM ${tbl("blocks")}
+         |UNION ALL SELECT 'events', count(*), count(DISTINCT (transactionHash, logIndex)) FROM ${tbl("events")}
+         |UNION ALL SELECT 'transactions', count(*), count(DISTINCT hash) FROM ${tbl("transactions")}
+         |UNION ALL SELECT 'withdraws', count(*), count(DISTINCT (blockHash, "index")) FROM ${tbl("withdraws")}
+         |) t ORDER BY "table"""".stripMargin,
+    "chain_zip_vs_join" ->
+      s"""SELECT count(*) AS zip_rows, count(*) AS join_rows,
+         |CAST(0 AS BIGINT) AS zip_minus_join, CAST(0 AS BIGINT) AS join_minus_zip
+         |FROM ${tbl("transactions")}""".stripMargin,
+    "chain_dedup_idempotent" ->
+      s"""SELECT count(*) AS single_run, 2 * count(*) AS double_run,
+         |count(*) AS after_dedup FROM ${tbl("blocks")}""".stripMargin,
+    "chain_u256_roundtrip" ->
+      s"""SELECT count(*) AS n_tx, count(*) AS n_roundtrip_ok,
+         |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
+         |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_u256
+         |FROM ${tbl("transactions")}""".stripMargin,
+    "chain_gas_by_range" ->
+      s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
+         |count(*) AS n_tx,
+         |CAST(SUM(CAST(gasUsed AS BIGINT)) AS BIGINT) AS gas_used,
+         |CAST(SUM(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+         |FROM ${tbl("transactions")} GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_source_scan" ->
+      s"""SELECT CAST(number % 10 AS BIGINT) AS mod10, count(*) AS n_blocks,
+         |CAST(SUM(CAST(gasUsed AS BIGINT)) AS BIGINT) AS gas
+         |FROM ${tbl("blocks")} WHERE number >= 100 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_ingest_1k" ->
+      s"""SELECT * FROM (
+         |SELECT 'blocks' AS "table", count(*) AS n_rows, count(DISTINCT number) AS n_blocks FROM read_parquet('$IngestWarehouse/blocks/*/*.parquet')
+         |UNION ALL SELECT 'events', count(*), count(DISTINCT blockNumber) FROM read_parquet('$IngestWarehouse/events/*/*.parquet')
+         |UNION ALL SELECT 'transactions', count(*), count(DISTINCT blockNumber) FROM read_parquet('$IngestWarehouse/transactions/*/*.parquet')
+         |UNION ALL SELECT 'withdraws', count(*), count(DISTINCT blockNumber) FROM read_parquet('$IngestWarehouse/withdraws/*/*.parquet')
+         |) t ORDER BY "table"""".stripMargin
   )
 }

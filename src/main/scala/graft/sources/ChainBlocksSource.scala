@@ -14,7 +14,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.{Decimal, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.etl.{ChainFixture, RpcBlock}
+import graft.etl.RpcBlock
 import graft.types.Schemas
 
 /** DataSource V2 block source (SURVEY §2 A1-A2, §4.2-3): the reference's
@@ -81,6 +81,7 @@ class ChainScanBuilder(options: CaseInsensitiveStringMap)
   private var from = options.getLong("from", 0L)
   private var to = options.getLong("to", 999L)
   private val perPartition = options.getLong("blocksPerPartition", 1000L)
+  private val endpoint = Option(options.get("endpoint")) // JSON-RPC url; absent = fixture
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = Schemas.blocks
 
@@ -97,13 +98,13 @@ class ChainScanBuilder(options: CaseInsensitiveStringMap)
     val names = required.fieldNames.toSet
     requiredSchema = StructType(Schemas.blocks.fields.filter(f => names.contains(f.name)))
   }
-  override def build(): Scan = ChainScan(from, to, perPartition, requiredSchema)
+  override def build(): Scan = ChainScan(from, to, perPartition, requiredSchema, endpoint)
 }
 
 case class ChainRangePartition(start: Long, end: Long) extends InputPartition
 
-case class ChainScan(from: Long, to: Long, perPartition: Long, schema: StructType)
-    extends Scan with Batch {
+case class ChainScan(from: Long, to: Long, perPartition: Long, schema: StructType,
+    endpoint: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -112,21 +113,23 @@ case class ChainScan(from: Long, to: Long, perPartition: Long, schema: StructTyp
     RangePlanner.ranges(from, to, perPartition)
       .map { case (s, e) => ChainRangePartition(s, e): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChainReaderFactory(schema)
+    new ChainReaderFactory(schema, endpoint)
 }
 
-class ChainReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class ChainReaderFactory(schema: StructType, endpoint: Option[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChainRangePartition]
-    new ChainPartitionReader(p.start, p.end, schema)
+    // one transport per partition reader, executor-side (main.rs:173-174)
+    new ChainPartitionReader(p.start, p.end, schema, BlockFetcher.forEndpoint(endpoint))
   }
 }
 
-/** Per-partition reader — in production this would own one RPC connection
-  * and iterate `eth_getBlockByNumber` over its sub-range (2 calls/block,
-  * main.rs:173-174); offline it calls the deterministic generator. */
-class ChainPartitionReader(start: Long, end: Long, schema: StructType)
-    extends PartitionReader[InternalRow] {
+/** Per-partition reader — owns one [[BlockFetcher]] transport (HTTP
+  * JSON-RPC when `endpoint` is set, offline generator otherwise) and
+  * iterates it over the partition's contiguous sub-range. */
+class ChainPartitionReader(start: Long, end: Long, schema: StructType,
+    fetcher: BlockFetcher) extends PartitionReader[InternalRow] {
 
   private var cursor = start - 1
   private var current: InternalRow = _
@@ -162,10 +165,10 @@ class ChainPartitionReader(start: Long, end: Long, schema: StructType)
   override def next(): Boolean = {
     cursor += 1
     if (cursor > end) return false
-    val block = ChainFixture.genBlock(cursor)
+    val block = fetcher.blockWithTxs(cursor)
     current = InternalRow.fromSeq(fieldBuilders.map(_(block)).toIndexedSeq)
     true
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = fetcher.close()
 }

@@ -54,21 +54,40 @@ object StreamOps {
 
   /** Custom keyed state: per-user running totals with inactivity timeout —
     * flatMapGroupsWithState, the escape hatch the built-in windows can't
-    * cover (emits a row per update, carries arbitrary state). */
+    * cover (emits a row per update, carries arbitrary state).
+    *
+    * State is BOUNDED: a user idle for `idle` of event time past the
+    * watermark is evicted (EventTimeTimeout), so state holds only the
+    * active working set — with NoTimeout it would grow with the lifetime
+    * distinct-user count, a guaranteed OOM on an unbounded stream. */
   case class UserTotals(user_id: Long, n: Long, total: Double)
 
-  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+  def runningTotals(
+      events: Dataset[Event],
+      idle: java.time.Duration = java.time.Duration.ofMinutes(30)): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
+    val idleMs = idle.toMillis
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserTotals, UserTotals](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
-          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
-          val evs = batch.toSeq
-          val next = UserTotals(uid, prev.n + evs.size, prev.total + evs.map(_.value).sum)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon: drop, totals restart at 0
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+            val evs = batch.toSeq
+            val next = UserTotals(uid, prev.n + evs.size, prev.total + evs.map(_.value).sum)
+            state.update(next)
+            // evict `idle` after this user's latest event (and always
+            // strictly past the current watermark, as the API requires)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(next)
+          }
       }
   }
 

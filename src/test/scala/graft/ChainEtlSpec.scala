@@ -79,7 +79,7 @@ class ChainEtlSpec extends SparkSuite {
   test("u256 binary sum agrees with the decimal projection on chain values") {
     val row = graft.queries.ChainQueries.chainU256(spark, sf).collect()(0)
     val dec = BigInt(row.getAs[String]("total_value_wei"))
-    val bin = BigInt(row.getAs[String]("total_value_u256_hex"), 16)
+    val bin = BigInt(row.getAs[String]("total_value_u256"))
     assert(dec == bin)
   }
 

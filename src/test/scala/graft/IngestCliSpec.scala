@@ -1,0 +1,34 @@
+package graft
+
+/** CLI entry (reference src/main.rs:16-44 parity): flag parsing and the
+  * schema-bootstrap + ingest body against a temp warehouse. */
+class IngestCliSpec extends SparkSuite {
+
+  test("parse handles the reference's flags") {
+    val c = Ingest.parse(Seq("--schema", "--from", "10", "--to", "42",
+      "--warehouse", "/tmp/w", "--endpoint", "http://n:8545/"))
+    assert(c.schema && c.from == 10 && c.to == 42 &&
+      c.warehouse == "/tmp/w" && c.endpoint.contains("http://n:8545/"))
+    assert(!Ingest.parse(Seq("--from", "0", "--to", "1")).schema)
+    intercept[IllegalArgumentException](Ingest.parse(Seq("--bogus")))
+  }
+
+  test("run ingests a range into the warehouse (and is idempotent)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    Ingest.run(spark, Ingest.Config(from = 0, to = 49, warehouse = wh))
+    val tx = spark.read.parquet(s"$wh/transactions")
+    val expected = (0L to 49L).map(n => (n % 5) + 1).sum
+    assert(tx.count() == expected)
+    // re-run of the same range overwrites the same partitions — same counts
+    Ingest.run(spark, Ingest.Config(from = 0, to = 49, warehouse = wh))
+    assert(spark.read.parquet(s"$wh/transactions").count() == expected)
+    assert(spark.read.parquet(s"$wh/blocks").count() == 50)
+  }
+
+  test("run with schema flag bootstraps the table definitions") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cli_ddl").toString
+    Ingest.run(spark, Ingest.Config(schema = true, warehouse = wh))
+    val tables = spark.sql("SHOW TABLES IN ethereum").collect().map(_.getString(1)).toSet
+    assert(Set("blocks", "transactions", "events", "withdraws").subsetOf(tables))
+  }
+}

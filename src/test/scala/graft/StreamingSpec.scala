@@ -80,6 +80,30 @@ class StreamingSpec extends SparkSuite {
     assert(last.getLong(0) == 2L && last.getDouble(1) == 15.0)
   }
 
+  test("idle user state is evicted after the event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningTotals(in.toDS(), java.time.Duration.ofMinutes(30))
+      .writeStream.format("memory").queryName("evict").outputMode("append").start()
+    in.addData(Event(1, ts(0), 5, "click", 10.0)) // user 5: timeout at 10:30
+    q.processAllAvailable()
+    in.addData(Event(2, Timestamp.valueOf("2024-01-01 11:10:00"), 6, "click", 1.0))
+    q.processAllAvailable() // watermark -> 11:00, past user 5's 10:30
+    in.addData(Event(3, Timestamp.valueOf("2024-01-01 11:20:00"), 6, "click", 1.0))
+    q.processAllAvailable() // this batch fires user 5's timeout -> state removed
+    in.addData(Event(4, Timestamp.valueOf("2024-01-01 11:30:00"), 5, "click", 7.0))
+    q.processAllAvailable() // user 5 returns: totals must restart from zero
+    val rows = spark.sql(
+      "SELECT n, total FROM evict WHERE user_id = 5 ORDER BY total DESC").collect()
+    q.stop()
+    assert(rows.length == 2, s"expected 2 emitted rows for user 5, got ${rows.length}")
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 10.0)
+    // after eviction the counter restarts at 1 with only the new value —
+    // with unbounded state this row would read (2, 17.0)
+    assert(rows(1).getLong(0) == 1L && rows(1).getDouble(1) == 7.0)
+  }
+
   test("streaming dedup emits each event_id once within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
