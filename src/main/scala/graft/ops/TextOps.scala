@@ -142,6 +142,34 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB re-derivation of the argmax: the Spark side maximizes the
+    * struct (score, -langIdx), i.e. highest marker count with ties going
+    * to the earliest language code; the cascaded CASE below encodes the
+    * same total order (a language wins when its score >= all later AND
+    * all earlier ones already lost). Marker counting is the identical
+    * token-filter on both engines, so the match is exact. */
+  val languageIdSql: String = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      s"""CAST(len(list_filter(toks, t -> list_contains(${markers.mkString("['", "','", "']")}, t))) AS BIGINT) AS s_$lang"""
+    }.mkString(",\n    ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val laterGe = langs.drop(i + 1).map(l => s"s_$lang >= s_$l").mkString(" AND ")
+      s"WHEN $laterGe THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE
+       |    $cases
+       |    ELSE '${langs.last}' END AS predicted_lang,
+       |  greatest(${langs.map("s_" + _).mkString(", ")}) AS marker_hits
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
@@ -154,7 +182,7 @@ object TextOps {
     "text_token_counts" -> tokenCountsSql,
     "text_quality_scores" -> qualityScoresSql,
     "text_fingerprints" -> fingerprintsSql,
-    "text_rolling_hash" -> rollingHashSql
-    // text_language_id: heuristic not SQL-oracle-able portably -> rows-only
+    "text_rolling_hash" -> rollingHashSql,
+    "text_language_id" -> languageIdSql
   )
 }
