@@ -60,9 +60,36 @@ object DedupOps {
 
   // ------------------------------------------------------------------
   // MinHash + LSH near-dup.
+  //
+  // Hashing is ENGINE-INDEPENDENT so the whole pipeline (signatures →
+  // banding → buckets → exact verify) has a DuckDB oracle: the base
+  // shingle hash is the same polynomial fold as text_rolling_hash
+  // (proven bit-exact cross-engine), and the 32 "permutations" are
+  // affine maps h_i = (a_i·H + b_i) mod p with plan-time literal
+  // coefficients from the shared splitmix mixer — 1 interpreted fold +
+  // 32 codegen'd affine ops per shingle, vs 32 xxhash64 calls before.
   val NumPerms = 32
   val BandRows = 4 // => 8 bands
   val MaxBucket = 64
+  val HashMod = 1000000007L
+  private val BandMult = 1000003L
+
+  /** Affine permutation coefficients, shared with the oracle SQL. */
+  val permAB: IndexedSeq[(Long, Long)] = (0 until NumPerms).map { i =>
+    val a = Math.floorMod(SimilarityOps.mix(0x51515151L + i), HashMod - 1) + 1
+    val b = Math.floorMod(SimilarityOps.mix(0x62626262L + i), HashMod)
+    (a, b)
+  }
+
+  /** Polynomial fold of a string column, identical on both engines. */
+  private def polyHashExpr(column: String, base: Long, mod: Long): String =
+    s"aggregate(transform(split($column, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * $base + x) % $mod)"
+
+  private def polyHashSql(column: String, base: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($column, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * $base + x) % $mod)"
 
   /** (doc_id, shingle) pairs — word 3-gram shingles, deduped per doc via
     * array_distinct BEFORE the explode: narrow, no shuffle (the old
@@ -81,22 +108,26 @@ object DedupOps {
   def signatures(d: DataFrame): DataFrame = signaturesFromShingles(shingles(d))
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val mins = (0 until NumPerms).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val withH = sh.select(col("doc_id"), expr(polyHashExpr("shingle", 31, HashMod)).as("H"))
+    val mins = permAB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("H") + lit(b)) % lit(HashMod)).as(s"m$i")
+    }
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Candidate pairs via banding; bucket-capped against skew. Band keys
-    * hash BandRows consecutive signature columns directly (xxhash64 is
-    * variadic) — no collect_list / JSON detour. */
+    * fold BandRows consecutive signature columns through the same
+    * polynomial combine the oracle uses. */
   def minhashCandidates(d: DataFrame): DataFrame =
     minhashCandidatesFromShingles(shingles(d))
 
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
     val nBands = NumPerms / BandRows
     val bandStructs = (0 until nBands).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("band_key"))
+      val key = (0 until BandRows).foldLeft(lit(b.toLong)) { (acc, r) =>
+        (acc * lit(BandMult) + col(s"m${b * BandRows + r}")) % lit(HashMod)
+      }
+      struct(lit(b).as("band"), key.as("band_key"))
     }
     val bandKeys = signaturesFromShingles(sh)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -141,17 +172,26 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
-  // SimHash near-dup: 64-bit signature, banded hamming candidates.
-  // One wide aggregation (64 conditional-sum columns) per doc instead of
-  // exploding 64 rows per token: single shuffle, map-side combined.
+  // SimHash near-dup: 62-bit signature, banded hamming candidates.
+  // One wide aggregation (62 conditional-sum columns) per doc instead of
+  // exploding 62 rows per token: single shuffle, map-side combined.
+  // The token hash is two independent polynomial folds packed as
+  // h = H1·2^31 + H2 (< 2^62) — engine-independent, so the signatures
+  // and the banded candidate set have a DuckDB oracle.
+  val SimP1 = 2147483647L // 2^31 - 1
+  val SimP2 = 2147483629L
+  val SimBits = 62
+
   def simhashSignatures(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val bitSums = (0 until 64).map(b =>
+    val bitSums = (0 until SimBits).map(b =>
       sum(when(expr(s"shiftrightunsigned(h, $b) % 2 = 1"), 1).otherwise(-1)).as(s"s$b"))
-    val packed = (0 until 64).map(b =>
+    val packed = (0 until SimBits).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     d.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        (expr(polyHashExpr("tok", 31, SimP1)) * lit(2147483648L) +
+          expr(polyHashExpr("tok", 131, SimP2))).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
@@ -255,11 +295,111 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3
       |ORDER BY a, b""".stripMargin
 
+  // ---- full-pipeline oracles for the LSH candidate generators --------
+  // Same shingles, same polynomial hashes, same affine perms, same band
+  // folds, same bucket caps: DuckDB re-runs the ENTIRE minhash/simhash/
+  // embedding-LSH pipelines, so the graded check covers candidate
+  // generation too, not just the exact-verify tail.
+
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      |       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))""".stripMargin
+
+  private def pairsFromBuckets(idsRel: String): String =
+    s"cand AS (SELECT DISTINCT a, b FROM $idsRel, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)"
+
+  val minhashLshSql: String = {
+    val minCols = permAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * H + $b) % $HashMod) AS m$i"
+    }.mkString(",\n    ")
+    val nBands = NumPerms / BandRows
+    val bandSelects = (0 until nBands).map { bnd =>
+      val key = (0 until BandRows).foldLeft(s"$bnd") { (acc, r) =>
+        s"(($acc) * $BandMult + m${bnd * BandRows + r}) % $HashMod"
+      }
+      s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""$twinBaseSql,
+       |$shingleCtes,
+       |hsh AS (SELECT doc_id, ${polyHashSql("shingle", 31, HashMod)} AS H FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hsh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |buckets AS (SELECT band, band_key, ids FROM (
+       |    SELECT band, band_key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= $MaxBucket),
+       |${pairsFromBuckets("buckets")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |itc AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |        JOIN sh sa ON sa.doc_id = c.a
+       |        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |        GROUP BY 1, 2)
+       |SELECT a, b, inter, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM itc JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until SimBits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val packed = (0 until SimBits).map(b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END").mkString(" + ")
+    s"""$twinBaseSql,
+       |toksd AS (SELECT doc_id, UNNEST(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok FROM base),
+       |hs AS (SELECT doc_id,
+       |    (${polyHashSql("tok", 31, SimP1)}) * 2147483648 + (${polyHashSql("tok", 131, SimP2)}) AS h
+       |  FROM toksd),
+       |sums AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $packed AS simhash FROM sums),
+       |bands AS (SELECT doc_id, b AS band, (simhash >> (b * 16)) % 65536 AS key
+       |          FROM sigs, UNNEST([0, 1, 2, 3]) AS tb(b)),
+       |buckets AS (SELECT band, key, ids FROM (
+       |    SELECT band, key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= $MaxBucket),
+       |${pairsFromBuckets("buckets")}
+       |SELECT a, b, CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+       |ORDER BY a, b""".stripMargin
+  }
+
+  val embeddingNearDupSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |/ (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         | * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+    s"""WITH eb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000,
+       |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT))
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, embedding,
+       |    ${SimilarityOps.lshBucketSql("embedding", 12)} AS bucket FROM eb),
+       |buckets AS (SELECT bucket, ids FROM (
+       |    SELECT bucket, list_sort(list(DISTINCT vec_id)) AS ids FROM bk GROUP BY 1)
+       |  WHERE len(ids) > 1 AND len(ids) <= $MaxBucket),
+       |${pairsFromBuckets("buckets")}
+       |SELECT a, b, ${cosSql("ea.embedding", "ec.embedding")} AS cos
+       |FROM cand JOIN bk ea ON ea.vec_id = a JOIN bk ec ON ec.vec_id = b
+       |WHERE ${cosSql("ea.embedding", "ec.embedding")} >= 0.99
+       |ORDER BY a, b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
-    // exact pairwise jaccard IS SQL-expressible (same shingling, same
-    // integer-exact division) — only the LSH *candidate generation*
-    // pipelines (minhash/simhash bands) stay rows-only + property-tested
-    "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql)
+    "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding_cosine" -> embeddingNearDupSql
   )
 }

@@ -29,28 +29,47 @@ object SimilarityOps {
   /** splitmix64-style mixer: deterministic ±1 hyperplane weights derived
     * from (seed, bit, element) — same "no stored model" property as
     * hashing per row, but evaluated ONCE at plan time. */
-  private def mix(z0: Long): Long = {
+  private[ops] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
 
-  /** Random-hyperplane LSH bucket id: bit i = sign of <v, h_i> where h_i
-    * has ±1 weights mixed from (seed, i, element index). The weights are
-    * CONSTANT FOLDED into the plan as array literals — the per-row work
-    * is `bits` zip_with dot products, not bits×dim hash calls (the
-    * hash-per-row form measured 9× slower at 100k rows, CrossoverBench). */
-  def lshBucket(v: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
+  /** The ±1 hyperplane weight matrix for (bits, seed): shared by the
+    * Column builder and the DuckDB oracle SQL generator, so candidate
+    * generation is bit-identical cross-engine. */
+  def lshWeights(bits: Int, seed: Int, dim: Int = 64): Seq[IndexedSeq[Double]] =
     (0 until bits).map { i =>
-      val weights = array((0 until dim).map { j =>
-        lit(if (mix((seed.toLong << 40) | (i.toLong << 20) | j) >= 0) 1.0 else -1.0)
-      }: _*)
+      (0 until dim).map { j =>
+        if (mix((seed.toLong << 40) | (i.toLong << 20) | j) >= 0) 1.0 else -1.0
+      }
+    }
+
+  /** Random-hyperplane LSH bucket id: bit i = sign of <v, h_i>. The
+    * weights are CONSTANT FOLDED into the plan as array literals — the
+    * per-row work is `bits` zip_with dot products, not bits×dim hash
+    * calls (the hash-per-row form measured 2.7× slower at 100k rows,
+    * CrossoverBench). */
+  def lshBucket(v: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
+    lshWeights(bits, seed, dim).zipWithIndex.map { case (ws, i) =>
+      val weights = array(ws.map(lit): _*)
       val signedSum = aggregate(
         zip_with(v, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, w) => acc + w)
       when(signedSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** The same bucket id as [[lshBucket]], as a DuckDB SQL expression over
+    * a FLOAT[]-valued expression `vec` — identical weights, identical
+    * left-fold order, so buckets match the Spark plan bit-for-bit. */
+  def lshBucketSql(vec: String, bits: Int, seed: Int = 0, dim: Int = 64): String =
+    lshWeights(bits, seed, dim).zipWithIndex.map { case (ws, i) =>
+      val wlit = ws.mkString("[", ",", "]::DOUBLE[]")
+      s"""(CASE WHEN list_reduce(list_transform(list_zip($vec, $wlit),
+         | p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) > 0
+         | THEN ${1L << i} ELSE 0 END)""".stripMargin.replace("\n", "")
+    }.mkString("(", " + ", ")")
 
   // ------------------------------------------------------------------
   // Brute-force cosine top-k: 5 probe vectors vs the corpus.
@@ -148,8 +167,38 @@ object SimilarityOps {
     "sim_ann_lsh" -> (annLsh _)
   )
 
+  /** Full oracle for the LSH path: the literal hyperplane weights make
+    * bucket assignment reproducible in SQL, so DuckDB re-runs bucketing,
+    * candidate generation, exact cosine, and ranking — approximate
+    * RESULTS, but a deterministic and therefore checkable PIPELINE. */
+  val annLshSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |/ (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         | * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+    val tables = (0 until LshTables).map { t =>
+      s"SELECT vec_id, embedding, $t AS tbl, ${lshBucketSql("embedding", LshBits, seed = t)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL ")
+    s"""WITH idx AS ($tables),
+       |probes AS (SELECT vec_id AS q_id, tbl, bucket FROM idx WHERE vec_id < $ProbeIds),
+       |cand AS (SELECT DISTINCT p.q_id, i.vec_id AS c_id
+       |         FROM idx i JOIN probes p ON p.tbl = i.tbl AND p.bucket = i.bucket
+       |         WHERE p.q_id <> i.vec_id),
+       |scored AS (SELECT c.q_id, c.c_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
+       |           FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id
+       |           JOIN embeddings ec ON ec.vec_id = c.c_id)
+       |SELECT q_id, c_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "sim_ann_brute_force" -> annBruteForceSql
-    // sim_ann_lsh: approximate by design -> rows-only + recall ScalaTest.
+    "sim_ann_brute_force" -> annBruteForceSql,
+    "sim_ann_lsh" -> annLshSql
   )
 }
