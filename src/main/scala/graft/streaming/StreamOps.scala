@@ -91,6 +91,27 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: impressions ⋈ clicks by user within
+    * [0, 10 min] AFTER the impression — the streaming analog of the batch
+    * range join (Relational.q21). Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * compute exactly how long each side's state must be retained and
+    * drops expired rows — without the time bound, stream-stream join
+    * state grows forever. */
+  def impressionClickJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id"), col("ts").as("imp_ts"))
+    val clk = clicks.withWatermark("ts", "20 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    imp.join(clk,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Streaming dedup — D5's contract on a live stream: one row per
     * event_id, with state bounded by the watermark (an id older than the
     * watermark can no longer produce a duplicate, so its state is

@@ -119,6 +119,28 @@ class StreamingSpec extends SparkSuite {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join pairs clicks within 10 minutes of impression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamOps.impressionClickJoin(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    imps.addData(Event(100, ts(0), 1, "imp", 0))
+    clicks.addData(
+      Event(200, ts(5), 1, "click", 0),   // within 10 min -> joins
+      Event(201, ts(30), 1, "click", 0),  // too late -> no join
+      Event(202, ts(4), 2, "click", 0))   // other user -> no join
+    q.processAllAvailable()
+    // advance both watermarks so joined results flush
+    imps.addData(Event(101, ts(59), 9, "imp", 0))
+    clicks.addData(Event(203, ts(59), 9, "click", 0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT imp_id, click_id FROM ssj WHERE user_id = 1").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 200L)))
+  }
+
   test("salted join equals the plain join exactly") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val o = spark.read.parquet(s"$sf/orders.parquet")
