@@ -170,12 +170,66 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // PII detection + redaction: emails, NANP phone numbers, IPv4s.
+  // Patterns are deliberately unambiguous (fixed structure, no
+  // backtracking-dependent alternations) so Java regex and RE2 produce
+  // identical matches, making the redacted output byte-equal
+  // cross-engine. The synthetic corpus carries no PII, so the query
+  // injects a deterministic PII suffix per doc (derived from doc_id) —
+  // both engines build the same string, then detect and redact it.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2} \\([0-9]{3}\\) [0-9]{3}-[0-9]{4}"
+  private val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact a text column in place: emails, then phones, then IPv4s. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" or call +1 (555) 010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 192.168."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".1")).as("text"))
+    withPii.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(redact(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val redactPiiSql: String =
+    s"""WITH withpii AS (
+       |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |    || ' or call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$IpRe', '<IP>', 'g')) AS redacted_md5
+       |FROM withpii ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
     "text_fingerprints" -> (fingerprints _),
     "text_rolling_hash" -> (rollingHash _),
-    "text_language_id" -> (languageId _)
+    "text_language_id" -> (languageId _),
+    "text_redact_pii" -> (redactPii _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,6 +237,7 @@ object TextOps {
     "text_quality_scores" -> qualityScoresSql,
     "text_fingerprints" -> fingerprintsSql,
     "text_rolling_hash" -> rollingHashSql,
-    "text_language_id" -> languageIdSql
+    "text_language_id" -> languageIdSql,
+    "text_redact_pii" -> redactPiiSql
   )
 }

@@ -92,6 +92,22 @@ class OpsSpec extends SparkSuite {
     assert(a.forall(_.getString(2) != null))
   }
 
+  test("PII redaction replaces emails, phones, and IPs and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to alice.smith+x@mail.example.org or call +1 (555) 123-4567 now"),
+      (2L, "server at 10.0.42.255 and 192.168.1.1 talked"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), graft.ops.TextOps.redact(col("text")).as("r"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getString(1) == "write to <EMAIL> or call <PHONE> now")
+    assert(out(1).getString(1) == "server at <IP> and <IP> talked")
+    assert(out(2).getString(1) == "nothing sensitive here")
+    // the registered query injects exactly one of each per doc
+    val q = TextOps.redactPii(spark, sf)
+    assert(q.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1).count() == 0)
+  }
+
   test("token counts: whitespace tokens == words for the all-alpha corpus") {
     val bad = TextOps.tokenCounts(spark, sf)
       .filter(col("n_ws_tokens") =!= col("n_words"))
