@@ -134,6 +134,31 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
   }
 
+  /** Materialize the LSH index partitioned by (tbl, bucket) — the
+    * write-time shape at 100 TB: a probe query filters on its own
+    * (table, bucket) pairs, so the parquet scan prunes to the matching
+    * partition directories and never reads the rest of the corpus.
+    * (`tbl`/`bucket` become hive partition columns; the vector payload
+    * is the only data stored per row.) */
+  def writeLshIndex(emb: DataFrame, path: String,
+      bits: Int = LshBits, tables: Int = LshTables): Unit =
+    lshIndex(emb, bits, tables)
+      .withColumnRenamed("table", "tbl") // avoid the SQL keyword as a dir name
+      .repartition(col("tbl"), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("tbl", "bucket")
+      .parquet(path)
+
+  /** Probe a materialized index: join on the partition columns, so only
+    * the probes' own (tbl, bucket) directories are scanned. */
+  def lshTopKFromIndex(spark: SparkSession, path: String,
+      nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"),
+        col("tbl").as("table"), col("bucket"))
+    lshTopKIndexed(idx, nProbes, k)
+  }
+
   /** Query phase against a prebuilt [[lshIndex]] frame. */
   def lshTopKIndexed(bucketed: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
     val probes = bucketed.filter(col("vec_id") < nProbes)

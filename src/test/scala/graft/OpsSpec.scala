@@ -59,6 +59,23 @@ class OpsSpec extends SparkSuite {
       s"LSH recall too low: $overlap")
   }
 
+  test("materialized LSH index is partition-pruned and query-equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    SimilarityOps.writeLshIndex(emb, dir)
+    val viaIndex = SimilarityOps.lshTopKFromIndex(spark, dir)
+    val direct = SimilarityOps.lshTopK(emb)
+    assert(viaIndex.except(direct).count() == 0 && direct.except(viaIndex).count() == 0)
+    // a (tbl, bucket) predicate must reach the scan as a PARTITION filter,
+    // i.e. directory pruning, not a data filter over the whole corpus
+    val probe = spark.read.parquet(dir)
+      .filter(col("tbl") === 0 && col("bucket") === 3)
+    val scan = probe.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "expected partition-level pruning")
+  }
+
   test("centroid Aggregator: mean of vectors, mergeable across partitions") {
     import spark.implicits._
     val data = Seq(Seq(1.0f, 3.0f), Seq(3.0f, 5.0f), Seq(5.0f, 1.0f))
