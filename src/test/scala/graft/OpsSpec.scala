@@ -125,6 +125,24 @@ class OpsSpec extends SparkSuite {
     assert(q.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1).count() == 0)
   }
 
+  test("split assignment is deterministic and roughly 80/10/10") {
+    val counts = graft.ops.Sampling.splitAssign(spark, sf)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    assert(counts("val") / total > 0.05 && counts("test") / total > 0.05)
+    // pure function of doc_id: two runs identical
+    val a = graft.ops.Sampling.stratifiedSample(spark, sf).collect()
+    val b = graft.ops.Sampling.stratifiedSample(spark, sf).collect()
+    assert(a.sameElements(b))
+    // quota respected per language stratum
+    val over = graft.ops.Sampling.stratifiedSample(spark, sf)
+      .groupBy("lang").count()
+      .filter(col("count") > graft.ops.Sampling.PerStratum)
+    assert(over.count() == 0)
+  }
+
   test("token counts: whitespace tokens == words for the all-alpha corpus") {
     val bad = TextOps.tokenCounts(spark, sf)
       .filter(col("n_ws_tokens") =!= col("n_words"))
