@@ -149,11 +149,36 @@ class OpsSpec extends SparkSuite {
     assert(bad.count() == 0) // corpus is space-separated alpha words
   }
 
-  test("media features: deterministic stub decode, entropy within [0, 8]") {
+  test("BMP codec: header-true roundtrip; corrupt payloads rejected") {
+    import graft.ops.Multimodal.MediaCodec
+    val gray = Array.tabulate(5 * 3)(i => (i * 17) % 256)
+    val bmp = MediaCodec.encodeBmp(5, 3, gray)
+    val (w, h, decoded) = MediaCodec.decodeBmp(bmp)
+    assert(w == 5 && h == 3 && decoded.sameElements(gray))
+    // dimensions come from the header, not the caller
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp("junkjunkjunk".getBytes))
+  }
+
+  test("WAV codec: PCM16 roundtrip; corrupt payloads rejected") {
+    import graft.ops.Multimodal.MediaCodec
+    val samples = Array.tabulate(100)(i => ((i - 50) * 300).toShort)
+    val wav = MediaCodec.encodeWav(16000, samples)
+    val (rate, decoded) = MediaCodec.decodeWav(wav)
+    assert(rate == 16000 && decoded.sameElements(samples))
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(new Array[Byte](50)))
+  }
+
+  test("media features decode real BMP/WAV payloads, entropy within [0, 8]") {
     val f = Multimodal.extractFeatures(spark, sf)
     assert(f.count() == spark.read.parquet(s"$sf/documents.parquet").count())
     assert(f.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8).count() == 0)
     assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+    // images really are BMPs, audio really is WAV (magic bytes on payload)
+    val mt = Multimodal.mediaTable(spark, sf)
+    assert(mt.filter(col("media_type") === "image" &&
+      substring(col("payload"), 1, 2) =!= lit("BM".getBytes)).count() == 0)
+    assert(mt.filter(col("media_type") === "audio" &&
+      substring(col("payload"), 1, 4) =!= lit("RIFF".getBytes)).count() == 0)
   }
 
   test("frame sampling keeps every 4th 32-byte frame") {
