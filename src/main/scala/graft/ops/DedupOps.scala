@@ -91,15 +91,24 @@ object DedupOps {
       s"list_transform(string_split($column, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(acc, x) -> (acc * $base + x) % $mod)"
 
-  /** (doc_id, shingle) pairs — word 3-gram shingles, deduped per doc via
-    * array_distinct BEFORE the explode: narrow, no shuffle (the old
-    * `.distinct()` shuffled the whole exploded corpus). */
+  /** (doc_id, shingle, H) triples — word 3-gram shingles, deduped per
+    * doc via array_distinct BEFORE the explode: narrow, no shuffle (the
+    * old `.distinct()` shuffled the whole exploded corpus). The shingle
+    * hash H is COMPOSED from per-token polynomial hashes — each token's
+    * characters are folded once, then a shingle costs 3 multiply-adds —
+    * instead of re-folding all ~25 characters per shingle (~8× less
+    * interpreted-lambda work; token hashes are reused by the 3 shingles
+    * each token appears in). */
   private def shingles(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), toks.as("_t"))
+      .withColumn("_th", expr(
+        s"transform(_t, tok -> ${polyHashExpr("tok", 31, HashMod)})"))
       .select(col("doc_id"), expr(
         "explode(array_distinct(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
-          "i -> concat_ws(' ', _t[i-1], _t[i], _t[i+1]))))").as("shingle"))
+          "i -> struct(concat_ws(' ', _t[i-1], _t[i], _t[i+1]) AS shingle, " +
+          s"((_th[i-1] * 131 + _th[i]) % $HashMod * 131 + _th[i+1]) % $HashMod AS h))))").as("s"))
+      .select(col("doc_id"), col("s.shingle").as("shingle"), col("s.h").as("H"))
   }
 
   /** MinHash signatures as ONE wide aggregation: 32 min-columns in a
@@ -108,11 +117,10 @@ object DedupOps {
   def signatures(d: DataFrame): DataFrame = signaturesFromShingles(shingles(d))
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val withH = sh.select(col("doc_id"), expr(polyHashExpr("shingle", 31, HashMod)).as("H"))
     val mins = permAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("H") + lit(b)) % lit(HashMod)).as(s"m$i")
     }
-    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Candidate pairs via banding; bucket-capped against skew. Band keys
@@ -302,9 +310,11 @@ object DedupOps {
   // generation too, not just the exact-verify tail.
 
   private val shingleCtes =
-    """toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base),
-      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-      |       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))""".stripMargin
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM base),
+       |tkh AS (SELECT doc_id, t, list_transform(t, tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle,
+       |       ((hs[i] * 131 + hs[i+1]) % $HashMod * 131 + hs[i+2]) % $HashMod AS h
+       |       FROM tkh, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))""".stripMargin
 
   private def pairsFromBuckets(idsRel: String): String =
     s"cand AS (SELECT DISTINCT a, b FROM $idsRel, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)"
@@ -322,10 +332,9 @@ object DedupOps {
     }.mkString("\nUNION ALL ")
     s"""$twinBaseSql,
        |$shingleCtes,
-       |hsh AS (SELECT doc_id, ${polyHashSql("shingle", 31, HashMod)} AS H FROM sh),
        |sig AS (SELECT doc_id,
        |    $minCols
-       |  FROM hsh GROUP BY doc_id),
+       |  FROM sh GROUP BY doc_id),
        |bands AS ($bandSelects),
        |buckets AS (SELECT band, band_key, ids FROM (
        |    SELECT band, band_key, list_sort(list(DISTINCT doc_id)) AS ids
