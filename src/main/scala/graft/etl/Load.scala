@@ -118,6 +118,30 @@ object Load {
     }
   }
 
+  /** Resumable ingest: skip 1000-block ranges that already landed
+    * COMPLETELY (partition dir present with exactly Batch blocks) and
+    * (re-)ingest the rest. Dynamic partition overwrite makes re-runs
+    * IDEMPOTENT; this makes them CHEAP — a restarted 100 TB backfill
+    * re-fetches nothing it already landed, where the reference re-runs
+    * its whole loop (main.rs:172). An incomplete range is re-ingested
+    * WHOLE (bounded by `to`) — never a slice, since dynamic overwrite
+    * replaces the entire partition. Returns the ranges ingested. */
+  def ingestResumable(spark: SparkSession, from: Long, to: Long, warehouse: String,
+      endpoint: Option[String] = None): Seq[(Long, Long)] = {
+    def complete(r: Long): Boolean = {
+      val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
+      p.isDirectory && {
+        try spark.read.parquet(p.toString).count() == Batch
+        catch { case _: Throwable => false }
+      }
+    }
+    val ranges = (from / Batch to to / Batch)
+      .filterNot(complete)
+      .map(r => (r * Batch, math.min(to, r * Batch + Batch - 1)))
+    ranges.foreach { case (lo, hi) => ingest(spark, lo, hi, warehouse, endpoint) }
+    ranges.toSeq
+  }
+
   /** Full ingest of a block range into the warehouse — the reference's
     * main loop (src/main.rs:172-336) as one declarative batch job.
     * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline

@@ -25,6 +25,21 @@ class IngestCliSpec extends SparkSuite {
     assert(spark.read.parquet(s"$wh/blocks").count() == 50)
   }
 
+  test("resumable ingest skips complete ranges, re-ingests partial ones") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    // first run: blocks 0..1499 -> range 0 complete, range 1 partial
+    val first = graft.etl.Load.ingestResumable(spark, 0, 1499, wh)
+    assert(first == Seq((0L, 999L), (1000L, 1499L)))
+    // resume to 2999: range 0 skipped, partial range 1 redone whole, range 2 new
+    val second = graft.etl.Load.ingestResumable(spark, 0, 2999, wh)
+    assert(second == Seq((1000L, 1999L), (2000L, 2999L)))
+    val blocks = spark.read.parquet(s"$wh/blocks")
+    assert(blocks.count() == 3000)
+    assert(blocks.select("number").distinct().count() == 3000)
+    // third run: everything complete -> nothing to do
+    assert(graft.etl.Load.ingestResumable(spark, 0, 2999, wh).isEmpty)
+  }
+
   test("run with schema flag bootstraps the table definitions") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cli_ddl").toString
     Ingest.run(spark, Ingest.Config(schema = true, warehouse = wh))
