@@ -19,6 +19,7 @@ object Ingest {
       to: Long = -1L,
       warehouse: String = "/tmp/graft_warehouse",
       schema: Boolean = false,
+      resume: Boolean = false,
       endpoint: Option[String] = None)
 
   def parse(args: Seq[String]): Config = {
@@ -27,11 +28,12 @@ object Ingest {
       case "--to" :: v :: t => loop(t, c.copy(to = v.toLong))
       case "--warehouse" :: v :: t => loop(t, c.copy(warehouse = v))
       case "--schema" :: t => loop(t, c.copy(schema = true))
+      case "--resume" :: t => loop(t, c.copy(resume = true))
       case "--endpoint" :: v :: t => loop(t, c.copy(endpoint = Some(v)))
       case Nil => c
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad' — expected [--schema] [--from A --to B] " +
-          "[--warehouse PATH] [--endpoint URL]")
+          "[--warehouse PATH] [--resume] [--endpoint URL]")
     }
     loop(args.toList, Config())
   }
@@ -40,8 +42,12 @@ object Ingest {
     * on an existing session. */
   def run(spark: SparkSession, c: Config): Unit = {
     if (c.schema) etl.Load.createTables(spark, c.warehouse)
-    if (c.to >= c.from && c.to >= 0)
-      etl.Load.ingest(spark, c.from, c.to, c.warehouse, c.endpoint)
+    if (c.to >= c.from && c.to >= 0) {
+      if (c.resume) {
+        val done = etl.Load.ingestResumable(spark, c.from, c.to, c.warehouse, c.endpoint)
+        System.err.println(s"[ingest] resumed: ${done.size} range(s) ingested")
+      } else etl.Load.ingest(spark, c.from, c.to, c.warehouse, c.endpoint)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -223,7 +223,32 @@ object TextOps {
        |    '$IpRe', '<IP>', 'g')) AS redacted_md5
        |FROM withpii ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Vocabulary building: corpus-wide term and document frequencies with
+  // a deterministic top-K cut (tf desc, term asc = total order). One
+  // explode → one groupBy with map-side combine; the global top-K is a
+  // TakeOrdered, not a full sort, so the corpus never materializes
+  // sorted — the right shape for a 100 TB vocab pass.
+  val VocabTopK = 200
+
+  def vocabulary(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(VocabTopK)
+
+  val vocabularySql: String =
+    s"""SELECT term, tf, df FROM (
+       |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY term)
+       |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocabulary" -> (vocabulary _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
     "text_fingerprints" -> (fingerprints _),
@@ -238,6 +263,7 @@ object TextOps {
     "text_fingerprints" -> fingerprintsSql,
     "text_rolling_hash" -> rollingHashSql,
     "text_language_id" -> languageIdSql,
-    "text_redact_pii" -> redactPiiSql
+    "text_redact_pii" -> redactPiiSql,
+    "text_vocabulary" -> vocabularySql
   )
 }

@@ -94,6 +94,19 @@ class OpsSpec extends SparkSuite {
       s"IVF recall too low: $overlap")
   }
 
+  test("deterministic k-means: full partition, deterministic, k*dim centroid rows") {
+    val a = graft.ops.Clustering.kmeans(spark, sf)
+    assert(a.count() == graft.ops.Clustering.K * graft.ops.Clustering.Dim)
+    // every vector lands in exactly one cluster
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val members = a.select("cluster", "n_members").distinct()
+      .agg(sum("n_members")).collect()(0).getLong(0)
+    assert(members == n)
+    // pure function of the data: a second run is identical
+    val b = graft.ops.Clustering.kmeans(spark, sf)
+    assert(a.collect().sameElements(b.collect()))
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
