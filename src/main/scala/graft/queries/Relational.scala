@@ -728,8 +728,60 @@ object Relational {
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // q35: time-RANGE window frame — trailing 10-minute per-user activity
+  // (count + exact decimal sum), the event-time cousin of q08's
+  // rows-frame running sum. Range frames include all peer rows with the
+  // same ordering value, identically in both engines.
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"))
+      .rangeBetween(-600000L, 0L)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("_ms").as("ms"),
+        count(lit(1)).over(w).as("n_10m"),
+        sum(col("value").cast(D)).over(w).cast("double").as("sum_10m"))
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+  }
+
+  private val q35Sql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+      |  COUNT(*) OVER w AS n_10m,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q36: correlated EXISTS / NOT EXISTS through the SQL text path —
+  // customers with at least one large order and no small ones (planned
+  // as a semi join + anti join, no subquery re-execution per row).
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 40000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q36Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 40000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_range_frame" -> (q35 _),
+    "q36_exists_subquery" -> (q36 _),
     "q32_grouping_sets" -> (q32 _),
     "q33_setops_all" -> (q33 _),
     "q34_window_analytic" -> (q34 _),
@@ -767,6 +819,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q35_range_frame" -> q35Sql,
+    "q36_exists_subquery" -> q36Sql,
     "q32_grouping_sets" -> q32Sql,
     "q33_setops_all" -> q33Sql,
     "q34_window_analytic" -> q34Sql,
