@@ -129,6 +129,33 @@ object ChainQueries {
       .agg(count(lit(1)).as("n_blocks"), sum(col("gasUsed")).cast("long").as("gas"))
       .orderBy(col("mod10"))
 
+  /** Referential-integrity audit across the flattened tables: every
+    * transaction's blockHash must exist in blocks, every event's
+    * transactionHash in transactions, every withdrawal's blockHash in
+    * blocks — anti-join orphan counts, all zero for a consistent
+    * extract (binary-key joins; at scale these are the standard
+    * post-load audit queries). */
+  def chainRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val blocks = ChainFixture.blocks(s, From, To)
+    val receipts = ChainFixture.receipts(s, From, To)
+    val b = Flatten.blockRows(blocks)
+    val tx = Flatten.transactionRows(blocks, receipts)
+    val ev = Flatten.eventRows(blocks, receipts)
+    val wd = Flatten.withdrawalRows(blocks)
+    val txOrphans = tx.join(b.select(col("hash").as("_bh")),
+      col("blockHash") === col("_bh"), "left_anti")
+    val evOrphans = ev.join(tx.select(col("hash").as("_th")),
+      col("transactionHash") === col("_th"), "left_anti")
+    val wdOrphans = wd.join(b.select(col("hash").as("_bh")),
+      col("blockHash") === col("_bh"), "left_anti")
+    tx.agg(count(lit(1)).as("n_tx")).crossJoin(
+        txOrphans.agg(count(lit(1)).as("tx_orphans"))).crossJoin(
+        ev.agg(count(lit(1)).as("n_events"))).crossJoin(
+        evOrphans.agg(count(lit(1)).as("event_orphans"))).crossJoin(
+        wd.agg(count(lit(1)).as("n_withdraws"))).crossJoin(
+        wdOrphans.agg(count(lit(1)).as("withdraw_orphans")))
+  }
+
   /** Full ETL path in the graded surface: ingest 1000 blocks (the
     * reference's flush unit) into the fixed warehouse via the bucketed
     * writer, read back, and report per-table counts — the whole
@@ -165,6 +192,7 @@ object ChainQueries {
     "chain_tables" -> (chainTables _),
     "chain_zip_vs_join" -> (chainZipVsJoin _),
     "chain_dedup_idempotent" -> (chainDedupIdempotent _),
+    "chain_ref_integrity" -> (chainRefIntegrity _),
     "chain_u256_roundtrip" -> (chainU256 _),
     "chain_gas_by_range" -> (chainGasByRange _)
   )
@@ -195,6 +223,17 @@ object ChainQueries {
          |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
          |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_u256
          |FROM ${tbl("transactions")}""".stripMargin,
+    "chain_ref_integrity" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM ${tbl("transactions")}) AS n_tx,
+         |  (SELECT count(*) FROM ${tbl("transactions")} t
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${tbl("blocks")} b WHERE b.hash = t.blockHash)) AS tx_orphans,
+         |  (SELECT count(*) FROM ${tbl("events")}) AS n_events,
+         |  (SELECT count(*) FROM ${tbl("events")} e
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${tbl("transactions")} t WHERE t.hash = e.transactionHash)) AS event_orphans,
+         |  (SELECT count(*) FROM ${tbl("withdraws")}) AS n_withdraws,
+         |  (SELECT count(*) FROM ${tbl("withdraws")} w
+         |   WHERE NOT EXISTS (SELECT 1 FROM ${tbl("blocks")} b WHERE b.hash = w.blockHash)) AS withdraw_orphans""".stripMargin,
     "chain_gas_by_range" ->
       s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
          |count(*) AS n_tx,
