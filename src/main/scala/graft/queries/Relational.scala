@@ -655,8 +655,20 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_approx"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        // HLL values are implementation-defined, so the GRADED columns are
+        // the exact count plus the error-bound invariant as a flag (HLL++
+        // is deterministic per dataset, so the flag is stable); the oracle
+        // recomputes the exact side and expects the bound to hold.
+        when(abs(col("_approx") - col("exact_orders")).cast("double")
+          / col("exact_orders") <= 0.05, 1L).otherwise(0L).as("within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  private val q31Sql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |  CAST(1 AS BIGINT) AS within_5pct
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------------
   // q32: explicit GROUPING SETS (neither pure rollup nor cube).
@@ -821,6 +833,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q35_range_frame" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
+    "q31_approx_distinct" -> q31Sql,
     "q32_grouping_sets" -> q32Sql,
     "q33_setops_all" -> q33Sql,
     "q34_window_analytic" -> q34Sql,
