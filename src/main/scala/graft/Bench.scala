@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Headline subset for the one-line stdout JSON. The full per-query map
+    * goes to BENCH.out.json; rounds 1-2 proved the driver's stdout tail
+    * buffer is ~4KB, so a 69-query map pushes the line's start out of the
+    * buffer and the parse fails ("parsed": null). Keep the line < 2KB. */
+  private val Headline = Seq(
+    "q01_pricing_summary", "q03_join_broadcast", "q07_topk_per_group",
+    "q21_range_join", "q25_sessionization", "q30_topk_custom_operator",
+    "dedup_exact", "dedup_minhash_lsh", "sim_ann_lsh", "cluster_kmeans",
+    "chain_ingest_1k", "text_vocabulary")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,16 +38,19 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // stdout line is wrapped in sbt [info] prefixes, which broke the
-    // driver's parse in round 1 — also persist the line as a bare file.
-    println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), json + "\n")
+    // numeric sf parsed from the dir name (sf0.1 -> 0.1)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val headline = results.filter { case (k, _) => Headline.contains(k) }
+    val shortJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"failed":$failedJson,"detail":"BENCH.out.json"}"""
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":$sfNum,"sf_dir":"$sfDir","failed":$failedJson}"""
+    println(shortJson)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()
   }
 }

@@ -17,6 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Raw (binary/array-typed) chain table dumps — NOT registered queries;
+    // the chain_* DuckDB oracles recompute their answers from these files.
+    try graft.queries.ChainQueries.materializeRaw(spark, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] chain_raw dumps failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -36,7 +42,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Chain oracles aggregate over the chain_tbl_* parquet dumps written
+    // Chain oracles aggregate over the chain_raw_* parquet dumps written
     // above; substitute the absolute output dir into their SQL.
     val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql

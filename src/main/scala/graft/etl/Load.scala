@@ -128,16 +128,26 @@ object Load {
     * replaces the entire partition. Returns the ranges ingested. */
   def ingestResumable(spark: SparkSession, from: Long, to: Long, warehouse: String,
       endpoint: Option[String] = None): Seq[(Long, Long)] = {
-    def complete(r: Long): Boolean = {
+    // A range is complete when every requested block in it is present —
+    // checked against the clamped [lo, hi] slice, so an unaligned tail
+    // (to not at a Batch-1 boundary) or head is recognized as done and
+    // never re-fetched over the wire on resume.
+    def complete(r: Long, lo: Long, hi: Long): Boolean = {
       val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
       p.isDirectory && {
-        try spark.read.parquet(p.toString).count() == Batch
+        try spark.read.parquet(p.toString)
+          .where(org.apache.spark.sql.functions.col("number").between(lo, hi))
+          .count() == hi - lo + 1
         catch { case _: Throwable => false }
       }
     }
     val ranges = (from / Batch to to / Batch)
-      .filterNot(complete)
-      .map(r => (r * Batch, math.min(to, r * Batch + Batch - 1)))
+      .map(r => (r, math.max(from, r * Batch), math.min(to, r * Batch + Batch - 1)))
+      .filterNot { case (r, lo, hi) => complete(r, lo, hi) }
+      // an incomplete range is (re-)ingested WHOLE (clamped to `to`): dynamic
+      // partition overwrite replaces the entire partition, so writing only
+      // the [from, hi] slice would drop blocks below `from` already landed
+      .map { case (r, _, _) => (r * Batch, math.min(to, r * Batch + Batch - 1)) }
     ranges.foreach { case (lo, hi) => ingest(spark, lo, hi, warehouse, endpoint) }
     ranges.toSeq
   }

@@ -24,13 +24,19 @@ object VectorAgg {
   /** (count, element-wise quantized sums) — mergeable mean buffer. */
   case class CentroidBuf(n: Long, sums: Array[Long])
 
+  /** Round half-AWAY-FROM-ZERO — SQL `round()` semantics in both Spark and
+    * DuckDB. `Math.round` alone rounds half toward +inf, which would put a
+    * negative element landing exactly on .5 one micro-unit off the oracle. */
+  private def quantize(x: Double): Long =
+    if (x >= 0) Math.round(x) else -Math.round(-x)
+
   class CentroidAggregator(dim: Int)
       extends Aggregator[Seq[Float], CentroidBuf, Seq[Double]] {
     override def zero: CentroidBuf = CentroidBuf(0L, new Array[Long](dim))
     override def reduce(b: CentroidBuf, v: Seq[Float]): CentroidBuf = {
       var i = 0
       while (i < dim && i < v.length) {
-        b.sums(i) += Math.round(v(i).toDouble * Quantum); i += 1
+        b.sums(i) += quantize(v(i).toDouble * Quantum); i += 1
       }
       CentroidBuf(b.n + 1, b.sums)
     }

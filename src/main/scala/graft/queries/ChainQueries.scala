@@ -1,21 +1,25 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DecimalType}
 
 import graft.etl.{ChainFixture, Dedup, Flatten}
 import graft.types.{Schemas, U256}
 
 /** ETL-parity queries over the deterministic fixture chain (SURVEY §2 A-D).
   *
-  * Oracle strategy: the four flattened tables are registered as queries
-  * themselves (`chain_tbl_*`), so Verify materializes them as parquet under
-  * the output dir. Every other chain query recomputes its invariant from
-  * the in-engine fixture path, while its DuckDB oracle recomputes the same
-  * numbers from the parquet dumps — an independent re-aggregation that
-  * checks both the dump's fidelity and the engine's aggregation semantics.
-  * `__GRAFT_OUT__` in the oracle SQL is replaced by Verify with the
-  * absolute output dir.
+  * Oracle strategy: Verify materializes the four RAW flattened tables as
+  * unregistered parquet dumps (`chain_raw_*` — binary/array columns stay
+  * native so DuckDB can re-parse the bytes). The registered `chain_tbl_*`
+  * queries are full-table PORTABLE projections (binary → hex, arrays →
+  * joined hex, decimals → strings) whose DuckDB oracles recompute the same
+  * projection from the raw dumps — so every cell of every flattened table
+  * is hash-compared cross-engine, and the driver's pandas rows-check never
+  * sees an unhashable array column (the round-2 err). Every other chain
+  * query recomputes its invariant from the in-engine fixture path while its
+  * oracle re-aggregates the raw dumps. `__GRAFT_OUT__` in oracle SQL is
+  * replaced by Verify with the absolute output dir.
   */
 object ChainQueries {
 
@@ -27,16 +31,53 @@ object ChainQueries {
     * oracle can re-count the ingested tables at a stable path. */
   val IngestWarehouse = "/tmp/graft_chain_wh"
 
-  /** The flattened tables over the fixture range, as plain queries — their
-    * parquet dumps are what the DuckDB oracles below re-aggregate. */
+  private def rawTables(s: SparkSession): Seq[(String, DataFrame)] = {
+    val blocks = ChainFixture.blocks(s, From, To)
+    val receipts = ChainFixture.receipts(s, From, To)
+    Seq(
+      "blocks" -> Flatten.blockRows(blocks),
+      "transactions" -> Flatten.transactionRows(blocks, receipts),
+      "events" -> Flatten.eventRows(blocks, receipts),
+      "withdraws" -> Flatten.withdrawalRows(blocks))
+  }
+
+  /** Called by Verify before the query loop: dumps the raw flattened tables
+    * (native binary/array/decimal columns) for the DuckDB oracles below. */
+  def materializeRaw(s: SparkSession, outDir: String): Unit =
+    rawTables(s).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/chain_raw_$name")
+    }
+
+  /** Portable projection: every column becomes a type the driver's pandas
+    * rows-check can hash and DuckDB can reproduce exactly — binary → hex
+    * (uppercase in both engines), array<binary> → comma-joined hex,
+    * decimal(38,0) → digit string. Longs/booleans/strings pass through. */
+  private def portable(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case BinaryType => hex(col(f.name)).as(f.name)
+        case ArrayType(BinaryType, _) =>
+          array_join(transform(col(f.name), x => hex(x)), ",").as(f.name)
+        case _: DecimalType => col(f.name).cast("string").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** The flattened tables over the fixture range as portable full-table
+    * queries — every cell oracle-checked against the raw dumps. */
   def chainTblBlocks(s: SparkSession, dir: String): DataFrame =
-    Flatten.blockRows(ChainFixture.blocks(s, From, To))
+    portable(Flatten.blockRows(ChainFixture.blocks(s, From, To)).orderBy(col("number")))
   def chainTblTransactions(s: SparkSession, dir: String): DataFrame =
-    Flatten.transactionRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+    portable(Flatten.transactionRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+      .orderBy(col("blockNumber"), col("transactionIndex")))
   def chainTblEvents(s: SparkSession, dir: String): DataFrame =
-    Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+    portable(Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+      .orderBy(col("blockNumber"), col("transactionIndex"), col("logIndex")))
   def chainTblWithdraws(s: SparkSession, dir: String): DataFrame =
-    Flatten.withdrawalRows(ChainFixture.blocks(s, From, To))
+    portable(Flatten.withdrawalRows(ChainFixture.blocks(s, From, To))
+      .orderBy(col("blockNumber"), col("index")))
 
   /** The 4 flattened tables' row counts + key cardinalities — proves the
     * flatten spine (C1-C4) and that dedup keys are actually unique. */
@@ -119,7 +160,7 @@ object ChainQueries {
     * predicate, then aggregate — proves the source feeds ordinary Catalyst
     * plans and the filter prunes partitions before the scan. Scoped to the
     * dumped fixture range so the DuckDB oracle re-aggregates the same rows
-    * from chain_tbl_blocks. */
+    * from chain_raw_blocks. */
   def chainSourceScan(s: SparkSession, dir: String): DataFrame =
     s.read.format("chainblocks")
       .option("from", From).option("to", To).option("blocksPerPartition", 20)
@@ -197,13 +238,55 @@ object ChainQueries {
     "chain_gas_by_range" -> (chainGasByRange _)
   )
 
-  // DuckDB oracles over the parquet dumps. `__GRAFT_OUT__` → absolute
-  // verify output dir (substituted by Verify). The chain_tbl_* dumps
-  // themselves stay rows-only (there is no independent source to compare
-  // a full-table dump against); everything computed FROM them is checked.
-  private def tbl(name: String) = s"'__GRAFT_OUT__/chain_tbl_$name/*.parquet'"
+  // DuckDB oracles over the raw parquet dumps. `__GRAFT_OUT__` → absolute
+  // verify output dir (substituted by Verify). The chain_tbl_* oracles
+  // recompute the portable projection cell-by-cell from the raw dumps;
+  // everything else re-aggregates them.
+  private def tbl(name: String) = s"'__GRAFT_OUT__/chain_raw_$name/*.parquet'"
 
   val oracle: Map[String, String] = Map(
+    "chain_tbl_blocks" ->
+      s"""SELECT hex(hash) AS hash, number, hex(parentHash) AS parentHash,
+         |coalesce(array_to_string(list_transform(uncles, x -> hex(x)), ','), '') AS uncles,
+         |hex(sha3Uncles) AS sha3Uncles, hex(totalDifficulty) AS totalDifficulty,
+         |hex(miner) AS miner, hex(difficulty) AS difficulty, hex(nonce) AS nonce,
+         |hex(mixHash) AS mixHash, CAST(baseFeePerGas AS VARCHAR) AS baseFeePerGas,
+         |CAST(gasLimit AS VARCHAR) AS gasLimit, CAST(gasUsed AS VARCHAR) AS gasUsed,
+         |hex(stateRoot) AS stateRoot, hex(transactionsRoot) AS transactionsRoot,
+         |hex(receiptsRoot) AS receiptsRoot, hex(logsBloom) AS logsBloom,
+         |hex(withdrawlsRoot) AS withdrawlsRoot, hex(extraData) AS extraData,
+         |CAST("timestamp" AS VARCHAR) AS "timestamp", CAST("size" AS VARCHAR) AS "size"
+         |FROM ${tbl("blocks")} ORDER BY number""".stripMargin,
+    "chain_tbl_transactions" ->
+      s"""SELECT hex(hash) AS hash, hex(blockHash) AS blockHash, blockNumber,
+         |CAST(blockTimestamp AS VARCHAR) AS blockTimestamp, transactionIndex,
+         |CAST(chainId AS VARCHAR) AS chainId, "type", hex("from") AS "from",
+         |hex("to") AS "to", hex("value") AS "value", CAST(nonce AS VARCHAR) AS nonce,
+         |hex(input) AS input, CAST(gas AS VARCHAR) AS gas,
+         |CAST(gasPrice AS VARCHAR) AS gasPrice,
+         |CAST(maxFeePerGas AS VARCHAR) AS maxFeePerGas,
+         |CAST(maxPriorityFeePerGas AS VARCHAR) AS maxPriorityFeePerGas,
+         |hex(r) AS r, hex(s) AS s, v, accessList,
+         |hex(contractAddress) AS contractAddress,
+         |CAST(cumulativeGasUsed AS VARCHAR) AS cumulativeGasUsed,
+         |CAST(effectiveGasPrice AS VARCHAR) AS effectiveGasPrice,
+         |CAST(gasUsed AS VARCHAR) AS gasUsed, hex(logsBloom) AS logsBloom,
+         |hex(root) AS root, status
+         |FROM ${tbl("transactions")} ORDER BY blockNumber, transactionIndex""".stripMargin,
+    "chain_tbl_events" ->
+      s"""SELECT hex(address) AS address, hex(blockHash) AS blockHash, blockNumber,
+         |CAST(blockTimestamp AS VARCHAR) AS blockTimestamp,
+         |hex(transactionHash) AS transactionHash, transactionIndex,
+         |CAST(logIndex AS VARCHAR) AS logIndex, removed,
+         |coalesce(array_to_string(list_transform(topics, x -> hex(x)), ','), '') AS topics,
+         |hex(data) AS data
+         |FROM ${tbl("events")}
+         |ORDER BY blockNumber, transactionIndex, CAST(logIndex AS BIGINT)""".stripMargin,
+    "chain_tbl_withdraws" ->
+      s"""SELECT hex(blockHash) AS blockHash, blockNumber,
+         |CAST(blockTimestamp AS VARCHAR) AS blockTimestamp, "index", validatorIndex,
+         |hex(address) AS address, CAST(amount AS VARCHAR) AS amount
+         |FROM ${tbl("withdraws")} ORDER BY blockNumber, "index"""".stripMargin,
     "chain_tables" ->
       s"""SELECT * FROM (
          |SELECT 'blocks' AS "table", count(*) AS n_rows, count(DISTINCT (hash, number)) AS n_keys FROM ${tbl("blocks")}
@@ -218,10 +301,21 @@ object ChainQueries {
     "chain_dedup_idempotent" ->
       s"""SELECT count(*) AS single_run, 2 * count(*) AS double_run,
          |count(*) AS after_dedup FROM ${tbl("blocks")}""".stripMargin,
+    // Reconstructs each 32-byte value from its two low 64-bit limbs (exact
+    // for values < 2^127; upper-limb-zero is asserted via n_roundtrip_ok,
+    // which counts values representable in DECIMAL(38,0) — the precise
+    // condition under which the Spark roundtrip succeeds).
     "chain_u256_roundtrip" ->
-      s"""SELECT count(*) AS n_tx, count(*) AS n_roundtrip_ok,
-         |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
-         |CAST(CAST(SUM(CAST(concat('0x', substr(hex(value), 49, 16)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_u256
+      s"""SELECT count(*) AS n_tx,
+         |SUM(CASE WHEN substr(hex("value"), 1, 32) = repeat('0', 32)
+         |          AND CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616
+         |              + CAST(CAST(concat('0x', substr(hex("value"), 49, 16)) AS UBIGINT) AS HUGEINT)
+         |              < CAST('100000000000000000000000000000000000000' AS HUGEINT)
+         |     THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+         |CAST(CAST(SUM(CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616
+         |              + CAST(CAST(concat('0x', substr(hex("value"), 49, 16)) AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
+         |CAST(CAST(SUM(CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616
+         |              + CAST(CAST(concat('0x', substr(hex("value"), 49, 16)) AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_u256
          |FROM ${tbl("transactions")}""".stripMargin,
     "chain_ref_integrity" ->
       s"""SELECT

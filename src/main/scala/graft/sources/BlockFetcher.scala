@@ -113,12 +113,18 @@ class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
       hash = hexBytes(b.get("hash")),
       parentHash = hexBytes(b.get("parentHash")),
       uncles = b.get("uncles").elements().asScala.map(hexBytes).toSeq,
-      unclesHash = hexBytes(opt(b, "sha3Uncles").orElse(opt(b, "unclesHash")).get),
-      totalDifficulty = hexU256(b.get("totalDifficulty")),
-      author = hexBytes(opt(b, "miner").orElse(opt(b, "author")).get),
-      difficulty = hexU256(b.get("difficulty")),
-      nonce = hexBytes(b.get("nonce")),
-      mixHash = hexBytes(b.get("mixHash")),
+      unclesHash = hexBytes(opt(b, "sha3Uncles").orElse(opt(b, "unclesHash")).getOrElse(
+        throw new NoSuchElementException(s"block $n: no sha3Uncles/unclesHash field"))),
+      // geth >= 1.14 omits totalDifficulty from eth_getBlockByNumber; the
+      // reference's ethers client normalizes it to zero the same way.
+      totalDifficulty = opt(b, "totalDifficulty").map(hexU256)
+        .getOrElse(graft.types.U256.toBytes32(BigInt(0))),
+      author = hexBytes(opt(b, "miner").orElse(opt(b, "author")).getOrElse(
+        throw new NoSuchElementException(s"block $n: no miner/author field"))),
+      difficulty = opt(b, "difficulty").map(hexU256)
+        .getOrElse(graft.types.U256.toBytes32(BigInt(0))),
+      nonce = opt(b, "nonce").map(hexBytes).getOrElse(new Array[Byte](8)),
+      mixHash = opt(b, "mixHash").map(hexBytes).getOrElse(new Array[Byte](32)),
       baseFeePerGas = opt(b, "baseFeePerGas").map(hexDec),
       gasLimit = hexDec(b.get("gasLimit")),
       gasUsed = hexDec(b.get("gasUsed")),
