@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, DedupOps, Multimodal, Sampling, SimilarityOps, TextOps, VectorAgg}
+import graft.ops.{Clustering, DedupOps, GraphOps, Multimodal, Sampling, SimilarityOps, TextOps, VectorAgg}
 import graft.queries.{ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ ChainQueries.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries ++
-      VectorAgg.queries ++ Sampling.queries ++ Clustering.queries
+      VectorAgg.queries ++ Sampling.queries ++ Clustering.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ Multimodal.oracle ++ ChainQueries.oracle ++
-      VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle
+      VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle ++
+      GraphOps.oracle
 }

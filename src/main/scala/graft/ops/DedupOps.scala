@@ -272,14 +272,16 @@ object DedupOps {
 
   // ------------------------------------------------------------------
 
-  private val twinBaseSql =
-    """WITH base AS (
+  private val twinBaseBody =
+    """base AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id,
       |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
       |        FROM documents))""".stripMargin
+
+  private val twinBaseSql = "WITH " + twinBaseBody
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
@@ -319,7 +321,11 @@ object DedupOps {
   private def pairsFromBuckets(idsRel: String): String =
     s"cand AS (SELECT DISTINCT a, b FROM $idsRel, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)"
 
-  val minhashLshSql: String = {
+  /** CTE chain (no WITH prefix) re-running the ENTIRE MinHash pipeline in
+    * DuckDB, ending in `jac(a, b, inter, jaccard)` over the candidate
+    * pairs. Shared by the pair oracle below and by the cluster-resolution
+    * oracle in [[GraphOps]] (which needs a `WITH RECURSIVE` prefix). */
+  val dupPairCtes: String = {
     val minCols = permAB.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * H + $b) % $HashMod) AS m$i"
     }.mkString(",\n    ")
@@ -330,7 +336,7 @@ object DedupOps {
       }
       s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
     }.mkString("\nUNION ALL ")
-    s"""$twinBaseSql,
+    s"""$twinBaseBody,
        |$shingleCtes,
        |sig AS (SELECT doc_id,
        |    $minCols
@@ -345,12 +351,15 @@ object DedupOps {
        |itc AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
        |        JOIN sh sa ON sa.doc_id = c.a
        |        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-       |        GROUP BY 1, 2)
-       |SELECT a, b, inter, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-       |FROM itc JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-       |ORDER BY a, b""".stripMargin
+       |        GROUP BY 1, 2),
+       |jac AS (SELECT a, b, inter,
+       |        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |        FROM itc JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    "WITH " + dupPairCtes +
+      "\nSELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b"
 
   val simhashSql: String = {
     val bitSums = (0 until SimBits).map(b =>

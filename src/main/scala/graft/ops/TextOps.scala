@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -247,8 +248,53 @@ object TextOps {
        |  GROUP BY term)
        |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // TF-IDF relevance scoring: per-document top-K terms by an idf-weighted
+  // score. The idf weight is kept RATIONAL — score_micros =
+  // tf · ⌊(N+1)·1e6 / (df+1)⌋, exact BIGINT arithmetic — instead of the
+  // usual log(N/df): floating log is libm-dependent (not bit-portable
+  // cross-engine) and the log is monotone in N/df, so the rational weight
+  // induces the same per-document ranking. Shape: one explode → one
+  // (doc,term) count with map-side combine → a broadcast-joined term df →
+  // per-doc top-K via ranking window (partition = doc, no global sort).
+  // At 100 TB the df table is the only corpus-wide aggregate and it is
+  // vocabulary-sized, not corpus-sized.
+  val TfIdfTopK = 3
+
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micros").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micros",
+        col("tf") * expr("(n + 1) * 1000000 DIV (df + 1)"))
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_micros"))
+      .orderBy(col("doc_id"), col("score_micros").desc, col("term"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, term, tf, df, tf * ((n + 1) * 1000000 // (df + 1)) AS score_micros
+       |FROM tf JOIN df USING (term), n
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, term) <= $TfIdfTopK
+       |ORDER BY doc_id, score_micros DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocabulary" -> (vocabulary _),
+    "text_tfidf" -> (tfidf _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
     "text_fingerprints" -> (fingerprints _),
@@ -258,6 +304,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf" -> tfidfSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_scores" -> qualityScoresSql,
     "text_fingerprints" -> fingerprintsSql,

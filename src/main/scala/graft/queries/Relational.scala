@@ -790,8 +790,117 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
+  // q37: time-series gap fill / resample — hourly buckets per event_type
+  // over the full span, missing hours materialized from a generated
+  // sequence and forward-filled (last-observation-carried-forward) with
+  // an IGNORE NULLS window. The grid is (types × hours): both sides are
+  // tiny derivates (distinct types, one min/max row), so the only
+  // corpus-sized work is the first aggregation — the right shape when
+  // the raw series is 100 TB but the resampled grid is bounded by
+  // cardinality × time range.
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_type"), expr("_ms DIV 3600000").as("hour"), col("value"))
+    val agg = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("_sum"))
+    val bounds = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("_sum"), ignoreNulls = true).over(w).as("filled_sum"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val q37Sql =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour, value FROM events),
+      |agg AS (SELECT event_type, hour, COUNT(*) AS n,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |        FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+      |grid AS (SELECT event_type, g.h AS hour
+      |         FROM (SELECT DISTINCT event_type FROM ev), bounds,
+      |              UNNEST(generate_series(h0, h1)) AS g(h))
+      |SELECT g.event_type, g.hour,
+      |  COALESCE(a.n, 0) AS n_events,
+      |  last_value(a.s IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+      |  a.n IS NULL AS is_gap
+      |FROM grid g LEFT JOIN agg a USING (event_type, hour)
+      |ORDER BY event_type, hour""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q38: UNPIVOT (wide → long melt) — per-priority order metrics turned
+  // into (priority, metric, value) rows via Dataset.unpivot; the value
+  // columns share exact-decimal-derived doubles so the melt is lossless.
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val agg = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+    agg.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("sum_total"), col("min_total"), col("max_total")),
+        "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+  }
+
+  private val q38Sql =
+    """WITH agg AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |    MIN(o_totalprice) AS min_total,
+      |    MAX(o_totalprice) AS max_total
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+      |UNION ALL SELECT o_orderpriority, 'sum_total', sum_total FROM agg
+      |UNION ALL SELECT o_orderpriority, 'min_total', min_total FROM agg
+      |UNION ALL SELECT o_orderpriority, 'max_total', max_total FROM agg
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q39: approximate quantiles (GK sketch) next to the exact answer —
+  // like q31, the approximate value itself is implementation-defined, so
+  // the oracle checks the exact percentiles plus a within-tolerance flag
+  // for the sketch (rank error 1/accuracy = 0.1% ⇒ 2% value tolerance is
+  // comfortably loose and stable).
+  def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50_exact"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_exact"),
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("_a50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("_a90"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("p50_exact"), col("p90_exact"), col("n"),
+        (abs(col("_a50") - col("p50_exact")) <= col("p50_exact") * 0.02).as("p50_within_2pct"),
+        (abs(col("_a90") - col("p90_exact")) <= col("p90_exact") * 0.02).as("p90_within_2pct"))
+      .orderBy(col("l_returnflag"))
+
+  private val q39Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+      |  COUNT(*) AS n,
+      |  true AS p50_within_2pct, true AS p90_within_2pct
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_gap_fill" -> (q37 _),
+    "q38_unpivot" -> (q38 _),
+    "q39_approx_quantiles" -> (q39 _),
     "q35_range_frame" -> (q35 _),
     "q36_exists_subquery" -> (q36 _),
     "q32_grouping_sets" -> (q32 _),
@@ -831,6 +940,9 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q37_gap_fill" -> q37Sql,
+    "q38_unpivot" -> q38Sql,
+    "q39_approx_quantiles" -> q39Sql,
     "q35_range_frame" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
     "q31_approx_distinct" -> q31Sql,

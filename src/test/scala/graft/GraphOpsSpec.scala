@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connected components: chain, separate component, and singleton pair") {
+    // components: {1,2,3,4,5} (a 4-hop chain — exercises multi-round
+    // propagation), {10,11}, {20,21,22} (triangle-ish via shared node)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val cc = GraphOps.connectedComponents(pairs)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: empty pair set yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(pairs).count() == 0L)
+  }
+
+  test("dedup clusters: every twin lands in its original's cluster, survivor = min") {
+    val clusters = GraphOps.dedupClusters(spark, sf).cache()
+    // every doc_id >= 1e6 is a twin of doc_id - 1e6; they must share a cluster
+    val twins = clusters.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("orig", col("doc_id") - 1000000L)
+    val origs = clusters.select(col("doc_id").as("orig"), col("cluster_id").as("orig_cluster"))
+    val mismatched = twins.join(origs, Seq("orig"))
+      .filter(col("cluster_id") =!= col("orig_cluster")).count()
+    assert(mismatched == 0L)
+    // survivor flag marks exactly the min doc of each cluster
+    val badSurvivor = clusters
+      .groupBy(col("cluster_id")).agg(
+        min(col("doc_id")).as("min_doc"),
+        sum(when(col("survivor"), col("doc_id"))).as("flagged"))
+      .filter(col("min_doc") =!= col("flagged")).count()
+    assert(badSurvivor == 0L)
+    // cluster_size agrees with the actual member count
+    val badSize = clusters.groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("members"))
+      .filter(col("cluster_size") =!= col("members")).count()
+    assert(badSize == 0L)
+    clusters.unpersist()
+  }
+}
