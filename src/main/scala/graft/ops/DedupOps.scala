@@ -171,12 +171,17 @@ object DedupOps {
     * The shingle set feeds both the signature build and the exact verify —
     * persist it so the corpus is shingled once, not twice (at 100 TB this
     * is a checkpoint of the tokenized corpus, standard practice). */
-  def minhashDedup(s: SparkSession, dir: String): DataFrame = {
+  def minhashDedup(s: SparkSession, dir: String): DataFrame =
+    dupPairs(s, dir).orderBy(col("a"), col("b"))
+
+  /** Unordered dup pairs (a < b, jaccard ≥ 0.5) — the edge set for
+    * cluster resolution ([[GraphOps.dedupClusters]]), which doesn't need
+    * the presentation sort minhashDedup adds. */
+  def dupPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(withTwins(docs(s, dir)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccard(minhashCandidatesFromShingles(sh), sh)
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("a"), col("b"))
   }
 
   // ------------------------------------------------------------------

