@@ -26,13 +26,20 @@ object Multimodal {
       height: Int,
       payload: Array[Byte])
 
+  /** Feature row. `mean_byte` is an exact integer-over-integer division
+    * (bit-identical cross-engine); the entropy and thumbnail mean are
+    * QUANTIZED to integers (millibits / micro-units) because their raw
+    * doubles depend on libm log ulp and summation order — the quantized
+    * values are stable to ~1e-12 while the rounding step is 5e-4, so the
+    * features became DuckDB-oracle-checkable without losing precision
+    * that any downstream consumer could use. */
   case class MediaFeatures(
       media_id: Long,
       media_type: String,
       n_bytes: Long,
       mean_byte: Double,
-      byte_entropy: Double,
-      thumb_8x8_mean: Double)
+      entropy_mb: Long,
+      thumb_mean_micro: Long)
 
   /** Real pure-JVM codecs for the uncompressed formats that need no
     * external library: 24bpp BMP (images) and 16-bit PCM WAV (audio).
@@ -212,7 +219,8 @@ object Multimodal {
         }
         val thumb = MediaCodec.resize(px, 8)
         MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
-          sum / n, entropy, thumb.sum / thumb.length)
+          sum / n, Math.round(entropy * 1000),
+          Math.round(thumb.sum / thumb.length * 1e6))
       }
     }.toDF().orderBy(col("media_id"))
   }
@@ -243,8 +251,61 @@ object Multimodal {
     "media_frame_sample" -> (sampleFrames _)
   )
 
-  // media features involve the stubbed codec — no SQL oracle; the
-  // frame-sample op is pure byte algebra and oracle-able.
+  /** Oracle for the feature extractor. The builder's encode→decode paths
+    * roundtrip exactly to the source text bytes (BMP gray = byte; WAV
+    * sample→byte inverse; raw = bytes), so DuckDB can re-derive every
+    * decoded pixel straight from `documents.text` (pure ASCII, verified:
+    * ascii(char) = byte) and recompute the features: payload size from
+    * the format's header arithmetic, exact mean, histogram entropy in
+    * millibits, 8×8 average-pool thumbnail mean in micro-units. */
+  val featuresSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text, CAST(length(text) AS BIGINT) AS len,
+      |    CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+      |    CAST(n_chars % 48 + 8 AS BIGINT) AS h
+      |  FROM documents),
+      |d2 AS (
+      |  SELECT *,
+      |    CASE media_type WHEN 'video' THEN len ELSE w * h END AS npx,
+      |    CASE media_type
+      |      WHEN 'image' THEN 54 + (3 * w + (4 - (3 * w) % 4) % 4) * h
+      |      WHEN 'audio' THEN 44 + 2 * w * h
+      |      ELSE len END AS n_bytes
+      |  FROM dims),
+      |px AS (
+      |  SELECT media_id, npx, greatest(npx // 64, 1) AS stride, g.i AS i,
+      |    ascii(substring(text, CAST(g.i % len AS INT) + 1, 1)) AS v
+      |  FROM d2, UNNEST(generate_series(0, npx - 1)) AS g(i)),
+      |agg AS (
+      |  SELECT media_id, CAST(SUM(v) AS DOUBLE) / CAST(npx AS DOUBLE) AS mean_byte
+      |  FROM px GROUP BY media_id, npx),
+      |hist AS (SELECT media_id, npx, v, count(*) AS c FROM px GROUP BY 1, 2, 3),
+      |ent AS (
+      |  SELECT media_id,
+      |    CAST(round(1000 * SUM(-(CAST(c AS DOUBLE) / npx) * log2(CAST(c AS DOUBLE) / npx))) AS BIGINT) AS entropy_mb
+      |  FROM hist GROUP BY media_id),
+      |sl AS (
+      |  SELECT media_id, i // stride AS k, CAST(SUM(v) AS DOUBLE) / count(*) AS m
+      |  FROM px WHERE i // stride < 64 GROUP BY 1, 2),
+      |thumb AS (
+      |  -- left fold in slice order reproduces the JVM's Array.sum bit-for-
+      |  -- bit (slice means are exact rationals, /64 is an exact power-of-2
+      |  -- scale), so the rounding below sees the IDENTICAL double — a
+      |  -- sum-then-round in arbitrary order was observed one micro-unit
+      |  -- off on a value landing exactly on a .5 boundary. Missing slices
+      |  -- (npx < 64) contribute exact zeros and can be skipped.
+      |  SELECT media_id,
+      |    CAST(round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(m ORDER BY k)),
+      |                           (a, x) -> a + x) / 64 * 1000000) AS BIGINT) AS thumb_mean_micro
+      |  FROM sl GROUP BY media_id)
+      |SELECT d.media_id, d.media_type, d.n_bytes, a.mean_byte, e.entropy_mb, t.thumb_mean_micro
+      |FROM d2 d
+      |JOIN agg a USING (media_id) JOIN ent e USING (media_id) JOIN thumb t USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
+  // The frame-sample op is pure byte algebra and oracle-able.
   // DuckDB has no BLOB substring; the corpus is pure ASCII (verified), so
   // slicing the VARCHAR and md5-ing it hashes the identical bytes.
   val frameSampleSql: String =
@@ -261,6 +322,7 @@ object Multimodal {
       |ORDER BY media_id, frame_idx""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "media_features" -> featuresSql,
     "media_frame_sample" -> frameSampleSql
   )
 }

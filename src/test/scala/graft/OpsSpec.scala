@@ -184,7 +184,7 @@ class OpsSpec extends SparkSuite {
   test("media features decode real BMP/WAV payloads, entropy within [0, 8]") {
     val f = Multimodal.extractFeatures(spark, sf)
     assert(f.count() == spark.read.parquet(s"$sf/documents.parquet").count())
-    assert(f.filter(col("byte_entropy") < 0 || col("byte_entropy") > 8).count() == 0)
+    assert(f.filter(col("entropy_mb") < 0 || col("entropy_mb") > 8000).count() == 0)
     assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
     // images really are BMPs, audio really is WAV (magic bytes on payload)
     val mt = Multimodal.mediaTable(spark, sf)
