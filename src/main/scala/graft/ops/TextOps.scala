@@ -263,8 +263,14 @@ object TextOps {
 
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+    // Materialize (doc,term,tf) once: both the score join and the df
+    // aggregate consume it, and without truncation Spark re-runs the
+    // corpus explode+aggregate for each consumer (visible as two full
+    // Scan+Generate subtrees in the plan). At 100 TB this intermediate
+    // is the standard checkpointed artifact of a vocabulary pass.
     val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))

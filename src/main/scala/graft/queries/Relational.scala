@@ -801,10 +801,15 @@ object Relational {
   def q37(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_type"), expr("_ms DIV 3600000").as("hour"), col("value"))
+    // One corpus pass: the hourly aggregate is the only scan of events;
+    // the time bounds and the type list derive from the (small) aggregate
+    // itself — localCheckpoint materializes it once instead of Spark
+    // re-running the scan+aggregate for each of its three consumers.
     val agg = ev.groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("_sum"))
-    val bounds = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-    val grid = ev.select(col("event_type")).distinct()
+      .localCheckpoint()
+    val bounds = agg.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = agg.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
