@@ -177,8 +177,13 @@ object DedupOps {
   /** Unordered dup pairs (a < b, jaccard ≥ 0.5) — the edge set for
     * cluster resolution ([[GraphOps.dedupClusters]]), which doesn't need
     * the presentation sort minhashDedup adds. */
-  def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(withTwins(docs(s, dir)))
+  def dupPairs(s: SparkSession, dir: String): DataFrame =
+    dupPairsFrom(withTwins(docs(s, dir)))
+
+  /** Same pipeline over an arbitrary (doc_id, text) corpus — used by the
+    * scale benchmark to run the identical dag on blown-up inputs. */
+  def dupPairsFrom(base: DataFrame): DataFrame = {
+    val sh = shingles(base)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccard(minhashCandidatesFromShingles(sh), sh)
       .filter(col("jaccard") >= 0.5)

@@ -30,6 +30,11 @@ class IngestCliSpec extends SparkSuite {
     // first run: blocks 0..1499 -> range 0 complete, range 1 partial
     val first = graft.etl.Load.ingestResumable(spark, 0, 1499, wh)
     assert(first == Seq((0L, 999L), (1000L, 1499L)))
+    // re-resume of the SAME unaligned range: the tail (1000..1499, count
+    // 500 != Batch) must be recognized as complete and not re-fetched
+    assert(graft.etl.Load.ingestResumable(spark, 0, 1499, wh).isEmpty)
+    // and a sub-range of already-landed blocks is complete too (clamped lo)
+    assert(graft.etl.Load.ingestResumable(spark, 500, 1499, wh).isEmpty)
     // resume to 2999: range 0 skipped, partial range 1 redone whole, range 2 new
     val second = graft.etl.Load.ingestResumable(spark, 0, 2999, wh)
     assert(second == Seq((1000L, 1999L), (2000L, 2999L)))
