@@ -129,7 +129,11 @@ object DedupOps {
   def minhashCandidates(d: DataFrame): DataFrame =
     minhashCandidatesFromShingles(shingles(d))
 
-  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+  /** (doc_id, band, band_key) rows — the write-time shape of the banded
+    * LSH index (also probed incrementally by streaming near-dup). */
+  def bandKeys(d: DataFrame): DataFrame = bandKeysFromShingles(shingles(d))
+
+  def bandKeysFromShingles(sh: DataFrame): DataFrame = {
     val nBands = NumPerms / BandRows
     val bandStructs = (0 until nBands).map { b =>
       val key = (0 until BandRows).foldLeft(lit(b.toLong)) { (acc, r) =>
@@ -137,10 +141,13 @@ object DedupOps {
       }
       struct(lit(b).as("band"), key.as("band_key"))
     }
-    val bandKeys = signaturesFromShingles(sh)
+    signaturesFromShingles(sh)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val buckets = bandKeys
+  }
+
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
+    val buckets = bandKeysFromShingles(sh)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)

@@ -298,8 +298,55 @@ object TextOps {
        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, term) <= $TfIdfTopK
        |ORDER BY doc_id, score_micros DESC, term""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bigram language-model statistics: corpus-wide bigram counts with the
+  // conditional probability p(w2|w1) in exact integer micro-units
+  // (c(w1,w2)·1e6 DIV c(w1) — no floating point, bit-portable). One
+  // narrow per-doc bigram explode → one count shuffle (map-side
+  // combined) → a broadcast join against the unigram counts; the top-K
+  // cut is a TakeOrdered over (count desc, bigram asc), not a full
+  // sort. The LM-stats pass a tokenizer/statistics pipeline runs over a
+  // 100 TB corpus, in its Spark shape.
+  val BigramTopK = 100
+
+  def bigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bi = docs(s, dir)
+      .select(col("doc_id"), toks.as("_t"))
+      .select(explode(expr(
+        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val uni = docs(s, dir)
+      .select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    bi.join(broadcast(uni), Seq("w1"))
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"),
+        expr("n_bigram * 1000000 DIV n_w1").as("p_cond_micros"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(BigramTopK)
+  }
+
+  /** Oracle note: Spark counts unigrams over ALL tokens (including each
+    * doc's last, which starts no bigram) — the DuckDB side does the
+    * same, so the denominators agree exactly. */
+  val bigramsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |bi AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS n_bigram
+       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS g(i)
+       |  GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT w1, count(*) AS n_w1 FROM (
+       |    SELECT UNNEST(t) AS w1 FROM toks) GROUP BY 1)
+       |SELECT w1, w2, n_bigram, n_w1, n_bigram * 1000000 // n_w1 AS p_cond_micros
+       |FROM bi JOIN uni USING (w1)
+       |ORDER BY n_bigram DESC, w1, w2 LIMIT $BigramTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_vocabulary" -> (vocabulary _),
+    "text_bigrams" -> (bigrams _),
     "text_tfidf" -> (tfidf _),
     "text_token_counts" -> (tokenCounts _),
     "text_quality_scores" -> (qualityScores _),
@@ -310,6 +357,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bigrams" -> bigramsSql,
     "text_tfidf" -> tfidfSql,
     "text_token_counts" -> tokenCountsSql,
     "text_quality_scores" -> qualityScoresSql,

@@ -121,6 +121,41 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Incremental near-dup detection on a live document stream. Each
+    * micro-batch runs the SAME batch MinHash pipeline to its band keys,
+    * probes the accumulated band index for collisions with everything
+    * already ingested (candidate dup pairs, earlier doc as `a`), appends
+    * the pairs, then appends its own keys to the index. State is the
+    * index TABLE — partitionable by band, readable by any batch job —
+    * not executor memory, so a restart resumes from the files and the
+    * live tail matches what a batch re-run over the full corpus would
+    * flag (modulo bucket caps, which batch applies globally). */
+  def nearDupStreamIngest(
+      spark: SparkSession,
+      docs: DataFrame, // streaming frame with (doc_id: Long, text: String)
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val idxPath = s"$stateDir/band_index"
+    val pairsPath = s"$stateDir/dup_pairs"
+    docs
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keys = graft.ops.DedupOps.bandKeys(batch).localCheckpoint()
+        if (new java.io.File(idxPath).exists()) {
+          val existing = spark.read.parquet(idxPath)
+          existing
+            .withColumnRenamed("doc_id", "a")
+            .join(keys.withColumnRenamed("doc_id", "b"), Seq("band", "band_key"))
+            .filter(col("a") =!= col("b"))
+            .select(col("a"), col("b")).distinct()
+            .write.mode("append").parquet(pairsPath)
+        }
+        keys.write.mode("append").parquet(idxPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming chain ingest: a stream of block heights drives the SAME
     * batch flattens (C1-C4) + dedup (D5) through foreachBatch — the
     * micro-batch is the reference's 1000-block flush unit, arriving live. */

@@ -152,6 +152,33 @@ class StreamingSpec extends SparkSuite {
       .except(plain.select("l_orderkey", "l_linenumber", "o_totalprice")).count() == 0)
   }
 
+  test("incremental streaming near-dup flags twins arriving in a later batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50).cache()
+    val twins = graft.ops.DedupOps.withTwins(docs)
+      .filter(col("doc_id") >= 1000000L).as[(Long, String)].collect()
+    val originals = docs.as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStreamIngest(
+      spark, in.toDF().toDF("doc_id", "text"), dir)
+    in.addData(originals.toSeq: _*) // batch 1: originals only -> no index yet
+    q.processAllAvailable()
+    in.addData(twins.toSeq: _*)     // batch 2: twins collide with batch 1
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.read.parquet(s"$dir/dup_pairs")
+    // nearly every twin should collide with its original in some band,
+    // original (earlier doc) always on the `a` side
+    val twinHits = pairs.filter(col("b") === col("a") + 1000000L).count()
+    assert(twinHits >= (docs.count() * 0.95).toLong)
+    assert(pairs.filter(col("a") >= 1000000L).count() == 0)
+  }
+
   test("foreachBatch chain ingest reuses batch flattens and lands correct rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
