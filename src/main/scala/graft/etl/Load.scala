@@ -152,6 +152,42 @@ object Load {
     ranges.toSeq
   }
 
+  /** Small-file compaction for an append-accumulated parquet table (the
+    * debris of micro-batch streams and resumable backfills): rewrites the
+    * table into `numFiles` files, sorted so parquet row-group min/max
+    * stats stay selective, without changing a single row. Safety order:
+    * the compacted copy is fully written to a sibling tmp dir BEFORE the
+    * original is swapped out, so a crash leaves either the original or a
+    * complete replacement on disk (a transactional table format would
+    * make the swap atomic; plain parquet directories get
+    * write-then-swap). At 100 TB this runs per partition, targeting only
+    * directories whose file count exceeds a threshold. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, sortKeys: Seq[String],
+      numFiles: Int = 1): (Long, Long) = {
+    def parquetFiles(p: java.io.File): Long =
+      if (!p.isDirectory) 0L
+      else p.listFiles().map {
+        case d if d.isDirectory => parquetFiles(d)
+        case f if f.getName.endsWith(".parquet") => 1L
+        case _ => 0L
+      }.sum
+    val dir = new java.io.File(path)
+    val before = parquetFiles(dir)
+    val tmp = new java.io.File(path + "__compacting")
+    spark.read.parquet(path)
+      .repartition(numFiles)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    def delete(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(delete)
+      p.delete(); ()
+    }
+    delete(dir)
+    java.nio.file.Files.move(tmp.toPath, dir.toPath)
+    (before, parquetFiles(dir))
+  }
+
   /** Full ingest of a block range into the warehouse — the reference's
     * main loop (src/main.rs:172-336) as one declarative batch job.
     * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline

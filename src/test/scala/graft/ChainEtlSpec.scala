@@ -168,4 +168,25 @@ class ChainEtlSpec extends SparkSuite {
     val tx = spark.read.parquet(s"$dir/transactions")
     assert(tx.count() == (0L to 30L).map(n => (n % 5) + 1).sum)
   }
+
+  test("compaction merges append debris into sorted files, content-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/transactions_appends"
+    // fragment: 5 separate appends, several files each (micro-batch debris)
+    (0L to 4L).foreach { k =>
+      Flatten.transactionRows(
+        ChainFixture.blocks(spark, k * 10, k * 10 + 9),
+        ChainFixture.receipts(spark, k * 10, k * 10 + 9))
+        .repartition(4)
+        .write.mode("append").parquet(path)
+    }
+    val original = spark.read.parquet(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    val (before, after) = graft.etl.Load.compact(
+      spark, path, Schemas.dedupKeys("transactions"), numFiles = 2)
+    assert(before >= 20L && after == 2L)
+    val compacted = spark.read.parquet(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    assert(compacted.toSeq == original.toSeq)
+  }
 }
