@@ -901,8 +901,51 @@ object Relational {
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------
+  // q40: table profiling — per-column quality stats (nulls, distincts,
+  // min/max) in ONE pass over the table: every stat is an aggregate
+  // column of a single groupBy-less aggregation (Spark computes all of
+  // them in one partial+final pair, no per-column scans), then the wide
+  // 1-row result is melted to (column, stat) rows. The schema-driven
+  // profile every ingest pipeline runs before accepting a drop.
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderpriority", "o_orderstatus")
+    val o = t(s, dir, "orders")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n_nonnull"),
+        countDistinct(col(c)).as(s"${c}__n_distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val wide = o.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val melted = cols.map { c =>
+      struct(lit(c).as("column"),
+        (col("_rows") - col(s"${c}__n_nonnull")).as("n_nulls"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min").as("v_min"), col(s"${c}__max").as("v_max"))
+    }
+    wide.select(explode(array(melted: _*)).as("p"))
+      .select(col("p.column").as("column"), col("p.n_nulls").as("n_nulls"),
+        col("p.n_distinct").as("n_distinct"),
+        col("p.v_min").as("v_min"), col("p.v_max").as("v_max"))
+      .orderBy(col("column"))
+  }
+
+  private val q40Sql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+      "o_orderpriority", "o_orderstatus")
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS v_min, CAST(MAX($c) AS VARCHAR) AS v_max
+         |FROM orders""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_profile" -> (q40 _),
     "q37_gap_fill" -> (q37 _),
     "q38_unpivot" -> (q38 _),
     "q39_approx_quantiles" -> (q39 _),
@@ -945,6 +988,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q40_profile" -> q40Sql,
     "q37_gap_fill" -> q37Sql,
     "q38_unpivot" -> q38Sql,
     "q39_approx_quantiles" -> q39Sql,
