@@ -81,11 +81,8 @@ object DedupOps {
     (a, b)
   }
 
-  /** Polynomial fold of a string column, identical on both engines. */
-  private def polyHashExpr(column: String, base: Long, mod: Long): String =
-    s"aggregate(transform(split($column, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (acc, x) -> (acc * $base + x) % $mod)"
-
+  /** DuckDB form of the polynomial fold (Spark side now uses the native
+    * codegen [[graft.functions.PolyHash]] — value-identical). */
   private def polyHashSql(column: String, base: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($column, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -102,8 +99,8 @@ object DedupOps {
   private def shingles(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), toks.as("_t"))
-      .withColumn("_th", expr(
-        s"transform(_t, tok -> ${polyHashExpr("tok", 31, HashMod)})"))
+      .withColumn("_th", transform(col("_t"),
+        tok => graft.functions.PolyHash.polyHash(tok, 31, HashMod)))
       .select(col("doc_id"), expr(
         "explode(array_distinct(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
           "i -> struct(concat_ws(' ', _t[i-1], _t[i], _t[i+1]) AS shingle, " +
@@ -215,8 +212,8 @@ object DedupOps {
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     d.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
       .select(col("doc_id"),
-        (expr(polyHashExpr("tok", 31, SimP1)) * lit(2147483648L) +
-          expr(polyHashExpr("tok", 131, SimP2))).as("h"))
+        (graft.functions.PolyHash.polyHash(col("tok"), 31, SimP1) * lit(2147483648L) +
+          graft.functions.PolyHash.polyHash(col("tok"), 131, SimP2)).as("h"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))

@@ -101,8 +101,7 @@ object TextOps {
   def rollingHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
-      expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)").as("roll_hash"))
+      graft.functions.PolyHash.polyHash(col("text"), 31, 1000000007L).as("roll_hash"))
       .orderBy(col("doc_id"))
 
   val rollingHashSql: String =

@@ -181,6 +181,20 @@ class OpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav(new Array[Byte](50)))
   }
 
+  test("PolyHash native expression equals the interpreted SQL fold") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+      .unionByName(Seq("", "a", "Zz9 ~ !", "the quick brown fox").toDF("text"))
+    val sqlFold =
+      "aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    val both = corpus.select(
+      graft.functions.PolyHash.polyHash(col("text"), 31, 1000000007L).as("native"),
+      expr(sqlFold).as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
   test("media features decode real BMP/WAV payloads, entropy within [0, 8]") {
     val f = Multimodal.extractFeatures(spark, sf)
     assert(f.count() == spark.read.parquet(s"$sf/documents.parquet").count())
