@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,8 +85,56 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/val/test assignment: near-duplicates straddling
+    * the train/test boundary CONTAMINATE evaluation, so the split coin
+    * is flipped on the doc's CLUSTER id (min doc id of its component;
+    * singletons use their own id) — every member of a dup cluster lands
+    * in the same split by construction. The output is a one-row audit:
+    * corpus/split counts plus the number of dup pairs crossing splits
+    * under the naive per-doc coin (non-zero: the leak) vs the
+    * cluster-keyed coin (zero, enforced). Same affine-hash coin as
+    * [[Sampling.splitAssign]] — deterministic across engines, retries,
+    * and cluster sizes. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val base = DedupOps.withTwins(
+        s.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"))
+    val pairs = DedupOps.dupPairs(s, dir).select(col("a"), col("b")).localCheckpoint()
+    val cc = connectedComponents(pairs)
+    def coin(c: Column) = (c * Sampling.HashA + Sampling.HashB) % Sampling.Mod
+    def splitOf(c: Column) =
+      when(coin(c) < Sampling.Mod * 8 / 10, "train")
+        .when(coin(c) < Sampling.Mod * 9 / 10, "val")
+        .otherwise("test")
+    val assigned = base
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("split_key"))
+      .select(col("doc_id"), col("split_key"),
+        splitOf(col("split_key")).as("split"),
+        splitOf(col("doc_id")).as("naive_split"))
+      .localCheckpoint()
+    val pairSplits = pairs
+      .join(assigned.select(col("doc_id").as("a"),
+        col("split").as("sa"), col("naive_split").as("na")), Seq("a"))
+      .join(assigned.select(col("doc_id").as("b"),
+        col("split").as("sb"), col("naive_split").as("nb")), Seq("b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("naive_cross_split_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("safe_cross_split_pairs"))
+    val counts = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("split_key")).as("n_split_keys"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    counts.crossJoin(pairSplits) // 1-row × 1-row audit summary
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (dedupClusters _)
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_split_leakage" -> (splitLeakage _)
   )
 
   /** DuckDB oracle: re-runs the whole MinHash pipeline (shared CTE chain
@@ -110,7 +158,43 @@ object GraphOps {
        |  doc_id = cluster_id AS survivor
        |FROM cc ORDER BY doc_id""".stripMargin
 
+  /** Oracle: same recursive-CTE components, same affine coin. */
+  val splitLeakageSql: String = {
+    val (a, b, m) = (Sampling.HashA, Sampling.HashB, Sampling.Mod)
+    def splitSql(key: String) =
+      s"""CASE WHEN ($key * $a + $b) % $m < ${m * 8 / 10} THEN 'train'
+         |     WHEN ($key * $a + $b) % $m < ${m * 9 / 10} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    "WITH RECURSIVE " + DedupOps.dupPairCtes + s""",
+       |dup AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+       |edges AS (SELECT a AS src, b AS dst FROM dup
+       |          UNION ALL SELECT b AS src, a AS dst FROM dup),
+       |walk(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+       |cc AS (SELECT node, min(label) AS lbl FROM walk GROUP BY node),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(cc.lbl, d.doc_id) AS split_key,
+       |    ${splitSql("COALESCE(cc.lbl, d.doc_id)")} AS split,
+       |    ${splitSql("d.doc_id")} AS naive_split
+       |  FROM (SELECT doc_id FROM base) d LEFT JOIN cc ON cc.node = d.doc_id),
+       |pairstats AS (
+       |  SELECT count(*) AS n_pairs,
+       |    CAST(SUM(CASE WHEN pa.naive_split <> pb.naive_split THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_split_pairs,
+       |    CAST(SUM(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END) AS BIGINT) AS safe_cross_split_pairs
+       |  FROM dup JOIN asg pa ON pa.doc_id = dup.a JOIN asg pb ON pb.doc_id = dup.b),
+       |counts AS (
+       |  SELECT count(*) AS n_docs, count(DISTINCT split_key) AS n_split_keys,
+       |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM asg)
+       |SELECT counts.*, pairstats.* FROM counts, pairstats""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_split_leakage" -> splitLeakageSql
   )
 }

@@ -15,7 +15,8 @@ class PlanQualitySpec extends SparkSuite {
     * inputs are 1-row summaries, so the product is 1×1×…) — anything
     * NOT in this set must plan without CartesianProductExec. */
   private val oneRowCrossWhitelist = Set(
-    "chain_zip_vs_join", "chain_dedup_idempotent", "chain_ref_integrity")
+    "chain_zip_vs_join", "chain_dedup_idempotent", "chain_ref_integrity",
+    "dedup_split_leakage")
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
