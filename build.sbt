@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps run output for Bench's one-line JSON; sbt's default
+// LoggedOutput wraps every forked line in "[info] " which breaks a
+// line-wise json parse (BENCH_r2/r3 "parsed": null). StdoutOutput pipes
+// the forked JVM's stdout/stderr through verbatim.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,22 +34,28 @@ object Bench {
     // mostly measures the host. Cache is cleared before EVERY rep — the
     // best is a cold-query time, never a warm-cache artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // A rep that throws must not contribute its (near-zero) duration to the
+    // min — a query failing fast on one rep would otherwise report the
+    // failure time as its cold-run number. Min over SUCCESSFUL reps only;
+    // all-failed queries report -1 and land in `failed`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              if (!failed.contains(name)) failed ::= name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // numeric sf parsed from the dir name (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")

@@ -19,7 +19,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Raw (binary/array-typed) chain table dumps — NOT registered queries;
     // the chain_* DuckDB oracles recompute their answers from these files.
-    try graft.queries.ChainQueries.materializeRaw(spark, outDir)
+    // They live OUTSIDE outDir (ChainQueries.RawDumpDir): the driver
+    // hash-checks every parquet dir under outDir and chokes on native
+    // array columns.
+    try graft.queries.ChainQueries.materializeRaw(spark)
     catch { case e: Throwable =>
       System.err.println(s"[verify] chain_raw dumps failed: ${e.getMessage}")
     }

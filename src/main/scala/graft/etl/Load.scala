@@ -155,14 +155,22 @@ object Load {
   /** Small-file compaction for an append-accumulated parquet table (the
     * debris of micro-batch streams and resumable backfills): rewrites the
     * table into `numFiles` files, sorted so parquet row-group min/max
-    * stats stay selective, without changing a single row. Safety order:
-    * the compacted copy is fully written to a sibling tmp dir BEFORE the
-    * original is swapped out, so a crash leaves either the original or a
-    * complete replacement on disk (a transactional table format would
-    * make the swap atomic; plain parquet directories get
-    * write-then-swap). At 100 TB this runs per partition, targeting only
-    * directories whose file count exceeds a threshold. Returns
-    * (filesBefore, filesAfter). */
+    * stats stay selective, without changing a single row.
+    *
+    * Safety order (every crash point leaves a complete table at a
+    * recoverable path): (1) compacted copy fully written to
+    * `path__compacting`; (2) original renamed aside to `path__old` —
+    * a single atomic rename, not a file-by-file delete; (3) replacement
+    * renamed into place; (4) only then is the old copy deleted. A crash
+    * between (2) and (3) leaves the original intact at `path__old`; the
+    * earlier delete-then-move order had a window with NO table at `path`.
+    *
+    * Hive-partitioned roots (subdirs like `blockRange=N`) are rejected:
+    * a flat rewrite would silently drop the partition layout that
+    * `ingestResumable`'s per-partition completeness checks key on —
+    * compact each partition directory individually instead (which is
+    * also the only shape that scales: per-partition rewrites, never a
+    * full-table shuffle). Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, sortKeys: Seq[String],
       numFiles: Int = 1): (Long, Long) = {
     def parquetFiles(p: java.io.File): Long =
@@ -173,18 +181,26 @@ object Load {
         case _ => 0L
       }.sum
     val dir = new java.io.File(path)
+    require(dir.isDirectory, s"compact: $path is not a directory")
+    val partitioned = dir.listFiles().exists(d => d.isDirectory && d.getName.contains("="))
+    require(!partitioned,
+      s"compact: $path is a hive-partitioned root; compact its partition dirs individually")
     val before = parquetFiles(dir)
     val tmp = new java.io.File(path + "__compacting")
-    spark.read.parquet(path)
-      .repartition(numFiles)
-      .sortWithinPartitions(sortKeys.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new java.io.File(path + "__old")
     def delete(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(delete)
       p.delete(); ()
     }
-    delete(dir)
+    if (tmp.exists()) delete(tmp) // debris of a previous crashed attempt
+    if (old.exists()) delete(old)
+    spark.read.parquet(path)
+      .repartition(numFiles)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.move(dir.toPath, old.toPath)
     java.nio.file.Files.move(tmp.toPath, dir.toPath)
+    delete(old)
     (before, parquetFiles(dir))
   }
 

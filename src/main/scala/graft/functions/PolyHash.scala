@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen polynomial string hash — the `(acc·base + byte) mod p`
@@ -25,6 +26,15 @@ case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // Reject non-string children at analysis time — without this a numeric
+  // child only fails deep in generated code as a ClassCastException.
+  // (ExpectsInputTypes would be the idiomatic mixin, but its
+  // AbstractDataType signature is private[sql] in Spark 4.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a STRING child, got ${child.dataType.catalogString}")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)

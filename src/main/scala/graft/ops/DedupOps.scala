@@ -130,6 +130,11 @@ object DedupOps {
     * LSH index (also probed incrementally by streaming near-dup). */
   def bandKeys(d: DataFrame): DataFrame = bandKeysFromShingles(shingles(d))
 
+  /** (doc_id, shingle, H) rows — the shingled-corpus view shared by the
+    * batch pipeline and the streaming incremental index (which persists
+    * it as state so candidate pairs can be exact-verified later). */
+  def shingleSet(d: DataFrame): DataFrame = shingles(d)
+
   def bandKeysFromShingles(sh: DataFrame): DataFrame = {
     val nBands = NumPerms / BandRows
     val bandStructs = (0 until nBands).map { b =>

@@ -240,7 +240,7 @@ object Multimodal {
              |              i -> struct(i AS idx, substring(payload, i * $frameSize + 1, $frameSize) AS frame))
              |  ELSE array() END,
              |  f -> f.idx % $every = 0)""".stripMargin)).as(Seq("pos", "f")))
-      .select(col("media_id"), col("f.idx").as("frame_idx"),
+      .select(col("media_id"), col("f.idx").cast("long").as("frame_idx"),
         length(col("f.frame")).cast("long").as("frame_bytes"),
         md5(col("f.frame")).as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))

@@ -248,16 +248,21 @@ object TextOps {
        |ORDER BY tf DESC, term LIMIT $VocabTopK""".stripMargin
 
   // ------------------------------------------------------------------
-  // TF-IDF relevance scoring: per-document top-K terms by an idf-weighted
-  // score. The idf weight is kept RATIONAL — score_micros =
-  // tf · ⌊(N+1)·1e6 / (df+1)⌋, exact BIGINT arithmetic — instead of the
-  // usual log(N/df): floating log is libm-dependent (not bit-portable
-  // cross-engine) and the log is monotone in N/df, so the rational weight
-  // induces the same per-document ranking. Shape: one explode → one
-  // (doc,term) count with map-side combine → a broadcast-joined term df →
-  // per-doc top-K via ranking window (partition = doc, no global sort).
-  // At 100 TB the df table is the only corpus-wide aggregate and it is
-  // vocabulary-sized, not corpus-sized.
+  // TF-IDF relevance scoring: per-document top-K terms by
+  // score_milli = tf · idf_milli, where idf_milli =
+  // round(1000·ln((N+1)/(df+1))) — smoothed log idf quantized to
+  // milli-nats. The quantization makes the transcendental cross-engine
+  // safe (raw ln is libm-dependent at the last ulp; after ×1000+round
+  // both engines agree — the double division (N+1)/(df+1) is a single
+  // exactly-rounded IEEE op on both sides). Unlike a linear (N/df)
+  // surrogate, tf·log(idf) ordering IS preserved (up to the 1e-3
+  // quantum): a monotone transform of idf alone does not commute with
+  // the tf product, so the weight must be the log itself. Shape: one
+  // explode → one (doc,term) count with map-side combine → a
+  // broadcast-joined term df → per-doc top-K via ranking window
+  // (partition = doc, no global sort). At 100 TB the df table is the
+  // only corpus-wide aggregate and it is vocabulary-sized, not
+  // corpus-sized.
   val TfIdfTopK = 3
 
   def tfidf(s: SparkSession, dir: String): DataFrame = {
@@ -273,15 +278,15 @@ object TextOps {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_micros").desc, col("term"))
+      .orderBy(col("score_milli").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
-      .withColumn("score_micros",
-        col("tf") * expr("(n + 1) * 1000000 DIV (df + 1)"))
+      .withColumn("score_milli",
+        col("tf") * expr("CAST(round(1000 * ln((n + 1) / (df + 1))) AS BIGINT)"))
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= TfIdfTopK)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_micros"))
-      .orderBy(col("doc_id"), col("score_micros").desc, col("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score_milli"))
+      .orderBy(col("doc_id"), col("score_milli").desc, col("term"))
   }
 
   val tfidfSql: String =
@@ -292,10 +297,10 @@ object TextOps {
        |  GROUP BY 1, 2),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
        |n AS (SELECT count(*) AS n FROM documents)
-       |SELECT doc_id, term, tf, df, tf * ((n + 1) * 1000000 // (df + 1)) AS score_micros
+       |SELECT doc_id, term, tf, df, tf * CAST(round(1000 * ln((n + 1) / (df + 1))) AS BIGINT) AS score_milli
        |FROM tf JOIN df USING (term), n
-       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micros DESC, term) <= $TfIdfTopK
-       |ORDER BY doc_id, score_micros DESC, term""".stripMargin
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, term) <= $TfIdfTopK
+       |ORDER BY doc_id, score_milli DESC, term""".stripMargin
 
   // ------------------------------------------------------------------
   // Bigram language-model statistics: corpus-wide bigram counts with the

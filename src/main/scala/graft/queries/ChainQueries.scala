@@ -18,8 +18,7 @@ import graft.types.{Schemas, U256}
   * is hash-compared cross-engine, and the driver's pandas rows-check never
   * sees an unhashable array column (the round-2 err). Every other chain
   * query recomputes its invariant from the in-engine fixture path while its
-  * oracle re-aggregates the raw dumps. `__GRAFT_OUT__` in oracle SQL is
-  * replaced by Verify with the absolute output dir.
+  * oracle re-aggregates the raw dumps at the fixed [[RawDumpDir]].
   */
 object ChainQueries {
 
@@ -30,6 +29,14 @@ object ChainQueries {
     * repeated bench/verify loops don't leak temp dirs, and so the DuckDB
     * oracle can re-count the ingested tables at a stable path. */
   val IngestWarehouse = "/tmp/graft_chain_wh"
+
+  /** Fixed home for the raw (binary/array-typed) chain table dumps the
+    * DuckDB oracles aggregate over. Deliberately OUTSIDE the verify
+    * output dir: the driver treats every parquet dir under outDir as a
+    * query result, and its pandas rows-check cannot hash the native
+    * array<binary> columns these dumps keep (round-3 `chain_raw_*` err
+    * rows). Rewritten from scratch on every Verify run. */
+  val RawDumpDir = "/tmp/graft_chain_raw"
 
   private def rawTables(s: SparkSession): Seq[(String, DataFrame)] = {
     val blocks = ChainFixture.blocks(s, From, To)
@@ -42,11 +49,20 @@ object ChainQueries {
   }
 
   /** Called by Verify before the query loop: dumps the raw flattened tables
-    * (native binary/array/decimal columns) for the DuckDB oracles below. */
-  def materializeRaw(s: SparkSession, outDir: String): Unit =
-    rawTables(s).foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/chain_raw_$name")
+    * (native binary/array/decimal columns) to [[RawDumpDir]] for the DuckDB
+    * oracles below. The previous run's dumps are removed first so stale
+    * tables can never feed an oracle. */
+  def materializeRaw(s: SparkSession): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
     }
+    val root = new java.io.File(RawDumpDir)
+    if (root.exists()) rm(root)
+    rawTables(s).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$RawDumpDir/chain_raw_$name")
+    }
+  }
 
   /** Portable projection: every column becomes a type the driver's pandas
     * rows-check can hash and DuckDB can reproduce exactly — binary → hex
@@ -238,11 +254,10 @@ object ChainQueries {
     "chain_gas_by_range" -> (chainGasByRange _)
   )
 
-  // DuckDB oracles over the raw parquet dumps. `__GRAFT_OUT__` → absolute
-  // verify output dir (substituted by Verify). The chain_tbl_* oracles
-  // recompute the portable projection cell-by-cell from the raw dumps;
-  // everything else re-aggregates them.
-  private def tbl(name: String) = s"'__GRAFT_OUT__/chain_raw_$name/*.parquet'"
+  // DuckDB oracles over the raw parquet dumps at the fixed RawDumpDir.
+  // The chain_tbl_* oracles recompute the portable projection
+  // cell-by-cell from the raw dumps; everything else re-aggregates them.
+  private def tbl(name: String) = s"'$RawDumpDir/chain_raw_$name/*.parquet'"
 
   val oracle: Map[String, String] = Map(
     "chain_tbl_blocks" ->
@@ -307,11 +322,11 @@ object ChainQueries {
     // condition under which the Spark roundtrip succeeds).
     "chain_u256_roundtrip" ->
       s"""SELECT count(*) AS n_tx,
-         |SUM(CASE WHEN substr(hex("value"), 1, 32) = repeat('0', 32)
+         |CAST(SUM(CASE WHEN substr(hex("value"), 1, 32) = repeat('0', 32)
          |          AND CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616
          |              + CAST(CAST(concat('0x', substr(hex("value"), 49, 16)) AS UBIGINT) AS HUGEINT)
          |              < CAST('100000000000000000000000000000000000000' AS HUGEINT)
-         |     THEN 1 ELSE 0 END) AS n_roundtrip_ok,
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
          |CAST(CAST(SUM(CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616
          |              + CAST(CAST(concat('0x', substr(hex("value"), 49, 16)) AS UBIGINT) AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR) AS total_value_wei,
          |CAST(CAST(SUM(CAST(CAST(concat('0x', substr(hex("value"), 33, 16)) AS UBIGINT) AS HUGEINT) * 18446744073709551616

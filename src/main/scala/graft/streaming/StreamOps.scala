@@ -122,35 +122,71 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Incremental near-dup detection on a live document stream. Each
-    * micro-batch runs the SAME batch MinHash pipeline to its band keys,
-    * probes the accumulated band index for collisions with everything
-    * already ingested (candidate dup pairs, earlier doc as `a`), appends
-    * the pairs, then appends its own keys to the index. State is the
-    * index TABLE — partitionable by band, readable by any batch job —
-    * not executor memory, so a restart resumes from the files and the
-    * live tail matches what a batch re-run over the full corpus would
-    * flag (modulo bucket caps, which batch applies globally). */
+    * micro-batch runs the SAME batch MinHash pipeline: candidates are the
+    * union of (1) the batch's own banded+bucket-capped self-pairs — so
+    * near-dups arriving in one micro-batch (including the whole first
+    * batch) are caught — and (2) band-key collisions against the
+    * accumulated index, with index buckets over MaxBucket skipped (the
+    * batch pipeline's skew cap, applied to the stored side). Every
+    * candidate then passes the SAME exact-shingle Jaccard ≥ 0.5 verify
+    * before landing in dup_pairs (canonical a < b), so emitted pairs are
+    * verified duplicates, not raw LSH collisions. State is two
+    * partitionable TABLES — the band index and the shingle sets that
+    * back the verify — not executor memory: a restart resumes from the
+    * files, and the live tail matches a batch re-run over the full
+    * corpus (modulo cap timing: batch caps buckets over the final
+    * corpus, the stream caps as of each batch). At scale the per-batch
+    * hot-bucket aggregate would be maintained incrementally as a third
+    * bucket-count table rather than recomputed from the index. */
   def nearDupStreamIngest(
       spark: SparkSession,
       docs: DataFrame, // streaming frame with (doc_id: Long, text: String)
       stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ops.DedupOps
     val idxPath = s"$stateDir/band_index"
+    val shPath = s"$stateDir/shingle_index"
     val pairsPath = s"$stateDir/dup_pairs"
     docs
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val keys = graft.ops.DedupOps.bandKeys(batch).localCheckpoint()
-        if (new java.io.File(idxPath).exists()) {
-          val existing = spark.read.parquet(idxPath)
-          existing
-            .withColumnRenamed("doc_id", "a")
-            .join(keys.withColumnRenamed("doc_id", "b"), Seq("band", "band_key"))
-            .filter(col("a") =!= col("b"))
-            .select(col("a"), col("b")).distinct()
-            .write.mode("append").parquet(pairsPath)
-        }
+        val sh = DedupOps.shingleSet(batch).localCheckpoint()
+        val keys = DedupOps.bandKeysFromShingles(sh).localCheckpoint()
+        val intra = DedupOps.minhashCandidatesFromShingles(sh)
+          .select(col("a"), col("b"))
+        val cross =
+          if (new java.io.File(idxPath).exists()) {
+            val existing = spark.read.parquet(idxPath)
+            val hot = existing.groupBy(col("band"), col("band_key"))
+              .agg(count(lit(1)).as("_n"))
+              .filter(col("_n") > DedupOps.MaxBucket)
+              .select(col("band"), col("band_key"))
+            existing.join(hot, Seq("band", "band_key"), "left_anti")
+              .withColumnRenamed("doc_id", "x")
+              .join(keys.withColumnRenamed("doc_id", "y"), Seq("band", "band_key"))
+              .filter(col("x") =!= col("y"))
+              .select(least(col("x"), col("y")).as("a"),
+                greatest(col("x"), col("y")).as("b"))
+          } else intra.limit(0)
+        val cand = intra.unionByName(cross).distinct().localCheckpoint()
+        // Exact verify needs both sides' shingle sets: stored state for
+        // earlier docs, this batch's for new ones — semi-joined down to
+        // just the docs that appear in a candidate pair.
+        val stored =
+          if (new java.io.File(shPath).exists())
+            spark.read.parquet(shPath)
+          else sh.select(col("doc_id"), col("shingle")).limit(0)
+        val ids = cand.select(col("a").as("doc_id"))
+          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+        val allSh = stored.select(col("doc_id"), col("shingle"))
+          .unionByName(sh.select(col("doc_id"), col("shingle")))
+          .join(ids, Seq("doc_id"), "left_semi")
+        DedupOps.jaccard(cand, allSh)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"), col("jaccard"))
+          .write.mode("append").parquet(pairsPath)
         keys.write.mode("append").parquet(idxPath)
+        sh.select(col("doc_id"), col("shingle")).write.mode("append").parquet(shPath)
         ()
       }
       .start()

@@ -172,11 +172,34 @@ class StreamingSpec extends SparkSuite {
     q.stop()
 
     val pairs = spark.read.parquet(s"$dir/dup_pairs")
-    // nearly every twin should collide with its original in some band,
-    // original (earlier doc) always on the `a` side
+    // nearly every twin should collide with its original in some band
     val twinHits = pairs.filter(col("b") === col("a") + 1000000L).count()
     assert(twinHits >= (docs.count() * 0.95).toLong)
-    assert(pairs.filter(col("a") >= 1000000L).count() == 0)
+    // every emitted pair is canonical (a < b) and passed the exact
+    // Jaccard >= 0.5 verify — never a raw LSH band collision
+    assert(pairs.filter(col("a") >= col("b")).count() == 0)
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("streaming near-dup catches pairs arriving in the SAME micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup1").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50).cache()
+    val corpus = graft.ops.DedupOps.withTwins(docs).as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStreamIngest(
+      spark, in.toDF().toDF("doc_id", "text"), dir)
+    in.addData(corpus.toSeq: _*) // originals AND twins in one batch
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.read.parquet(s"$dir/dup_pairs")
+    val twinHits = pairs.filter(col("b") === col("a") + 1000000L).count()
+    assert(twinHits >= (docs.count() * 0.95).toLong)
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
   }
 
   test("foreachBatch chain ingest reuses batch flattens and lands correct rows") {

@@ -32,8 +32,9 @@ def frame(con, rel):
     df = rel.fetchdf()
     cols = sorted(df.columns)
     df = df[cols]
+    dtypes = {c: str(df[c].dtype) for c in cols}
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return cols, rows
+    return cols, dtypes, rows
 
 
 def main():
@@ -56,14 +57,23 @@ def main():
             print(f"[rows-only] {name}: {n} rows")
             continue
         try:
-            got_cols, got = frame(con, con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
-            want_cols, want = frame(con, con.sql(oracles[name]))
+            got_cols, got_dtypes, got = frame(con, con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
+            want_cols, want_dtypes, want = frame(con, con.sql(oracles[name]))
         except Exception as e:
             print(f"[FAIL] {name}: exception {e}")
             n_fail += 1
             continue
         if got_cols != want_cols:
             print(f"[FAIL] {name}: schema mismatch spark={got_cols} oracle={want_cols}")
+            n_fail += 1
+            continue
+        # The driver's hash compare is dtype-sensitive (600 int64 vs 600.0
+        # float64 hash differently even though == passes); surface any
+        # pandas-dtype drift as a hard failure so it can't slip through.
+        if got_dtypes != want_dtypes:
+            drift = {c: (got_dtypes[c], want_dtypes[c])
+                     for c in got_dtypes if got_dtypes[c] != want_dtypes.get(c)}
+            print(f"[FAIL] {name}: dtype drift (spark, oracle) = {drift}")
             n_fail += 1
             continue
         if len(got) != len(want):
