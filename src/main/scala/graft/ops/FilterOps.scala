@@ -1,0 +1,371 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PolyHash
+
+/** Corpus-filtering operators for a training-data pipeline: rule-based
+  * quality filtering (the C4/Gopher-style heuristic cascade), train/test
+  * n-gram decontamination, and Bloom-filter approximate membership — the
+  * three passes that sit between raw crawl and training shards.
+  *
+  * Scale shapes:
+  *   - quality metrics are one narrow pass + two (doc, term)-keyed
+  *     aggregations (map-side combined) joined back on doc_id — no
+  *     corpus-wide state, linear in input;
+  *   - contamination is a distinct-(doc, ngram-hash) equi-join, shuffled
+  *     on the 64-bit hash, with a stop-gram cap so no single n-gram can
+  *     create a quadratic hot key;
+  *   - the Bloom filter is a 1024-row bit-packed table built by one
+  *     bit_or aggregation and broadcast to probes — the classic
+  *     distributed-membership shape (the filter is tiny, the corpus
+  *     never re-shuffles).
+  *
+  * All arithmetic is exact integer (milli-unit ratios, polynomial
+  * hashes), so every operator has a bit-exact DuckDB oracle.
+  */
+object FilterOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val HashMod = DedupOps.HashMod
+
+  /** DuckDB form of the polynomial char fold (Spark side uses the native
+    * codegen [[graft.functions.PolyHash]] — value-identical). */
+  private def polyHashSql(column: String, base: Long, mod: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($column, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(acc, x) -> (acc * $base + x) % $mod)"
+
+  // ------------------------------------------------------------------
+  // Rule-based quality filtering (Gopher/C4-style): per-document
+  // heuristic metrics in exact milli-units + a keep/drop verdict.
+  //
+  // Rules (a doc is kept iff ALL pass):
+  //   r1  token count in [MinTokens, MaxTokens]
+  //   r2  mean token length in [3.0, 10.0]
+  //   r3  symbol-to-token ratio <= 0.1
+  //   r4  >= 2 distinct stopwords present
+  //   r5  >= 80% of tokens contain an ASCII letter
+  //   r6  most frequent token accounts for <= 20% of tokens
+  //   r7  most frequent bigram accounts for <= 20% of bigrams
+  // (r5 is deliberately Latin-centric — the classic C4 bias; on a real
+  // multilingual crawl non-Latin docs fail it, which is why the metrics
+  // are emitted alongside the verdict: the cascade is auditable, not a
+  // black box.)
+  val MinTokens = 50L
+  val MaxTokens = 100000L
+  val MinWordLenMilli = 3000L
+  val MaxWordLenMilli = 10000L
+  val MaxSymbolMilli = 100L
+  val MinStopDistinct = 2L
+  val MinAlphaMilli = 800L
+  val MaxTopTokenMilli = 200L
+  val MaxTopBigramMilli = 200L
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityFilters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = TextOps.tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    // Narrow per-doc metrics: one pass over the token array, no shuffle.
+    val narrow = d.select(col("doc_id"), col("text"), toks.as("_t"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        expr("aggregate(transform(_t, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_tok_len"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_symbols"),
+        size(filter(col("_t"), t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(array_distinct(filter(col("_t"), t => array_contains(stopArr, t))))
+          .cast("long").as("n_stop_distinct"))
+    // Repetition metrics need per-(doc, gram) counts — the same
+    // explode → map-side-combined aggregate shape as the tf-idf pass;
+    // at 100 TB these are the only shuffles and both key on doc_id
+    // afterwards, so the final joins co-partition.
+    val topTok = d.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
+    val topBig = d.select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> concat_ws(' ', _t[i-1], _t[i]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_big"))
+    val m = narrow.join(topTok, Seq("doc_id")).join(topBig, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("sum_tok_len * 1000 DIV n_tokens").as("mean_tok_len_milli"),
+        expr("n_symbols * 1000 DIV n_tokens").as("symbol_ratio_milli"),
+        expr("n_alpha * 1000 DIV n_tokens").as("alpha_frac_milli"),
+        col("n_stop_distinct"),
+        expr("top_tok * 1000 DIV n_tokens").as("top_token_frac_milli"),
+        expr("top_big * 1000 DIV (n_tokens - 1)").as("top_bigram_frac_milli"))
+    val rules = Seq(
+      col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens,
+      col("mean_tok_len_milli") >= MinWordLenMilli && col("mean_tok_len_milli") <= MaxWordLenMilli,
+      col("symbol_ratio_milli") <= MaxSymbolMilli,
+      col("n_stop_distinct") >= MinStopDistinct,
+      col("alpha_frac_milli") >= MinAlphaMilli,
+      col("top_token_frac_milli") <= MaxTopTokenMilli,
+      col("top_bigram_frac_milli") <= MaxTopBigramMilli)
+    m.withColumn("n_rules_failed",
+        rules.map(r => when(r, 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("keep", col("n_rules_failed") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFiltersSql: String = {
+    val ruleFails = Seq(
+      s"NOT (n_tokens >= $MinTokens AND n_tokens <= $MaxTokens)",
+      s"NOT (mean_tok_len_milli >= $MinWordLenMilli AND mean_tok_len_milli <= $MaxWordLenMilli)",
+      s"NOT (symbol_ratio_milli <= $MaxSymbolMilli)",
+      s"NOT (n_stop_distinct >= $MinStopDistinct)",
+      s"NOT (alpha_frac_milli >= $MinAlphaMilli)",
+      s"NOT (top_token_frac_milli <= $MaxTopTokenMilli)",
+      s"NOT (top_bigram_frac_milli <= $MaxTopBigramMilli)"
+    ).map(r => s"CASE WHEN $r THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |narrow AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), (a, x) -> a + x) AS sum_tok_len,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_distinct(list_filter(toks,
+       |      tk -> list_contains(${Stopwords.mkString("['", "','", "']")}, tk)))) AS BIGINT) AS n_stop_distinct
+       |  FROM t),
+       |toptok AS (
+       |  SELECT doc_id, max(c) AS top_tok FROM (
+       |    SELECT doc_id, term, count(*) AS c
+       |    FROM (SELECT doc_id, UNNEST(toks) AS term FROM t) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |topbig AS (
+       |  SELECT doc_id, max(c) AS top_big FROM (
+       |    SELECT doc_id, bg, count(*) AS c
+       |    FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       |          FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS g(i))
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum_tok_len * 1000 // n_tokens AS mean_tok_len_milli,
+       |    n_symbols * 1000 // n_tokens AS symbol_ratio_milli,
+       |    n_alpha * 1000 // n_tokens AS alpha_frac_milli,
+       |    n_stop_distinct,
+       |    top_tok * 1000 // n_tokens AS top_token_frac_milli,
+       |    top_big * 1000 // (n_tokens - 1) AS top_bigram_frac_milli
+       |  FROM narrow JOIN toptok USING (doc_id) JOIN topbig USING (doc_id))
+       |SELECT doc_id, n_tokens, mean_tok_len_milli, symbol_ratio_milli,
+       |  alpha_frac_milli, n_stop_distinct, top_token_frac_milli,
+       |  top_bigram_frac_milli,
+       |  CAST($ruleFails AS BIGINT) AS n_rules_failed,
+       |  ($ruleFails) = 0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Train/test n-gram decontamination: flag every test-split document
+  // that shares at least one 8-token n-gram with any train-split
+  // document — the standard eval-contamination sweep run before
+  // training. Corpus = documents ∪ perturbed twins (a twin and its
+  // original usually land in different splits, so real contamination
+  // exists to find). The n-gram key is a composed polynomial hash
+  // (8 multiply-adds over per-token hashes), deduped per doc BEFORE the
+  // explode; the join shuffles only distinct (doc, hash) pairs, and
+  // n-gram hashes carried by more than StopGramCap train docs are
+  // dropped as stop-grams (skew cap — mirrors the LSH MaxBucket rule).
+  val NgramN = 8
+  val StopGramCap = 64L
+
+  /** (doc_id, split, h) — distinct composed n-gram hashes per doc. */
+  private def ngramHashes(base: DataFrame): DataFrame = {
+    val fold = (1 until NgramN).foldLeft("_th[i-1]") { (acc, j) =>
+      s"(($acc) * 131 + _th[i-1+$j]) % $HashMod"
+    }
+    base
+      .withColumn("_t", TextOps.tokens(col("text")))
+      .withColumn("_th", transform(col("_t"), tok => PolyHash.polyHash(tok, 31, HashMod)))
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""CASE WHEN size(_t) >= $NgramN
+           |THEN array_distinct(transform(sequence(1, size(_t) - ${NgramN - 1}), i -> $fold))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("h"))
+  }
+
+  private def coin = (col("doc_id") * Sampling.HashA + Sampling.HashB) % Sampling.Mod
+
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val base = DedupOps.withTwins(docs(s, dir))
+      .withColumn("split",
+        when(coin < Sampling.Mod * 8 / 10, "train")
+          .when(coin < Sampling.Mod * 9 / 10, "val")
+          .otherwise("test"))
+    val grams = ngramHashes(base)
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val hot = train.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > StopGramCap).select(col("h"))
+    val test = grams.filter(col("split") === "test")
+      .select(col("doc_id").as("test_doc"), col("h"))
+    test
+      .join(train.join(hot, Seq("h"), "left_anti"), Seq("h"))
+      .groupBy(col("test_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("test_doc"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("n_shared")).as("n_shared_ngrams"),
+        min(col("train_doc")).as("first_train_doc"))
+      .orderBy(col("test_doc"))
+  }
+
+  val contaminationSql: String = {
+    val fold = (1 until NgramN).foldLeft("hs[i]") { (acc, j) =>
+      s"(($acc) * 131 + hs[i+$j]) % $HashMod"
+    }
+    s"""WITH base0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN (doc_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod} < ${Sampling.Mod * 8 / 10} THEN 'train'
+       |         WHEN (doc_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod} < ${Sampling.Mod * 9 / 10} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM base0),
+       |tkh AS (
+       |  SELECT doc_id, split,
+       |    list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |  FROM base),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, split, $fold AS h
+       |  FROM tkh, UNNEST(generate_series(1, len(hs) - ${NgramN - 1})) AS g(i)),
+       |train AS (SELECT doc_id AS train_doc, h FROM grams WHERE split = 'train'),
+       |hot AS (SELECT h FROM train GROUP BY h HAVING count(*) > $StopGramCap),
+       |test AS (SELECT doc_id AS test_doc, h FROM grams WHERE split = 'test'),
+       |pairs AS (
+       |  SELECT test_doc, train_doc, count(*) AS n_shared
+       |  FROM test JOIN (SELECT * FROM train ANTI JOIN hot USING (h)) USING (h)
+       |  GROUP BY 1, 2)
+       |SELECT test_doc, count(*) AS n_train_docs,
+       |  CAST(sum(n_shared) AS BIGINT) AS n_shared_ngrams,
+       |  min(train_doc) AS first_train_doc
+       |FROM pairs GROUP BY 1 ORDER BY test_doc""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom-filter approximate membership: build a 64 Kbit / 4-hash Bloom
+  // filter over the train split's content fingerprints (one bit_or
+  // aggregation → 1024 packed BIGINT words), broadcast it, and probe
+  // with the test split plus exact copies of every 5th train doc (so
+  // the probe set contains true members AND true non-members). Reports
+  // the confusion counts — bloom_maybe × is_member — whose off-diagonal
+  // (true, false) row IS the measured false-positive count. Bit
+  // positions are affine maps of the same polynomial fingerprint the
+  // rolling-hash op uses, so the whole filter is bit-exact in DuckDB.
+  val BloomBits = 65536L // 63 usable bits per word (bit 63 never set: DuckDB errors on 1<<63)
+  val BloomK = 4
+
+  /** Affine position coefficients, shared with the oracle SQL. */
+  val bloomAB: IndexedSeq[(Long, Long)] = (0 until BloomK).map { j =>
+    val a = Math.floorMod(SimilarityOps.mix(0x7a7a7a7aL + j), HashMod - 1) + 1
+    val b = Math.floorMod(SimilarityOps.mix(0x8b8b8b8bL + j), HashMod)
+    (a, b)
+  }
+
+  def bloomProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val fp = PolyHash.polyHash(col("text"), 31, HashMod)
+    val split = when(coin < Sampling.Mod * 8 / 10, "train")
+      .when(coin < Sampling.Mod * 9 / 10, "val")
+      .otherwise("test")
+    val labeled = d.select(col("doc_id"), col("text"), split.as("split"))
+    val trainH = labeled.filter(col("split") === "train")
+      .select(fp.as("H")).distinct()
+    val posArr = array(bloomAB.map { case (a, b) =>
+      pmod(lit(a) * col("H") + lit(b), lit(BloomBits))
+    }: _*)
+    val bloom = trainH
+      .select(explode(posArr).as("pos"))
+      .select(expr("pos DIV 63").as("w"), expr("CAST(pos % 63 AS INT)").as("b"))
+      .groupBy(col("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bits"))
+    // Probes: the test split (expected non-members) + exact copies of
+    // every 5th train doc (guaranteed members), ids offset by 2e6.
+    val probes = labeled.filter(col("split") === "test")
+      .select(col("doc_id").as("probe_id"), col("text"))
+      .unionByName(labeled
+        .filter(col("split") === "train" && pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 2000000L).as("probe_id"), col("text")))
+      .select(col("probe_id"), fp.as("H"))
+    val checked = probes
+      .select(col("probe_id"), col("H"), explode(posArr).as("pos"))
+      .select(col("probe_id"), col("H"),
+        expr("pos DIV 63").as("w"), expr("CAST(pos % 63 AS INT)").as("b"))
+      .join(broadcast(bloom), Seq("w"), "left")
+      .withColumn("hit", coalesce(expr("(bits >> b) & 1 = 1"), lit(false)))
+      .groupBy(col("probe_id"), col("H"))
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === lit(BloomK.toLong)).as("bloom_maybe"))
+    checked
+      .join(trainH.withColumn("_m", lit(true)), Seq("H"), "left")
+      .withColumn("is_member", coalesce(col("_m"), lit(false)))
+      .groupBy(col("bloom_maybe"), col("is_member"))
+      .agg(count(lit(1)).as("n_probes"),
+        min(col("probe_id")).as("min_probe"), max(col("probe_id")).as("max_probe"))
+      .orderBy(col("bloom_maybe"), col("is_member"))
+  }
+
+  val bloomProbeSql: String = {
+    val posSelects = bloomAB.map { case (a, b) => s"($a * H + $b) % $BloomBits" }
+      .mkString("[", ", ", "]")
+    s"""WITH labeled AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN (doc_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod} < ${Sampling.Mod * 8 / 10} THEN 'train'
+       |         WHEN (doc_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod} < ${Sampling.Mod * 9 / 10} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |trainh AS (SELECT DISTINCT ${polyHashSql("text", 31, HashMod)} AS H
+       |           FROM labeled WHERE split = 'train'),
+       |bloom AS (
+       |  SELECT pos // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+       |  FROM (SELECT UNNEST($posSelects) AS pos FROM trainh)
+       |  GROUP BY 1),
+       |probes AS (
+       |  SELECT doc_id AS probe_id, ${polyHashSql("text", 31, HashMod)} AS H
+       |  FROM labeled WHERE split = 'test'
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS probe_id, ${polyHashSql("text", 31, HashMod)} AS H
+       |  FROM labeled WHERE split = 'train' AND doc_id % 5 = 0),
+       |checked AS (
+       |  SELECT probe_id, H,
+       |    sum(CASE WHEN coalesce((bits >> b) & 1 = 1, FALSE) THEN 1 ELSE 0 END) = $BloomK AS bloom_maybe
+       |  FROM (
+       |    SELECT probe_id, H, pos // 63 AS w, CAST(pos % 63 AS INT) AS b
+       |    FROM probes, UNNEST($posSelects) AS u(pos))
+       |  LEFT JOIN bloom USING (w)
+       |  GROUP BY 1, 2)
+       |SELECT bloom_maybe, H IN (SELECT H FROM trainh) AS is_member,
+       |  count(*) AS n_probes, min(probe_id) AS min_probe, max(probe_id) AS max_probe
+       |FROM checked
+       |GROUP BY 1, 2 ORDER BY bloom_maybe, is_member""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_quality_rules" -> (qualityFilters _),
+    "dedup_contamination" -> (contamination _),
+    "dedup_bloom_probe" -> (bloomProbe _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "filter_quality_rules" -> qualityFiltersSql,
+    "dedup_contamination" -> contaminationSql,
+    "dedup_bloom_probe" -> bloomProbeSql
+  )
+}
