@@ -187,9 +187,98 @@ object SimilarityOps {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     lshTopK(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  // ------------------------------------------------------------------
+  // Scalar-quantized ANN (the compressed-vector path): per-dimension
+  // min/max over the corpus → 8-bit codes (0..255) stored as the index
+  // (64 bytes/vector instead of 256 at dim 64) → asymmetric scoring: the
+  // full-precision probe against the RECONSTRUCTED corpus vector
+  // (mn + (code+0.5)·(mx−mn)/255), the FAISS SQ8 shape. Scoring raw
+  // codes against raw codes would rank by (a−mn)·(b−mn), which the
+  // per-dim shift makes uncorrelated with a·b — reconstruction is what
+  // makes 8-bit codes track the exact ranking (recall ≈ 1 at 255
+  // levels, see OpsSpec). The min/max "codebook" is a 1-row broadcast;
+  // the reconstruction dot product is a fold with the same left-to-right
+  // order as DuckDB's list_reduce, so the scores are bit-exact
+  // cross-engine.
+  val SqLevels = 255
+
+  /** 1-row (mns, mxs) codebook: per-dimension corpus min/max. */
+  def sqMinMax(emb: DataFrame): DataFrame =
+    emb
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("a"))
+      .select(expr("transform(a, e -> e.mn)").as("mns"),
+        expr("transform(a, e -> e.mx)").as("mxs"))
+
+  /** (vec_id, code: array<bigint>) — 8-bit scalar quantization against
+    * the codebook (constant dims code to 0). */
+  def sqCodes(emb: DataFrame, mm: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(mm))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, size(embedding) - 1),
+           |  i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * $SqLevels / (mxs[i] - mns[i])) AS BIGINT)
+           |       END)""".stripMargin).as("code"))
+
+  def sqCodes(emb: DataFrame): DataFrame = sqCodes(emb, sqMinMax(emb))
+
+  def sqTopK(emb: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
+    val mm = sqMinMax(emb).localCheckpoint() // one corpus pass, reused 3×
+    val codes = sqCodes(emb, mm)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip_approx").desc, col("c_id"))
+    codes.select(col("vec_id").as("c_id"), col("code"))
+      .crossJoin(broadcast(probes))
+      .crossJoin(broadcast(mm))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), expr(
+        s"""aggregate(transform(sequence(0, size(code) - 1),
+           |  i -> CAST(q_emb[i] AS DOUBLE) * (mns[i] + (code[i] + 0.5D) * (mxs[i] - mns[i]) / $SqLevels)),
+           |  0D, (a, x) -> a + x)""".stripMargin).as("ip_approx"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("ip_approx"), col("rank").cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annSq(s: SparkSession, dir: String): DataFrame =
+    sqTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  val annSqSql: String =
+    s"""WITH mm0 AS (
+       |  SELECT d, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+       |  FROM (SELECT UNNEST(embedding) AS x,
+       |               UNNEST(generate_series(0, len(embedding) - 1)) AS d
+       |        FROM embeddings)
+       |  GROUP BY d),
+       |mm AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm0),
+       |codes AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+       |    i -> CASE WHEN mxs[i] = mns[i] THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i]) * $SqLevels / (mxs[i] - mns[i])) AS BIGINT)
+       |         END) AS code
+       |  FROM embeddings, mm),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $ProbeIds),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(c.code)),
+       |        i -> CAST(q_emb[i] AS DOUBLE) * (mns[i] + (c.code[i] + 0.5) * (mxs[i] - mns[i]) / $SqLevels))),
+       |      (a, x) -> a + x) AS ip_approx
+       |  FROM codes c, probes, mm WHERE c.vec_id <> q_id)
+       |SELECT q_id, c_id, ip_approx,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip_approx DESC, c_id) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),
-    "sim_ann_lsh" -> (annLsh _)
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_sq" -> (annSq _)
   )
 
   /** Full oracle for the LSH path: the literal hyperplane weights make
@@ -224,6 +313,7 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "sim_ann_brute_force" -> annBruteForceSql,
-    "sim_ann_lsh" -> annLshSql
+    "sim_ann_lsh" -> annLshSql,
+    "sim_ann_sq" -> annSqSql
   )
 }

@@ -59,6 +59,32 @@ class OpsSpec extends SparkSuite {
       s"LSH recall too low: $overlap")
   }
 
+  test("SQ ANN: 8-bit codes preserve the exact inner-product ranking almost perfectly") {
+    import org.apache.spark.sql.functions.expr
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sq = SimilarityOps.sqTopK(emb).select("q_id", "c_id")
+    // exact full-precision inner-product top-k (same metric, unquantized)
+    val probes = emb.filter(col("vec_id") < SimilarityOps.ProbeIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ip").desc, col("c_id"))
+    val exact = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(probes))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), expr(
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)")
+        .as("ip"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= SimilarityOps.TopK)
+      .select("q_id", "c_id")
+    val overlap = sq.intersect(exact).count()
+    assert(overlap.toDouble / (SimilarityOps.ProbeIds * SimilarityOps.TopK) >= 0.8,
+      s"SQ recall vs exact IP too low: $overlap")
+    // codes are within the 8-bit range
+    val codes = SimilarityOps.sqCodes(emb)
+    assert(codes.filter(expr("exists(code, c -> c < 0 OR c > 255)")).count() == 0)
+  }
+
   test("materialized LSH index is partition-pruned and query-equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
