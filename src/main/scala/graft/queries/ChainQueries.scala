@@ -239,7 +239,33 @@ object ChainQueries {
       .orderBy(col("table"))
   }
 
+  /** ERC20-style Transfer decode over the flattened event log — the
+    * flagship downstream analytics query of a chain warehouse: logs with
+    * exactly 3 topics are transfer-shaped (event signature + 2 indexed
+    * address args). Sender/recipient are the last 20 bytes of topics
+    * 1/2 (ABI left-pads indexed addresses to a 32-byte word), the amount
+    * is the log data right-aligned per ABI word semantics — the low 7
+    * bytes are decoded so the value is an exact nonnegative BIGINT in
+    * both engines. Emitted per row (cell-exact oracle over the raw
+    * dumps), keyed by the (block, tx, log) position. At 100 TB this is a
+    * narrow projection behind a topic-count filter — pushdown-friendly,
+    * no shuffle until the final presentation sort. */
+  def chainTransferDecode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+    ev.filter(size(col("topics")) === 3)
+      .select(
+        col("blockNumber"),
+        col("transactionIndex").cast("long").as("txIndex"),
+        col("logIndex").cast("long").as("logIndex"),
+        hex(col("address")).as("token"),
+        hex(expr("substring(topics[1], 13, 20)")).as("from_addr"),
+        hex(expr("substring(topics[2], 13, 20)")).as("to_addr"),
+        expr("CAST(conv(hex(substring(data, length(data) - 6, 7)), 16, 10) AS BIGINT)").as("amount"))
+      .orderBy(col("blockNumber"), col("txIndex"), col("logIndex"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_transfer_decode" -> (chainTransferDecode _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
     "chain_tbl_events" -> (chainTblEvents _),
@@ -260,6 +286,17 @@ object ChainQueries {
   private def tbl(name: String) = s"'$RawDumpDir/chain_raw_$name/*.parquet'"
 
   val oracle: Map[String, String] = Map(
+    "chain_transfer_decode" ->
+      s"""SELECT blockNumber,
+         |  CAST(transactionIndex AS BIGINT) AS txIndex,
+         |  CAST(logIndex AS BIGINT) AS logIndex,
+         |  hex(address) AS token,
+         |  substr(hex(topics[2]), 25, 40) AS from_addr,
+         |  substr(hex(topics[3]), 25, 40) AS to_addr,
+         |  CAST(concat('0x', substr(hex(data), 2 * octet_length(data) - 13, 14)) AS BIGINT) AS amount
+         |FROM ${tbl("events")}
+         |WHERE len(topics) = 3
+         |ORDER BY blockNumber, txIndex, logIndex""".stripMargin,
     "chain_tbl_blocks" ->
       s"""SELECT hex(hash) AS hash, number, hex(parentHash) AS parentHash,
          |coalesce(array_to_string(list_transform(uncles, x -> hex(x)), ','), '') AS uncles,

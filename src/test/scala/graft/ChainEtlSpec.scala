@@ -156,6 +156,21 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("transfer decode: every 3-topic log decodes to 20-byte addresses and a nonneg amount") {
+    import org.apache.spark.sql.functions.{col, expr, size}
+    val decoded = graft.queries.ChainQueries.chainTransferDecode(spark, sf).cache()
+    // same fixture range as the query, via the portable events table:
+    // 3 topics <=> comma-joined hex has exactly 2 commas
+    val ev = graft.queries.ChainQueries.chainTblEvents(spark, sf)
+    val threeTopic = ev.filter(
+      size(org.apache.spark.sql.functions.split(col("topics"), ",")) === 3)
+    assert(decoded.count() == threeTopic.count())
+    assert(decoded.count() > 0)
+    // 20-byte addresses hex to 40 chars; amounts decode from 7 bytes => [0, 2^56)
+    assert(decoded.filter(
+      expr("length(from_addr) <> 40 OR length(to_addr) <> 40 OR amount < 0 OR amount >= CAST(pow(2, 56) AS BIGINT)")).count() == 0)
+  }
+
   test("D1/D2: bucketed write partitions by floor(number/1000) and re-run overwrites idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     graft.etl.Load.ingest(spark, 0, 30, dir)
