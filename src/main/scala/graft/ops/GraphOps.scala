@@ -47,8 +47,14 @@ object GraphOps {
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed labels with the FIRST propagation round for free: label(v) =
+    // min(v, min neighbor) is one aggregation over the (already
+    // symmetrized) edge list — no join, and for diameter-1 components
+    // (the bulk of near-dup clusters: twin pairs) it is already the
+    // fixpoint, so the loop below runs exactly one confirming round.
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(least(col("node"), min(col("dst"))).as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head.get(0))
