@@ -357,15 +357,69 @@ object FilterOps {
        |GROUP BY 1, 2 ORDER BY bloom_maybe, is_member""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Duplicated-passage fraction: per document, the share of its distinct
+  // 8-token n-grams that also occur in at least one OTHER document —
+  // the Gopher-style "duplicate content" metric that catches boilerplate
+  // and near-copies exact dedup misses (a doc can be 40% template and
+  // 60% unique). Corpus = documents ∪ twins so duplicated passages
+  // exist. Shape: distinct (doc, gram-hash) once, gram doc-frequency by
+  // one map-side-combined count, join back on the hash, per-doc rollup —
+  // each doc rejoins each of its own grams exactly once, so a
+  // corpus-wide boilerplate gram costs O(docs holding it), never O(n²).
+  def passageOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = DedupOps.withTwins(docs(s, dir)).withColumn("split", lit(""))
+    val grams = ngramHashes(base).select(col("doc_id"), col("h"))
+      .localCheckpoint() // one shingling pass feeds both the df count and the rollup
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("gram_df"))
+    grams
+      .join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac_milli", expr("n_dup_grams * 1000 DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageOverlapSql: String = {
+    val fold = (1 until NgramN).foldLeft("hs[i]") { (acc, j) =>
+      s"(($acc) * 131 + hs[i+$j]) % $HashMod"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)),
+       |tkh AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |  FROM base),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, $fold AS h
+       |  FROM tkh, UNNEST(generate_series(1, len(hs) - ${NgramN - 1})) AS g(i)),
+       |gdf AS (SELECT h, count(*) AS gram_df FROM grams GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN gram_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    // count(*) AS dup_frac_milli
+       |FROM grams JOIN gdf USING (h)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_quality_rules" -> (qualityFilters _),
     "dedup_contamination" -> (contamination _),
-    "dedup_bloom_probe" -> (bloomProbe _)
+    "dedup_bloom_probe" -> (bloomProbe _),
+    "dedup_passage_overlap" -> (passageOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
     "filter_quality_rules" -> qualityFiltersSql,
     "dedup_contamination" -> contaminationSql,
-    "dedup_bloom_probe" -> bloomProbeSql
+    "dedup_bloom_probe" -> bloomProbeSql,
+    "dedup_passage_overlap" -> passageOverlapSql
   )
 }

@@ -72,13 +72,126 @@ object Sampling {
        |WHERE r <= $PerStratum
        |ORDER BY lang, r""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Mixture re-weighting: down-sample every language stratum to the
+  // smallest stratum's token budget — the "training mix" pass that
+  // turns raw crawl proportions into a target mixture. The acceptance
+  // probability is exact integer micro-units (min_total·1e6 DIV total)
+  // and the inclusion coin is the same affine id hash as the splits, so
+  // the realized sample is a pure function of the ids: reproducible
+  // across engines, retries, and cluster sizes. One token-count
+  // aggregate (map-side combined) + a 5-row broadcast back — no second
+  // corpus shuffle at any scale.
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perDoc = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"))
+    val perLang = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
+    val minTotal = perLang.agg(min(col("tok_total")).as("min_total"))
+    val weighted = perLang.crossJoin(broadcast(minTotal))
+      .withColumn("weight_micro", expr("min_total * 1000000 DIV tok_total"))
+    perDoc
+      .join(broadcast(weighted.select(col("lang"), col("weight_micro"))), Seq("lang"))
+      .withColumn("sampled", coin < expr(s"weight_micro * $Mod DIV 1000000"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        min(col("weight_micro")).as("weight_micro"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("n_tokens")).otherwise(0L)).as("sampled_tok_total"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |perlang AS (
+       |  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_total
+       |  FROM perdoc GROUP BY 1),
+       |w AS (
+       |  SELECT lang, tok_total,
+       |    (SELECT min(tok_total) FROM perlang) * 1000000 // tok_total AS weight_micro
+       |  FROM perlang)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |  min(weight_micro) AS weight_micro,
+       |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tok_total
+       |FROM (
+       |  SELECT p.lang, p.n_tokens, w.weight_micro,
+       |    (p.doc_id * $HashA + $HashB) % $Mod < w.weight_micro * $Mod // 1000000 AS sampled
+       |  FROM perdoc p JOIN w USING (lang))
+       |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Sequence packing (concat-and-chunk): documents are concatenated in
+  // id order and cut into fixed ContextLen-token windows — the layout
+  // step that turns a filtered corpus into pretraining sequences. Each
+  // doc's global start offset is a prefix sum of token counts, computed
+  // the DISTRIBUTED way: per-shard window cumsum + a broadcast of the
+  // tiny cumulative shard-offset table — the classic two-phase scan (a
+  // bare `Window.orderBy` with no partition key would serialize the
+  // corpus through one task; this shape never does). The oracle
+  // recomputes the same offsets with a plain global window, proving the
+  // two-phase composition equals the sequential scan.
+  val ContextLen = 2048L
+  private val PackShard = 1000L // docs per shard; ids are dense from 0
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perDoc = docs(s, dir).select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      expr(s"doc_id DIV $PackShard").as("_shard"))
+    val wIn = Window.partitionBy(col("_shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = perDoc.withColumn("_cum_in", sum(col("n_tokens")).over(wIn))
+    val wSh = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val shardOffsets = perDoc.groupBy(col("_shard"))
+      .agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_offset", coalesce(sum(col("_tot")).over(wSh), lit(0L)))
+      .select(col("_shard"), col("_offset"))
+    inShard
+      .join(broadcast(shardOffsets), Seq("_shard"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("_offset") + col("_cum_in") - col("n_tokens")).as("start_offset"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset DIV $ContextLen").as("bin_first"),
+        expr(s"(start_offset + n_tokens - 1) DIV $ContextLen").as("bin_last"))
+      .withColumn("n_bins_spanned", col("bin_last") - col("bin_first") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |scanned AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM perdoc)
+       |SELECT doc_id, lang, n_tokens, start_offset,
+       |  start_offset // $ContextLen AS bin_first,
+       |  (start_offset + n_tokens - 1) // $ContextLen AS bin_last,
+       |  (start_offset + n_tokens - 1) // $ContextLen - start_offset // $ContextLen + 1 AS n_bins_spanned
+       |FROM scanned ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split_assign" -> (splitAssign _),
-    "sample_stratified" -> (stratifiedSample _)
+    "sample_stratified" -> (stratifiedSample _),
+    "sample_mixture_weights" -> (mixtureWeights _),
+    "pack_sequences" -> (packSequences _)
   )
 
   val oracle: Map[String, String] = Map(
     "sample_split_assign" -> splitAssignSql,
-    "sample_stratified" -> stratifiedSampleSql
+    "sample_stratified" -> stratifiedSampleSql,
+    "sample_mixture_weights" -> mixtureWeightsSql,
+    "pack_sequences" -> packSequencesSql
   )
 }

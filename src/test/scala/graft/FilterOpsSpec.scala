@@ -46,6 +46,52 @@ class FilterOpsSpec extends SparkSuite {
     assert(c.filter(col("n_shared_ngrams") < 1L || col("n_train_docs") < 1L).count() == 0)
   }
 
+  test("passage overlap: twins are fully duplicated, originals all but their trailing gram") {
+    val p = FilterOps.passageOverlap(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(p.count() == 2 * total) // originals + twins
+    // a twin is its original minus the LAST token: every one of the twin's
+    // 8-grams also exists in the original => dup fraction exactly 1000 milli
+    assert(p.filter(col("doc_id") >= 1000000L && col("dup_frac_milli") =!= 1000L).count() == 0)
+    // the original's final 8-gram (ending at the dropped token) is almost
+    // always unique, so originals sit below 1000 but share everything else
+    // (the small-vocab fixture yields a few genuine cross-doc 8-gram
+    // coincidences — those are real duplicated passages, not errors)
+    val orig = p.filter(col("doc_id") < 1000000L)
+    assert(orig.filter(col("dup_frac_milli") >= 1000L).count() <= (total * 0.1).toLong)
+    assert(orig.filter(col("dup_frac_milli") < 500L).count() == 0)
+  }
+
+  test("mixture weights: smallest stratum keeps weight 1e6, sampling never exceeds the stratum") {
+    val m = Sampling.mixtureWeights(spark, sf).cache()
+    assert(m.count() == 5) // one row per language
+    assert(m.filter(col("weight_micro") > 1000000L).count() == 0)
+    // the arg-min stratum is kept whole (weight exactly 1e6)
+    val minRow = m.orderBy(col("tok_total")).limit(1)
+    assert(minRow.filter(col("weight_micro") =!= 1000000L).count() == 0)
+    assert(m.filter(col("n_sampled") > col("n_docs") ||
+      col("sampled_tok_total") > col("tok_total")).count() == 0)
+  }
+
+  test("pack sequences: two-phase prefix sum equals the sequential scan exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Sampling.packSequences(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(packed.count() == total)
+    // sequential reference: one global window (fine at test scale)
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val seq = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_ref", coalesce(sum(col("n_tokens")).over(
+        Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
+        lit(0L)))
+    val joined = packed.join(seq.select(col("doc_id"), col("start_ref")), Seq("doc_id"))
+    assert(joined.filter(col("start_offset") =!= col("start_ref")).count() == 0)
+    // bin bookkeeping is internally consistent
+    assert(packed.filter(col("bin_first") > col("bin_last") ||
+      col("n_bins_spanned") =!= col("bin_last") - col("bin_first") + 1).count() == 0)
+  }
+
   test("bloom probe: zero false negatives, planted members detected, summary is a confusion table") {
     val b = FilterOps.bloomProbe(spark, sf).cache()
     val rows = b.collect()
