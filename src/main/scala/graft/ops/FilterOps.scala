@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.PolyHash
@@ -66,8 +67,12 @@ object FilterOps {
   val MaxTopBigramMilli = 200L
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  def qualityFilters(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  def qualityFilters(s: SparkSession, dir: String): DataFrame =
+    qualityMetricsFrom(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** The full metrics + verdict frame over any (doc_id, text) corpus —
+    * shared by the standalone query and the end-to-end refinery. */
+  def qualityMetricsFrom(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)
     // Narrow per-doc metrics: one pass over the token array, no shuffle.
@@ -113,11 +118,10 @@ object FilterOps {
     m.withColumn("n_rules_failed",
         rules.map(r => when(r, 0L).otherwise(1L)).reduce(_ + _))
       .withColumn("keep", col("n_rules_failed") === 0L)
-      .orderBy(col("doc_id"))
   }
 
-  val qualityFiltersSql: String = {
-    val ruleFails = Seq(
+  /** The failed-rule counter as a SQL expression over the metric CTE. */
+  private val ruleFailsSql: String = Seq(
       s"NOT (n_tokens >= $MinTokens AND n_tokens <= $MaxTokens)",
       s"NOT (mean_tok_len_milli >= $MinWordLenMilli AND mean_tok_len_milli <= $MaxWordLenMilli)",
       s"NOT (symbol_ratio_milli <= $MaxSymbolMilli)",
@@ -126,9 +130,15 @@ object FilterOps {
       s"NOT (top_token_frac_milli <= $MaxTopTokenMilli)",
       s"NOT (top_bigram_frac_milli <= $MaxTopBigramMilli)"
     ).map(r => s"CASE WHEN $r THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH t AS (
+
+  /** Quality CTE chain (no WITH prefix) over relation `rel`, ending in
+    * `m(doc_id, n_tokens, …metrics…)` — shared by the standalone oracle
+    * (rel = documents) and the refinery oracle (rel = the twin+copy
+    * corpus CTE). */
+  private def qualityCtes(rel: String): String =
+    s"""t AS (
        |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-       |  FROM documents),
+       |  FROM $rel),
        |narrow AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -159,7 +169,19 @@ object FilterOps {
        |    n_stop_distinct,
        |    top_tok * 1000 // n_tokens AS top_token_frac_milli,
        |    top_big * 1000 // (n_tokens - 1) AS top_bigram_frac_milli
-       |  FROM narrow JOIN toptok USING (doc_id) JOIN topbig USING (doc_id))
+       |  FROM narrow JOIN toptok USING (doc_id) JOIN topbig USING (doc_id))""".stripMargin
+
+  val qualityFiltersSql: String = {
+    val ruleFails = Seq(
+      s"NOT (n_tokens >= $MinTokens AND n_tokens <= $MaxTokens)",
+      s"NOT (mean_tok_len_milli >= $MinWordLenMilli AND mean_tok_len_milli <= $MaxWordLenMilli)",
+      s"NOT (symbol_ratio_milli <= $MaxSymbolMilli)",
+      s"NOT (n_stop_distinct >= $MinStopDistinct)",
+      s"NOT (alpha_frac_milli >= $MinAlphaMilli)",
+      s"NOT (top_token_frac_milli <= $MaxTopTokenMilli)",
+      s"NOT (top_bigram_frac_milli <= $MaxTopBigramMilli)"
+    ).map(r => s"CASE WHEN $r THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${qualityCtes("documents")}
        |SELECT doc_id, n_tokens, mean_tok_len_milli, symbol_ratio_milli,
        |  alpha_frac_milli, n_stop_distinct, top_token_frac_milli,
        |  top_bigram_frac_milli,
@@ -409,7 +431,117 @@ object FilterOps {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // The refinery: the END-TO-END corpus pipeline as one audited funnel
+  // row — raw corpus → quality cascade → exact dedup → split →
+  // test-set decontamination → sequence-packing budget. This is the
+  // composition a training-data user actually runs; each stage is the
+  // operator verified standalone above, and the one-row audit pins the
+  // funnel counts cross-engine (the DuckDB oracle re-runs the ENTIRE
+  // pipeline). Corpus = documents ∪ perturbed twins ∪ exact copies of
+  // every 10th doc (ids +3e6), so every stage has real work: copies die
+  // in dedup, straddling twins trigger decontamination.
+  def refinery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = DedupOps.withTwins(d)
+      .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .localCheckpoint() // one derivation feeds quality, dedup, and grams
+    val qual = qualityMetricsFrom(base)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val kept = base.join(qual.filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+    val unique = kept
+      .withColumn("_fp", md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_fp")
+    val splitDocs = unique.withColumn("split",
+      when(coin < Sampling.Mod * 8 / 10, "train")
+        .when(coin < Sampling.Mod * 9 / 10, "val")
+        .otherwise("test"))
+      .localCheckpoint() // grams + three count consumers
+    val grams = ngramHashes(splitDocs)
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id").as("_td"), col("h"))
+    val hot = train.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > StopGramCap).select(col("h"))
+    val contaminated = grams.filter(col("split") === "test")
+      .join(train.join(hot, Seq("h"), "left_anti"), Seq("h"))
+      .select(col("doc_id")).distinct()
+    val finalDocs = splitDocs.join(contaminated, Seq("doc_id"), "left_anti")
+    val trainAgg = finalDocs.filter(col("split") === "train")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("n_tokens")).as("train_tokens"))
+      .select(col("n_train_docs"), col("train_tokens"),
+        expr(s"(train_tokens + ${Sampling.ContextLen} - 1) DIV ${Sampling.ContextLen}")
+          .as("train_bins"))
+    base.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_quality_kept")))
+      .crossJoin(unique.agg(count(lit(1)).as("n_unique_docs")))
+      .crossJoin(contaminated.agg(count(lit(1)).as("n_test_contaminated")))
+      .crossJoin(finalDocs.agg(count(lit(1)).as("n_final_docs")))
+      .crossJoin(trainAgg)
+  }
+
+  val refinerySql: String = {
+    val (a, b, m) = (Sampling.HashA, Sampling.HashB, Sampling.Mod)
+    val fold = (1 until NgramN).foldLeft("hs[i]") { (acc, j) =>
+      s"(($acc) * 131 + hs[i+$j]) % $HashMod"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_slice(toks, 1, len(toks) - 1), ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |${qualityCtes("base")},
+       |kept AS (
+       |  SELECT b.doc_id, b.text, m.n_tokens
+       |  FROM base b JOIN m USING (doc_id) WHERE ($ruleFailsSql) = 0),
+       |uniq AS (
+       |  SELECT doc_id, text, n_tokens FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |sdoc AS (
+       |  SELECT *, CASE WHEN (doc_id * $a + $b) % $m < ${m * 8 / 10} THEN 'train'
+       |                 WHEN (doc_id * $a + $b) % $m < ${m * 9 / 10} THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM uniq),
+       |tkh2 AS (
+       |  SELECT doc_id, split,
+       |    list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |      tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |  FROM sdoc),
+       |grams2 AS (
+       |  SELECT DISTINCT doc_id, split, $fold AS h
+       |  FROM tkh2, UNNEST(generate_series(1, len(hs) - ${NgramN - 1})) AS g(i)),
+       |train2 AS (SELECT doc_id AS td, h FROM grams2 WHERE split = 'train'),
+       |hot2 AS (SELECT h FROM train2 GROUP BY h HAVING count(*) > $StopGramCap),
+       |ctest AS (
+       |  SELECT DISTINCT g.doc_id
+       |  FROM grams2 g JOIN (SELECT * FROM train2 ANTI JOIN hot2 USING (h)) USING (h)
+       |  WHERE g.split = 'test'),
+       |final AS (SELECT * FROM sdoc ANTI JOIN ctest USING (doc_id))
+       |SELECT
+       |  (SELECT count(*) FROM base) AS n_raw,
+       |  (SELECT count(*) FROM kept) AS n_quality_kept,
+       |  (SELECT count(*) FROM uniq) AS n_unique_docs,
+       |  (SELECT count(*) FROM ctest) AS n_test_contaminated,
+       |  (SELECT count(*) FROM final) AS n_final_docs,
+       |  (SELECT count(*) FROM final WHERE split = 'train') AS n_train_docs,
+       |  (SELECT CAST(sum(n_tokens) AS BIGINT) FROM final WHERE split = 'train') AS train_tokens,
+       |  (SELECT (CAST(sum(n_tokens) AS BIGINT) + ${Sampling.ContextLen} - 1) // ${Sampling.ContextLen}
+       |   FROM final WHERE split = 'train') AS train_bins""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_refinery" -> (refinery _),
     "filter_quality_rules" -> (qualityFilters _),
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
@@ -417,6 +549,7 @@ object FilterOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_refinery" -> refinerySql,
     "filter_quality_rules" -> qualityFiltersSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,

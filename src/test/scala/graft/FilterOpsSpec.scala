@@ -92,6 +92,25 @@ class FilterOpsSpec extends SparkSuite {
       col("n_bins_spanned") =!= col("bin_last") - col("bin_first") + 1).count() == 0)
   }
 
+  test("refinery: funnel counts are monotone and every stage does real work") {
+    val r = FilterOps.refinery(spark, sf).collect()(0)
+    def n(c: String) = r.getAs[Long](c)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // corpus = docs + twins + every-10th copies
+    assert(n("n_raw") == 2 * total + (total + 9) / 10)
+    // each stage only removes documents, and each stage removes SOMETHING
+    assert(n("n_quality_kept") < n("n_raw") && n("n_quality_kept") > 0)
+    assert(n("n_unique_docs") <= n("n_quality_kept"))
+    assert(n("n_unique_docs") < n("n_quality_kept") || (total + 9) / 10 == 0,
+      "exact copies that survive quality must die in dedup")
+    assert(n("n_final_docs") == n("n_unique_docs") - n("n_test_contaminated"))
+    assert(n("n_test_contaminated") > 0, "straddling twins must be decontaminated")
+    // packing budget covers the train tokens
+    assert(n("train_bins") * Sampling.ContextLen >= n("train_tokens"))
+    assert((n("train_bins") - 1) * Sampling.ContextLen < n("train_tokens"))
+    assert(n("n_train_docs") <= n("n_final_docs"))
+  }
+
   test("bloom probe: zero false negatives, planted members detected, summary is a confusion table") {
     val b = FilterOps.bloomProbe(spark, sf).cache()
     val rows = b.collect()
