@@ -37,7 +37,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => DecimalToU256(args.head)),
     (FunctionIdentifier("u256_add"),
       new ExpressionInfo(classOf[U256Add].getName, "u256_add"),
-      (args: Seq[Expression]) => U256Add(args(0), args(1)))
+      (args: Seq[Expression]) => U256Add(args(0), args(1))),
+    // poly_hash(str, base, mod): the engine-independent polynomial fold
+    // behind rolling hashes / MinHash shingles / SimHash — base and mod
+    // are plan-time constants (they parameterize generated code).
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "poly_hash"),
+      (args: Seq[Expression]) => {
+        def longLit(e: Expression, name: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+            v.toString.toLong
+          case _ => throw new IllegalArgumentException(
+            s"poly_hash: $name must be a non-null literal integer, got $e")
+        }
+        graft.functions.PolyHash(args(0), longLit(args(1), "base"), longLit(args(2), "mod"))
+      })
   )
 }
 

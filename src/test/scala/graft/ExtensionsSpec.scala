@@ -39,6 +39,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(U256.fromBytes32(rt) == BigInt("123456789012345678901234567891"))
   }
 
+  test("poly_hash is callable from SQL and equals the Column API expression") {
+    import spark.implicits._
+    Seq("the quick brown fox", "spark").toDF("s").createOrReplaceTempView("t_ph")
+    val viaSql = spark.sql("SELECT poly_hash(s, 31, 1000000007) AS h FROM t_ph ORDER BY s")
+      .collect().map(_.getLong(0)).toSeq
+    val apiVals = spark.table("t_ph")
+      .select(org.apache.spark.sql.functions.col("s"),
+        graft.functions.PolyHash.polyHash(org.apache.spark.sql.functions.col("s"), 31, 1000000007L).as("h"))
+      .orderBy("s").collect().map(_.getLong(1)).toSeq
+    assert(viaSql == apiVals)
+    // non-literal base is an analysis-time error, not a runtime crash
+    val err = intercept[Exception] {
+      spark.sql("SELECT poly_hash(s, length(s), 7) FROM t_ph").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("optimizer eliminates decimal->binary->decimal roundtrips") {
     import spark.implicits._
     // repartition blocks ConvertToLocalRelation from pre-evaluating the
