@@ -16,7 +16,11 @@ class PlanQualitySpec extends SparkSuite {
     * NOT in this set must plan without CartesianProductExec. */
   private val oneRowCrossWhitelist = Set(
     "chain_zip_vs_join", "chain_dedup_idempotent", "chain_ref_integrity",
-    "dedup_split_leakage")
+    "dedup_split_leakage",
+    // funnel audit: seven 1-row stage aggregates crossed into one row
+    // (plans as BNLJ or CartesianProduct depending on size estimates —
+    // both are 1×1 at runtime)
+    "pipeline_refinery")
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
