@@ -348,7 +348,64 @@ object TextOps {
        |FROM bi JOIN uni USING (w1)
        |ORDER BY n_bigram DESC, w1, w2 LIMIT $BigramTopK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Perplexity scoring against a corpus bigram LM — the classic
+  // LLM-pipeline quality filter: documents whose token transitions are
+  // improbable under the corpus model (boilerplate soup, shuffled text,
+  // wrong-language fragments) score far more negative than fluent ones.
+  // Per-bigram log-probability uses add-one smoothing,
+  // logp_milli = round(1000·ln((c(w1,w2)+1)/(c(w1)+V))), quantized to
+  // milli-nats exactly like the tf-idf weight so the transcendental is
+  // bit-portable; the per-doc mean is a single exactly-rounded double
+  // division of integer totals. Shape: the LM (bigram + unigram counts
+  // + vocab size) is the compact corpus-wide artifact — vocabulary²
+  // bounded, broadcast to the per-doc pass; one bigram explode, one
+  // map-side-combined per-doc aggregate. At 100 TB the LM is trained
+  // once and reused across every scoring run.
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = tokens(col("text"))
+    val docBigrams = d.select(col("doc_id"), toks.as("_t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bi = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = d.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = d.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    docBigrams
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)").as("logp_milli"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_milli")).as("sum_logp_milli"))
+      .withColumn("avg_logp_milli",
+        col("sum_logp_milli").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+      |docbi AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS g(i)),
+      |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS sum_logp_milli,
+      |  CAST(CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / count(*) AS avg_logp_milli
+      |FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (perplexity _),
     "text_vocabulary" -> (vocabulary _),
     "text_bigrams" -> (bigrams _),
     "text_tfidf" -> (tfidf _),
@@ -361,6 +418,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_perplexity" -> perplexitySql,
     "text_bigrams" -> bigramsSql,
     "text_tfidf" -> tfidfSql,
     "text_token_counts" -> tokenCountsSql,

@@ -111,6 +111,20 @@ class FilterOpsSpec extends SparkSuite {
     assert(n("n_train_docs") <= n("n_final_docs"))
   }
 
+  test("perplexity: total, negative, and one row per doc; common-bigram docs score higher") {
+    val p = graft.ops.TextOps.perplexity(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(p.count() == total)
+    // log-probabilities are strictly negative and finite
+    assert(p.filter(col("avg_logp_milli") >= 0.0 || col("avg_logp_milli").isNull).count() == 0)
+    assert(p.filter(col("sum_logp_milli") >= 0L).count() == 0)
+    // the doc whose transitions are most typical of the corpus must score
+    // strictly better than the most atypical one (the LM discriminates)
+    val best = p.agg(max(col("avg_logp_milli"))).collect()(0).getDouble(0)
+    val worst = p.agg(min(col("avg_logp_milli"))).collect()(0).getDouble(0)
+    assert(best > worst, "perplexity must separate documents")
+  }
+
   test("bloom probe: zero false negatives, planted members detected, summary is a confusion table") {
     val b = FilterOps.bloomProbe(spark, sf).cache()
     val rows = b.collect()
