@@ -441,6 +441,11 @@ object FilterOps {
   // pipeline). Corpus = documents ∪ perturbed twins ∪ exact copies of
   // every 10th doc (ids +3e6), so every stage has real work: copies die
   // in dedup, straddling twins trigger decontamination.
+  //
+  // Decontamination drops the contaminated TEST docs (the held-out set
+  // is ours to shrink, keeping eval independent of train); when the
+  // eval set is a FIXED external benchmark, the same gram join drops
+  // the matching TRAIN docs instead — flip which side is filtered.
   def refinery(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val base = DedupOps.withTwins(d)

@@ -82,7 +82,16 @@ object Sampling {
   // across engines, retries, and cluster sizes. One token-count
   // aggregate (map-side combined) + a 5-row broadcast back — no second
   // corpus shuffle at any scale.
+  /** The mixture acceptance coin uses its OWN affine constants: reusing
+    * the split coin would make the mixture sample a deterministic subset
+    * of the train split (both are `coin < threshold` on the same hash),
+    * correlating sampling with split membership. Distinct multipliers
+    * decorrelate the two decisions while keeping both pure id functions. */
+  val MixHashA = 69069L
+  val MixHashB = 362437L
+
   def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val mixCoin = (col("doc_id") * MixHashA + MixHashB) % Mod
     val toks = TextOps.tokens(col("text"))
     val perDoc = docs(s, dir).select(col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"))
@@ -93,7 +102,7 @@ object Sampling {
       .withColumn("weight_micro", expr("min_total * 1000000 DIV tok_total"))
     perDoc
       .join(broadcast(weighted.select(col("lang"), col("weight_micro"))), Seq("lang"))
-      .withColumn("sampled", coin < expr(s"weight_micro * $Mod DIV 1000000"))
+      .withColumn("sampled", mixCoin < expr(s"weight_micro * $Mod DIV 1000000"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tok_total"),
@@ -122,7 +131,7 @@ object Sampling {
        |  CAST(SUM(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tok_total
        |FROM (
        |  SELECT p.lang, p.n_tokens, w.weight_micro,
-       |    (p.doc_id * $HashA + $HashB) % $Mod < w.weight_micro * $Mod // 1000000 AS sampled
+       |    (p.doc_id * $MixHashA + $MixHashB) % $Mod < w.weight_micro * $Mod // 1000000 AS sampled
        |  FROM perdoc p JOIN w USING (lang))
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
