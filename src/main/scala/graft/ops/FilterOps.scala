@@ -545,8 +545,53 @@ object FilterOps {
        |   FROM final WHERE split = 'train') AS train_bins""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Domain mixture audit + blocklist — the URL/domain-level pass of a
+  // C4/RefinedWeb-style crawl pipeline, keyed here on the corpus
+  // `source` column (the fixture's domain analog): per-domain doc and
+  // token totals, each domain's EXACT micro-share (ppm) of the corpus
+  // token budget via integer division, and a blocklisted verdict from
+  // a literal blocklist. Shape at 100 TB: one narrow token-count pass,
+  // one hash aggregation on the domain key (map-side combined, domain
+  // cardinality ≪ corpus), then the 1-row corpus total is BROADCAST
+  // back across the per-domain rows — the corpus is never re-shuffled
+  // and the blocklist is a plan-time literal, so this stays a single
+  // shuffle regardless of domain count.
+  val DomainBlocklist: Seq[String] = Seq("src04-banned-placeholder", "src13", "src4")
+
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val perDomain = docs(s, dir)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = perDomain.agg(sum(col("n_tokens")).as("_total"))
+    perDomain.crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("n_tokens * 1000000 DIV _total").as("ppm_share"),
+        col("source").isin(DomainBlocklist: _*).as("blocklisted"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixSql: String = {
+    val banned = DomainBlocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  n_tokens * 1000000 // total AS ppm_share,
+       |  source IN ($banned) AS blocklisted
+       |FROM per, tot ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_refinery" -> (refinery _),
+    "filter_domain_mix" -> (domainMix _),
     "filter_quality_rules" -> (qualityFilters _),
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
@@ -555,6 +600,7 @@ object FilterOps {
 
   val oracle: Map[String, String] = Map(
     "pipeline_refinery" -> refinerySql,
+    "filter_domain_mix" -> domainMixSql,
     "filter_quality_rules" -> qualityFiltersSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,

@@ -159,6 +159,38 @@ object ChainQueries {
         .cast("string").as("total_value_u256"))
   }
 
+  /** Per-address account profile over the flattened transactions — the
+    * address-page query a chain warehouse serves constantly (explorer
+    * address views, wallet analytics): tx count, block span, distinct
+    * recipients, contract creations, gas burned, and total wei sent.
+    * The wei total runs through the custom binary-domain U256Sum
+    * aggregate and is surfaced as an exact BIGINT (fixture values fit
+    * well inside 2^56, which the oracle re-decodes from the low value
+    * bytes). One hash aggregation keyed on the sender — partial+final
+    * with map-side combine; the distinct aggs expand to the standard
+    * two-phase distinct plan. At 100 TB this shuffles once on the
+    * natural key with no skew beyond real per-address activity. (The
+    * fixture derives every sender by sha, so each group is a singleton
+    * — which is the honest regime for this query: on a real chain the
+    * address key has cardinality ~ row count, and the plan must win on
+    * the high-cardinality shuffle, not on map-side collapse.) */
+  def chainAddressActivity(s: SparkSession, dir: String): DataFrame = {
+    val tx = Flatten.transactionRows(
+      ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+    tx.groupBy(hex(col("from")).as("sender"))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        countDistinct(col("blockNumber")).as("n_blocks"),
+        min(col("blockNumber")).as("first_block"),
+        max(col("blockNumber")).as("last_block"),
+        countDistinct(col("to")).as("n_recipients"),
+        count(col("contractAddress")).as("n_creates"),
+        sum(col("gasUsed")).cast("long").as("gas_used"),
+        U256.toDecimal(graft.types.U256Arith.u256Sum(col("value")))
+          .cast("long").as("wei_sent"))
+      .orderBy(col("sender"))
+  }
+
   /** Aggregate over the flattened chain — gas usage per 100-block bucket
     * (the reference's load unit scaled to the fixture range, main.rs:165),
     * exercising decimal aggs over the u256-decimal projections. */
@@ -266,6 +298,7 @@ object ChainQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chain_transfer_decode" -> (chainTransferDecode _),
+    "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
     "chain_tbl_events" -> (chainTblEvents _),
@@ -380,6 +413,17 @@ object ChainQueries {
          |  (SELECT count(*) FROM ${tbl("withdraws")}) AS n_withdraws,
          |  (SELECT count(*) FROM ${tbl("withdraws")} w
          |   WHERE NOT EXISTS (SELECT 1 FROM ${tbl("blocks")} b WHERE b.hash = w.blockHash)) AS withdraw_orphans""".stripMargin,
+    "chain_address_activity" ->
+      s"""SELECT hex("from") AS sender,
+         |  count(*) AS n_tx,
+         |  count(DISTINCT blockNumber) AS n_blocks,
+         |  min(blockNumber) AS first_block,
+         |  max(blockNumber) AS last_block,
+         |  count(DISTINCT "to") AS n_recipients,
+         |  count(contractAddress) AS n_creates,
+         |  CAST(sum(CAST(gasUsed AS BIGINT)) AS BIGINT) AS gas_used,
+         |  CAST(sum(CAST(concat('0x', substr(hex("value"), 51, 14)) AS BIGINT)) AS BIGINT) AS wei_sent
+         |FROM ${tbl("transactions")} GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_gas_by_range" ->
       s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
          |count(*) AS n_tx,

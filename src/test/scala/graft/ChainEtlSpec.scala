@@ -171,6 +171,20 @@ class ChainEtlSpec extends SparkSuite {
       expr("length(from_addr) <> 40 OR length(to_addr) <> 40 OR amount < 0 OR amount >= CAST(pow(2, 56) AS BIGINT)")).count() == 0)
   }
 
+  test("address activity: per-sender profiles partition the tx set and u256 totals agree") {
+    val act = graft.queries.ChainQueries.chainAddressActivity(spark, sf).cache()
+    // the query runs over the fixed 0..199 fixture range internally
+    val tx = Flatten.transactionRows(
+      ChainFixture.blocks(spark, 0L, 199L), ChainFixture.receipts(spark, 0L, 199L)).cache()
+    assert(act.agg(sum(col("n_tx"))).head.getLong(0) == tx.count())
+    // the per-sender U256Sum totals re-assemble to the direct decimal sum
+    val direct = tx.agg(sum(graft.types.U256.toDecimal(col("value"))).cast("long")).head.getLong(0)
+    assert(act.agg(sum(col("wei_sent"))).head.getLong(0) == direct)
+    // per-row sanity: block span ordered, distincts bounded by counts
+    assert(act.filter(col("first_block") > col("last_block") ||
+      col("n_blocks") > col("n_tx") || col("n_recipients") > col("n_tx")).count() == 0)
+  }
+
   test("D1/D2: bucketed write partitions by floor(number/1000) and re-run overwrites idempotently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     graft.etl.Load.ingest(spark, 0, 30, dir)

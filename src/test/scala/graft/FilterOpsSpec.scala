@@ -73,6 +73,21 @@ class FilterOpsSpec extends SparkSuite {
       col("sampled_tok_total") > col("tok_total")).count() == 0)
   }
 
+  test("domain mix: totals partition the corpus, ppm shares sum to 1e6 - remainders, blocklist exact") {
+    val m = FilterOps.domainMix(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(m.agg(sum(col("n_docs"))).head.getLong(0) == total)
+    // integer ppm shares: sum within nDomains of exactly 1e6 (floor remainders)
+    val nDomains = m.count()
+    val ppm = m.agg(sum(col("ppm_share"))).head.getLong(0)
+    assert(ppm <= 1000000L && ppm > 1000000L - nDomains)
+    // verdict column agrees with the literal blocklist, and actually fires
+    assert(m.filter(col("blocklisted") =!=
+      col("source").isin(FilterOps.DomainBlocklist: _*)).count() == 0)
+    assert(m.filter(col("blocklisted")).count() > 0)
+    assert(m.filter(!col("blocklisted")).count() > 0)
+  }
+
   test("pack sequences: two-phase prefix sum equals the sequential scan exactly") {
     import org.apache.spark.sql.expressions.Window
     val packed = Sampling.packSequences(spark, sf).cache()

@@ -20,7 +20,9 @@ class PlanQualitySpec extends SparkSuite {
     // funnel audit: seven 1-row stage aggregates crossed into one row
     // (plans as BNLJ or CartesianProduct depending on size estimates —
     // both are 1×1 at runtime)
-    "pipeline_refinery")
+    "pipeline_refinery",
+    // per-domain rows × the broadcast 1-row corpus-total aggregate
+    "filter_domain_mix")
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
