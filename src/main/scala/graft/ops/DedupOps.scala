@@ -268,6 +268,47 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // n-gram containment: |sh(A) ∩ sh(B)| / |sh(A)| — the asymmetric
+  // cousin of Jaccard that catches EXCERPTS (a quote or a half-page
+  // lifted from a longer document scores ~1.0 containment while its
+  // Jaccard stays low because the source is much larger). The corpus is
+  // extended with deterministic first-half excerpts (id + 2,000,000) so
+  // real containment exists; a bounded probe set of excerpts joins the
+  // corpus on the shingle key — inverted-index shape, one shuffle on
+  // the shingle, never O(n²). At 100 TB the probe side is whatever
+  // suspect set an audit produces; the corpus side is the same shingle
+  // artifact the MinHash pipeline already materializes.
+  val ContainProbes = 20
+
+  /** Corpus ∪ first-half excerpts (excerpt id = id + 2,000,000). */
+  def withExcerpts(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val ex = d.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest((size(toks) / 2).cast("int"), lit(1)))).as("text"))
+    d.select(col("doc_id"), col("text")).unionByName(ex)
+  }
+
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(withExcerpts(docs(s, dir)))
+    val probes = sh
+      .filter(col("doc_id") >= 2000000L && col("doc_id") < 2000000L + ContainProbes)
+      .select(col("doc_id").as("a"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") < 2000000L)
+      .select(col("doc_id").as("b"), col("shingle"))
+    val inter = probes.join(corpus, Seq("shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------------------------------------
   // Embedding-cosine near-dup: hyperplane-LSH buckets, exact cosine on
   // candidates (vectors + perturbed twins).
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
@@ -307,8 +348,10 @@ object DedupOps {
     "dedup_minhash_lsh" -> (minhashDedup _),
     "dedup_simhash" -> (simhashNearDup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment" -> (containment _),
     "dedup_embedding_cosine" -> (embeddingNearDup _)
   )
+
 
   private val ngramJaccardSql =
     """,
@@ -380,6 +423,32 @@ object DedupOps {
     "WITH " + dupPairCtes +
       "\nSELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b"
 
+  /** Excerpt analog of [[twinBaseBody]]: first-half-token copies. The
+    * half cut is floor on both engines (Spark CAST(x/2 AS INT) truncates
+    * positives; DuckDB `//` floors). */
+  private val excerptBaseSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string(list_slice(toks, 1, greatest(len(toks) // 2, 1)), ' ') AS text
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  private val containmentSql =
+    s"""$excerptBaseSql,
+       |$shingleCtes,
+       |probes AS (SELECT doc_id AS a, shingle FROM sh
+       |           WHERE doc_id >= 2000000 AND doc_id < ${2000000 + ContainProbes}),
+       |itc AS (SELECT p.a, c.doc_id AS b, count(*) AS inter
+       |        FROM probes p JOIN sh c ON c.shingle = p.shingle AND c.doc_id < 2000000
+       |        GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+       |SELECT a, b, inter, CAST(inter AS DOUBLE) / sa.n AS containment
+       |FROM itc JOIN sizes sa ON sa.doc_id = a
+       |WHERE CAST(inter AS DOUBLE) / sa.n >= 0.5
+       |ORDER BY a, b""".stripMargin
+
   val simhashSql: String = {
     val bitSums = (0 until SimBits).map(b =>
       s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
@@ -435,6 +504,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
+    "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql

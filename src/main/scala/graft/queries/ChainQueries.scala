@@ -282,7 +282,13 @@ object ChainQueries {
     * dumps), keyed by the (block, tx, log) position. At 100 TB this is a
     * narrow projection behind a topic-count filter — pushdown-friendly,
     * no shuffle until the final presentation sort. */
-  def chainTransferDecode(s: SparkSession, dir: String): DataFrame = {
+  def chainTransferDecode(s: SparkSession, dir: String): DataFrame =
+    decodedTransfers(s)
+      .orderBy(col("blockNumber"), col("txIndex"), col("logIndex"))
+
+  /** The unsorted decoded-transfer stream shared by the per-row decode
+    * query and the balance ledger below. */
+  private def decodedTransfers(s: SparkSession): DataFrame = {
     val ev = Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
     ev.filter(size(col("topics")) === 3)
       .select(
@@ -293,11 +299,37 @@ object ChainQueries {
         hex(expr("substring(topics[1], 13, 20)")).as("from_addr"),
         hex(expr("substring(topics[2], 13, 20)")).as("to_addr"),
         expr("CAST(conv(hex(substring(data, length(data) - 6, 7)), 16, 10) AS BIGINT)").as("amount"))
-      .orderBy(col("blockNumber"), col("txIndex"), col("logIndex"))
+  }
+
+  /** Token-holder balance ledger — the other half of the transfer-decode
+    * story (token dashboards, holder counts, whale lists all read this
+    * table): every decoded transfer becomes a credit row for the
+    * recipient and a debit row for the sender, then ONE hash aggregation
+    * on (token, holder) nets them out. The union doubles the row count
+    * but stays narrow (4 columns) and map-side combines before the
+    * single shuffle; at 100 TB this is the standard flows→balances
+    * rollup, keyed on the natural (token, holder) pair with no skew
+    * beyond real token popularity (a hot token is exactly the AQE
+    * skew-join / salting case documented in SCALE.md). Amounts are
+    * 7-byte values so BIGINT sums cannot overflow (2^56 · rows ≪ 2^63). */
+  def chainTokenBalances(s: SparkSession, dir: String): DataFrame = {
+    val tr = decodedTransfers(s)
+    val flows = tr.select(col("token"), col("to_addr").as("holder"),
+        col("amount").as("in_wei"), lit(0L).as("out_wei"))
+      .unionByName(tr.select(col("token"), col("from_addr").as("holder"),
+        lit(0L).as("in_wei"), col("amount").as("out_wei")))
+    flows.groupBy(col("token"), col("holder"))
+      .agg(
+        count(lit(1)).as("n_transfers"),
+        sum(col("in_wei")).cast("long").as("wei_in"),
+        sum(col("out_wei")).cast("long").as("wei_out"),
+        (sum(col("in_wei")) - sum(col("out_wei"))).cast("long").as("net_wei"))
+      .orderBy(col("token"), col("holder"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chain_transfer_decode" -> (chainTransferDecode _),
+    "chain_token_balances" -> (chainTokenBalances _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -330,6 +362,23 @@ object ChainQueries {
          |FROM ${tbl("events")}
          |WHERE len(topics) = 3
          |ORDER BY blockNumber, txIndex, logIndex""".stripMargin,
+    "chain_token_balances" ->
+      s"""WITH tr AS (
+         |  SELECT hex(address) AS token,
+         |    substr(hex(topics[2]), 25, 40) AS from_addr,
+         |    substr(hex(topics[3]), 25, 40) AS to_addr,
+         |    CAST(concat('0x', substr(hex(data), 2 * octet_length(data) - 13, 14)) AS BIGINT) AS amount
+         |  FROM ${tbl("events")}
+         |  WHERE len(topics) = 3),
+         |flows AS (
+         |  SELECT token, to_addr AS holder, amount AS in_wei, 0 AS out_wei FROM tr
+         |  UNION ALL
+         |  SELECT token, from_addr AS holder, 0 AS in_wei, amount AS out_wei FROM tr)
+         |SELECT token, holder, count(*) AS n_transfers,
+         |  CAST(sum(in_wei) AS BIGINT) AS wei_in,
+         |  CAST(sum(out_wei) AS BIGINT) AS wei_out,
+         |  CAST(sum(in_wei) - sum(out_wei) AS BIGINT) AS net_wei
+         |FROM flows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "chain_tbl_blocks" ->
       s"""SELECT hex(hash) AS hash, number, hex(parentHash) AS parentHash,
          |coalesce(array_to_string(list_transform(uncles, x -> hex(x)), ','), '') AS uncles,

@@ -156,6 +156,23 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("token balances: flows conserve per token and tie out to the decoded transfers") {
+    import org.apache.spark.sql.functions._
+    val bal = graft.queries.ChainQueries.chainTokenBalances(spark, sf)
+    val tr = graft.queries.ChainQueries.chainTransferDecode(spark, sf)
+    // every unit in is a unit out of someone else: per-token net is zero
+    val nonZero = bal.groupBy(col("token"))
+      .agg(sum(col("net_wei")).as("tot"))
+      .filter(col("tot") =!= 0L)
+    assert(nonZero.count() == 0)
+    // ledger totals equal the transfer totals (each transfer appears as
+    // exactly one credit and one debit)
+    val total = tr.agg(sum(col("amount"))).collect()(0).getLong(0)
+    val Row2 = bal.agg(sum(col("wei_in")), sum(col("wei_out"))).collect()(0)
+    assert(Row2.getLong(0) == total && Row2.getLong(1) == total)
+    assert(bal.filter(col("n_transfers") <= 0L).count() == 0)
+  }
+
   test("transfer decode: every 3-topic log decodes to 20-byte addresses and a nonneg amount") {
     import org.apache.spark.sql.functions.{col, expr, size}
     val decoded = graft.queries.ChainQueries.chainTransferDecode(spark, sf).cache()

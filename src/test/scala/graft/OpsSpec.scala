@@ -133,6 +133,18 @@ class OpsSpec extends SparkSuite {
     assert(a.collect().sameElements(b.collect()))
   }
 
+  test("containment flags every excerpt against its source at exactly 1.0") {
+    val c = DedupOps.containment(spark, sf)
+    val selfPairs = c.filter(col("b") === col("a") - 2000000L)
+    // a first-half excerpt's shingles are a subset of its source's, so
+    // containment is exactly 1.0 for every probe (docs are all > 6 tokens)
+    assert(selfPairs.count() == DedupOps.ContainProbes)
+    assert(selfPairs.filter(col("containment") =!= 1.0).count() == 0)
+    // asymmetry: the same pairs' Jaccard would be well below 1 (source is
+    // about twice the excerpt), which is the point of containment
+    assert(c.filter(col("containment") > 1.0).count() == 0)
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
