@@ -190,17 +190,109 @@ object Sampling {
        |  (start_offset + n_tokens - 1) // $ContextLen - start_offset // $ContextLen + 1 AS n_bins_spanned
        |FROM scanned ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Sliding-window chunking with overlap: each document is cut into
+  // ChunkLen-token windows advancing by ChunkStride (so consecutive
+  // chunks share ChunkLen−ChunkStride tokens of context) — the
+  // RAG-/embedding-side layout step, where pack_sequences above is the
+  // pretraining one. Pure narrow algebra: the chunk count is an exact
+  // integer formula, the window is a slice of the already-split token
+  // array, and the content fingerprint is an md5 over the re-joined
+  // window — one row per chunk, no shuffle except the presentation
+  // sort. At 100 TB the fan-out is bounded (≈ n_tokens/stride per doc)
+  // and stays inside whole-stage codegen.
+  val ChunkLen = 64L
+  val ChunkStride = 48L
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs(s, dir).select(col("doc_id"), toks.as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      // n_chunks = 1 + ceil(max(n-W, 0)/S), in exact integer arithmetic
+      .withColumn("_nc", expr(
+        s"1 + (greatest(_n - $ChunkLen, 0) + $ChunkStride - 1) DIV $ChunkStride"))
+      .select(col("doc_id"), col("_t"), col("_n"),
+        explode(expr("sequence(0, _nc - 1)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("start_tok"),
+        least(lit(ChunkLen), col("_n") - col("chunk_idx") * ChunkStride).as("chunk_len"),
+        md5(concat_ws(" ",
+          expr(s"slice(_t, chunk_idx * $ChunkStride + 1, $ChunkLen)"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |sized AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |    1 + (greatest(CAST(len(toks) AS BIGINT) - $ChunkLen, 0) + ${ChunkStride - 1}) // $ChunkStride AS nc
+       |  FROM t),
+       |chunks AS (
+       |  SELECT doc_id, toks, n, g.i AS chunk_idx
+       |  FROM sized, UNNEST(generate_series(0, nc - 1)) AS g(i))
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $ChunkStride AS start_tok,
+       |  least($ChunkLen, n - chunk_idx * $ChunkStride) AS chunk_len,
+       |  md5(array_to_string(list_slice(toks, chunk_idx * $ChunkStride + 1,
+       |    least(chunk_idx * $ChunkStride + $ChunkLen, n)), ' ')) AS chunk_md5
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Weighted reservoir sample (Efraimidis–Spirtakis A-ES): keep the K
+  // documents with the largest u^(1/w), where w = token count and u is
+  // the deterministic id coin mapped into (0, 1] — token-weighted
+  // sampling without replacement as a pure id function. Comparing
+  // ln(u)/w is equivalent and cross-engine exact with the quantized-log
+  // recipe (ln of a single exactly-rounded division, ×1000 + round,
+  // then ONE double division by the weight); ties break by doc_id. The
+  // top-K is a TakeOrdered — no global sort of the corpus, and at
+  // 100 TB the per-partition heaps merge on the driver in O(K·parts).
+  val ResK = 50
+  val ResHashA = 48271L
+  val ResHashB = 11L
+
+  def reservoirWeighted(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("u_scaled", (col("doc_id") * ResHashA + ResHashB) % Mod + 1)
+      .withColumn("lnu_milli", expr(
+        s"CAST(round(1000 * ln(u_scaled / CAST($Mod AS DOUBLE))) AS BIGINT)"))
+      .withColumn("priority", col("lnu_milli").cast("double") / col("n_tokens"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(ResK)
+  }
+
+  val reservoirWeightedSql: String =
+    s"""SELECT doc_id, lang, n_tokens, u_scaled, lnu_milli,
+       |  CAST(lnu_milli AS DOUBLE) / n_tokens AS priority
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens, u_scaled,
+       |    CAST(round(1000 * ln(u_scaled / CAST($Mod AS DOUBLE))) AS BIGINT) AS lnu_milli
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+       |      (doc_id * $ResHashA + $ResHashB) % $Mod + 1 AS u_scaled
+       |    FROM documents))
+       |ORDER BY CAST(lnu_milli AS DOUBLE) / n_tokens DESC, doc_id LIMIT $ResK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split_assign" -> (splitAssign _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_mixture_weights" -> (mixtureWeights _),
-    "pack_sequences" -> (packSequences _)
+    "sample_reservoir_weighted" -> (reservoirWeighted _),
+    "pack_sequences" -> (packSequences _),
+    "pack_chunks_overlap" -> (chunkOverlap _)
   )
 
   val oracle: Map[String, String] = Map(
     "sample_split_assign" -> splitAssignSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture_weights" -> mixtureWeightsSql,
-    "pack_sequences" -> packSequencesSql
+    "sample_reservoir_weighted" -> reservoirWeightedSql,
+    "pack_sequences" -> packSequencesSql,
+    "pack_chunks_overlap" -> chunkOverlapSql
   )
 }

@@ -145,6 +145,49 @@ class OpsSpec extends SparkSuite {
     assert(c.filter(col("containment") > 1.0).count() == 0)
   }
 
+  test("count-min sketch never undercounts and stays below the corpus total") {
+    val est = graft.ops.SketchOps.cmsHeavyHitters(spark, sf)
+    assert(est.count() == graft.ops.SketchOps.CmsProbeK)
+    // CMS guarantee: est >= exact, always
+    assert(est.filter(col("overcount") < 0L).count() == 0)
+    // and any single counter is bounded by the total token mass
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(TextOps.tokens(col("text")))).count()
+    assert(est.filter(col("cms_est") > total).count() == 0)
+  }
+
+  test("chunk overlap: windows advance by stride, cover the doc, and end flush") {
+    import graft.ops.Sampling
+    val ch = Sampling.chunkOverlap(spark, sf)
+    // consecutive chunks advance by exactly the stride
+    assert(ch.filter(col("start_tok") =!= col("chunk_idx") * Sampling.ChunkStride).count() == 0)
+    // every chunk is non-empty and at most ChunkLen tokens
+    assert(ch.filter(col("chunk_len") < 1L || col("chunk_len") > Sampling.ChunkLen).count() == 0)
+    // the last chunk of every doc ends exactly at the token count
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val last = ch.groupBy(col("doc_id"))
+      .agg(max(col("start_tok") + col("chunk_len")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(toks, Seq("doc_id"))
+    assert(last.filter(col("covered") =!= col("n")).count() == 0)
+    // multi-chunk docs genuinely overlap (stride < len)
+    assert(last.filter(col("n_chunks") > 1).count() > 0)
+  }
+
+  test("weighted reservoir: deterministic top-K biased toward long documents") {
+    import graft.ops.Sampling
+    val s1 = Sampling.reservoirWeighted(spark, sf).collect()
+    val s2 = Sampling.reservoirWeighted(spark, sf).collect()
+    assert(s1.length == Sampling.ResK)
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq)
+    // token-weighted sampling must overselect long docs vs the corpus mean
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .select(avg(size(TextOps.tokens(col("text"))))).collect()(0).getDouble(0)
+    val sampleMean = s1.map(_.getAs[Long]("n_tokens")).sum.toDouble / s1.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
