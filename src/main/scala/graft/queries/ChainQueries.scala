@@ -191,6 +191,38 @@ object ChainQueries {
       .orderBy(col("sender"))
   }
 
+  /** EIP-1559 fee-market decomposition per 100-block bucket: the burned
+    * base fee (baseFeePerGas·gasUsed) and the miner tip
+    * ((effectiveGasPrice−baseFeePerGas)·gasUsed), with pre-London
+    * transactions (null block base fee, fixture blocks < 8) counted
+    * separately — the fee-analytics dashboard query of a chain
+    * warehouse. Shape: the per-block base fee is a DIMENSION (one row
+    * per block) broadcast to the transaction fact table — no shuffle on
+    * the fact side; all money math is exact integer wei on both engines
+    * (values ~1e9·1e5·row-count stay far below 2^63). */
+  def chainFeeMarket(s: SparkSession, dir: String): DataFrame = {
+    val blocks = ChainFixture.blocks(s, From, To)
+    val receipts = ChainFixture.receipts(s, From, To)
+    val dim = Flatten.blockRows(blocks)
+      .select(col("number"), col("baseFeePerGas").cast("long").as("base_fee"))
+    val tx = Flatten.transactionRows(blocks, receipts)
+      .select(col("blockNumber"),
+        col("effectiveGasPrice").cast("long").as("egp"),
+        col("gasUsed").cast("long").as("gas"))
+    tx.join(broadcast(dim), tx("blockNumber") === dim("number"))
+      .groupBy(floor(col("blockNumber") / 100).cast("long").as("range100"))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        sum(when(col("base_fee").isNull, 1L).otherwise(0L)).as("n_pre_london"),
+        sum(when(col("base_fee").isNotNull, col("base_fee") * col("gas"))
+          .otherwise(0L)).as("burn_wei"),
+        sum(when(col("base_fee").isNotNull, (col("egp") - col("base_fee")) * col("gas"))
+          .otherwise(0L)).as("tip_wei"),
+        max(when(col("base_fee").isNotNull, col("egp") - col("base_fee")))
+          .as("max_tip_per_gas"))
+      .orderBy(col("range100"))
+  }
+
   /** Aggregate over the flattened chain — gas usage per 100-block bucket
     * (the reference's load unit scaled to the fixture range, main.rs:165),
     * exercising decimal aggs over the u256-decimal projections. */
@@ -330,6 +362,7 @@ object ChainQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chain_transfer_decode" -> (chainTransferDecode _),
     "chain_token_balances" -> (chainTokenBalances _),
+    "chain_fee_market" -> (chainFeeMarket _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -473,6 +506,18 @@ object ChainQueries {
          |  CAST(sum(CAST(gasUsed AS BIGINT)) AS BIGINT) AS gas_used,
          |  CAST(sum(CAST(concat('0x', substr(hex("value"), 51, 14)) AS BIGINT)) AS BIGINT) AS wei_sent
          |FROM ${tbl("transactions")} GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_fee_market" ->
+      s"""SELECT CAST(floor(t.blockNumber / 100) AS BIGINT) AS range100,
+         |  count(*) AS n_tx,
+         |  CAST(SUM(CASE WHEN b.baseFeePerGas IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_london,
+         |  CAST(SUM(CASE WHEN b.baseFeePerGas IS NOT NULL
+         |       THEN CAST(b.baseFeePerGas AS BIGINT) * CAST(t.gasUsed AS BIGINT) ELSE 0 END) AS BIGINT) AS burn_wei,
+         |  CAST(SUM(CASE WHEN b.baseFeePerGas IS NOT NULL
+         |       THEN (CAST(t.effectiveGasPrice AS BIGINT) - CAST(b.baseFeePerGas AS BIGINT)) * CAST(t.gasUsed AS BIGINT) ELSE 0 END) AS BIGINT) AS tip_wei,
+         |  CAST(MAX(CASE WHEN b.baseFeePerGas IS NOT NULL
+         |       THEN CAST(t.effectiveGasPrice AS BIGINT) - CAST(b.baseFeePerGas AS BIGINT) END) AS BIGINT) AS max_tip_per_gas
+         |FROM ${tbl("transactions")} t JOIN ${tbl("blocks")} b ON b.number = t.blockNumber
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_gas_by_range" ->
       s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
          |count(*) AS n_tx,

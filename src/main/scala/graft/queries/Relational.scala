@@ -944,7 +944,46 @@ object Relational {
     selects.mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
   }
 
+  // ------------------------------------------------------------------
+  // q41: FULL OUTER join — the reconciliation shape (two daily rollups
+  // where each side has days the other lacks: orders exist on days with
+  // no shipments and vice versa). Both inputs aggregate BEFORE the join
+  // (map-side combined, date-grain cardinality), so the full-outer
+  // shuffle moves day-rows, not fact rows — at 100 TB the join input is
+  // a few thousand rows per side regardless of corpus size.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"),
+        when(col("n_orders").isNull, "ship_only")
+          .when(col("n_ships").isNull, "order_only")
+          .otherwise("both").as("side"))
+      .orderBy(col("day"))
+  }
+
+  private val q41Sql =
+    """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |l AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS n_ships
+      |      FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(o.day, l.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(n_ships, 0) AS n_ships,
+      |  CASE WHEN o.day IS NULL THEN 'ship_only'
+      |       WHEN l.day IS NULL THEN 'order_only'
+      |       ELSE 'both' END AS side
+      |FROM o FULL OUTER JOIN l ON o.day = l.day
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_full_outer" -> (q41 _),
     "q40_profile" -> (q40 _),
     "q37_gap_fill" -> (q37 _),
     "q38_unpivot" -> (q38 _),
@@ -988,6 +1027,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q41_full_outer" -> q41Sql,
     "q40_profile" -> q40Sql,
     "q37_gap_fill" -> q37Sql,
     "q38_unpivot" -> q38Sql,

@@ -156,6 +156,29 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("fee market: burn + tip decomposes the post-London fee exactly") {
+    import org.apache.spark.sql.functions._
+    val fm = graft.queries.ChainQueries.chainFeeMarket(spark, sf)
+    // the query fixes its own 0..199 range; recompute over the same range
+    val qBlocks = ChainFixture.blocks(spark, 0L, 199L)
+    val qReceipts = ChainFixture.receipts(spark, 0L, 199L)
+    // burn_wei + tip_wei must equal effectiveGasPrice * gasUsed summed over
+    // post-London txs: recompute the right side independently
+    val tx = Flatten.transactionRows(qBlocks, qReceipts)
+      .filter(col("blockNumber") >= ChainFixture.Eip658At)
+      .select((col("effectiveGasPrice").cast("long") * col("gasUsed").cast("long")).as("fee"))
+    val totalFee = tx.agg(sum(col("fee"))).collect()(0).getLong(0)
+    val agg = fm.agg(sum(col("burn_wei")), sum(col("tip_wei")),
+      sum(col("n_pre_london"))).collect()(0)
+    assert(agg.getLong(0) + agg.getLong(1) == totalFee)
+    // pre-London txs are exactly those in blocks below the fork
+    val preTx = Flatten.transactionRows(qBlocks, qReceipts)
+      .filter(col("blockNumber") < ChainFixture.Eip658At).count()
+    assert(agg.getLong(2) == preTx)
+    // tips are nonnegative: effective price never below base fee
+    assert(fm.filter(col("tip_wei") < 0L || col("max_tip_per_gas") < 0L).count() == 0)
+  }
+
   test("token balances: flows conserve per token and tie out to the decoded transfers") {
     import org.apache.spark.sql.functions._
     val bal = graft.queries.ChainQueries.chainTokenBalances(spark, sf)

@@ -37,4 +37,19 @@ class RelationalSpec extends SparkSuite {
     val dup = asof.groupBy("purchase_id").count().filter(col("count") > 1)
     assert(dup.count() == 0)
   }
+
+  test("q41 full outer: both exclusive sides exist and totals reconcile") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Relational.q41(spark, sf)
+    val sides = df.groupBy(col("side"))
+      .agg(sum(col("n_orders")).as("o"), sum(col("n_ships")).as("l"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // shipping lags ordering, so ship-only days (after the last order) and
+    // order-only days must both be present for the full-outer to matter
+    assert(sides.contains("ship_only") && sides.contains("both"))
+    val totalOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val totalShips = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(sides.values.map(_._1).sum == totalOrders)
+    assert(sides.values.map(_._2).sum == totalShips)
+  }
 }
