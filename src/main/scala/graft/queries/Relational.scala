@@ -982,7 +982,49 @@ object Relational {
       |FROM o FULL OUTER JOIN l ON o.day = l.day
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q42: conversion funnel — signup → first subsequent purchase, the
+  // product-analytics sequencing query. Phase 1 aggregates first-signup
+  // per user (map-side combined); phase 2 joins purchases back on the
+  // user key and takes the first purchase at-or-after the signup; the
+  // summary is 1-row aggregates crossed (1×1 products, whitelisted in
+  // PlanQualitySpec). All times are exact epoch-millis integers and the
+  // mean delay is an integer DIV — bit-portable. At 100 TB both phases
+  // shuffle on user_id only; the funnel never materializes per-pair
+  // event combinations.
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("_ms")).as("t_signup"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("_ms") >= col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup"))
+      .agg(min(col("_ms")).as("t_purchase"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(su.agg(count(lit(1)).as("n_signups")))
+      .crossJoin(conv.agg(
+        count(lit(1)).as("n_converted"),
+        expr("CAST(sum(t_purchase - t_signup) AS BIGINT) DIV count(1)").as("avg_delay_ms")))
+  }
+
+  private val q42Sql =
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS t_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id, su.t_signup, min(epoch_ms(e.ts)) AS t_purchase
+      |  FROM events e JOIN su USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= su.t_signup
+      |  GROUP BY 1, 2)
+      |SELECT
+      |  (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT count(*) FROM su) AS n_signups,
+      |  (SELECT count(*) FROM conv) AS n_converted,
+      |  (SELECT CAST(sum(t_purchase - t_signup) AS BIGINT) // count(*) FROM conv) AS avg_delay_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_funnel" -> (q42 _),
     "q41_full_outer" -> (q41 _),
     "q40_profile" -> (q40 _),
     "q37_gap_fill" -> (q37 _),
@@ -1027,6 +1069,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q42_funnel" -> q42Sql,
     "q41_full_outer" -> q41Sql,
     "q40_profile" -> q40Sql,
     "q37_gap_fill" -> q37Sql,

@@ -112,6 +112,21 @@ object StreamOps {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** Stream-static broadcast enrichment: the live stream joined against
+    * a slowly-changing dimension (user → segment here). Stream-static
+    * joins are STATELESS — no watermark, no state store: each
+    * micro-batch plans an ordinary batch join, and broadcasting the dim
+    * keeps the stream side shuffle-free. Left-outer keeps events whose
+    * user is missing from the dim (surfaced as 'unknown' instead of
+    * silently dropped — the enrichment contract an attribution pipeline
+    * needs). At 100 TB/day the dim is the small side by construction;
+    * a dim too big to broadcast becomes a pre-bucketed table and the
+    * same code plans a shuffle-free bucketed join. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Streaming dedup — D5's contract on a live stream: one row per
     * event_id, with state bounded by the watermark (an id older than the
     * watermark can no longer produce a duplicate, so its state is

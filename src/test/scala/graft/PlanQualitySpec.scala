@@ -21,6 +21,8 @@ class PlanQualitySpec extends SparkSuite {
     // (plans as BNLJ or CartesianProduct depending on size estimates —
     // both are 1×1 at runtime)
     "pipeline_refinery",
+    // funnel summary: three 1-row aggregates crossed into one row
+    "q42_funnel",
     // per-domain rows × the broadcast 1-row corpus-total aggregate
     "filter_domain_mix")
 

@@ -49,6 +49,24 @@ class StreamingSpec extends SparkSuite {
     assert(emitted == 1L, "late event must not be counted")
   }
 
+  test("stream-static enrichment joins the broadcast dim, unmatched -> unknown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "segment")
+    val in = MemoryStream[Event]
+    val q = StreamOps.enrichWithDim(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 99, "click", 3.0)) // user absent from the dim
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, segment FROM enr ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    q.stop()
+    assert(rows == Seq((1L, "pro"), (2L, "free"), (3L, "unknown")))
+  }
+
   test("session windows merge events within the gap and split across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
