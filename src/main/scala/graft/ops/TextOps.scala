@@ -404,7 +404,50 @@ object TextOps {
       |FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Token-entropy quality signal: H = −Σ (c/n)·ln(c/n) over the doc's
+  // token distribution — low entropy flags repetitive/spammy text the
+  // way the Gopher repetition rules do, in one number. Computed in the
+  // bit-portable quantized-log form: per distinct token,
+  // lnq = round(1000·ln(n/c)) (one exactly-rounded double division +
+  // the shared milli-nat quantization), per-doc entropy_milli =
+  // Σ c·lnq / n as ONE double division of exact integers. Shape: one
+  // explode → (doc, term) count with map-side combine → per-doc totals
+  // joined back on the doc key — the tfidf pipeline minus the corpus
+  // side, linear at any scale.
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    tf.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        (col("c") * expr("CAST(round(1000 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)")).as("w"))
+      .groupBy(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"))
+      .agg(sum(col("w")).as("entropy_milli_sum"))
+      .withColumn("entropy_milli",
+        col("entropy_milli_sum").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropySql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS c
+      |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+      |  FROM tf GROUP BY 1)
+      |SELECT doc_id, n AS n_tokens, n_distinct,
+      |  CAST(sum(c * CAST(round(1000 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)) AS BIGINT) AS entropy_milli_sum,
+      |  CAST(CAST(sum(c * CAST(round(1000 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)) AS BIGINT) AS DOUBLE) / n AS entropy_milli
+      |FROM tf JOIN totals USING (doc_id)
+      |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (entropy _),
     "text_perplexity" -> (perplexity _),
     "text_vocabulary" -> (vocabulary _),
     "text_bigrams" -> (bigrams _),
@@ -418,6 +461,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_entropy" -> entropySql,
     "text_perplexity" -> perplexitySql,
     "text_bigrams" -> bigramsSql,
     "text_tfidf" -> tfidfSql,

@@ -1023,7 +1023,41 @@ object Relational {
       |  (SELECT count(*) FROM conv) AS n_converted,
       |  (SELECT CAST(sum(t_purchase - t_signup) AS BIGINT) // count(*) FROM conv) AS avg_delay_ms""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q43: retention cohorts — the day-N retention triangle (cohort =
+  // signup day, cell = distinct users from that cohort active N days
+  // later). Day arithmetic is exact integer epoch-day division on both
+  // engines. Shape: the activity set is deduped to (user, day) BEFORE
+  // the cohort join (map-side combined distinct), so the join moves one
+  // row per user-day, not one per event; both phases shuffle on
+  // user_id. The standard growth-analytics rollup at any scale.
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val day = expr("CAST(_ms DIV 86400000 AS BIGINT)")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(day).as("cohort_day"))
+    val act = ev.select(col("user_id"), day.as("act_day")).distinct()
+    su.join(act, Seq("user_id"))
+      .filter(col("act_day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("act_day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val q43Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day FROM events),
+      |su AS (SELECT user_id, min(day) AS cohort_day
+      |       FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, day AS act_day FROM e)
+      |SELECT cohort_day, act_day - cohort_day AS day_offset,
+      |  count(DISTINCT user_id) AS n_active
+      |FROM su JOIN act USING (user_id)
+      |WHERE act_day >= cohort_day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_retention" -> (q43 _),
     "q42_funnel" -> (q42 _),
     "q41_full_outer" -> (q41 _),
     "q40_profile" -> (q40 _),
@@ -1069,6 +1103,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_retention" -> q43Sql,
     "q42_funnel" -> q42Sql,
     "q41_full_outer" -> q41Sql,
     "q40_profile" -> q40Sql,

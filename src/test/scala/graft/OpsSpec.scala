@@ -145,6 +145,19 @@ class OpsSpec extends SparkSuite {
     assert(c.filter(col("containment") > 1.0).count() == 0)
   }
 
+  test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
+    val e = graft.ops.TextOps.entropy(spark, sf)
+    assert(e.filter(col("entropy_milli") < 0.0).count() == 0)
+    // H <= ln(n_distinct); quantization adds at most 0.5 milli-nat per term
+    val overBound = e.filter(
+      col("entropy_milli") > lit(1000.0) * log(col("n_distinct").cast("double")) + 1.0)
+    assert(overBound.count() == 0)
+    // all-distinct docs sit AT the bound: H = ln(n)
+    val allDistinct = e.filter(col("n_distinct") === col("n_tokens"))
+      .filter(abs(col("entropy_milli") - lit(1000.0) * log(col("n_tokens").cast("double"))) > 1.0)
+    assert(allDistinct.count() == 0)
+  }
+
   test("count-min sketch never undercounts and stays below the corpus total") {
     val est = graft.ops.SketchOps.cmsHeavyHitters(spark, sf)
     assert(est.count() == graft.ops.SketchOps.CmsProbeK)

@@ -38,6 +38,25 @@ class RelationalSpec extends SparkSuite {
     assert(dup.count() == 0)
   }
 
+  test("q43 retention: day-0 cell holds the full cohort, offsets nonnegative") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.Relational.q43(spark, sf)
+    assert(r.filter(col("day_offset") < 0L).count() == 0)
+    // the signup event itself is activity on the cohort day, so the
+    // offset-0 cell must equal the cohort size
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts DIV 1000000 DIV 86400000")).as("cohort_day"))
+      .groupBy(col("cohort_day")).agg(countDistinct(col("user_id")).as("n_cohort"))
+    val day0 = r.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_active"))
+    val mismatch = day0.join(cohorts, Seq("cohort_day"))
+      .filter(col("n_active") =!= col("n_cohort"))
+    assert(mismatch.count() == 0)
+  }
+
   test("q41 full outer: both exclusive sides exist and totals reconcile") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.Relational.q41(spark, sf)
