@@ -236,6 +236,31 @@ object ChainQueries {
       .orderBy(col("range100"))
   }
 
+  /** Block-production cadence: per 100-block bucket, the min/max/mean
+    * inter-block time from a lag window over the block spine — the
+    * chain-health monitoring query (stalls and reorg storms show up as
+    * gap outliers). The window partitions by the bucket and orders by
+    * height; the first block of each bucket has no in-bucket
+    * predecessor and is excluded from gap stats (count = 99 per full
+    * bucket, exact on both engines). Mean is an integer DIV of exact
+    * second counts. At 100 TB the blocks table is the SMALL spine
+    * (rows = chain height), so the single window shuffle is trivial. */
+  def chainBlockCadence(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("range100")).orderBy(col("number"))
+    Flatten.blockRows(ChainFixture.blocks(s, From, To))
+      .select(col("number"), col("timestamp").cast("long").as("ts_s"),
+        floor(col("number") / 100).cast("long").as("range100"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .groupBy(col("range100"))
+      .agg(
+        count(col("gap_s")).as("n_gaps"),
+        min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"),
+        expr("CAST(sum(gap_s) AS BIGINT) DIV count(gap_s)").as("mean_gap_s"))
+      .orderBy(col("range100"))
+  }
+
   /** A2 as DSv2: scan via the chainblocks source with a pushed-down range
     * predicate, then aggregate — proves the source feeds ordinary Catalyst
     * plans and the filter prunes partitions before the scan. Scoped to the
@@ -363,6 +388,7 @@ object ChainQueries {
     "chain_transfer_decode" -> (chainTransferDecode _),
     "chain_token_balances" -> (chainTokenBalances _),
     "chain_fee_market" -> (chainFeeMarket _),
+    "chain_block_cadence" -> (chainBlockCadence _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -518,6 +544,19 @@ object ChainQueries {
          |       THEN CAST(t.effectiveGasPrice AS BIGINT) - CAST(b.baseFeePerGas AS BIGINT) END) AS BIGINT) AS max_tip_per_gas
          |FROM ${tbl("transactions")} t JOIN ${tbl("blocks")} b ON b.number = t.blockNumber
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_block_cadence" ->
+      s"""WITH g AS (
+         |  SELECT CAST(floor(number / 100) AS BIGINT) AS range100,
+         |    CAST("timestamp" AS BIGINT)
+         |      - lag(CAST("timestamp" AS BIGINT), 1) OVER (
+         |          PARTITION BY CAST(floor(number / 100) AS BIGINT)
+         |          ORDER BY number) AS gap_s
+         |  FROM ${tbl("blocks")})
+         |SELECT range100, count(gap_s) AS n_gaps,
+         |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+         |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+         |  CAST(sum(gap_s) AS BIGINT) // count(gap_s) AS mean_gap_s
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_gas_by_range" ->
       s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
          |count(*) AS n_tx,

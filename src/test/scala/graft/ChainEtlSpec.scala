@@ -156,6 +156,18 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("block cadence: the fixture's 12s spacing shows up as constant gaps") {
+    import org.apache.spark.sql.functions._
+    val c = graft.queries.ChainQueries.chainBlockCadence(spark, sf).collect()
+    assert(c.length == 2) // query range 0..199 -> two full 100-block buckets
+    c.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == 99L) // first block of a bucket has no gap
+      assert(r.getAs[Long]("min_gap_s") == 12L)
+      assert(r.getAs[Long]("max_gap_s") == 12L)
+      assert(r.getAs[Long]("mean_gap_s") == 12L)
+    }
+  }
+
   test("fee market: burn + tip decomposes the post-London fee exactly") {
     import org.apache.spark.sql.functions._
     val fm = graft.queries.ChainQueries.chainFeeMarket(spark, sf)
