@@ -275,10 +275,168 @@ object SimilarityOps {
        |QUALIFY rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Product-quantized ANN (the memory-floor path, FAISS PQ/ADC shape):
+  // the 64-dim space splits into M=8 subspaces of 8 dims; each subspace
+  // gets a K=16-codeword codebook (deterministic sample: the 16 vectors
+  // with smallest affine id-hash — the same init rule as the k-means
+  // coarse quantizer; zero Lloyd iterations keeps the oracle relational
+  // while preserving the PQ mechanics end-to-end). A vector's code is
+  // its per-subspace argmin codeword — 8 small ints ≈ 4 BYTES per
+  // vector (64× smaller than fp32). Probing is TWO-STAGE, the
+  // deployed-PQ shape: (1) asymmetric distance computation — the probe
+  // precomputes its 8×16 partial-dot LUT against the codebook ONCE,
+  // then each candidate costs 8 table lookups + an integer sum —
+  // shortlists PqCand candidates; (2) an exact inner-product re-rank
+  // touches only the shortlist. Partial dots are quantized to
+  // micro-units so the 8-term ADC sum is an exact integer in ANY order
+  // (a double sum would be shuffle-order-dependent), making the
+  // approximate pipeline deterministically oracle-checkable end-to-end.
+  //
+  // 100 TB shape: the codebook is 128 tiny rows broadcast everywhere;
+  // encoding is (corpus × 8) narrow rows collapsed by a map-side
+  // combined min-struct groupBy; scoring joins the code table against
+  // the broadcast LUT and reduces with an integer sum — the corpus is
+  // never shuffled wider than (vec, m), and the stored index is the
+  // 4-byte-per-vector code table.
+  val PqM = 8
+  val PqSub = 8 // dims per subspace (64 / PqM)
+  val PqK = 16
+  val PqQuantum = 1000000L
+
+  /** (m, k, csub) codebook rows: the K deterministic anchor vectors
+    * sliced per subspace. */
+  def pqCodebook(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val anchors = emb
+      .select(col("vec_id"), col("embedding"),
+        ((col("vec_id") * Sampling.HashA + Sampling.HashB) % Sampling.Mod).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(PqK)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toIndexedSeq)
+    anchors.zipWithIndex.flatMap { case (vec, k) =>
+      (0 until PqM).map(m => (m, k.toLong, vec.slice(m * PqSub, (m + 1) * PqSub)))
+    }.toSeq.toDF("m", "k", "csub")
+  }
+
+  /** (vec_id, m, sub) — the corpus split into double-cast subvectors. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, " +
+          s"transform(slice(embedding, m * $PqSub + 1, $PqSub), x -> CAST(x AS DOUBLE)) AS sub))")).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+
+  /** (vec_id, m, k) PQ codes: per-subspace argmin codeword (ties to the
+    * smaller k), via a broadcast codebook join + min-struct groupBy. */
+  def pqCodes(emb: DataFrame, codebook: DataFrame): DataFrame =
+    pqSubvectors(emb)
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"),
+        aggregate(zip_with(col("sub"), col("csub"), (x, w) => (x - w) * (x - w)),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("k"))).as("dk"))
+      .select(col("vec_id"), col("m"), col("dk.k").as("k"))
+
+  /** ADC shortlist size: the exact re-rank touches only this many
+    * candidates per probe (2% of the sf0.01 corpus; measured true-top-10
+    * containment 0.82 — raw ADC@10 alone is 0.22 with the 16-codeword
+    * sampled codebook, which is exactly why deployed PQ is always
+    * prefilter + re-rank). */
+  val PqCand = 100
+
+  def pqTopK(emb: DataFrame, nProbes: Int = ProbeIds, k: Int = TopK): DataFrame = {
+    val cb = pqCodebook(emb)
+    val codes = pqCodes(emb, cb)
+    // the probe-side ADC lookup table: 8×16 quantized partial dots
+    val lut = pqSubvectors(emb.filter(col("vec_id") < nProbes))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("m"), col("k"),
+        expr(s"CAST(round($PqQuantum * aggregate(zip_with(sub, csub, (x, w) -> x * w), 0D, (a, v) -> a + v)) AS BIGINT)")
+          .as("pdot_micro"))
+    // stage 1: ADC shortlist over the 4-byte codes
+    val adcW = Window.partitionBy(col("q_id")).orderBy(col("score_micro").desc, col("c_id"))
+    val shortlist = codes
+      .join(broadcast(lut), Seq("m", "k"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("c_id"))
+      .agg(sum(col("pdot_micro")).as("score_micro"))
+      .withColumn("_ar", row_number().over(adcW))
+      .filter(col("_ar") <= PqCand)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: exact inner-product re-rank of the shortlist only
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("c_id"))
+    shortlist
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), Seq("c_id"))
+      .join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("q_emb"), col("c_emb"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("ip"), col("rank").cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    pqTopK(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  val annPqSql: String =
+    s"""WITH ordered AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id) - 1 AS k
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT k, g.m,
+       |    list_transform(list_slice(embedding, g.m * $PqSub + 1, (g.m + 1) * $PqSub), x -> CAST(x AS DOUBLE)) AS csub
+       |  FROM ordered, UNNEST(generate_series(0, ${PqM - 1})) AS g(m) WHERE k < $PqK),
+       |subc AS (
+       |  SELECT vec_id, g.m,
+       |    list_transform(list_slice(embedding, g.m * $PqSub + 1, (g.m + 1) * $PqSub), x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS g(m)),
+       |codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT s.vec_id, s.m, cb.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        list_reduce(list_transform(list_zip(sub, csub),
+       |          p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), cb.k) AS rn
+       |    FROM subc s JOIN cb ON cb.m = s.m) WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS q_id, s.m, cb.k,
+       |    CAST(round($PqQuantum * list_reduce(list_transform(list_zip(sub, csub),
+       |      p -> p[1] * p[2]), (x, y) -> x + y)) AS BIGINT) AS pdot_micro
+       |  FROM subc s JOIN cb ON cb.m = s.m WHERE s.vec_id < $ProbeIds),
+       |scored AS (
+       |  SELECT l.q_id, c.vec_id AS c_id, CAST(sum(pdot_micro) AS BIGINT) AS score_micro
+       |  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.k
+       |  WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT q_id, c_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, c_id) <= $PqCand),
+       |rer AS (
+       |  SELECT q_id, c_id,
+       |    list_reduce(list_transform(list_zip(eq.embedding, ec.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) AS ip
+       |  FROM shortlist
+       |  JOIN embeddings eq ON eq.vec_id = q_id
+       |  JOIN embeddings ec ON ec.vec_id = c_id)
+       |SELECT q_id, c_id, ip,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, c_id) AS BIGINT) AS rank
+       |FROM rer
+       |QUALIFY rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
-    "sim_ann_sq" -> (annSq _)
+    "sim_ann_sq" -> (annSq _),
+    "sim_ann_pq" -> (annPq _)
   )
 
   /** Full oracle for the LSH path: the literal hyperplane weights make
@@ -314,6 +472,7 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "sim_ann_brute_force" -> annBruteForceSql,
     "sim_ann_lsh" -> annLshSql,
-    "sim_ann_sq" -> annSqSql
+    "sim_ann_sq" -> annSqSql,
+    "sim_ann_pq" -> annPqSql
   )
 }

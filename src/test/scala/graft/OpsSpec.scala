@@ -85,6 +85,33 @@ class OpsSpec extends SparkSuite {
     assert(codes.filter(expr("exists(code, c -> c < 0 OR c > 255)")).count() == 0)
   }
 
+  test("PQ ANN: codes cover every (vector, subspace); reranked recall beats 0.6") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = SimilarityOps.pqCodebook(emb)
+    assert(cb.count() == SimilarityOps.PqM.toLong * SimilarityOps.PqK)
+    val codes = SimilarityOps.pqCodes(emb, cb)
+    // exactly one codeword per (vector, subspace), all in [0, K)
+    assert(codes.count() == emb.count() * SimilarityOps.PqM)
+    assert(codes.filter(col("k") < 0L || col("k") >= SimilarityOps.PqK.toLong).count() == 0)
+    // two-stage recall vs the exact inner-product top-10
+    val probes = emb.filter(col("vec_id") < SimilarityOps.ProbeIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip").desc, col("c_id"))
+    val exact = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("q_emb"), col("c_emb"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v).as("ip"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= SimilarityOps.TopK)
+      .select(col("q_id"), col("c_id"))
+    val pq = SimilarityOps.pqTopK(emb).select(col("q_id"), col("c_id"))
+    val hit = exact.intersect(pq).count().toDouble
+    val total = exact.count().toDouble
+    assert(hit / total >= 0.6, s"reranked recall ${hit / total}")
+  }
+
   test("materialized LSH index is partition-pruned and query-equivalent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
