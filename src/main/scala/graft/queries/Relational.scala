@@ -1056,7 +1056,56 @@ object Relational {
       |WHERE act_day >= cohort_day
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q44: statistical anomaly detection — days whose event-value total
+  // sits more than 2 population-σ from that event type's daily mean.
+  // The z-test runs ENTIRELY in exact integer arithmetic: with cents
+  // totals x_i, S = Σx, Q = Σx², |x−μ| > 2σ ⟺ (n·x − S)² > 4·(n·Q − S²),
+  // both sides exact DECIMAL(38,0) products — no float mean/stddev, so
+  // the flag is bit-identical cross-engine (a double stddev pipeline
+  // diverges in the last ulp and flips borderline flags). Shape: one
+  // (type, day) rollup (map-side combined), a per-type 1-row stats
+  // aggregate broadcast back — the daily-grain table never reshuffles.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val daily = ev.groupBy(col("event_type"),
+        expr("CAST(_ms DIV 86400000 AS BIGINT)").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    // all products in Decimal(38,0): n·q and s² overflow BIGINT
+    val d38 = DecimalType(38, 0)
+    def dd(c: Column) = c.cast(d38)
+    val dev = dd(col("n_days")) * dd(col("cents")) - dd(col("s"))
+    val varTerm = dd(col("n_days")) * dd(col("q")) - dd(col("s")) * dd(col("s"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cents"), col("n_days"),
+        (dev * dev > varTerm * lit(4).cast(d38)).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q44Sql =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS q
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, day, cents, n_days,
+      |  (CAST(n_days AS HUGEINT) * CAST(cents AS HUGEINT) - CAST(s AS HUGEINT))
+      |    * (CAST(n_days AS HUGEINT) * CAST(cents AS HUGEINT) - CAST(s AS HUGEINT))
+      |  > 4 * (CAST(n_days AS HUGEINT) * CAST(q AS HUGEINT)
+      |         - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS is_anomaly
+      |FROM daily JOIN stats USING (event_type)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_anomaly_days" -> (q44 _),
     "q43_retention" -> (q43 _),
     "q42_funnel" -> (q42 _),
     "q41_full_outer" -> (q41 _),
@@ -1103,6 +1152,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q44_anomaly_days" -> q44Sql,
     "q43_retention" -> q43Sql,
     "q42_funnel" -> q42Sql,
     "q41_full_outer" -> q41Sql,

@@ -57,6 +57,27 @@ class RelationalSpec extends SparkSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("q44 anomaly flags match a BigInt re-derivation from the daily totals") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Relational.q44(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val cents = rs.map(r => BigInt(r.getAs[Long]("cents")))
+      val n = BigInt(rs.length)
+      val s = cents.sum
+      val q = cents.map(c => c * c).sum
+      rs.foreach { r =>
+        val x = BigInt(r.getAs[Long]("cents"))
+        val dev = n * x - s
+        val want = dev * dev > (n * q - s * s) * 4
+        assert(r.getAs[Boolean]("is_anomaly") == want, s"day ${r.getAs[Long]("day")}")
+      }
+    }
+    // the 2-sigma rule must not flag the bulk of days
+    val flagged = rows.count(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.toDouble / rows.length < 0.3)
+  }
+
   test("q41 full outer: both exclusive sides exist and totals reconcile") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.Relational.q41(spark, sf)
