@@ -261,6 +261,26 @@ object ChainQueries {
       .orderBy(col("range100"))
   }
 
+  /** Top event-emitting contracts per 100-block bucket through the
+    * CUSTOM TopKPerGroup operator (plans/TopKPerGroup.scala — the
+    * two-phase heap exec, O(groups·k) memory instead of a full
+    * per-group sort): the contract-leaderboard query, and the proof the
+    * custom operator composes with the chain surface, not just the
+    * TPC-H tables. Counts aggregate BEFORE the top-k (map-side
+    * combined), so the heap sees (bucket, contract) rollup rows. */
+  def chainTopContracts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Flatten.eventRows(ChainFixture.blocks(s, From, To), ChainFixture.receipts(s, From, To))
+    val counts = ev.groupBy(
+        floor(col("blockNumber") / 100).cast("long").as("range100"),
+        hex(col("address")).as("contract"))
+      .agg(count(lit(1)).as("n_events"))
+    import graft.plans.TopKPerGroupOps.Sort
+    graft.plans.TopKPerGroupOps.topKPerGroup(
+        counts, groupCols = Seq("range100"),
+        orderBy = Seq(Sort("n_events", desc = true), Sort("contract")), k = 3)
+      .orderBy(col("range100"), col("n_events").desc, col("contract"))
+  }
+
   /** A2 as DSv2: scan via the chainblocks source with a pushed-down range
     * predicate, then aggregate — proves the source feeds ordinary Catalyst
     * plans and the filter prunes partitions before the scan. Scoped to the
@@ -389,6 +409,7 @@ object ChainQueries {
     "chain_token_balances" -> (chainTokenBalances _),
     "chain_fee_market" -> (chainFeeMarket _),
     "chain_block_cadence" -> (chainBlockCadence _),
+    "chain_top_contracts" -> (chainTopContracts _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -544,6 +565,17 @@ object ChainQueries {
          |       THEN CAST(t.effectiveGasPrice AS BIGINT) - CAST(b.baseFeePerGas AS BIGINT) END) AS BIGINT) AS max_tip_per_gas
          |FROM ${tbl("transactions")} t JOIN ${tbl("blocks")} b ON b.number = t.blockNumber
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_top_contracts" ->
+      s"""SELECT range100, contract, n_events FROM (
+         |  SELECT range100, contract, n_events,
+         |    row_number() OVER (PARTITION BY range100
+         |      ORDER BY n_events DESC, contract) AS rn
+         |  FROM (
+         |    SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
+         |      hex(address) AS contract, count(*) AS n_events
+         |    FROM ${tbl("events")} GROUP BY 1, 2))
+         |WHERE rn <= 3
+         |ORDER BY range100, n_events DESC, contract""".stripMargin,
     "chain_block_cadence" ->
       s"""WITH g AS (
          |  SELECT CAST(floor(number / 100) AS BIGINT) AS range100,

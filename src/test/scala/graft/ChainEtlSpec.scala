@@ -156,6 +156,25 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("top contracts via the custom operator equals the window-function form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val custom = graft.queries.ChainQueries.chainTopContracts(spark, sf)
+    val qBlocks = ChainFixture.blocks(spark, 0L, 199L)
+    val qReceipts = ChainFixture.receipts(spark, 0L, 199L)
+    val counts = Flatten.eventRows(qBlocks, qReceipts)
+      .groupBy(floor(col("blockNumber") / 100).cast("long").as("range100"),
+        hex(col("address")).as("contract"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("range100"))
+      .orderBy(col("n_events").desc, col("contract"))
+    val windowed = counts.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 3).drop("_rn")
+    assert(custom.except(windowed).count() == 0)
+    assert(windowed.except(custom).count() == 0)
+    assert(custom.count() == 6) // 2 buckets x top-3
+  }
+
   test("block cadence: the fixture's 12s spacing shows up as constant gaps") {
     import org.apache.spark.sql.functions._
     val c = graft.queries.ChainQueries.chainBlockCadence(spark, sf).collect()
