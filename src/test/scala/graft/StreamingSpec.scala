@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSuite {
     assert(emitted == 1L, "late event must not be counted")
   }
 
+  test("daily-rollup stream: partition upsert accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val path = s"$dir/daily"
+    val in = MemoryStream[Event]
+    val q = StreamOps.dailyRollupStream(spark, in.toDF(), path)
+    in.addData(
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 2.0),
+      Event(3, Timestamp.valueOf("2024-01-02 09:00:00"), 2, "view", 5.0))
+    q.processAllAvailable()
+    // second batch touches an existing day (merge) and a new one (insert)
+    in.addData(
+      Event(4, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 4.0),
+      Event(5, Timestamp.valueOf("2024-01-03 08:00:00"), 1, "view", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", "click", 3L, 7.0),
+      ("2024-01-02", "view", 1L, 5.0),
+      ("2024-01-03", "view", 1L, 7.0)))
+  }
+
   test("stream-static enrichment joins the broadcast dim, unmatched -> unknown") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
