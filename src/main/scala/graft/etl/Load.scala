@@ -204,6 +204,37 @@ object Load {
     (before, parquetFiles(dir))
   }
 
+  /** Targeted deletion — the right-to-be-forgotten / reorg-rollback
+    * primitive: removes rows matching `predicate` from a
+    * blockRange-partitioned table by REWRITING ONLY the partitions that
+    * contain matches (dynamic partition overwrite — untouched
+    * partitions' files are never opened for write). At 100 TB the cost
+    * is bounded by the matching partitions, never the table; a reorg
+    * rollback (delete blocks ≥ N) touches exactly the tail partitions.
+    * The kept rows are materialized (localCheckpoint) BEFORE the
+    * overwrite, since the write replaces its own input path. Returns
+    * (rowsDeleted, partitionsRewritten). */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val table = spark.read.parquet(path)
+    require(table.columns.contains("blockRange"),
+      s"deleteWhere: $path is not a blockRange-partitioned table")
+    val hit = table.filter(predicate)
+      .select(col("blockRange")).distinct()
+      .collect().map(_.getAs[Number](0).longValue) // partition values read back type-inferred
+    if (hit.isEmpty) (0L, 0L)
+    else {
+      val touched = table.filter(col("blockRange").isin(hit.toIndexedSeq: _*))
+      val keep = touched.filter(!predicate).localCheckpoint()
+      val deleted = touched.count() - keep.count()
+      keep.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("blockRange")
+        .parquet(path)
+      (deleted, hit.length.toLong)
+    }
+  }
+
   /** Full ingest of a block range into the warehouse — the reference's
     * main loop (src/main.rs:172-336) as one declarative batch job.
     * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline

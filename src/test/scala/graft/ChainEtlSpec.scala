@@ -269,6 +269,33 @@ class ChainEtlSpec extends SparkSuite {
     assert(tx.count() == (0L to 30L).map(n => (n % 5) + 1).sum)
   }
 
+  test("deleteWhere rewrites only matching partitions and removes exactly the targets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    val path = s"$dir/transactions"
+    // 3 ranges: blocks 0-999, 1000-1999, 2000-2499 (Batch=1000)
+    val b = ChainFixture.blocks(spark, 0L, 2499L)
+    val r = ChainFixture.receipts(spark, 0L, 2499L)
+    graft.etl.Load.writeBucketed(
+      Flatten.transactionRows(b, r), path, Schemas.dedupKeys("transactions"))
+    val before = spark.read.parquet(path).count()
+    val range1Files = new java.io.File(s"$path/blockRange=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // delete a single block's transactions: lives only in range 2
+    val (deleted, rewritten) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") === 2100L)
+    val expectDeleted = (2100L % 5) + 1 // generator: (n % 5) + 1 txs per block
+    assert(deleted == expectDeleted && rewritten == 1L)
+    val after = spark.read.parquet(path)
+    assert(after.count() == before - expectDeleted)
+    assert(after.filter(col("blockNumber") === 2100L).count() == 0)
+    // untouched partitions were not rewritten (same files, same mtimes)
+    val range1After = new java.io.File(s"$path/blockRange=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(range1After == range1Files)
+    // no-match predicate is a no-op
+    assert(graft.etl.Load.deleteWhere(spark, path, col("blockNumber") === 99999L) == ((0L, 0L)))
+  }
+
   test("compaction merges append debris into sorted files, content-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val path = s"$dir/transactions_appends"
