@@ -1104,7 +1104,49 @@ object Relational {
       |FROM daily JOIN stats USING (event_type)
       |ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q45: interval-OVERLAP join (both sides are ranges — distinct from
+  // q21's point-in-range): each lineitem's 14-day delivery window
+  // [ship, ship+14] against the quarterly 7-day promo windows derived
+  // from the data itself. No equi key exists, so the right plan is a
+  // BroadcastNestedLoopJoin with the TINY promo dim broadcast (≈ a few
+  // dozen rows however big the fact side) and the range predicate
+  // evaluated in codegen — at 100 TB the fact table is scanned once and
+  // never shuffled. Date arithmetic is calendar-exact on both engines.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("ship_start"),
+        date_add(col("l_shipdate").cast("date"), 14).as("ship_end"))
+    val promos = t(s, dir, "lineitem")
+      .select(trunc(col("l_shipdate").cast("date"), "quarter").as("p_start"))
+      .distinct()
+      .select(col("p_start"), date_add(col("p_start"), 6).as("p_end"))
+    li.join(broadcast(promos),
+        col("ship_start") <= col("p_end") && col("p_start") <= col("ship_end"))
+      .groupBy(date_format(col("p_start"), "yyyy-MM-dd").as("promo_week"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("promo_week"))
+  }
+
+  private val q45Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_start,
+      |    CAST(l_shipdate AS DATE) + 14 AS ship_end
+      |  FROM lineitem),
+      |promos AS (
+      |  SELECT p_start, p_start + 6 AS p_end FROM (
+      |    SELECT DISTINCT CAST(date_trunc('quarter', l_shipdate) AS DATE) AS p_start
+      |    FROM lineitem))
+      |SELECT strftime(p_start, '%Y-%m-%d') AS promo_week,
+      |  count(*) AS n_lines,
+      |  count(DISTINCT l_orderkey) AS n_orders
+      |FROM li JOIN promos ON ship_start <= p_end AND p_start <= ship_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_interval_overlap" -> (q45 _),
     "q44_anomaly_days" -> (q44 _),
     "q43_retention" -> (q43 _),
     "q42_funnel" -> (q42 _),
@@ -1152,6 +1194,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q45_interval_overlap" -> q45Sql,
     "q44_anomaly_days" -> q44Sql,
     "q43_retention" -> q43Sql,
     "q42_funnel" -> q42Sql,

@@ -57,6 +57,23 @@ class RelationalSpec extends SparkSuite {
     assert(mismatch.count() == 0)
   }
 
+  test("q45 interval overlap: quarter-start windows, only nearby shipments join") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.Relational.q45(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val d = java.time.LocalDate.parse(row.getString(0))
+      // promo windows are quarter starts
+      assert(d.getDayOfMonth == 1 && Set(1, 4, 7, 10).contains(d.getMonthValue))
+      assert(row.getAs[Long]("n_orders") <= row.getAs[Long]("n_lines"))
+      assert(row.getAs[Long]("n_lines") > 0L)
+    }
+    // the overlap window is 21 days around the quarter start, so only a
+    // fraction of each quarter's shipments can join
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(r.map(_.getAs[Long]("n_lines")).sum < total)
+  }
+
   test("q44 anomaly flags match a BigInt re-derivation from the daily totals") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.Relational.q44(spark, sf).collect()
