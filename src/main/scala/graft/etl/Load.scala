@@ -219,13 +219,18 @@ object Load {
     val table = spark.read.parquet(path)
     require(table.columns.contains("blockRange"),
       s"deleteWhere: $path is not a blockRange-partitioned table")
-    val hit = table.filter(predicate)
+    // three-valued logic: a row is deleted only when the predicate is
+    // TRUE. `filter(!predicate)` would ALSO drop predicate-NULL rows
+    // (null-valued columns) — silent data loss; coalesce pins NULL to
+    // "not a match" on both sides.
+    val isMatch = coalesce(predicate, lit(false))
+    val hit = table.filter(isMatch)
       .select(col("blockRange")).distinct()
       .collect().map(_.getAs[Number](0).longValue) // partition values read back type-inferred
     if (hit.isEmpty) (0L, 0L)
     else {
       val touched = table.filter(col("blockRange").isin(hit.toIndexedSeq: _*))
-      val keep = touched.filter(!predicate).localCheckpoint()
+      val keep = touched.filter(!isMatch).localCheckpoint()
       val deleted = touched.count() - keep.count()
       keep.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -294,6 +294,19 @@ class ChainEtlSpec extends SparkSuite {
     assert(range1After == range1Files)
     // no-match predicate is a no-op
     assert(graft.etl.Load.deleteWhere(spark, path, col("blockNumber") === 99999L) == ((0L, 0L)))
+    // null-predicate rows are KEPT, not silently dropped: `to` is null
+    // for contract creations, so to = X is NULL for them — deleting on
+    // `to` must preserve every creation row
+    val creations = after.filter(col("to").isNull).count()
+    assert(creations > 0, "fixture should contain contract creations")
+    val someTo = after.filter(col("to").isNotNull)
+      .select(col("to")).head.getAs[Array[Byte]](0)
+    val toMatches = after.filter(col("to") === lit(someTo)).count()
+    val (d2, _) = graft.etl.Load.deleteWhere(spark, path, col("to") === lit(someTo))
+    assert(d2 == toMatches)
+    val afterNull = spark.read.parquet(path)
+    assert(afterNull.filter(col("to").isNull).count() == creations,
+      "predicate-NULL rows must survive the delete")
   }
 
   test("compaction merges append debris into sorted files, content-identical") {
