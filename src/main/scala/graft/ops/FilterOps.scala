@@ -191,6 +191,34 @@ object FilterOps {
   }
 
   // ------------------------------------------------------------------
+  // Per-language quality dashboard: the corpus-level rollup a pipeline
+  // operator actually watches (is the German slice dying at the
+  // stopword rule? is one language's drop rate drifting?) — per
+  // (lang, verdict): doc and token totals plus the failed-rule mass.
+  // Pure integer counts over the shared quality frame, one extra
+  // doc-keyed join (co-partitioned with the metric joins) and a
+  // (lang, keep) aggregation whose output is mixture-table sized.
+  def qualityByLang(s: SparkSession, dir: String): DataFrame =
+    qualityMetricsFrom(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("keep"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(col("n_rules_failed")).as("rules_failed_total"))
+      .orderBy(col("lang"), col("keep"))
+
+  val qualityByLangSql: String =
+    s"""WITH ${qualityCtes("documents")},
+       |v AS (SELECT doc_id, n_tokens,
+       |        CAST($ruleFailsSql AS BIGINT) AS n_rules_failed
+       |      FROM m)
+       |SELECT d.lang, n_rules_failed = 0 AS keep, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |  CAST(sum(n_rules_failed) AS BIGINT) AS rules_failed_total
+       |FROM v JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // Train/test n-gram decontamination: flag every test-split document
   // that shares at least one 8-token n-gram with any train-split
   // document — the standard eval-contamination sweep run before
@@ -593,6 +621,7 @@ object FilterOps {
     "pipeline_refinery" -> (refinery _),
     "filter_domain_mix" -> (domainMix _),
     "filter_quality_rules" -> (qualityFilters _),
+    "filter_quality_by_lang" -> (qualityByLang _),
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
     "dedup_passage_overlap" -> (passageOverlap _)
@@ -602,6 +631,7 @@ object FilterOps {
     "pipeline_refinery" -> refinerySql,
     "filter_domain_mix" -> domainMixSql,
     "filter_quality_rules" -> qualityFiltersSql,
+    "filter_quality_by_lang" -> qualityByLangSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,
     "dedup_passage_overlap" -> passageOverlapSql

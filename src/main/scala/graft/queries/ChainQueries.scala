@@ -261,6 +261,22 @@ object ChainQueries {
       .orderBy(col("range100"))
   }
 
+  /** Per-validator withdrawal economics over the flattened withdrawals
+    * (C4's table finally queried, not just counted): withdrawal count,
+    * exact gwei total, and block span per validator index — the
+    * staking-dashboard rollup. One hash aggregation on the validator
+    * key; the fixture only emits withdrawals post-Shanghai, so the
+    * span floors at the fork. */
+  def chainValidatorWithdrawals(s: SparkSession, dir: String): DataFrame =
+    Flatten.withdrawalRows(ChainFixture.blocks(s, From, To))
+      .groupBy(col("validatorIndex").cast("long").as("validator"))
+      .agg(
+        count(lit(1)).as("n_withdrawals"),
+        sum(col("amount").cast("long")).cast("long").as("gwei_total"),
+        min(col("blockNumber")).as("first_block"),
+        max(col("blockNumber")).as("last_block"))
+      .orderBy(col("validator"))
+
   /** Top event-emitting contracts per 100-block bucket through the
     * CUSTOM TopKPerGroup operator (plans/TopKPerGroup.scala — the
     * two-phase heap exec, O(groups·k) memory instead of a full
@@ -410,6 +426,7 @@ object ChainQueries {
     "chain_fee_market" -> (chainFeeMarket _),
     "chain_block_cadence" -> (chainBlockCadence _),
     "chain_top_contracts" -> (chainTopContracts _),
+    "chain_validator_withdrawals" -> (chainValidatorWithdrawals _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -564,6 +581,14 @@ object ChainQueries {
          |  CAST(MAX(CASE WHEN b.baseFeePerGas IS NOT NULL
          |       THEN CAST(t.effectiveGasPrice AS BIGINT) - CAST(b.baseFeePerGas AS BIGINT) END) AS BIGINT) AS max_tip_per_gas
          |FROM ${tbl("transactions")} t JOIN ${tbl("blocks")} b ON b.number = t.blockNumber
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_validator_withdrawals" ->
+      s"""SELECT CAST(validatorIndex AS BIGINT) AS validator,
+         |  count(*) AS n_withdrawals,
+         |  CAST(sum(CAST(amount AS BIGINT)) AS BIGINT) AS gwei_total,
+         |  min(blockNumber) AS first_block,
+         |  max(blockNumber) AS last_block
+         |FROM ${tbl("withdraws")}
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_top_contracts" ->
       s"""SELECT range100, contract, n_events FROM (

@@ -156,6 +156,16 @@ class ChainEtlSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS tx_b"); spark.sql("DROP TABLE IF EXISTS ev_b")
   }
 
+  test("validator withdrawals: post-Shanghai only, totals tile the table") {
+    import org.apache.spark.sql.functions._
+    val vw = graft.queries.ChainQueries.chainValidatorWithdrawals(spark, sf)
+    assert(vw.filter(col("first_block") < ChainFixture.ShanghaiAt).count() == 0)
+    val wd = Flatten.withdrawalRows(ChainFixture.blocks(spark, 0L, 199L))
+    assert(vw.agg(sum(col("n_withdrawals"))).collect()(0).getLong(0) == wd.count())
+    val totalGwei = wd.agg(sum(col("amount").cast("long"))).collect()(0).getLong(0)
+    assert(vw.agg(sum(col("gwei_total"))).collect()(0).getLong(0) == totalGwei)
+  }
+
   test("top contracts via the custom operator equals the window-function form") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

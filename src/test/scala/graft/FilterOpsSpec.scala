@@ -155,4 +155,17 @@ class FilterOpsSpec extends SparkSuite {
       .count()
     assert(planted >= expected, s"all $expected planted members must be bloom-positive, got $planted")
   }
+
+  test("quality by lang: rollup tiles the per-doc verdict frame exactly") {
+    val perDoc = FilterOps.qualityFilters(spark, sf)
+    val rollup = FilterOps.qualityByLang(spark, sf).cache()
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    assert(rollup.agg(sum(col("n_docs"))).collect()(0).getLong(0) == corpus.count())
+    // per-verdict doc counts agree with the per-doc frame
+    val kept = perDoc.filter(col("keep")).count()
+    assert(rollup.filter(col("keep")).agg(sum(col("n_docs")))
+      .collect()(0).getLong(0) == kept)
+    // kept rows contribute zero failed rules
+    assert(rollup.filter(col("keep") && col("rules_failed_total") =!= 0L).count() == 0)
+  }
 }
