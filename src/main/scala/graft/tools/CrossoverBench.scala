@@ -70,7 +70,24 @@ object CrossoverBench {
       val denom = SimilarityOps.ProbeIds * SimilarityOps.TopK
       println(f"CROSSOVER factor=$f rows=$rows bits=$bits " +
         f"brute_sec=$tBrute%.2f lsh_sec=$tLsh%.2f recall=${overlap.toDouble / denom}%.2f")
-      bf.unpersist(); lsh.unpersist()
+      lsh.unpersist()
+
+      // compressed-index paths at the same scale: SQ (8-bit codes) and
+      // PQ (4-byte codes + ADC shortlist + exact re-rank) — recall vs
+      // the brute-force ground truth at this scale
+      val (sq, tSq) = timed {
+        val r = SimilarityOps.sqTopK(corpus).select("q_id", "c_id").persist()
+        r.count(); r
+      }
+      val (pq, tPq) = timed {
+        val r = SimilarityOps.pqTopK(corpus).select("q_id", "c_id").persist()
+        r.count(); r
+      }
+      println(f"CROSSOVER-SQ factor=$f rows=$rows sq_sec=$tSq%.2f " +
+        f"recall=${bf.intersect(sq).count().toDouble / denom}%.2f")
+      println(f"CROSSOVER-PQ factor=$f rows=$rows pq_sec=$tPq%.2f " +
+        f"recall=${bf.intersect(pq).count().toDouble / denom}%.2f")
+      sq.unpersist(); pq.unpersist(); bf.unpersist()
 
       // probe sweep at the largest factor: the bucketing pass is a
       // write-time index at scale, so compare per-query costs — brute
