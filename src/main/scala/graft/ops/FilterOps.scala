@@ -480,8 +480,12 @@ object FilterOps {
       .unionByName(d.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       .localCheckpoint() // one derivation feeds quality, dedup, and grams
+    // the verdict frame is tiny (3 columns) and feeds the kept-join AND
+    // two funnel counters — checkpoint it so the 3-shuffle quality
+    // pipeline runs ONCE, not once per consumer
     val qual = qualityMetricsFrom(base)
       .select(col("doc_id"), col("n_tokens"), col("keep"))
+      .localCheckpoint()
     val kept = base.join(qual.filter(col("keep"))
       .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
     val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
@@ -509,9 +513,14 @@ object FilterOps {
       .select(col("n_train_docs"), col("train_tokens"),
         expr(s"(train_tokens + ${Sampling.ContextLen} - 1) DIV ${Sampling.ContextLen}")
           .as("train_bins"))
+    // funnel counters read the CHECKPOINTED frames: kept-count ==
+    // keep-verdict count (the base join is 1:1 on doc_id) and
+    // unique-count == splitDocs-count (split adds a column, drops no
+    // row) — so neither the quality pipeline nor the dedup window
+    // re-runs per counter
     base.agg(count(lit(1)).as("n_raw"))
-      .crossJoin(kept.agg(count(lit(1)).as("n_quality_kept")))
-      .crossJoin(unique.agg(count(lit(1)).as("n_unique_docs")))
+      .crossJoin(qual.filter(col("keep")).agg(count(lit(1)).as("n_quality_kept")))
+      .crossJoin(splitDocs.agg(count(lit(1)).as("n_unique_docs")))
       .crossJoin(contaminated.agg(count(lit(1)).as("n_test_contaminated")))
       .crossJoin(finalDocs.agg(count(lit(1)).as("n_final_docs")))
       .crossJoin(trainAgg)
