@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Randomized differential testing of the engine against DuckDB: a
+  * seeded generator builds N random scan→filter→group→aggregate→sort
+  * pipelines over `lineitem` as BOTH a DataFrame program and the
+  * equivalent ANSI SQL, dumps each result + an `oracle_sql.json`, and
+  * the standard `tools/check_oracle.py` then grades every pair exactly
+  * like the driver grades the curated queries. Where the curated suite
+  * proves the operators a human thought to write, the fuzz sweep
+  * samples the composition space between them — filter/group/agg
+  * combinations nobody hand-picked — with the same bit-exact bar
+  * (Decimal(18,2) money sums, BIGINT counts, total-order sorts).
+  *
+  * Usage: runMain graft.tools.FuzzDump [sfDir] [outDir] [nQueries] [seed]
+  * then:  python3 tools/check_oracle.py <sfDir> <outDir>
+  */
+object FuzzDump {
+
+  private val D = DecimalType(18, 2)
+
+  /** One random query = (DataFrame builder, equivalent DuckDB SQL). */
+  case class Spec(name: String, df: DataFrame => DataFrame, sql: String)
+
+  /** Filter palette: (Column predicate, SQL predicate) pairs that are
+    * value-identical cross-engine (exact literals, no float math). */
+  private def filters(rng: Random): (Column, String) = {
+    val choices: Seq[(Column, String)] = Seq(
+      (col("l_quantity") > 25, "l_quantity > 25"),
+      (col("l_quantity") <= 10, "l_quantity <= 10"),
+      (col("l_returnflag") === "R", "l_returnflag = 'R'"),
+      (col("l_returnflag") =!= "A", "l_returnflag <> 'A'"),
+      (col("l_linestatus") === "F", "l_linestatus = 'F'"),
+      (col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+        "l_shipdate < TIMESTAMP '1997-01-01'"),
+      (col("l_shipdate") >= lit("1995-06-15").cast("timestamp"),
+        "l_shipdate >= TIMESTAMP '1995-06-15'"),
+      (col("l_orderkey") % 7 === 0, "l_orderkey % 7 = 0"),
+      (col("l_partkey") > col("l_suppkey"), "l_partkey > l_suppkey"))
+    val n = 1 + rng.nextInt(2)
+    val picked = rng.shuffle(choices).take(n)
+    (picked.map(_._1).reduce(_ && _), picked.map(_._2).mkString("(", ") AND (", ")"))
+  }
+
+  /** Group-key palette (deterministic derivations only). */
+  private def groupKeys(rng: Random): Seq[(Column, String, String)] = {
+    val all = Seq(
+      (col("l_returnflag"), "l_returnflag", "l_returnflag"),
+      (col("l_linestatus"), "l_linestatus", "l_linestatus"),
+      (year(col("l_shipdate")).cast("long").as("ship_year"),
+        "CAST(year(l_shipdate) AS BIGINT)", "ship_year"),
+      ((col("l_orderkey") % 5).as("k5"), "l_orderkey % 5", "k5"))
+    rng.shuffle(all).take(1 + rng.nextInt(2))
+  }
+
+  /** Aggregate palette — every output engineered for exact equality. */
+  private def aggs(rng: Random): Seq[(Column, String)] = {
+    val all: Seq[(Column, String)] = Seq(
+      (count(lit(1)).as("n"), "count(*) AS n"),
+      (sum(col("l_extendedprice").cast(D)).cast("double").as("rev"),
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev"),
+      (sum(col("l_quantity").cast(D)).cast("double").as("qty"),
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty"),
+      (min(col("l_quantity")).cast("double").as("min_q"),
+        "CAST(MIN(l_quantity) AS DOUBLE) AS min_q"),
+      (max(col("l_extendedprice")).cast("double").as("max_p"),
+        "CAST(MAX(l_extendedprice) AS DOUBLE) AS max_p"),
+      (countDistinct(col("l_orderkey")).as("n_orders"),
+        "count(DISTINCT l_orderkey) AS n_orders"))
+    rng.shuffle(all).take(1 + rng.nextInt(3))
+  }
+
+  def spec(i: Int, seed: Long): Spec = {
+    val rng = new Random(seed + i)
+    val (fCol, fSql) = filters(rng)
+    val keys = groupKeys(rng)
+    val as = aggs(rng)
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) =>
+      li.filter(fCol)
+        .groupBy(keys.map(_._1): _*)
+        .agg(as.head._1, as.tail.map(_._1): _*)
+        .orderBy(keys.map(k => col(k._3)): _*)
+    val sql =
+      s"""SELECT ${keys.map(k => s"${k._2} AS ${k._3}").mkString(", ")},
+         |  ${as.map(_._2).mkString(",\n  ")}
+         |FROM lineitem
+         |WHERE $fSql
+         |GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}
+         |ORDER BY ${keys.indices.map(_ + 1).mkString(", ")}""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_fuzz"
+    val n = if (args.length > 2) args(2).toInt else 20
+    val seed = if (args.length > 3) args(3).toLong else 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    new java.io.File(outDir).mkdirs()
+    val specs = (0 until n).map(spec(_, seed))
+    specs.foreach { s =>
+      s.df(li).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${s.name}")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = specs.map(s => s"${q(s.name)}: ${q(s.sql)}").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"FUZZ wrote $n query results + oracle_sql.json to $outDir (seed=$seed)")
+    spark.stop()
+  }
+}

@@ -60,6 +60,15 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("fuzz generator: seeded specs are deterministic and all execute on Spark") {
+    val a = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L))
+    val b = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L))
+    assert(a.map(_.sql) == b.map(_.sql), "same seed must yield identical SQL")
+    assert(a.map(_.sql).distinct.size > 5, "specs should be diverse")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    a.foreach(s => assert(s.df(li).count() >= 0)) // every spec planable+runnable
+  }
+
   test("property: PolyHash in generated code matches an independent byte fold") {
     val strGen = Gen.chooseNum(0, 40).flatMap(n =>
       Gen.stringOfN(n, Gen.frequency(
