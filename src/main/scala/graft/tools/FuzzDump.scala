@@ -77,26 +77,57 @@ object FuzzDump {
     rng.shuffle(all).take(1 + rng.nextInt(3))
   }
 
+  /** Extra group keys available in the join shape (order-side). */
+  private def orderKeys(rng: Random): Seq[(Column, String, String)] = {
+    val all = Seq(
+      (col("o_orderpriority"), "o_orderpriority", "o_orderpriority"),
+      (col("o_orderstatus"), "o_orderstatus", "o_orderstatus"))
+    rng.shuffle(all).take(1)
+  }
+
+  /** Optional HAVING over count(*) — applied post-agg on both engines. */
+  private def having(rng: Random): Option[(Column, String)] =
+    if (rng.nextBoolean()) Some((col("n") > 5L, "HAVING count(*) > 5")) else None
+
   def spec(i: Int, seed: Long): Spec = {
     val rng = new Random(seed + i)
     val (fCol, fSql) = filters(rng)
-    val keys = groupKeys(rng)
-    val as = aggs(rng)
+    val joinShape = rng.nextInt(3) == 0 // every ~3rd spec joins orders
+    val keys = if (joinShape) groupKeys(rng) ++ orderKeys(rng) else groupKeys(rng)
+    // HAVING needs count(*) present; always include it first
+    val as = (count(lit(1)).as("n"), "count(*) AS n") +: aggs(rng).filter(_._2 != "count(*) AS n")
+    val hv = if (joinShape) having(rng) else None
     val name = f"fuzz_$i%02d"
-    val df = (li: DataFrame) =>
-      li.filter(fCol)
+    val df = (li: DataFrame) => {
+      val src =
+        if (joinShape)
+          li.join(li.sparkSession.read.parquet(
+              s"${FuzzDump.sfDirHolder.get()}/orders.parquet"),
+            col("l_orderkey") === col("o_orderkey"))
+        else li
+      val grouped = src.filter(fCol)
         .groupBy(keys.map(_._1): _*)
         .agg(as.head._1, as.tail.map(_._1): _*)
+      hv.map(h => grouped.filter(h._1)).getOrElse(grouped)
         .orderBy(keys.map(k => col(k._3)): _*)
+    }
+    val from =
+      if (joinShape) "lineitem JOIN orders ON l_orderkey = o_orderkey" else "lineitem"
     val sql =
       s"""SELECT ${keys.map(k => s"${k._2} AS ${k._3}").mkString(", ")},
          |  ${as.map(_._2).mkString(",\n  ")}
-         |FROM lineitem
+         |FROM $from
          |WHERE $fSql
          |GROUP BY ${keys.indices.map(_ + 1).mkString(", ")}
+         |${hv.map(_._2).getOrElse("")}
          |ORDER BY ${keys.indices.map(_ + 1).mkString(", ")}""".stripMargin
     Spec(name, df, sql)
   }
+
+  /** The sf dir the join shape reads `orders` from (set by main /
+    * tests before building DataFrames). */
+  val sfDirHolder = new java.util.concurrent.atomic.AtomicReference[String](
+    "/root/testdata/sf0.01")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -112,6 +143,7 @@ object FuzzDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sfDirHolder.set(sfDir)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     new java.io.File(outDir).mkdirs()
     val specs = (0 until n).map(spec(_, seed))
