@@ -136,6 +136,64 @@ object Sampling {
        |GROUP BY 1 ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------------
+  // Temperature-scaled mixture (the mT5/XLM-R α-sampling recipe):
+  // sampling probability p_l ∝ share_l^α with α = 0.7 — upweights
+  // low-resource languages without flattening the mixture entirely.
+  // The power is computed bit-portably as exp(α·ln share) with BOTH
+  // transcendentals quantized (the tfidf recipe, twice): ln of the
+  // exact ppm share → micro-nats, the α product in exact integers
+  // (on the positive MAGNITUDE — Spark's DIV truncates toward zero
+  // while DuckDB's // floors, which differ on negatives), then exp of
+  // the exactly-representable scaled value → micro-units. Shape: one
+  // token-count aggregate + a language-count-sized frame; nothing
+  // corpus-wide after the first map-side-combined pass.
+  val TempAlphaNum = 7L // α = 0.7 as an exact rational
+  val TempAlphaDen = 10L
+
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val perLang = docs(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
+    val total = perLang.agg(sum(col("tok_total")).as("_total"))
+    val shared = perLang.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("tok_total * 1000000 DIV _total"))
+      // magnitude of ln(share) in micro-nats (share < 1 so ln is negative)
+      .withColumn("_ln_mag_micro", expr(
+        "CAST(round(-1000000 * ln(share_ppm / CAST(1000000 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("_scaled_micro", expr(
+        s"-(_ln_mag_micro * $TempAlphaNum DIV $TempAlphaDen)"))
+      .withColumn("w_micro", expr(
+        "CAST(round(1000000 * exp(_scaled_micro / CAST(1000000 AS DOUBLE))) AS BIGINT)"))
+    val wTotal = shared.agg(sum(col("w_micro")).as("_wsum"))
+    shared.crossJoin(broadcast(wTotal))
+      .select(col("lang"), col("n_docs"), col("tok_total"), col("share_ppm"),
+        col("w_micro"),
+        expr("w_micro * 1000000 DIV _wsum").as("p_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH perlang AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)) AS BIGINT) AS tok_total
+       |  FROM documents GROUP BY 1),
+       |shared AS (
+       |  SELECT lang, n_docs, tok_total,
+       |    CAST(tok_total * 1000000 // CAST((SELECT sum(tok_total) FROM perlang) AS BIGINT) AS BIGINT) AS share_ppm
+       |  FROM perlang),
+       |scaled AS (
+       |  SELECT lang, n_docs, tok_total, share_ppm,
+       |    CAST(round(1000000 * exp(
+       |      -(CAST(round(-1000000 * ln(share_ppm / CAST(1000000 AS DOUBLE))) AS BIGINT)
+       |        * $TempAlphaNum // $TempAlphaDen) / CAST(1000000 AS DOUBLE))) AS BIGINT) AS w_micro
+       |  FROM shared)
+       |SELECT lang, n_docs, tok_total, share_ppm, w_micro,
+       |  CAST(w_micro * 1000000 // CAST((SELECT sum(w_micro) FROM scaled) AS BIGINT) AS BIGINT) AS p_ppm
+       |FROM scaled ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // Sequence packing (concat-and-chunk): documents are concatenated in
   // id order and cut into fixed ContextLen-token windows — the layout
   // step that turns a filtered corpus into pretraining sequences. Each
@@ -282,6 +340,7 @@ object Sampling {
     "sample_split_assign" -> (splitAssign _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_mixture_weights" -> (mixtureWeights _),
+    "sample_temperature" -> (temperatureMixture _),
     "sample_reservoir_weighted" -> (reservoirWeighted _),
     "pack_sequences" -> (packSequences _),
     "pack_chunks_overlap" -> (chunkOverlap _)
@@ -291,6 +350,7 @@ object Sampling {
     "sample_split_assign" -> splitAssignSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture_weights" -> mixtureWeightsSql,
+    "sample_temperature" -> temperatureMixtureSql,
     "sample_reservoir_weighted" -> reservoirWeightedSql,
     "pack_sequences" -> packSequencesSql,
     "pack_chunks_overlap" -> chunkOverlapSql

@@ -215,6 +215,22 @@ class OpsSpec extends SparkSuite {
     assert(last.filter(col("n_chunks") > 1).count() > 0)
   }
 
+  test("temperature mixture: probs sum to ~1, low-resource langs upweighted") {
+    import graft.ops.Sampling
+    val t = Sampling.temperatureMixture(spark, sf).collect()
+    assert(t.length > 1)
+    // ppm probabilities tile to 1e6 modulo integer-division remainders
+    val pSum = t.map(_.getAs[Long]("p_ppm")).sum
+    assert(pSum > 1000000L - t.length && pSum <= 1000000L)
+    // alpha < 1 compresses the mixture: the smallest-share language gains
+    // probability, the largest loses
+    val bySh = t.sortBy(_.getAs[Long]("share_ppm"))
+    assert(bySh.head.getAs[Long]("p_ppm") > bySh.head.getAs[Long]("share_ppm"))
+    assert(bySh.last.getAs[Long]("p_ppm") < bySh.last.getAs[Long]("share_ppm"))
+    // ranking by share is preserved (alpha-sampling reweights, not reorders)
+    assert(bySh.map(_.getAs[Long]("p_ppm")).toSeq == bySh.map(_.getAs[Long]("p_ppm")).sorted.toSeq)
+  }
+
   test("weighted reservoir: deterministic top-K biased toward long documents") {
     import graft.ops.Sampling
     val s1 = Sampling.reservoirWeighted(spark, sf).collect()
