@@ -159,9 +159,11 @@ object Sampling {
     val total = perLang.agg(sum(col("tok_total")).as("_total"))
     val shared = perLang.crossJoin(broadcast(total))
       .withColumn("share_ppm", expr("tok_total * 1000000 DIV _total"))
-      // magnitude of ln(share) in micro-nats (share < 1 so ln is negative)
+      // magnitude of ln(share) in micro-nats (share < 1 so ln is
+      // negative); the greatest(·, 1) floor keeps a sub-ppm stratum
+      // (share_ppm = 0 after integer division) from feeding ln(0) = -∞
       .withColumn("_ln_mag_micro", expr(
-        "CAST(round(-1000000 * ln(share_ppm / CAST(1000000 AS DOUBLE))) AS BIGINT)"))
+        "CAST(round(-1000000 * ln(greatest(share_ppm, 1) / CAST(1000000 AS DOUBLE))) AS BIGINT)"))
       .withColumn("_scaled_micro", expr(
         s"-(_ln_mag_micro * $TempAlphaNum DIV $TempAlphaDen)"))
       .withColumn("w_micro", expr(
@@ -186,7 +188,7 @@ object Sampling {
        |scaled AS (
        |  SELECT lang, n_docs, tok_total, share_ppm,
        |    CAST(round(1000000 * exp(
-       |      -(CAST(round(-1000000 * ln(share_ppm / CAST(1000000 AS DOUBLE))) AS BIGINT)
+       |      -(CAST(round(-1000000 * ln(greatest(share_ppm, 1) / CAST(1000000 AS DOUBLE))) AS BIGINT)
        |        * $TempAlphaNum // $TempAlphaDen) / CAST(1000000 AS DOUBLE))) AS BIGINT) AS w_micro
        |  FROM shared)
        |SELECT lang, n_docs, tok_total, share_ppm, w_micro,

@@ -65,6 +65,7 @@ class PropertySpec extends SparkSuite {
     val b = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L))
     assert(a.map(_.sql) == b.map(_.sql), "same seed must yield identical SQL")
     assert(a.map(_.sql).distinct.size > 5, "specs should be diverse")
+    graft.tools.FuzzDump.sfDirHolder.set(sf) // join shapes read orders from here
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     a.foreach(s => assert(s.df(li).count() >= 0)) // every spec planable+runnable
   }
