@@ -217,45 +217,51 @@ object StreamOps {
     * not the table size. This is the Delta-less streaming-upsert shape
     * the reference's 1000-block flush implies, applied to an aggregate
     * instead of raw rows. */
+  /** One micro-batch's merge into the rollup table — factored out so a
+    * checkpointed query (exactly-once restart, see StreamingSpec) and
+    * the convenience starter below share the identical logic. */
+  def dailyRollupBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    val delta = batch
+      .select(expr("CAST(CAST(ts AS TIMESTAMP) AS DATE)").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val existing =
+      if (new java.io.File(tablePath).exists())
+        spark.read.parquet(tablePath)
+          .join(delta.select(col("day")).distinct(), Seq("day"), "left_semi")
+      else spark.emptyDataFrame
+        .withColumn("day", lit(null).cast("date"))
+        .withColumn("event_type", lit(null).cast("string"))
+        .withColumn("n", lit(null).cast("long"))
+        .withColumn("total", lit(null).cast("double"))
+        .limit(0)
+    // localCheckpoint materializes the merge BEFORE the overwrite —
+    // the write must not read the path it is replacing
+    delta.unionByName(existing)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .localCheckpoint()
+      .write.mode("overwrite")
+      // per-write option: the micro-batch runs on a cloned session,
+      // so a session-conf set from outside would not reach it
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(tablePath)
+    ()
+  }
+
   def dailyRollupStream(
       spark: SparkSession,
       events: DataFrame,
-      tablePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      tablePath: String): org.apache.spark.sql.streaming.StreamingQuery =
     events
       .writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = batch
-          .select(expr("CAST(CAST(ts AS TIMESTAMP) AS DATE)").as("day"),
-            col("event_type"), col("value"))
-          .groupBy(col("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
-        val existing =
-          if (new java.io.File(tablePath).exists())
-            spark.read.parquet(tablePath)
-              .join(delta.select(col("day")).distinct(), Seq("day"), "left_semi")
-          else spark.emptyDataFrame
-            .withColumn("day", lit(null).cast("date"))
-            .withColumn("event_type", lit(null).cast("string"))
-            .withColumn("n", lit(null).cast("long"))
-            .withColumn("total", lit(null).cast("double"))
-            .limit(0)
-        // localCheckpoint materializes the merge BEFORE the overwrite —
-        // the write must not read the path it is replacing
-        delta.unionByName(existing)
-          .groupBy(col("day"), col("event_type"))
-          .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-          .localCheckpoint()
-          .write.mode("overwrite")
-          // per-write option: the micro-batch runs on a cloned session,
-          // so a session-conf set from outside would not reach it
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("day")
-          .parquet(tablePath)
-        ()
+        dailyRollupBatch(spark, batch, tablePath)
       }
       .start()
-  }
 
   /** Streaming chain ingest: a stream of block heights drives the SAME
     * batch flattens (C1-C4) + dedup (D5) through foreachBatch — the

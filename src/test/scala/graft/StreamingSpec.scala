@@ -78,6 +78,41 @@ class StreamingSpec extends SparkSuite {
       ("2024-01-03", "view", 1L, 7.0)))
   }
 
+  test("daily-rollup stream restarts from its checkpoint without double counting") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_rollup_ckpt").toString
+    val (inDir, table, ckpt) = (s"$root/in", s"$root/daily", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val schema = Seq.empty[Event].toDF().schema
+    def arrive(name: String, evs: Event*): Unit =
+      evs.toDF().coalesce(1).write.mode("overwrite").parquet(s"$inDir/$name")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$inDir/*")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          StreamOps.dailyRollupBatch(spark, batch, table); ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    arrive("b1", Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-02 09:00:00"), 2, "view", 5.0))
+    run()
+    // restart: the same files are still in the directory; the checkpoint
+    // must prevent re-ingesting batch 1 while picking up batch 2
+    arrive("b2", Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 4.0))
+    run()
+    val rows = spark.read.parquet(table).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", "click", 2L, 5.0), // 1.0 + 4.0, NOT re-counted on restart
+      ("2024-01-02", "view", 1L, 5.0)))
+  }
+
   test("stream-static enrichment joins the broadcast dim, unmatched -> unknown") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
