@@ -1145,7 +1145,39 @@ object Relational {
       |FROM li JOIN promos ON ship_start <= p_end AND p_start <= ship_end
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q46: TYPED JSON parsing — from_json with an explicit schema turns
+  // the props payload into a struct column (schema-on-read, codegen
+  // field access), where q17 demonstrated string-path extraction. The
+  // parse happens once in the scan projection; everything downstream
+  // is ordinary typed column algebra.
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    ev.select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q46Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  count(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_json_typed" -> (q46 _),
     "q45_interval_overlap" -> (q45 _),
     "q44_anomaly_days" -> (q44 _),
     "q43_retention" -> (q43 _),
@@ -1194,6 +1226,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_json_typed" -> q46Sql,
     "q45_interval_overlap" -> q45Sql,
     "q44_anomaly_days" -> q44Sql,
     "q43_retention" -> q43Sql,
