@@ -5,12 +5,15 @@ object Bench {
   /** Headline subset for the one-line stdout JSON. The full per-query map
     * goes to BENCH.out.json; rounds 1-2 proved the driver's stdout tail
     * buffer is ~4KB, so a 69-query map pushes the line's start out of the
-    * buffer and the parse fails ("parsed": null). Keep the line < 2KB. */
+    * buffer and the parse fails ("parsed": null). Keep the line < 2KB.
+    * Refreshed round 5 to the current top-cost queries (VERDICT r4 item 3):
+    * chain_gas_by_range / dedup_bloom_probe dominated the r4 total. */
   private val Headline = Seq(
-    "q01_pricing_summary", "q03_join_broadcast", "q07_topk_per_group",
-    "q21_range_join", "q25_sessionization", "q30_topk_custom_operator",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "sim_ann_lsh",
-    "cluster_kmeans", "chain_ingest_1k", "text_vocabulary", "text_tfidf")
+    "q01_pricing_summary", "q03_join_broadcast", "q25_sessionization",
+    "q30_topk_custom_operator",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_bloom_probe",
+    "sim_ann_lsh", "cluster_kmeans", "chain_ingest_1k", "chain_gas_by_range",
+    "text_tfidf", "pipeline_refinery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,37 +36,50 @@ object Bench {
     // up to ~2.5x between single runs (SCALE.md), so one sample per query
     // mostly measures the host. Cache is cleared before EVERY rep — the
     // best is a cold-query time, never a warm-cache artifact.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    // A rep that throws must not contribute its (near-zero) duration to the
-    // min — a query failing fast on one rep would otherwise report the
-    // failure time as its cold-run number. Min over SUCCESSFUL reps only;
-    // all-failed queries report -1 and land in `failed`.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              if (!failed.contains(name)) failed ::= name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
-      }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Rep passes are INTERLEAVED across the whole query list (complete the
+    // rep-1 sweep over every query, then rep-2, then rep-3) so one query's
+    // reps never share a single host-contention window. Round 4's adjacent
+    // reps=2 misreported five queries by 1.7-23x: a localized CPU swing or
+    // first-use codegen hit both reps and min-of-2 could not escape it.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // A rep that throws must not contribute its (near-zero) duration —
+      // min over SUCCESSFUL reps only; all-failed queries report -1.
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      if (ok) samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val results = names.map { case (name, _) =>
+      val xs = samples(name)
+      (name, if (xs.nonEmpty) xs.min else -1.0, if (xs.nonEmpty) median(xs) else -1.0)
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val mins = results.map { case (k, mn, _) => (k, mn) }
+    val medians = results.map { case (k, _, md) => (k, md) }
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    val totalMedian = medians.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // numeric sf parsed from the dir name (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val headline = results.filter { case (k, _) => Headline.contains(k) }
+    val headline = mins.filter { case (k, _) => Headline.contains(k) }
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"failed":$failedJson,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"detail":"BENCH.out.json"}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedian,"failed":$failedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()
