@@ -204,6 +204,33 @@ object Load {
     (before, parquetFiles(dir))
   }
 
+  /** Per-partition compaction for a hive-partitioned root (the layout
+    * [[compact]] rejects): each `col=value` child directory is compacted
+    * independently through [[compact]]'s rename-aside swap, so every crash
+    * point still leaves every partition complete and recoverable, and
+    * partitions already at or below `numFiles` are SKIPPED — their bytes
+    * are never rewritten. This is the only compaction shape that scales:
+    * per-partition rewrites bounded by partition size, never a full-table
+    * shuffle, and trivially parallelizable across partitions by a driver
+    * loop at 100 TB (each swap touches one directory). Returns total
+    * (filesBefore, filesAfter) across all partitions. */
+  def compactPartitioned(spark: SparkSession, path: String, sortKeys: Seq[String],
+      numFiles: Int = 1): (Long, Long) = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"compactPartitioned: $path is not a directory")
+    val parts = dir.listFiles()
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .sortBy(_.getName)
+    require(parts.nonEmpty,
+      s"compactPartitioned: $path has no partition directories; use compact")
+    val results = parts.toSeq.map { p =>
+      val already = p.listFiles().count(_.getName.endsWith(".parquet"))
+      if (already <= numFiles) (already.toLong, already.toLong)
+      else compact(spark, p.toString, sortKeys, numFiles)
+    }
+    (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
   /** Targeted deletion — the right-to-be-forgotten / reorg-rollback
     * primitive: removes rows matching `predicate` from a
     * blockRange-partitioned table by REWRITING ONLY the partitions that
@@ -236,6 +263,22 @@ object Load {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("blockRange")
         .parquet(path)
+      // Dynamic partition overwrite only rewrites partitions PRESENT in the
+      // written data. A hit partition whose rows ALL matched the predicate
+      // contributes zero keep rows, so the overwrite never touches it and
+      // its files would silently survive (exactly the reorg-rollback case:
+      // delete blocks >= N empties entire tail partitions). Remove those
+      // fully-emptied partition directories explicitly.
+      val kept = keep.select(col("blockRange")).distinct()
+        .collect().map(_.getAs[Number](0).longValue).toSet
+      def rmTree(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rmTree)
+        p.delete(); ()
+      }
+      hit.filterNot(kept.contains).foreach { r =>
+        val d = new java.io.File(s"$path/blockRange=$r")
+        if (d.exists()) rmTree(d)
+      }
       (deleted, hit.length.toLong)
     }
   }

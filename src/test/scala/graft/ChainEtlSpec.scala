@@ -339,4 +339,72 @@ class ChainEtlSpec extends SparkSuite {
       .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
     assert(compacted.toSeq == original.toSeq)
   }
+
+  test("deleteWhere removes fully-emptied partitions from disk (reorg rollback)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delete_full").toString
+    val path = s"$dir/transactions"
+    // 3 ranges: 0-999, 1000-1999, 2000-2499
+    val b = ChainFixture.blocks(spark, 0L, 2499L)
+    val r = ChainFixture.receipts(spark, 0L, 2499L)
+    graft.etl.Load.writeBucketed(
+      Flatten.transactionRows(b, r), path, Schemas.dedupKeys("transactions"))
+    val total = spark.read.parquet(path).count()
+    val range01 = spark.read.parquet(path).filter(col("blockNumber") < 2000L).count()
+    // reorg rollback: delete blocks >= 2000 — range 2 is emptied ENTIRELY,
+    // the exact case dynamic overwrite misses (zero keep rows -> partition
+    // never rewritten). The directory must be gone, not just the rows.
+    val (deleted, rewritten) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") >= 2000L)
+    assert(deleted == total - range01 && rewritten == 1L)
+    assert(!new java.io.File(s"$path/blockRange=2").exists(),
+      "fully-emptied partition directory must be deleted from disk")
+    val after = spark.read.parquet(path)
+    assert(after.count() == range01 && after.agg(max(col("blockNumber"))).head.getLong(0) == 1999L)
+    // mixed case: one partition fully emptied (range 1), one partially (range 0)
+    val expect500 = (500L to 1999L).map(n => (n % 5) + 1).sum
+    val (d2, rw2) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") >= 500L)
+    assert(d2 == expect500 && rw2 == 2L)
+    assert(!new java.io.File(s"$path/blockRange=1").exists())
+    val f = spark.read.parquet(path)
+    assert(f.agg(max(col("blockNumber"))).head.getLong(0) == 499L)
+    assert(f.count() == (0L to 499L).map(n => (n % 5) + 1).sum)
+  }
+
+  test("compactPartitioned compacts each partition in place; untouched partitions byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val path = s"$dir/transactions"
+    val b = ChainFixture.blocks(spark, 0L, 1499L)
+    val r = ChainFixture.receipts(spark, 0L, 1499L)
+    graft.etl.Load.writeBucketed(
+      Flatten.transactionRows(b, r), path, Schemas.dedupKeys("transactions"))
+    // fragment range 0 with appended debris; leave range 1 as written
+    val extra = Flatten.transactionRows(
+      ChainFixture.blocks(spark, 0L, 99L), ChainFixture.receipts(spark, 0L, 99L))
+      .withColumn("blockRange", lit(0L))
+    (1 to 3).foreach { _ =>
+      extra.repartition(4).write.mode("append").partitionBy("blockRange").parquet(path)
+    }
+    val original = spark.read.parquet(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    val range1Files = new java.io.File(s"$path/blockRange=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val (before, after) = graft.etl.Load.compactPartitioned(
+      spark, path, Schemas.dedupKeys("transactions"), numFiles = 1)
+    assert(before > after && after == 2L, s"expected 2 files after, got ($before, $after)")
+    // range 1 was already at 1 file: its bytes must not have been rewritten
+    val range1After = new java.io.File(s"$path/blockRange=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    assert(range1After == range1Files, "untouched partition must be byte-identical")
+    // content identical, including the duplicate debris rows
+    val compacted = spark.read.parquet(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    assert(compacted.toSeq == original.toSeq)
+    // flat compact still rejects the partitioned root
+    intercept[IllegalArgumentException] {
+      graft.etl.Load.compact(spark, path, Schemas.dedupKeys("transactions"))
+    }
+  }
 }
