@@ -211,36 +211,56 @@ object StreamOps {
     * parquet daily-rollup table by rewriting ONLY the day partitions the
     * micro-batch touches (dynamic partition overwrite): read back the
     * touched days' current totals, merge the batch's deltas, overwrite
-    * those partitions. Crash-safe by idempotence — replaying a batch
-    * rewrites the same partitions to the same content — and at 100
-    * TB/day the rewrite cost is bounded by the day grain a batch spans,
-    * not the table size. This is the Delta-less streaming-upsert shape
-    * the reference's 1000-block flush implies, applied to an aggregate
-    * instead of raw rows. */
+    * those partitions. At 100 TB/day the rewrite cost is bounded by the
+    * day grain a batch spans, not the table size. This is the Delta-less
+    * streaming-upsert shape the reference's 1000-block flush implies,
+    * applied to an aggregate instead of raw rows. */
   /** One micro-batch's merge into the rollup table — factored out so a
     * checkpointed query (exactly-once restart, see StreamingSpec) and
-    * the convenience starter below share the identical logic. */
-  def dailyRollupBatch(spark: SparkSession, batch: DataFrame, tablePath: String): Unit = {
+    * the convenience starter below share the identical logic.
+    *
+    * Replay-safe per batchId: foreachBatch's standard failure window is
+    * "sink write committed, checkpoint offset not", after which the SAME
+    * batchId replays with the same data — an additive merge would
+    * double-count. Every rewritten day partition carries a `last_batch`
+    * column recording the batch that produced it; the marker rides in the
+    * same partition write, so data and applied-batch record commit
+    * atomically PER PARTITION. On replay, days whose stored last_batch ≥
+    * this batchId are skipped (their delta was already folded in), and a
+    * crash mid-overwrite replays exactly the days that didn't land. */
+  def dailyRollupBatch(spark: SparkSession, batch: DataFrame, tablePath: String,
+      batchId: Long): Unit = {
     val delta = batch
       .select(expr("CAST(CAST(ts AS TIMESTAMP) AS DATE)").as("day"),
         col("event_type"), col("value"))
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
     val existing =
-      if (new java.io.File(tablePath).exists())
-        spark.read.parquet(tablePath)
-          .join(delta.select(col("day")).distinct(), Seq("day"), "left_semi")
-      else spark.emptyDataFrame
+      if (new java.io.File(tablePath).exists()) {
+        val t = spark.read.parquet(tablePath)
+        // pre-upgrade tables have no marker: treat as never-applied
+        val withMarker =
+          if (t.columns.contains("last_batch")) t
+          else t.withColumn("last_batch", lit(-1L))
+        withMarker.join(delta.select(col("day")).distinct(), Seq("day"), "left_semi")
+      } else spark.emptyDataFrame
         .withColumn("day", lit(null).cast("date"))
         .withColumn("event_type", lit(null).cast("string"))
         .withColumn("n", lit(null).cast("long"))
         .withColumn("total", lit(null).cast("double"))
+        .withColumn("last_batch", lit(null).cast("long"))
         .limit(0)
+    val appliedDays = existing.filter(col("last_batch") >= batchId)
+      .select(col("day")).distinct()
+    val freshDelta = delta.join(appliedDays, Seq("day"), "left_anti")
+    val freshExisting = existing.join(appliedDays, Seq("day"), "left_anti")
+      .select(col("day"), col("event_type"), col("n"), col("total"))
     // localCheckpoint materializes the merge BEFORE the overwrite —
     // the write must not read the path it is replacing
-    delta.unionByName(existing)
+    freshDelta.unionByName(freshExisting)
       .groupBy(col("day"), col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .withColumn("last_batch", lit(batchId))
       .localCheckpoint()
       .write.mode("overwrite")
       // per-write option: the micro-batch runs on a cloned session,
@@ -258,8 +278,8 @@ object StreamOps {
     events
       .writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dailyRollupBatch(spark, batch, tablePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dailyRollupBatch(spark, batch, tablePath, batchId)
       }
       .start()
 

@@ -90,8 +90,8 @@ class StreamingSpec extends SparkSuite {
       val q = spark.readStream.schema(schema).parquet(s"$inDir/*")
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          StreamOps.dailyRollupBatch(spark, batch, table); ()
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          StreamOps.dailyRollupBatch(spark, batch, table, batchId); ()
         }
         .start()
       q.processAllAvailable()
@@ -110,6 +110,36 @@ class StreamingSpec extends SparkSuite {
       .sortBy(t => (t._1, t._2))
     assert(rows.toSeq == Seq(
       ("2024-01-01", "click", 2L, 5.0), // 1.0 + 4.0, NOT re-counted on restart
+      ("2024-01-02", "view", 1L, 5.0)))
+  }
+
+  test("daily-rollup batch replay (same batchId) is idempotent, next batch still merges") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_rollup_replay").toString + "/daily"
+    def batchDf(evs: Event*) = evs.toDF()
+    val b0 = batchDf(
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, Timestamp.valueOf("2024-01-02 09:00:00"), 2, "view", 5.0))
+    StreamOps.dailyRollupBatch(spark, b0, table, batchId = 0L)
+    // the foreachBatch failure window: sink write committed, offset not —
+    // the SAME batch (id + data) replays. Totals must not change.
+    StreamOps.dailyRollupBatch(spark, b0, table, batchId = 0L)
+    def snapshot() = spark.read.parquet(table).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("total")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snapshot() == Seq(
+      ("2024-01-01", "click", 1L, 1.0),
+      ("2024-01-02", "view", 1L, 5.0)), "replayed batch must not double-count")
+    // a NEW batch touching the same day still merges additively
+    StreamOps.dailyRollupBatch(spark,
+      batchDf(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 4.0)),
+      table, batchId = 1L)
+    StreamOps.dailyRollupBatch(spark, // and its replay is also a no-op
+      batchDf(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 3, "click", 4.0)),
+      table, batchId = 1L)
+    assert(snapshot() == Seq(
+      ("2024-01-01", "click", 2L, 5.0),
       ("2024-01-02", "view", 1L, 5.0)))
   }
 
