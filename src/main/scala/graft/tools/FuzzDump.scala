@@ -89,7 +89,7 @@ object FuzzDump {
   private def having(rng: Random): Option[(Column, String)] =
     if (rng.nextBoolean()) Some((col("n") > 5L, "HAVING count(*) > 5")) else None
 
-  def spec(i: Int, seed: Long): Spec = {
+  def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01"): Spec = {
     val rng = new Random(seed + i)
     val (fCol, fSql) = filters(rng)
     val joinShape = rng.nextInt(3) == 0 // every ~3rd spec joins orders
@@ -99,10 +99,12 @@ object FuzzDump {
     val hv = if (joinShape) having(rng) else None
     val name = f"fuzz_$i%02d"
     val df = (li: DataFrame) => {
+      // sfDir is captured at spec-build time: a spec built for one scale
+      // dir always reads orders from THAT dir, regardless of what other
+      // specs are built later (reproducibility for a differential harness).
       val src =
         if (joinShape)
-          li.join(li.sparkSession.read.parquet(
-              s"${FuzzDump.sfDirHolder.get()}/orders.parquet"),
+          li.join(li.sparkSession.read.parquet(s"$sfDir/orders.parquet"),
             col("l_orderkey") === col("o_orderkey"))
         else li
       val grouped = src.filter(fCol)
@@ -124,11 +126,6 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
-  /** The sf dir the join shape reads `orders` from (set by main /
-    * tests before building DataFrames). */
-  val sfDirHolder = new java.util.concurrent.atomic.AtomicReference[String](
-    "/root/testdata/sf0.01")
-
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_fuzz"
@@ -143,10 +140,9 @@ object FuzzDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sfDirHolder.set(sfDir)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     new java.io.File(outDir).mkdirs()
-    val specs = (0 until n).map(spec(_, seed))
+    val specs = (0 until n).map(spec(_, seed, sfDir))
     specs.foreach { s =>
       s.df(li).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${s.name}")
     }

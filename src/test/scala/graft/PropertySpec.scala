@@ -61,11 +61,10 @@ class PropertySpec extends SparkSuite {
   }
 
   test("fuzz generator: seeded specs are deterministic and all execute on Spark") {
-    val a = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L))
-    val b = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L))
+    val a = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L, sf))
+    val b = (0 until 10).map(graft.tools.FuzzDump.spec(_, 42L, sf))
     assert(a.map(_.sql) == b.map(_.sql), "same seed must yield identical SQL")
     assert(a.map(_.sql).distinct.size > 5, "specs should be diverse")
-    graft.tools.FuzzDump.sfDirHolder.set(sf) // join shapes read orders from here
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     a.foreach(s => assert(s.df(li).count() >= 0)) // every spec planable+runnable
   }
