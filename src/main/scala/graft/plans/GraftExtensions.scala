@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.types.U256.{DecimalToU256, U256ToDecimal}
-import graft.types.U256Arith.U256Add
+import graft.types.U256Arith.{U256Add, U256Div, U256Mul}
 
 /** Catalyst integration (SURVEY §4.2): a custom optimizer rule plus SQL
   * registration for the u256 expression family, injected through the
@@ -38,6 +38,12 @@ object GraftExtensions {
     (FunctionIdentifier("u256_add"),
       new ExpressionInfo(classOf[U256Add].getName, "u256_add"),
       (args: Seq[Expression]) => U256Add(args(0), args(1))),
+    (FunctionIdentifier("u256_mul"),
+      new ExpressionInfo(classOf[U256Mul].getName, "u256_mul"),
+      (args: Seq[Expression]) => U256Mul(args(0), args(1))),
+    (FunctionIdentifier("u256_div"),
+      new ExpressionInfo(classOf[U256Div].getName, "u256_div"),
+      (args: Seq[Expression]) => U256Div(args(0), args(1))),
     // poly_hash(str, base, mod): the engine-independent polynomial fold
     // behind rolling hashes / MinHash shingles / SimHash — base and mod
     // are plan-time constants (they parameterize generated code).

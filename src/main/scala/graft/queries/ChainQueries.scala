@@ -174,6 +174,30 @@ object ChainQueries {
         .cast("string").as("total_value_u256"))
   }
 
+  /** The u256 multiply/divide expressions in a real money query: per
+    * 100-block bucket, the wei→gwei normalization of transferred value
+    * (u256_div by 1e9, floor — how explorers display amounts) and a
+    * doubled-value total (u256_mul, exercising the wrap-free domain),
+    * both computed ENTIRELY in the 256-bit binary domain and only
+    * narrowed to BIGINT at presentation. The DuckDB oracle recomputes
+    * from the raw value bytes with 64-bit integer math (fixture values
+    * fit in the low 7 bytes). Codegen expressions inline into the same
+    * whole-stage-codegen span as the aggregation — no UDF boundary. */
+  def chainU256Math(s: SparkSession, dir: String): DataFrame = {
+    import graft.types.U256Arith
+    val gweiB = U256.fromDecimal(lit("1000000000").cast(DecimalType(38, 0)))
+    val twoB = U256.fromDecimal(lit("2").cast(DecimalType(38, 0)))
+    raw(s, "transactions")
+      .groupBy(floor(col("blockNumber") / 100).cast("long").as("range100"))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        sum(U256.toDecimal(U256Arith.u256Div(col("value"), gweiB)))
+          .cast("long").as("gwei_sent"),
+        sum(U256.toDecimal(U256Arith.u256Mul(col("value"), twoB)))
+          .cast("long").as("wei_doubled"))
+      .orderBy(col("range100"))
+  }
+
   /** Per-address account profile over the flattened transactions — the
     * address-page query a chain warehouse serves constantly (explorer
     * address views, wallet analytics): tx count, block span, distinct
@@ -447,6 +471,7 @@ object ChainQueries {
     "chain_dedup_idempotent" -> (chainDedupIdempotent _),
     "chain_ref_integrity" -> (chainRefIntegrity _),
     "chain_u256_roundtrip" -> (chainU256 _),
+    "chain_u256_math" -> (chainU256Math _),
     "chain_gas_by_range" -> (chainGasByRange _)
   )
 
@@ -622,6 +647,12 @@ object ChainQueries {
          |  CAST(max(gap_s) AS BIGINT) AS max_gap_s,
          |  CAST(sum(gap_s) AS BIGINT) // count(gap_s) AS mean_gap_s
          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_u256_math" ->
+      s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
+         |count(*) AS n_tx,
+         |CAST(SUM(CAST(concat('0x', substr(hex("value"), 51, 14)) AS BIGINT) // 1000000000) AS BIGINT) AS gwei_sent,
+         |CAST(SUM(CAST(concat('0x', substr(hex("value"), 51, 14)) AS BIGINT) * 2) AS BIGINT) AS wei_doubled
+         |FROM ${tbl("transactions")} GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_gas_by_range" ->
       s"""SELECT CAST(floor(blockNumber / 100) AS BIGINT) AS range100,
          |count(*) AS n_tx,

@@ -43,6 +43,77 @@ object U256Arith {
     override def prettyName: String = "u256_add"
   }
 
+  /** a * b mod 2^256 over 32-byte big-endian arrays — ClickHouse UInt256
+    * wrap semantics. Byte-wise schoolbook keeping only the low 32 output
+    * bytes; per-cell accumulators stay far below Long range (≤ 32 products
+    * of ≤ 255² plus carry), so one final carry sweep normalizes exactly. */
+  def mulBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val W = U256.WIDTH
+    val acc = new Array[Long](W) // acc(k) = coefficient of 256^k
+    var i = 0
+    while (i < W) {
+      val ai = a(W - 1 - i) & 0xff
+      if (ai != 0) {
+        var j = 0
+        val maxJ = W - i // higher cells would overflow past 2^256: dropped
+        while (j < maxJ) {
+          acc(i + j) += ai.toLong * (b(W - 1 - j) & 0xff)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](W)
+    var carry = 0L
+    var k = 0
+    while (k < W) {
+      val s = acc(k) + carry
+      out(W - 1 - k) = (s & 0xff).toByte
+      carry = s >>> 8
+      k += 1
+    }
+    out // carry out of bit 256 drops: wrap semantics
+  }
+
+  /** floor(a / b) over 32-byte big-endian arrays; null on division by
+    * zero (SQL semantics — matches Spark's non-ANSI integral divide,
+    * diverging from ClickHouse intDiv's throw, documented here). */
+  def divBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val divisor = new java.math.BigInteger(1, b)
+    if (divisor.signum == 0) null
+    else U256.toBytes32(BigInt(new java.math.BigInteger(1, a).divide(divisor)))
+  }
+
+  case class U256Mul(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      mulBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.types.U256Arith.mulBytes($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Mul =
+      copy(left = l, right = r)
+    override def prettyName: String = "u256_mul"
+  }
+
+  case class U256Div(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true // division by zero -> null
+    override def nullSafeEval(a: Any, b: Any): Any =
+      divBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+         |${ev.value} = graft.types.U256Arith.divBytes($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Div =
+      copy(left = l, right = r)
+    override def prettyName: String = "u256_div"
+  }
+
   /** SUM over u256 binaries, wrapping mod 2^256 — a TypedImperativeAggregate
     * whose buffer is the running 32-byte total (partial sums merge
     * associatively, so map-side combine applies as usual). */
@@ -75,6 +146,10 @@ object U256Arith {
   // ---- Column API ----
   def u256Add(a: Column, b: Column): Column =
     ColumnBridge.column(U256Add(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def u256Mul(a: Column, b: Column): Column =
+    ColumnBridge.column(U256Mul(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def u256Div(a: Column, b: Column): Column =
+    ColumnBridge.column(U256Div(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def u256Sum(c: Column): Column =
     ColumnBridge.column(U256Sum(ColumnBridge.expression(c)).toAggregateExpression())
 }

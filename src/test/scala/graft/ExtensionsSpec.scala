@@ -37,6 +37,14 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT u256_add(bin, decimal_to_u256(CAST(1 AS DECIMAL(38,0)))) AS s FROM t_u256")
       .collect()(0).getAs[Array[Byte]](0)
     assert(U256.fromBytes32(rt) == BigInt("123456789012345678901234567891"))
+    val md = spark.sql(
+      """SELECT u256_mul(bin, decimal_to_u256(CAST(3 AS DECIMAL(38,0)))) AS m,
+        |       u256_div(bin, decimal_to_u256(CAST(10 AS DECIMAL(38,0)))) AS d
+        |FROM t_u256""".stripMargin).collect()(0)
+    assert(U256.fromBytes32(md.getAs[Array[Byte]]("m")) ==
+      BigInt("123456789012345678901234567890") * 3)
+    assert(U256.fromBytes32(md.getAs[Array[Byte]]("d")) ==
+      BigInt("12345678901234567890123456789"))
   }
 
   test("poly_hash is callable from SQL and equals the Column API expression") {

@@ -42,6 +42,60 @@ class U256ArithSpec extends SparkSuite {
     assert(got == vals.sum % (BigInt(1) << 256))
   }
 
+  test("mulBytes matches BigInt multiplication mod 2^256, incl. overflow") {
+    val rnd = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val a = BigInt(256, rnd.self)
+      val b = BigInt(256, rnd.self)
+      val got = U256.fromBytes32(U256Arith.mulBytes(U256.toBytes32(a), U256.toBytes32(b)))
+      assert(got == (a * b) % Mod)
+    }
+    // identities and explicit overflow wrap
+    val max = Mod - 1
+    def mul(a: BigInt, b: BigInt) =
+      U256.fromBytes32(U256Arith.mulBytes(U256.toBytes32(a), U256.toBytes32(b)))
+    assert(mul(max, BigInt(1)) == max)
+    assert(mul(max, BigInt(0)) == 0)
+    assert(mul(max, max) == (max * max) % Mod)
+    assert(mul(BigInt(1) << 128, BigInt(1) << 128) == 0) // exactly 2^256 wraps to 0
+  }
+
+  test("divBytes matches BigInt floor division; division by zero is null") {
+    val rnd = new scala.util.Random(13)
+    (1 to 300).foreach { _ =>
+      val a = BigInt(256, rnd.self)
+      val b = BigInt(1 + rnd.nextInt(255), rnd.self) + 1 // nonzero, varied width
+      val got = U256.fromBytes32(U256Arith.divBytes(U256.toBytes32(a), U256.toBytes32(b)))
+      assert(got == a / b)
+    }
+    assert(U256Arith.divBytes(U256.toBytes32(BigInt(42)), U256.toBytes32(BigInt(0))) == null)
+    // small / large floors to zero; self-division is 1
+    val max = Mod - 1
+    def div(a: BigInt, b: BigInt) =
+      U256.fromBytes32(U256Arith.divBytes(U256.toBytes32(a), U256.toBytes32(b)))
+    assert(div(BigInt(5), max) == 0)
+    assert(div(max, max) == 1)
+  }
+
+  test("U256Mul/U256Div expressions work in a DataFrame plan; div-by-zero row is null") {
+    import spark.implicits._
+    val big = BigInt(10).pow(40) // beyond Decimal(38,0)
+    val rows = Seq(
+      (U256.toBytes32(big), U256.toBytes32(BigInt(3))),
+      (U256.toBytes32(BigInt(100)), U256.toBytes32(BigInt(7))),
+      (U256.toBytes32(BigInt(100)), U256.toBytes32(BigInt(0))))
+    val got = rows.toDF("a", "b")
+      .select(
+        U256Arith.u256Mul(col("a"), col("b")).as("m"),
+        U256Arith.u256Div(col("a"), col("b")).as("d"))
+      .collect()
+    assert(U256.fromBytes32(got(0).getAs[Array[Byte]]("m")) == big * 3)
+    assert(U256.fromBytes32(got(0).getAs[Array[Byte]]("d")) == big / 3)
+    assert(U256.fromBytes32(got(1).getAs[Array[Byte]]("m")) == 700)
+    assert(U256.fromBytes32(got(1).getAs[Array[Byte]]("d")) == 14)
+    assert(got(2).isNullAt(got(2).fieldIndex("d")), "division by zero must be null")
+  }
+
   test("U256Sum grouped: per-group totals beyond decimal range") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 3, U256.toBytes32(BigInt(10).pow(40) + i)))
