@@ -1,8 +1,9 @@
 package graft.sources
 
 import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, TimeUnit}
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
@@ -26,40 +27,19 @@ object FixtureFetcher extends BlockFetcher {
   override def blockReceipts(n: Long): BlockReceipts = ChainFixture.genReceipts(n)
 }
 
-/** HTTP JSON-RPC transport. One client + connection per partition reader
-  * (constructed executor-side), requests issued sequentially over the
-  * partition's contiguous sub-range — the reference's loop, parallelized
-  * across partitions instead of across blocks.
+/** Ethereum JSON-RPC wire decoding, shared by the HTTP and WebSocket
+  * transports (the payloads are byte-identical across transports —
+  * only the framing differs).
   *
   * Parsing uses the standard quantity/data hex encodings of the Ethereum
   * JSON-RPC wire format; `miner`/`author` and `sha3Uncles`/`unclesHash`
   * are both accepted (geth vs OpenEthereum spellings, the two shapes the
   * reference's ethers client normalizes, main.rs:176-290).
   */
-class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
-
-  private val client = HttpClient.newHttpClient()
-  private val mapper = new ObjectMapper()
-  private var nextId = 0L
-
-  private def rpc(method: String, params: String): JsonNode = {
-    nextId += 1
-    val body = s"""{"jsonrpc":"2.0","id":$nextId,"method":"$method","params":$params}"""
-    val req = HttpRequest.newBuilder(URI.create(endpoint))
-      .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-      .build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() != 200)
-      throw new java.io.IOException(s"$method HTTP ${resp.statusCode()}")
-    val root = mapper.readTree(resp.body())
-    if (root.has("error"))
-      throw new java.io.IOException(s"$method RPC error: ${root.get("error")}")
-    root.get("result")
-  }
+private[sources] object RpcWire {
 
   // ---- hex codecs (0x-prefixed DATA / QUANTITY per the JSON-RPC spec) ----
-  private def hexBytes(n: JsonNode): Array[Byte] = {
+  def hexBytes(n: JsonNode): Array[Byte] = {
     val s0 = n.asText().stripPrefix("0x")
     val s = if (s0.length % 2 == 1) "0" + s0 else s0
     val out = new Array[Byte](s.length / 2)
@@ -70,16 +50,16 @@ class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
     }
     out
   }
-  private def hexU256(n: JsonNode): Array[Byte] =
+  def hexU256(n: JsonNode): Array[Byte] =
     graft.types.U256.toBytes32(BigInt(n.asText().stripPrefix("0x"), 16))
-  private def hexLong(n: JsonNode): Long =
+  def hexLong(n: JsonNode): Long =
     java.lang.Long.parseLong(n.asText().stripPrefix("0x"), 16)
-  private def hexDec(n: JsonNode): BigDecimal =
+  def hexDec(n: JsonNode): BigDecimal =
     BigDecimal(BigInt(n.asText().stripPrefix("0x"), 16))
-  private def opt(o: JsonNode, f: String): Option[JsonNode] =
+  def opt(o: JsonNode, f: String): Option[JsonNode] =
     Option(o.get(f)).filterNot(_.isNull)
 
-  private def parseTx(t: JsonNode): RpcTx = RpcTx(
+  def parseTx(t: JsonNode): RpcTx = RpcTx(
     hash = hexBytes(t.get("hash")),
     chainId = opt(t, "chainId").map(hexDec),
     txType = opt(t, "type").map(hexLong),
@@ -97,14 +77,13 @@ class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
     v = hexLong(t.get("v")),
     accessList = opt(t, "accessList").map(_.toString))
 
-  private def parseWithdrawal(w: JsonNode): RpcWithdrawal = RpcWithdrawal(
+  def parseWithdrawal(w: JsonNode): RpcWithdrawal = RpcWithdrawal(
     index = hexLong(w.get("index")),
     validatorIndex = hexLong(w.get("validatorIndex")),
     address = hexBytes(w.get("address")),
     amount = hexDec(w.get("amount")))
 
-  override def blockWithTxs(n: Long): RpcBlock = {
-    val b = rpc("eth_getBlockByNumber", s"""["0x${n.toHexString}",true]""")
+  def parseBlock(n: Long, b: JsonNode): RpcBlock = {
     if (b == null || b.isNull)
       throw new NoSuchElementException(s"block $n not found")
     import scala.jdk.CollectionConverters._
@@ -141,8 +120,7 @@ class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
         .map(_.elements().asScala.map(parseWithdrawal).toSeq))
   }
 
-  override def blockReceipts(n: Long): BlockReceipts = {
-    val arr = rpc("eth_getBlockReceipts", s"""["0x${n.toHexString}"]""")
+  def parseReceipts(n: Long, arr: JsonNode): BlockReceipts = {
     import scala.jdk.CollectionConverters._
     val rs = arr.elements().asScala.map { r =>
       RpcReceipt(
@@ -168,11 +146,127 @@ class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
   }
 }
 
+/** HTTP JSON-RPC transport. One client + connection per partition reader
+  * (constructed executor-side), requests issued sequentially over the
+  * partition's contiguous sub-range — the reference's loop, parallelized
+  * across partitions instead of across blocks.
+  */
+class HttpJsonRpcFetcher(endpoint: String) extends BlockFetcher {
+
+  private val client = HttpClient.newHttpClient()
+  private val mapper = new ObjectMapper()
+  private var nextId = 0L
+
+  private def rpc(method: String, params: String): JsonNode = {
+    nextId += 1
+    val body = s"""{"jsonrpc":"2.0","id":$nextId,"method":"$method","params":$params}"""
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"$method HTTP ${resp.statusCode()}")
+    val root = mapper.readTree(resp.body())
+    if (root.has("error"))
+      throw new java.io.IOException(s"$method RPC error: ${root.get("error")}")
+    root.get("result")
+  }
+
+  override def blockWithTxs(n: Long): RpcBlock =
+    RpcWire.parseBlock(n, rpc("eth_getBlockByNumber", s"""["0x${n.toHexString}",true]"""))
+
+  override def blockReceipts(n: Long): BlockReceipts =
+    RpcWire.parseReceipts(n, rpc("eth_getBlockReceipts", s"""["0x${n.toHexString}"]"""))
+}
+
+/** WebSocket JSON-RPC transport — the reference's actual wire
+  * (`Provider::<Ws>::connect`, reference: src/main.rs:50): one persistent
+  * connection per partition reader carrying the same request/response
+  * JSON-RPC payloads as HTTP (the reference uses no subscriptions, so
+  * request/response over WS is full transport parity). Responses are
+  * correlated by JSON-RPC id, so the transport stays correct even if a
+  * node answers out of order; text frames may arrive fragmented and are
+  * reassembled per the WebSocket message contract. Built on the JDK's
+  * `java.net.http.WebSocket` — no extra dependency. */
+class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFetcher {
+
+  private val mapper = new ObjectMapper()
+  private val pending = new ConcurrentHashMap[Long, CompletableFuture[JsonNode]]()
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val listener = new WebSocket.Listener {
+    private val buf = new java.lang.StringBuilder
+    override def onText(ws: WebSocket, data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
+      buf.append(data)
+      if (last) {
+        val msg = buf.toString; buf.setLength(0)
+        val root = mapper.readTree(msg)
+        val idNode = root.get("id")
+        if (idNode != null && !idNode.isNull) {
+          val f = pending.remove(idNode.asLong())
+          if (f != null) f.complete(root)
+        } // non-response frames (e.g. subscription pushes) are ignored
+      }
+      ws.request(1)
+      null
+    }
+    override def onError(ws: WebSocket, error: Throwable): Unit = {
+      pending.values().forEach(_.completeExceptionally(error))
+      pending.clear()
+    }
+    override def onClose(ws: WebSocket, statusCode: Int, reason: String): java.util.concurrent.CompletionStage[_] = {
+      val err = new java.io.IOException(s"WebSocket closed ($statusCode): $reason")
+      pending.values().forEach(_.completeExceptionally(err))
+      pending.clear()
+      null
+    }
+  }
+
+  private val ws: WebSocket = HttpClient.newHttpClient()
+    .newWebSocketBuilder()
+    .buildAsync(URI.create(endpoint), listener)
+    .join()
+
+  private def rpc(method: String, params: String): JsonNode = {
+    val id = nextId.incrementAndGet()
+    val fut = new CompletableFuture[JsonNode]()
+    pending.put(id, fut)
+    val body = s"""{"jsonrpc":"2.0","id":$id,"method":"$method","params":$params}"""
+    ws.sendText(body, true).join()
+    val root =
+      try fut.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case e: java.util.concurrent.TimeoutException =>
+          pending.remove(id)
+          throw new java.io.IOException(s"$method timed out after ${timeoutSec}s", e)
+      }
+    if (root.has("error") && !root.get("error").isNull)
+      throw new java.io.IOException(s"$method RPC error: ${root.get("error")}")
+    root.get("result")
+  }
+
+  override def blockWithTxs(n: Long): RpcBlock =
+    RpcWire.parseBlock(n, rpc("eth_getBlockByNumber", s"""["0x${n.toHexString}",true]"""))
+
+  override def blockReceipts(n: Long): BlockReceipts =
+    RpcWire.parseReceipts(n, rpc("eth_getBlockReceipts", s"""["0x${n.toHexString}"]"""))
+
+  override def close(): Unit = {
+    try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+      .orTimeout(5, TimeUnit.SECONDS).join()
+    catch { case _: Throwable => ws.abort() }
+  }
+}
+
 object BlockFetcher {
-  /** Transport selection for a scan partition: an `endpoint` option picks
-    * the HTTP JSON-RPC client; absent, the offline fixture. */
+  /** Transport selection for a scan partition: `ws://`/`wss://` endpoints
+    * take the WebSocket client (the reference's transport, main.rs:50),
+    * any other URL the HTTP JSON-RPC client; absent, the offline fixture. */
   def forEndpoint(endpoint: Option[String]): BlockFetcher =
     endpoint match {
+      case Some(url) if url.startsWith("ws://") || url.startsWith("wss://") =>
+        new WsJsonRpcFetcher(url)
       case Some(url) => new HttpJsonRpcFetcher(url)
       case None => FixtureFetcher
     }
