@@ -108,10 +108,13 @@ object VectorAgg {
     * produce the same shape); probe = the `nprobe` cells whose centroids
     * are nearest the query, exact cosine only within probed cells. At
     * 100 TB the cell assignment is a write-time partition key, so a probe
-    * touches only matching partitions. */
+    * touches only matching partitions — and `nprobe` is THE recall/cost
+    * dial: scan cost grows linearly with it while recall saturates
+    * (measured curve in SCALE.md; the registered query pins nprobe = 3
+    * for its oracle). */
   val NProbe = 3
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String, nprobe: Int = NProbe): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val agg = new RowCentroidAggregator(64, "embedding")
     val centroids = emb.groupBy(col("label"))
@@ -125,7 +128,7 @@ object VectorAgg {
       .select(col("q_id"), col("q_emb"), col("c_label"),
         SimilarityOps.cosine(col("q_emb"), col("centroid")).as("c_cos"))
       .withColumn("_r", row_number().over(wCell))
-      .filter(col("_r") <= NProbe)
+      .filter(col("_r") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("c_label").as("label"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     emb.join(broadcast(probedCells), Seq("label"))
@@ -176,7 +179,7 @@ object VectorAgg {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_label_centroids" -> (labelCentroids _),
-    "sim_ann_ivf" -> (annIvf _)
+    "sim_ann_ivf" -> ((s: SparkSession, d: String) => annIvf(s, d))
   )
 
   val oracle: Map[String, String] = Map(

@@ -147,6 +147,25 @@ class OpsSpec extends SparkSuite {
       s"IVF recall too low: $overlap")
   }
 
+  test("IVF recall-vs-nprobe curve is monotone and saturates to exhaustive") {
+    val bf = SimilarityOps.annBruteForce(spark, sf).select("q_id", "c_id").localCheckpoint()
+    val denom = (SimilarityOps.ProbeIds * SimilarityOps.TopK).toDouble
+    val curve = Seq(1, 2, 4, 8, 10).map { np =>
+      val ivf = graft.ops.VectorAgg.annIvf(spark, sf, nprobe = np).select("q_id", "c_id")
+      np -> bf.intersect(ivf).count().toDouble / denom
+    }
+    info(s"IVF recall@10 by nprobe: ${curve.map { case (n, r) => f"$n->$r%.3f" }.mkString(", ")}")
+    // more probed cells can only add candidates: recall is nondecreasing
+    curve.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r2 >= r1, f"recall fell from $r1%.3f (nprobe=$n1) to $r2%.3f (nprobe=$n2)")
+    }
+    // nprobe = all 10 cells IS brute force (same tie-break ordering)
+    assert(curve.last._2 == 1.0, s"exhaustive probe must equal brute force: ${curve.last}")
+    // the documented operating point
+    val at4 = curve.find(_._1 == 4).get._2
+    assert(at4 >= 0.35, f"recall at nprobe=4 too low: $at4%.3f")
+  }
+
   test("deterministic k-means: full partition, deterministic, k*dim centroid rows") {
     val a = graft.ops.Clustering.kmeans(spark, sf)
     assert(a.count() == graft.ops.Clustering.K * graft.ops.Clustering.Dim)
