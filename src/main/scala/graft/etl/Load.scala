@@ -28,29 +28,25 @@ object Load {
 
   val Batch = 1000L
 
-  /** Write one table bucketed by blockRange, sorted by its dedup key. */
+  /** Write one table bucketed by blockRange, sorted by its dedup key,
+    * through the given sink (ParquetSink unless a job plugs another —
+    * the D1 sink contract lives in [[TableSink]]). */
   def writeBucketed(
       df: DataFrame,
       path: String,
       sortKeys: Seq[String],
-      numberCol: String = "blockNumber"): Unit = {
-    df.withColumn("blockRange", floor(col(numberCol) / Batch).cast("long"))
-      .repartition(col("blockRange"))
-      .sortWithinPartitions(sortKeys.map(col): _*)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("blockRange")
-      .parquet(path)
-  }
+      numberCol: String = "blockNumber",
+      sink: TableSink = ParquetSink): Unit =
+    sink.write(df, path, sortKeys, numberCol)
 
   /** D3: the 4 table loads of one flush run concurrently (try_join!,
     * main.rs:293-311); any failure propagates and aborts — same
     * fail-fast contract, but each write is internally parallel too. */
-  def writeAll(tables: Map[String, (DataFrame, Seq[String], String)], warehouse: String): Unit = {
+  def writeAll(tables: Map[String, (DataFrame, Seq[String], String)], warehouse: String,
+      sink: TableSink = ParquetSink): Unit = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = tables.map { case (name, (df, sortKeys, numberCol)) =>
-      Future(writeBucketed(df, s"$warehouse/$name", sortKeys, numberCol))
+      Future(writeBucketed(df, s"$warehouse/$name", sortKeys, numberCol, sink))
     }
     Await.result(Future.sequence(jobs), Duration.Inf)
   }
@@ -288,7 +284,7 @@ object Load {
     * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline
     * fixture when absent. */
   def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
-      endpoint: Option[String] = None): Unit = {
+      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit = {
     val blocks = graft.sources.BlockFetcher.blocks(spark, from, to, endpoint)
     val receipts = graft.sources.BlockFetcher.receipts(spark, from, to, endpoint)
     writeAll(Map(
@@ -299,6 +295,6 @@ object Load {
         Schemas.dedupKeys("events"), "blockNumber")),
       "withdraws" -> ((Flatten.withdrawalRows(blocks),
         Schemas.dedupKeys("withdraws"), "blockNumber"))
-    ), warehouse)
+    ), warehouse, sink)
   }
 }

@@ -1,0 +1,83 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** D1 sink abstraction. The reference bulk-loads ClickHouse's native
+  * columnar block format over one connection per table
+  * (`insert_native_block`, reference: src/main.rs:294-309); this build's
+  * analytical store is Parquet. The trait makes that substitution a
+  * CONTRACT rather than an accident of the code: a sink lands one
+  * flattened chain table and must provide
+  *
+  *   (a) columnar-at-rest layout (or an explicitly interchange-grade
+  *       encoding),
+  *   (b) idempotent re-runs of any block range — rewriting a range
+  *       replaces exactly that range's data (the property
+  *       ReplacingMergeTree gives the reference at merge time),
+  *   (c) within-partition sort by the table's dedup/order key, so
+  *       point/range lookups prune (row-group stats here; sparse
+  *       primary-key index in ClickHouse).
+  *
+  * [[ParquetSink]] is the production default. [[JsonLinesSink]] proves
+  * the trait is genuinely pluggable (same bucketing + overwrite + sort
+  * contract, interchange-grade encoding: binaries as base64, lossless
+  * under an explicit read schema). A ClickHouse-native sink would
+  * implement the same trait over the wire block format — no ClickHouse
+  * exists in this sandbox to speak to, which is the documented
+  * substitution (SURVEY §2 D1).
+  */
+trait TableSink {
+
+  /** Land `df` at `path`, bucketed by `blockRange = floor(numberCol /
+    * Load.Batch)` with dynamic partition overwrite, sorted within
+    * partitions by `sortKeys`. */
+  def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit
+
+  /** Read a written table back under an explicit schema (no inference —
+    * the fixed-schema stance of the reference DDL). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame
+
+  /** Shared bucketing/sort shape: every sink derives the same partition
+    * column and within-partition order, so layout properties (b) and (c)
+    * are uniform across encodings. */
+  protected def bucketed(df: DataFrame, sortKeys: Seq[String], numberCol: String): DataFrame =
+    df.withColumn("blockRange", floor(col(numberCol) / Load.Batch).cast("long"))
+      .repartition(col("blockRange"))
+      .sortWithinPartitions(sortKeys.map(col): _*)
+}
+
+/** Columnar Parquet, the analytical default: row-group min/max stats on
+  * the sorted keys give the scan pruning ClickHouse gets from its sort
+  * key. */
+object ParquetSink extends TableSink {
+  override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
+    bucketed(df, sortKeys, numberCol)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("blockRange")
+      .parquet(path)
+
+  override def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** Interchange-grade JSON-lines sink with the identical bucketing /
+  * overwrite / sort contract — binaries land as base64 and roundtrip
+  * losslessly under the explicit read schema. Exists to keep the sink
+  * surface honestly pluggable (and as the dump format for engines
+  * without parquet readers). */
+object JsonLinesSink extends TableSink {
+  override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
+    bucketed(df, sortKeys, numberCol)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("blockRange")
+      .json(path)
+
+  override def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

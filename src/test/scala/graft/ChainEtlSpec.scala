@@ -340,6 +340,27 @@ class ChainEtlSpec extends SparkSuite {
     assert(compacted.toSeq == original.toSeq)
   }
 
+  test("TableSink is pluggable: JsonLinesSink honors the bucketing contract, content equals ParquetSink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val b = ChainFixture.blocks(spark, 0L, 49L)
+    val r = ChainFixture.receipts(spark, 0L, 49L)
+    val tx = Flatten.transactionRows(b, r)
+    val keys = Schemas.dedupKeys("transactions")
+    graft.etl.Load.writeBucketed(tx, s"$dir/pq", keys) // default ParquetSink
+    graft.etl.Load.writeBucketed(tx, s"$dir/js", keys, sink = graft.etl.JsonLinesSink)
+    // contract (b): same partition layout, idempotent re-run
+    assert(new java.io.File(s"$dir/js/blockRange=0").isDirectory)
+    graft.etl.Load.writeBucketed(tx, s"$dir/js", keys, sink = graft.etl.JsonLinesSink)
+    // content identity across encodings under the explicit schema
+    val viaJson = graft.etl.JsonLinesSink.read(spark, s"$dir/js", Schemas.transactions)
+      .select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
+    val viaPq = graft.etl.ParquetSink.read(spark, s"$dir/pq", Schemas.transactions)
+      .select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
+    assert(viaJson.count() == tx.count())
+    assert(viaJson.except(viaPq).count() == 0 && viaPq.except(viaJson).count() == 0,
+      "json-lines roundtrip must be lossless vs the parquet sink")
+  }
+
   test("deleteWhere removes fully-emptied partitions from disk (reorg rollback)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_delete_full").toString
     val path = s"$dir/transactions"
