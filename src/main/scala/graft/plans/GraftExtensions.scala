@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.types.U256.{DecimalToU256, U256ToDecimal}
-import graft.types.U256Arith.{U256Add, U256Div, U256Mul}
+import graft.types.U256Arith.{U256Add, U256Div, U256Mod, U256Mul, U256Sub}
 
 /** Catalyst integration (SURVEY §4.2): a custom optimizer rule plus SQL
   * registration for the u256 expression family, injected through the
@@ -44,6 +44,12 @@ object GraftExtensions {
     (FunctionIdentifier("u256_div"),
       new ExpressionInfo(classOf[U256Div].getName, "u256_div"),
       (args: Seq[Expression]) => U256Div(args(0), args(1))),
+    (FunctionIdentifier("u256_sub"),
+      new ExpressionInfo(classOf[U256Sub].getName, "u256_sub"),
+      (args: Seq[Expression]) => U256Sub(args(0), args(1))),
+    (FunctionIdentifier("u256_mod"),
+      new ExpressionInfo(classOf[U256Mod].getName, "u256_mod"),
+      (args: Seq[Expression]) => U256Mod(args(0), args(1))),
     // poly_hash(str, base, mod): the engine-independent polynomial fold
     // behind rolling hashes / MinHash shingles / SimHash — base and mod
     // are plan-time constants (they parameterize generated code).

@@ -75,6 +75,22 @@ object U256Arith {
     out // carry out of bit 256 drops: wrap semantics
   }
 
+  /** a - b mod 2^256 over 32-byte big-endian arrays — wrap semantics
+    * (ClickHouse UInt256 subtraction): 0 - 1 = 2^256 - 1. Borrow loop,
+    * allocation-free. */
+  def subBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](U256.WIDTH)
+    var borrow = 0
+    var i = U256.WIDTH - 1
+    while (i >= 0) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff) - borrow
+      out(i) = (d & 0xff).toByte
+      borrow = if (d < 0) 1 else 0
+      i -= 1
+    }
+    out // borrow out of bit 256 drops: wrap semantics
+  }
+
   /** floor(a / b) over 32-byte big-endian arrays; null on division by
     * zero (SQL semantics — matches Spark's non-ANSI integral divide,
     * diverging from ClickHouse intDiv's throw, documented here). */
@@ -82,6 +98,14 @@ object U256Arith {
     val divisor = new java.math.BigInteger(1, b)
     if (divisor.signum == 0) null
     else U256.toBytes32(BigInt(new java.math.BigInteger(1, a).divide(divisor)))
+  }
+
+  /** a mod b over 32-byte big-endian arrays; null on modulo by zero
+    * (same null-on-zero stance as [[divBytes]]). */
+  def modBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val divisor = new java.math.BigInteger(1, b)
+    if (divisor.signum == 0) null
+    else U256.toBytes32(BigInt(new java.math.BigInteger(1, a).mod(divisor)))
   }
 
   case class U256Mul(left: Expression, right: Expression)
@@ -95,6 +119,36 @@ object U256Arith {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Mul =
       copy(left = l, right = r)
     override def prettyName: String = "u256_mul"
+  }
+
+  case class U256Sub(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      subBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.types.U256Arith.subBytes($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Sub =
+      copy(left = l, right = r)
+    override def prettyName: String = "u256_sub"
+  }
+
+  case class U256Mod(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true // modulo by zero -> null
+    override def nullSafeEval(a: Any, b: Any): Any =
+      modBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+         |${ev.value} = graft.types.U256Arith.modBytes($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): U256Mod =
+      copy(left = l, right = r)
+    override def prettyName: String = "u256_mod"
   }
 
   case class U256Div(left: Expression, right: Expression)
@@ -150,6 +204,10 @@ object U256Arith {
     ColumnBridge.column(U256Mul(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def u256Div(a: Column, b: Column): Column =
     ColumnBridge.column(U256Div(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def u256Sub(a: Column, b: Column): Column =
+    ColumnBridge.column(U256Sub(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def u256Mod(a: Column, b: Column): Column =
+    ColumnBridge.column(U256Mod(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def u256Sum(c: Column): Column =
     ColumnBridge.column(U256Sum(ColumnBridge.expression(c)).toAggregateExpression())
 }

@@ -39,12 +39,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(U256.fromBytes32(rt) == BigInt("123456789012345678901234567891"))
     val md = spark.sql(
       """SELECT u256_mul(bin, decimal_to_u256(CAST(3 AS DECIMAL(38,0)))) AS m,
-        |       u256_div(bin, decimal_to_u256(CAST(10 AS DECIMAL(38,0)))) AS d
+        |       u256_div(bin, decimal_to_u256(CAST(10 AS DECIMAL(38,0)))) AS d,
+        |       u256_sub(bin, decimal_to_u256(CAST(90 AS DECIMAL(38,0)))) AS s,
+        |       u256_mod(bin, decimal_to_u256(CAST(1000 AS DECIMAL(38,0)))) AS r
         |FROM t_u256""".stripMargin).collect()(0)
     assert(U256.fromBytes32(md.getAs[Array[Byte]]("m")) ==
       BigInt("123456789012345678901234567890") * 3)
     assert(U256.fromBytes32(md.getAs[Array[Byte]]("d")) ==
       BigInt("12345678901234567890123456789"))
+    assert(U256.fromBytes32(md.getAs[Array[Byte]]("s")) ==
+      BigInt("123456789012345678901234567800"))
+    assert(U256.fromBytes32(md.getAs[Array[Byte]]("r")) == BigInt(890))
   }
 
   test("poly_hash is callable from SQL and equals the Column API expression") {

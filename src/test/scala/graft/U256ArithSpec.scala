@@ -77,6 +77,32 @@ class U256ArithSpec extends SparkSuite {
     assert(div(max, max) == 1)
   }
 
+  test("subBytes wraps mod 2^256; modBytes matches BigInt; both null-safe on edges") {
+    val rnd = new scala.util.Random(17)
+    val max = Mod - 1
+    def sub(a: BigInt, b: BigInt) =
+      U256.fromBytes32(U256Arith.subBytes(U256.toBytes32(a), U256.toBytes32(b)))
+    def mod(a: BigInt, b: BigInt) =
+      U256.fromBytes32(U256Arith.modBytes(U256.toBytes32(a), U256.toBytes32(b)))
+    (1 to 300).foreach { _ =>
+      val a = BigInt(256, rnd.self)
+      val b = BigInt(256, rnd.self)
+      assert(sub(a, b) == ((a - b) % Mod + Mod) % Mod)
+      val m = BigInt(1 + rnd.nextInt(255), rnd.self) + 1 // nonzero modulus
+      assert(mod(a, m) == a % m)
+    }
+    assert(sub(BigInt(0), BigInt(1)) == max, "0 - 1 must wrap to 2^256-1")
+    assert(sub(max, max) == 0)
+    assert(mod(BigInt(7), max) == 7)
+    assert(U256Arith.modBytes(U256.toBytes32(BigInt(42)), U256.toBytes32(BigInt(0))) == null)
+    // subtraction inverts addition under wrap: (a + b) - b == a
+    (1 to 50).foreach { _ =>
+      val a = BigInt(256, rnd.self); val b = BigInt(256, rnd.self)
+      val aPlusB = U256Arith.addBytes(U256.toBytes32(a), U256.toBytes32(b))
+      assert(U256.fromBytes32(U256Arith.subBytes(aPlusB, U256.toBytes32(b))) == a)
+    }
+  }
+
   test("U256Mul/U256Div expressions work in a DataFrame plan; div-by-zero row is null") {
     import spark.implicits._
     val big = BigInt(10).pow(40) // beyond Decimal(38,0)
