@@ -29,8 +29,26 @@ object Clustering {
   val Dim = 64
   val Quantum = 1e6
 
-  def kmeans(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Assign every embedding to its nearest centroid (squared euclidean,
+    * ties to the lowest cluster id — `least` over (dist, id) structs).
+    * Centroids ride as plan-time literal arrays: no join, pure codegen. */
+  def assign(emb: DataFrame, centroids: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val pairs = centroids.zipWithIndex.map { case (c, k) =>
+      val cl = array(c.map(lit): _*)
+      struct(
+        aggregate(
+          zip_with(col("embedding"), cl,
+            (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        lit(k.toLong).as("c"))
+    }
+    emb.withColumn("_a", least(pairs: _*))
+      .select(col("vec_id"), col("embedding"), col("_a.c").as("cluster"))
+  }
+
+  /** The training loop alone — returns the K×Dim centroid matrix (the
+    * IVF coarse quantizer a trained index would persist). */
+  def trainCentroids(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Double]] = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
 
@@ -46,22 +64,8 @@ object Clustering {
       .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toIndexedSeq)
       .toIndexedSeq
 
-    def assigned: DataFrame = {
-      val pairs = centroids.zipWithIndex.map { case (c, k) =>
-        val cl = array(c.map(lit): _*)
-        struct(
-          aggregate(
-            zip_with(col("embedding"), cl,
-              (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-            lit(0.0), (acc, v) => acc + v).as("d"),
-          lit(k.toLong).as("c"))
-      }
-      emb.withColumn("_a", least(pairs: _*))
-        .select(col("vec_id"), col("embedding"), col("_a.c").as("cluster"))
-    }
-
     for (_ <- 1 to Iters) {
-      val sums = assigned
+      val sums = assign(emb, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
         .groupBy(col("cluster"), col("i"))
         .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * ${Quantum.toLong}) AS BIGINT)")).as("s"),
@@ -78,6 +82,15 @@ object Clustering {
         }
       }
     }
+    centroids
+  }
+
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val centroids = trainCentroids(s, dir)
+    def assigned: DataFrame = assign(emb, centroids)
 
     val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
     val cdf = centroids.zipWithIndex.flatMap { case (c, k) =>
