@@ -152,60 +152,84 @@ object StreamOps {
     * corpus (modulo cap timing: batch caps buckets over the final
     * corpus, the stream caps as of each batch). At scale the per-batch
     * hot-bucket aggregate would be maintained incrementally as a third
-    * bucket-count table rather than recomputed from the index. */
-  def nearDupStreamIngest(
-      spark: SparkSession,
-      docs: DataFrame, // streaming frame with (doc_id: Long, text: String)
-      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    * bucket-count table rather than recomputed from the index.
+    *
+    * Replay-safe per batchId (same failure window as the rollup): each
+    * batch lands its three outputs in its own `batch_id=<id>` partition
+    * via dynamic overwrite, so a replayed batch REWRITES its partitions
+    * instead of appending duplicates, and the state reads exclude the
+    * replaying batch's own earlier partial write (otherwise its shingles
+    * would appear twice in the verify and break exact Jaccard). */
+  /** One micro-batch's near-dup merge — factored out so the replay test
+    * can drive the exact failure window (same batchId, same data,
+    * against state that already contains the batch's own writes). */
+  def nearDupBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      batchId: Long): Unit = {
     import graft.ops.DedupOps
     val idxPath = s"$stateDir/band_index"
     val shPath = s"$stateDir/shingle_index"
     val pairsPath = s"$stateDir/dup_pairs"
+    def land(df: DataFrame, path: String): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    // state as of the PREVIOUS committed batch: a crashed attempt of
+    // THIS batch may have landed partitions already — exclude them
+    def state(path: String): Option[DataFrame] =
+      if (new java.io.File(path).exists())
+        Some(spark.read.parquet(path).filter(col("batch_id") =!= batchId))
+      else None
+    val sh = DedupOps.shingleSet(batch).localCheckpoint()
+    val keys = DedupOps.bandKeysFromShingles(sh).localCheckpoint()
+    val intra = DedupOps.minhashCandidatesFromShingles(sh)
+      .select(col("a"), col("b"))
+    val cross = state(idxPath) match {
+      case Some(existing) =>
+        val hot = existing.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > DedupOps.MaxBucket)
+          .select(col("band"), col("band_key"))
+        existing.join(hot, Seq("band", "band_key"), "left_anti")
+          .withColumnRenamed("doc_id", "x")
+          .join(keys.withColumnRenamed("doc_id", "y"), Seq("band", "band_key"))
+          .filter(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+      case None => intra.limit(0)
+    }
+    val cand = intra.unionByName(cross).distinct().localCheckpoint()
+    // Exact verify needs both sides' shingle sets: stored state for
+    // earlier docs, this batch's for new ones — semi-joined down to
+    // just the docs that appear in a candidate pair.
+    val stored = state(shPath)
+      .map(_.select(col("doc_id"), col("shingle")))
+      .getOrElse(sh.select(col("doc_id"), col("shingle")).limit(0))
+    val ids = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val allSh = stored
+      .unionByName(sh.select(col("doc_id"), col("shingle")))
+      .join(ids, Seq("doc_id"), "left_semi")
+    land(DedupOps.jaccard(cand, allSh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("jaccard")), pairsPath)
+    land(keys, idxPath)
+    land(sh.select(col("doc_id"), col("shingle")), shPath)
+    ()
+  }
+
+  def nearDupStreamIngest(
+      spark: SparkSession,
+      docs: DataFrame, // streaming frame with (doc_id: Long, text: String)
+      stateDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs
       .writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sh = DedupOps.shingleSet(batch).localCheckpoint()
-        val keys = DedupOps.bandKeysFromShingles(sh).localCheckpoint()
-        val intra = DedupOps.minhashCandidatesFromShingles(sh)
-          .select(col("a"), col("b"))
-        val cross =
-          if (new java.io.File(idxPath).exists()) {
-            val existing = spark.read.parquet(idxPath)
-            val hot = existing.groupBy(col("band"), col("band_key"))
-              .agg(count(lit(1)).as("_n"))
-              .filter(col("_n") > DedupOps.MaxBucket)
-              .select(col("band"), col("band_key"))
-            existing.join(hot, Seq("band", "band_key"), "left_anti")
-              .withColumnRenamed("doc_id", "x")
-              .join(keys.withColumnRenamed("doc_id", "y"), Seq("band", "band_key"))
-              .filter(col("x") =!= col("y"))
-              .select(least(col("x"), col("y")).as("a"),
-                greatest(col("x"), col("y")).as("b"))
-          } else intra.limit(0)
-        val cand = intra.unionByName(cross).distinct().localCheckpoint()
-        // Exact verify needs both sides' shingle sets: stored state for
-        // earlier docs, this batch's for new ones — semi-joined down to
-        // just the docs that appear in a candidate pair.
-        val stored =
-          if (new java.io.File(shPath).exists())
-            spark.read.parquet(shPath)
-          else sh.select(col("doc_id"), col("shingle")).limit(0)
-        val ids = cand.select(col("a").as("doc_id"))
-          .unionByName(cand.select(col("b").as("doc_id"))).distinct()
-        val allSh = stored.select(col("doc_id"), col("shingle"))
-          .unionByName(sh.select(col("doc_id"), col("shingle")))
-          .join(ids, Seq("doc_id"), "left_semi")
-        DedupOps.jaccard(cand, allSh)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a"), col("b"), col("jaccard"))
-          .write.mode("append").parquet(pairsPath)
-        keys.write.mode("append").parquet(idxPath)
-        sh.select(col("doc_id"), col("shingle")).write.mode("append").parquet(shPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupBatch(spark, batch, stateDir, batchId)
       }
       .start()
-  }
 
   /** Incremental materialized aggregate: foreachBatch maintains a
     * parquet daily-rollup table by rewriting ONLY the day partitions the
@@ -285,7 +309,10 @@ object StreamOps {
 
   /** Streaming chain ingest: a stream of block heights drives the SAME
     * batch flattens (C1-C4) + dedup (D5) through foreachBatch — the
-    * micro-batch is the reference's 1000-block flush unit, arriving live. */
+    * micro-batch is the reference's 1000-block flush unit, arriving
+    * live. Each batch lands in its own `batch_id` partition via dynamic
+    * overwrite, so a replayed batch rewrites its partition instead of
+    * appending duplicate rows. */
   def chainIngestStream(
       spark: SparkSession,
       heights: DataFrame, // streaming frame with a `number: Long` column
@@ -300,7 +327,11 @@ object StreamOps {
         val receipts = nums.map(ChainFixture.genReceipts)
         val rows = Flatten.transactionRows(blocks, receipts)
         Dedup.exact(rows, Schemas.dedupKeys("transactions"))
-          .write.mode("append").parquet(s"$warehouse/transactions_stream")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$warehouse/transactions_stream")
         ()
       }
       .start()

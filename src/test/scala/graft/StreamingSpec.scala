@@ -325,7 +325,7 @@ class StreamingSpec extends SparkSuite {
     in.addData(10L to 19L: _*)
     q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(s"$dir/transactions_stream")
+    val got = spark.read.parquet(s"$dir/transactions_stream").drop("batch_id")
     val expected = (0L to 19L).map(n => (n % 5) + 1).sum
     assert(got.count() == expected)
     // identical to the batch path over the same range
@@ -333,5 +333,31 @@ class StreamingSpec extends SparkSuite {
       graft.etl.ChainFixture.blocks(spark, 0, 19),
       graft.etl.ChainFixture.receipts(spark, 0, 19))
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
+  test("streaming near-dup state writes are replay-idempotent per batchId") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(30).cache()
+    val originals = docs
+    val twins = graft.ops.DedupOps.withTwins(docs).filter(col("doc_id") >= 1000000L)
+
+    // committed history: batch 0 = originals, batch 1 = twins
+    StreamOps.nearDupBatch(spark, originals, dir, batchId = 0L)
+    StreamOps.nearDupBatch(spark, twins, dir, batchId = 1L)
+    def snap(tbl: String): Seq[String] =
+      spark.read.parquet(s"$dir/$tbl").collect().map(_.toString).sorted.toSeq
+    val (pairs0, idx0, sh0) = (snap("dup_pairs"), snap("band_index"), snap("shingle_index"))
+    assert(pairs0.nonEmpty)
+
+    // the foreachBatch failure window: batch 1's sink writes landed but
+    // its offsets did not commit, so the SAME batchId replays with the
+    // SAME data against state that already contains its writes
+    StreamOps.nearDupBatch(spark, twins, dir, batchId = 1L)
+    assert(snap("dup_pairs") == pairs0,
+      "replayed batch must rewrite, not duplicate, dup_pairs")
+    assert(snap("band_index") == idx0 && snap("shingle_index") == sh0,
+      "replayed batch must not grow the state tables")
   }
 }
