@@ -101,19 +101,29 @@ object Clustering {
       .orderBy(col("cluster"), col("dim_idx"))
   }
 
-  /** The identical algorithm in DuckDB, iterations unrolled as CTEs. */
-  val kmeansSql: String = {
-    def distSql(a: String, b: String): String =
-      s"""list_reduce(list_transform(list_zip($a, $b),
-         | p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
-         | (x, y) -> x + y)""".stripMargin.replace("\n", "")
-    def asg(name: String, cent: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, embedding, cluster FROM (
-         |    SELECT e.vec_id, e.embedding, p.cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${distSql("e.embedding", "p.c")}, p.cluster) AS rn
-         |    FROM embeddings e, $cent p) WHERE rn = 1)""".stripMargin
+  /** The identical algorithm in DuckDB, iterations unrolled as CTEs.
+    * The training chain and the assignment step are exposed separately
+    * so other oracles (semantic dedup) can train on `embeddings` and
+    * assign a DIFFERENT relation to the final centroids. */
+  private def distSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       | p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),
+       | (x, y) -> x + y)""".stripMargin.replace("\n", "")
+
+  /** Nearest-centroid assignment of `src` (vec_id, embedding) rows to
+    * the centroids in CTE `cent`, as a CTE named `name`. */
+  def assignSql(name: String, src: String, cent: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, p.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${distSql("e.embedding", "p.c")}, p.cluster) AS rn
+       |    FROM $src e, $cent p) WHERE rn = 1)""".stripMargin
+
+  /** The cent0 init + Iters train rounds over `embeddings`; the trained
+    * centroids end up in CTE [[FinalCent]]. */
+  val FinalCent: String = s"cent$Iters"
+  val trainingCtes: String = {
     def upd(n: Int): String =
       s"""sum$n AS (
          |  SELECT cluster, i,
@@ -128,24 +138,27 @@ object Clustering {
          |  LEFT JOIN (SELECT cluster, list(CAST(s2 AS DOUBLE) / ${Quantum.toLong} / n ORDER BY i) AS c
          |             FROM sum$n GROUP BY 1) nc ON nc.cluster = p.cluster)""".stripMargin
     val iters = (1 to Iters).map { n =>
-      asg(s"asg$n", if (n == 1) "cent0" else s"cent${n - 1}") + ",\n" + upd(n)
+      assignSql(s"asg$n", "embeddings", if (n == 1) "cent0" else s"cent${n - 1}") + ",\n" + upd(n)
     }.mkString(",\n")
-    s"""WITH cent0 AS (
+    s"""cent0 AS (
        |  SELECT cluster, c FROM (
        |    SELECT row_number() OVER (
        |        ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id
        |      ) - 1 AS cluster,
        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        |    FROM embeddings) WHERE cluster < $K),
-       |$iters,
-       |${asg("finalasg", s"cent$Iters")},
+       |$iters""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""WITH $trainingCtes,
+       |${assignSql("finalasg", "embeddings", FinalCent)},
        |counts AS (SELECT cluster, count(*) AS n_members FROM finalasg GROUP BY 1),
        |cexp AS (SELECT cluster, UNNEST(c) AS c_val,
-       |         UNNEST(range(0, len(c))) AS dim_idx FROM cent$Iters)
+       |         UNNEST(range(0, len(c))) AS dim_idx FROM $FinalCent)
        |SELECT x.cluster, CAST(dim_idx AS BIGINT) AS dim_idx, c_val, n_members
        |FROM cexp x JOIN counts USING (cluster)
        |ORDER BY cluster, dim_idx""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cluster_kmeans" -> (kmeans _)

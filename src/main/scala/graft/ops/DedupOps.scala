@@ -331,6 +331,77 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Semantic dedup, SemDeDup-style (cluster-then-compare; Abbas et al.
+  // 2023, arXiv:2303.09540): k-means cells are the BLOCKING key —
+  // semantic near-duplicates land in one cell, so candidate pairs are
+  // per-cell quadratic but corpus-linear overall. At 100 TB, K grows
+  // with n so cell size stays bounded (the same role MaxBucket plays
+  // for LSH buckets); the cell assignment is a write-time partition
+  // key, so the within-cell self-join shuffles once on the cell id and
+  // never compares across cells. Exact cosine ≥ 0.99 inside cells, dup
+  // groups resolved to connected components, survivor = min id —
+  // emitted rows are the DROP LIST (each duplicate with the kept
+  // representative), the artifact a training pipeline consumes.
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 1.001d AS FLOAT))").as("embedding"))
+    val base = emb.unionByName(twins)
+    // cells trained on the ORIGINAL corpus (the index-build step); the
+    // twin-augmented base is what gets assigned and deduped
+    val cents = Clustering.trainCentroids(s, dir)
+    val asg = Clustering.assign(base, cents).localCheckpoint()
+    val l = asg.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = asg.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = l.join(r, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), SimilarityOps.cosine(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .localCheckpoint()
+    GraphOps.connectedComponents(pairs.select(col("a"), col("b")))
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), col("label").as("keep_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: retrains the identical quantized k-means (shared CTE chain
+    * from [[Clustering.trainingCtes]] — the cluster_kmeans oracle proved
+    * assignments match bit-exactly cross-engine), assigns the
+    * twin-augmented base, recomputes within-cell cosine pairs, and
+    * resolves components with the recursive reachability walk. */
+  val semanticDedupSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |/ (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         | * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+    s"""WITH RECURSIVE ${Clustering.trainingCtes},
+       |eb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000,
+       |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT))
+       |  FROM embeddings),
+       |${Clustering.assignSql("sasg", "eb", Clustering.FinalCent)},
+       |dup AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM sasg l JOIN sasg r
+       |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+       |  WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99),
+       |edges AS (SELECT a AS src, b AS dst FROM dup
+       |          UNION ALL SELECT b AS src, a AS dst FROM dup),
+       |walk(node, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+       |cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node)
+       |SELECT node AS doc_id, label AS keep_id FROM cc
+       |WHERE node <> label ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
 
   private val twinBaseBody =
     """base AS (
@@ -349,7 +420,8 @@ object DedupOps {
     "dedup_simhash" -> (simhashNearDup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
-    "dedup_embedding_cosine" -> (embeddingNearDup _)
+    "dedup_embedding_cosine" -> (embeddingNearDup _),
+    "dedup_semantic" -> (semanticDedup _)
   )
 
 
@@ -507,6 +579,7 @@ object DedupOps {
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_embedding_cosine" -> embeddingNearDupSql
+    "dedup_embedding_cosine" -> embeddingNearDupSql,
+    "dedup_semantic" -> semanticDedupSql
   )
 }

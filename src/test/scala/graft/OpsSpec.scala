@@ -147,6 +147,18 @@ class OpsSpec extends SparkSuite {
       s"IVF recall too low: $overlap")
   }
 
+  test("semantic dedup drops every twin, keeps its original, touches nothing else") {
+    val drops = graft.ops.DedupOps.semanticDedup(spark, sf)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // every 1.001x twin is cosine-identical to its original and lands in
+    // its cell: exactly one drop per twin, keep = the original id
+    assert(drops.count() == n, s"expected $n drops, got ${drops.count()}")
+    assert(drops.filter(col("doc_id") < 1000000L).count() == 0,
+      "no original may be dropped")
+    assert(drops.filter(col("keep_id") =!= col("doc_id") - 1000000L).count() == 0,
+      "every twin must keep its own original")
+  }
+
   test("IVF over trained k-means cells bows above the random-label diagonal") {
     import org.apache.spark.sql.expressions.Window
     val spark0 = spark
