@@ -325,7 +325,7 @@ object DedupOps {
       .select(col("x"), explode(col("vs")).as("y"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        SimilarityOps.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+        SimilarityOps.cosineFF(col("x.embedding"), col("y.embedding")).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy(col("a"), col("b"))
   }
@@ -351,12 +351,22 @@ object DedupOps {
     // cells trained on the ORIGINAL corpus (the index-build step); the
     // twin-augmented base is what gets assigned and deduped
     val cents = Clustering.trainCentroids(s, dir)
-    val asg = Clustering.assign(base, cents).localCheckpoint()
-    val l = asg.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = asg.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"))
+    // per-vector norms computed ONCE, and the per-pair dot runs through
+    // the native FloatDot codegen expression — both bit-identical to the
+    // inline higher-order cosine (same ascending-index double fold), so
+    // the oracle is untouched; only the loop compiles now
+    import graft.functions.FloatDot
+    val asg = Clustering.assign(base, cents)
+      .withColumn("nrm", sqrt(FloatDot(col("embedding"), col("embedding"))))
+      .localCheckpoint()
+    val l = asg.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = asg.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     val pairs = l.join(r, Seq("cluster"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), SimilarityOps.cosine(col("ea"), col("eb")).as("cos"))
+      .select(col("a"), col("b"),
+        (FloatDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.99)
       .localCheckpoint()
     GraphOps.connectedComponents(pairs.select(col("a"), col("b")))
@@ -371,13 +381,9 @@ object DedupOps {
     * twin-augmented base, recomputes within-cell cosine pairs, and
     * resolves components with the recursive reachability walk. */
   val semanticDedupSql: String = {
-    def cosSql(a: String, b: String): String =
+    def dotSql(a: String, b: String): String =
       s"""list_reduce(list_transform(list_zip($a, $b),
-         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
-         |/ (sqrt(list_reduce(list_transform($a,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
-         | * sqrt(list_reduce(list_transform($b,
-         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
     s"""WITH RECURSIVE ${Clustering.trainingCtes},
        |eb AS (
        |  SELECT vec_id, embedding FROM embeddings
@@ -385,11 +391,16 @@ object DedupOps {
        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT))
        |  FROM embeddings),
        |${Clustering.assignSql("sasg", "eb", Clustering.FinalCent)},
+       |nasg AS (
+       |  SELECT vec_id, embedding, cluster,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
+       |  FROM sasg),
        |dup AS (
        |  SELECT l.vec_id AS a, r.vec_id AS b
-       |  FROM sasg l JOIN sasg r
+       |  FROM nasg l JOIN nasg r
        |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id
-       |  WHERE ${cosSql("l.embedding", "r.embedding")} >= 0.99),
+       |  WHERE ${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= 0.99),
        |edges AS (SELECT a AS src, b AS dst FROM dup
        |          UNION ALL SELECT b AS src, a AS dst FROM dup),
        |walk(node, label) AS (

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Exact cosine similarity of two float-array columns in double math. */
+  /** Exact cosine similarity of two array columns in double math —
+    * works for any numeric element type (used with the float corpus
+    * against double centroids in IVF). */
   def cosine(a: Column, b: Column): Column = {
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, v) => acc + v)
@@ -24,6 +26,17 @@ object SimilarityOps {
     val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
     val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
     dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Float-array specialization of [[cosine]] through the native
+    * [[graft.functions.FloatDot]] codegen expression — BIT-IDENTICAL
+    * values (same ascending-index double fold, so every oracle is
+    * untouched), compiled loop instead of per-element lambdas. Use at
+    * every ARRAY<FLOAT> × ARRAY<FLOAT> call site; the general form
+    * remains for mixed element types. */
+  def cosineFF(a: Column, b: Column): Column = {
+    import graft.functions.FloatDot
+    FloatDot(a, b) / (sqrt(FloatDot(a, a)) * sqrt(FloatDot(b, b)))
   }
 
   /** splitmix64-style mixer: deterministic ±1 hyperplane weights derived
@@ -84,7 +97,7 @@ object SimilarityOps {
     emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       .crossJoin(broadcast(probes))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosineFF(col("q_emb"), col("c_emb")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))
@@ -171,7 +184,7 @@ object SimilarityOps {
       .dropDuplicates("q_id", "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     candidates
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("q_id"), col("c_id"), cosineFF(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))

@@ -134,7 +134,7 @@ object VectorAgg {
     emb.join(broadcast(probedCells), Seq("label"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
-        SimilarityOps.cosine(col("q_emb"), col("embedding")).as("cos"))
+        SimilarityOps.cosineFF(col("q_emb"), col("embedding")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= SimilarityOps.TopK)
       .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))
