@@ -61,15 +61,15 @@ object SimilarityOps {
 
   /** Random-hyperplane LSH bucket id: bit i = sign of <v, h_i>. The
     * weights are CONSTANT FOLDED into the plan as array literals — the
-    * per-row work is `bits` zip_with dot products, not bits×dim hash
-    * calls (the hash-per-row form measured 2.7× slower at 100k rows,
+    * per-row work is `bits` compiled dot products (FloatDot; ±1 weights
+    * are exactly representable as floats, so widening matches the
+    * oracle's double math bit-for-bit), not bits×dim hash calls (the
+    * hash-per-row form measured 2.7× slower at 100k rows,
     * CrossoverBench). */
   def lshBucket(v: Column, bits: Int, seed: Int = 0, dim: Int = 64): Column =
     lshWeights(bits, seed, dim).zipWithIndex.map { case (ws, i) =>
-      val weights = array(ws.map(lit): _*)
-      val signedSum = aggregate(
-        zip_with(v, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, w) => acc + w)
+      val weights = array(ws.map(w => lit(w.toFloat)): _*)
+      val signedSum = graft.functions.FloatDot(v, weights)
       when(signedSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
