@@ -64,6 +64,23 @@ object ParquetSink extends TableSink {
     spark.read.parquet(path)
 }
 
+/** ORC — the other Spark-native columnar format, same contract: row
+  * stride min/max statistics on the sorted keys prune like parquet
+  * row groups. Exists so "columnar sink" is demonstrably a family,
+  * not a synonym for parquet. */
+object OrcSink extends TableSink {
+  override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
+    bucketed(df, sortKeys, numberCol)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("blockRange")
+      .orc(path)
+
+  override def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.orc(path)
+}
+
 /** Interchange-grade JSON-lines sink with the identical bucketing /
   * overwrite / sort contract — binaries land as base64 and roundtrip
   * losslessly under the explicit read schema. Exists to keep the sink

@@ -348,17 +348,22 @@ class ChainEtlSpec extends SparkSuite {
     val keys = Schemas.dedupKeys("transactions")
     graft.etl.Load.writeBucketed(tx, s"$dir/pq", keys) // default ParquetSink
     graft.etl.Load.writeBucketed(tx, s"$dir/js", keys, sink = graft.etl.JsonLinesSink)
+    graft.etl.Load.writeBucketed(tx, s"$dir/orc", keys, sink = graft.etl.OrcSink)
     // contract (b): same partition layout, idempotent re-run
     assert(new java.io.File(s"$dir/js/blockRange=0").isDirectory)
+    assert(new java.io.File(s"$dir/orc/blockRange=0").isDirectory)
     graft.etl.Load.writeBucketed(tx, s"$dir/js", keys, sink = graft.etl.JsonLinesSink)
     // content identity across encodings under the explicit schema
-    val viaJson = graft.etl.JsonLinesSink.read(spark, s"$dir/js", Schemas.transactions)
-      .select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
-    val viaPq = graft.etl.ParquetSink.read(spark, s"$dir/pq", Schemas.transactions)
-      .select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
+    val viaJson = cols(graft.etl.JsonLinesSink.read(spark, s"$dir/js", Schemas.transactions))
+    val viaOrc = cols(graft.etl.OrcSink.read(spark, s"$dir/orc", Schemas.transactions))
+    val viaPq = cols(graft.etl.ParquetSink.read(spark, s"$dir/pq", Schemas.transactions))
     assert(viaJson.count() == tx.count())
     assert(viaJson.except(viaPq).count() == 0 && viaPq.except(viaJson).count() == 0,
       "json-lines roundtrip must be lossless vs the parquet sink")
+    assert(viaOrc.except(viaPq).count() == 0 && viaPq.except(viaOrc).count() == 0,
+      "orc roundtrip must be lossless vs the parquet sink")
   }
 
   test("deleteWhere removes fully-emptied partitions from disk (reorg rollback)") {

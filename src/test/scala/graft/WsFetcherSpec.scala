@@ -68,8 +68,8 @@ class WsFetcherSpec extends SparkSuite {
           s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(StandardCharsets.US_ASCII))
         out.flush()
         // ---- frame loop ----
-        def writeFrame(opcode: Int, payload: Array[Byte]): Unit = {
-          out.write(0x80 | opcode) // FIN + opcode, server frames unmasked
+        def writeRawFrame(fin: Boolean, opcode: Int, payload: Array[Byte]): Unit = {
+          out.write((if (fin) 0x80 else 0x00) | opcode) // server frames unmasked
           if (payload.length <= 125) out.write(payload.length)
           else if (payload.length <= 0xffff) {
             out.write(126); out.write(payload.length >>> 8); out.write(payload.length & 0xff)
@@ -80,6 +80,14 @@ class WsFetcherSpec extends SparkSuite {
           }
           out.write(payload); out.flush()
         }
+        def writeFrame(opcode: Int, payload: Array[Byte]): Unit =
+          // fragment large text messages (text + continuation frames) so
+          // the client's reassembly path is exercised by every block fetch
+          if (opcode == 1 && payload.length > 1024) {
+            val half = payload.length / 2
+            writeRawFrame(fin = false, 1, payload.take(half))
+            writeRawFrame(fin = true, 0, payload.drop(half))
+          } else writeRawFrame(fin = true, opcode, payload)
         val msg = new java.io.ByteArrayOutputStream()
         var open = true
         while (open) {
