@@ -166,22 +166,24 @@ object Load {
     * `ingestResumable`'s per-partition completeness checks key on —
     * compact each partition directory individually instead (which is
     * also the only shape that scales: per-partition rewrites, never a
-    * full-table shuffle). Returns (filesBefore, filesAfter). */
+    * full-table shuffle).
+    *
+    * Maintenance is sink-aware: `sink` selects the encoding to count,
+    * read, and rewrite (parquet by default), and a directory holding a
+    * DIFFERENT sink's data files fails fast instead of being silently
+    * reported as already-compacted. Non-self-describing sinks (JSON
+    * lines) additionally require the table `schema` — inference could
+    * silently retype columns. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, sortKeys: Seq[String],
-      numFiles: Int = 1): (Long, Long) = {
-    def parquetFiles(p: java.io.File): Long =
-      if (!p.isDirectory) 0L
-      else p.listFiles().map {
-        case d if d.isDirectory => parquetFiles(d)
-        case f if f.getName.endsWith(".parquet") => 1L
-        case _ => 0L
-      }.sum
+      numFiles: Int = 1, sink: TableSink = ParquetSink,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"compact: $path is not a directory")
     val partitioned = dir.listFiles().exists(d => d.isDirectory && d.getName.contains("="))
     require(!partitioned,
       s"compact: $path is a hive-partitioned root; compact its partition dirs individually")
-    val before = parquetFiles(dir)
+    requireSinkLayout(dir, sink, "compact")
+    val before = dataFiles(dir, sink)
     val tmp = new java.io.File(path + "__compacting")
     val old = new java.io.File(path + "__old")
     def delete(p: java.io.File): Unit = {
@@ -190,14 +192,49 @@ object Load {
     }
     if (tmp.exists()) delete(tmp) // debris of a previous crashed attempt
     if (old.exists()) delete(old)
-    spark.read.parquet(path)
+    readThrough(spark, path, sink, schema, "compact")
       .repartition(numFiles)
       .sortWithinPartitions(sortKeys.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").format(sink.format).save(tmp.toString)
     java.nio.file.Files.move(dir.toPath, old.toPath)
     java.nio.file.Files.move(tmp.toPath, dir.toPath)
     delete(old)
-    (before, parquetFiles(dir))
+    (before, dataFiles(dir, sink))
+  }
+
+  /** Count of `sink`-encoded data files under `p`, recursive. */
+  private def dataFiles(p: java.io.File, sink: TableSink): Long =
+    if (!p.isDirectory) 0L
+    else p.listFiles().map {
+      case d if d.isDirectory => dataFiles(d, sink)
+      case f if f.getName.endsWith(sink.dataExt) => 1L
+      case _ => 0L
+    }.sum
+
+  private val KnownExts = Seq(".parquet", ".orc", ".json")
+
+  /** Fail fast when `dir` holds data files of a DIFFERENT sink's encoding
+    * — the silent-miscount case: counting only `sink.dataExt` over an
+    * alien layout reports 0 files and "nothing to do". */
+  private def requireSinkLayout(dir: java.io.File, sink: TableSink, who: String): Unit = {
+    def foreign(p: java.io.File): Option[String] =
+      if (p.isDirectory) p.listFiles().iterator.flatMap(foreign(_).iterator).nextOption()
+      else KnownExts.find(e => e != sink.dataExt && p.getName.endsWith(e))
+    foreign(dir).foreach { ext =>
+      throw new IllegalArgumentException(
+        s"$who: ${dir.getPath} holds $ext data files but sink ${sink.format} " +
+          s"expects ${sink.dataExt}; pass the matching TableSink")
+    }
+  }
+
+  /** Maintenance read through the sink's encoding; non-self-describing
+    * sinks must supply the schema explicitly. */
+  private def readThrough(spark: SparkSession, path: String, sink: TableSink,
+      schema: Option[org.apache.spark.sql.types.StructType], who: String): DataFrame = {
+    require(sink.selfDescribing || schema.isDefined,
+      s"$who: sink ${sink.format} is not self-describing; pass the table schema")
+    val r = schema.map(spark.read.schema).getOrElse(spark.read)
+    r.format(sink.format).load(path)
   }
 
   /** Per-partition compaction for a hive-partitioned root (the layout
@@ -211,18 +248,20 @@ object Load {
     * loop at 100 TB (each swap touches one directory). Returns total
     * (filesBefore, filesAfter) across all partitions. */
   def compactPartitioned(spark: SparkSession, path: String, sortKeys: Seq[String],
-      numFiles: Int = 1): (Long, Long) = {
+      numFiles: Int = 1, sink: TableSink = ParquetSink,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"compactPartitioned: $path is not a directory")
+    requireSinkLayout(dir, sink, "compactPartitioned")
     val parts = dir.listFiles()
       .filter(d => d.isDirectory && d.getName.contains("="))
       .sortBy(_.getName)
     require(parts.nonEmpty,
       s"compactPartitioned: $path has no partition directories; use compact")
     val results = parts.toSeq.map { p =>
-      val already = p.listFiles().count(_.getName.endsWith(".parquet"))
+      val already = p.listFiles().count(_.getName.endsWith(sink.dataExt))
       if (already <= numFiles) (already.toLong, already.toLong)
-      else compact(spark, p.toString, sortKeys, numFiles)
+      else compact(spark, p.toString, sortKeys, numFiles, sink, schema)
     }
     (results.map(_._1).sum, results.map(_._2).sum)
   }
@@ -238,8 +277,10 @@ object Load {
     * overwrite, since the write replaces its own input path. Returns
     * (rowsDeleted, partitionsRewritten). */
   def deleteWhere(spark: SparkSession, path: String,
-      predicate: org.apache.spark.sql.Column): (Long, Long) = {
-    val table = spark.read.parquet(path)
+      predicate: org.apache.spark.sql.Column, sink: TableSink = ParquetSink,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
+    requireSinkLayout(new java.io.File(path), sink, "deleteWhere")
+    val table = readThrough(spark, path, sink, schema, "deleteWhere")
     require(table.columns.contains("blockRange"),
       s"deleteWhere: $path is not a blockRange-partitioned table")
     // three-valued logic: a row is deleted only when the predicate is
@@ -258,7 +299,7 @@ object Load {
       keep.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("blockRange")
-        .parquet(path)
+        .format(sink.format).save(path)
       // Dynamic partition overwrite only rewrites partitions PRESENT in the
       // written data. A hit partition whose rows ALL matched the predicate
       // contributes zero keep rows, so the overwrite never touches it and

@@ -30,6 +30,19 @@ import org.apache.spark.sql.types.StructType
   */
 trait TableSink {
 
+  /** Spark datasource name of the at-rest encoding — the maintenance
+    * primitives (compact / deleteWhere, [[Load]]) read and rewrite
+    * through it so they operate on ANY sink's layout, not just parquet. */
+  def format: String
+
+  /** Extension of this sink's data files, for file-count accounting. */
+  def dataExt: String
+
+  /** Whether files carry their own schema (parquet/orc footers). A
+    * non-self-describing sink (JSON lines) needs an explicit schema for
+    * any maintenance read — inference could silently retype columns. */
+  def selfDescribing: Boolean = true
+
   /** Land `df` at `path`, bucketed by `blockRange = floor(numberCol /
     * Load.Batch)` with dynamic partition overwrite, sorted within
     * partitions by `sortKeys`. */
@@ -52,6 +65,8 @@ trait TableSink {
   * the sorted keys give the scan pruning ClickHouse gets from its sort
   * key. */
 object ParquetSink extends TableSink {
+  override def format: String = "parquet"
+  override def dataExt: String = ".parquet"
   override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
     bucketed(df, sortKeys, numberCol)
       .write
@@ -69,6 +84,8 @@ object ParquetSink extends TableSink {
   * row groups. Exists so "columnar sink" is demonstrably a family,
   * not a synonym for parquet. */
 object OrcSink extends TableSink {
+  override def format: String = "orc"
+  override def dataExt: String = ".orc"
   override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
     bucketed(df, sortKeys, numberCol)
       .write
@@ -87,6 +104,9 @@ object OrcSink extends TableSink {
   * surface honestly pluggable (and as the dump format for engines
   * without parquet readers). */
 object JsonLinesSink extends TableSink {
+  override def format: String = "json"
+  override def dataExt: String = ".json"
+  override def selfDescribing: Boolean = false
   override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
     bucketed(df, sortKeys, numberCol)
       .write

@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * widening, so the fp result is bit-equal to the lambda form and to the
   * DuckDB oracles' `list_reduce` (same left fold) — swapping it in
   * changes no query output, only the loop's execution speed.
+  * Null semantics also match the lambda form: length-mismatched arrays
+  * and arrays containing a null element yield NULL (`zip_with` pads the
+  * shorter side with nulls and `x*y` null-propagates). When the static
+  * element type is non-nullable the per-element null check compiles away.
   * Measured on dedup_semantic's ~1M within-cell pairs at sf0.1:
   * 6.4 s → 2.9 s. */
 case class FloatDot(left: Expression, right: Expression)
@@ -34,12 +38,36 @@ case class FloatDot(left: Expression, right: Expression)
         s"float_dot requires two ARRAY<FLOAT> children, got ${l.catalogString}, ${r.catalogString}")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    FloatDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+
+  private def elemNullable: Boolean = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    if (elemNullable) FloatDot.dotOrNull(ad, bd)
+    else if (ad.numElements() != bd.numElements()) null
+    else FloatDot.dot(ad, bd)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.FloatDot.dot($a, $b);")
+      if (elemNullable) {
+        val res = ctx.freshName("floatDotRes")
+        s"""
+         |java.lang.Double $res = graft.functions.FloatDot.dotOrNull($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
+         """.stripMargin
+      } else {
+        s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.FloatDot.dot($a, $b); }
+         """.stripMargin
+      })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatDot =
     copy(left = l, right = r)
@@ -50,12 +78,29 @@ case class FloatDot(left: Expression, right: Expression)
 object FloatDot {
   /** Ascending-index left fold, float widened to double per element —
     * the exact fp sequence of `aggregate(zip_with(...))` and DuckDB's
-    * `list_reduce` over `list_zip`. Called from generated code. */
+    * `list_reduce` over `list_zip`. Called from generated code; callers
+    * have already established equal lengths and null-free elements. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Null-tracking variant for arrays whose static type admits null
+    * elements: NULL on length mismatch or any null element, matching
+    * `aggregate(zip_with(...))`'s propagation. Called from generated code. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -233,7 +233,10 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
     val fut = new CompletableFuture[JsonNode]()
     pending.put(id, fut)
     val body = s"""{"jsonrpc":"2.0","id":$id,"method":"$method","params":$params}"""
-    ws.sendText(body, true).join()
+    // A send that dies without onError/onClose firing must not strand the
+    // pending entry: no response can ever complete it.
+    try ws.sendText(body, true).join()
+    catch { case e: Throwable => pending.remove(id); throw e }
     val root =
       try fut.get(timeoutSec, TimeUnit.SECONDS)
       catch {
@@ -271,6 +274,16 @@ object BlockFetcher {
       case None => FixtureFetcher
     }
 
+  /** Per-task fetcher whose transport (WS connection / HTTP client) is
+    * released when the task completes — success, failure, or interruption
+    * — not when the JVM next GCs. */
+  private def taskScoped(endpoint: Option[String]): BlockFetcher = {
+    val f = forEndpoint(endpoint)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => f.close())
+    f
+  }
+
   /** Distributed block extract over any transport: each task constructs
     * its own fetcher for its contiguous sub-range (the parallel form of
     * the reference's sequential loop, main.rs:172). */
@@ -278,7 +291,7 @@ object BlockFetcher {
       endpoint: Option[String]): org.apache.spark.sql.Dataset[RpcBlock] = {
     import spark.implicits._
     spark.range(from, to + 1).as[Long].mapPartitions { it =>
-      val f = forEndpoint(endpoint)
+      val f = taskScoped(endpoint)
       it.map(f.blockWithTxs)
     }
   }
@@ -287,7 +300,7 @@ object BlockFetcher {
       endpoint: Option[String]): org.apache.spark.sql.Dataset[BlockReceipts] = {
     import spark.implicits._
     spark.range(from, to + 1).as[Long].mapPartitions { it =>
-      val f = forEndpoint(endpoint)
+      val f = taskScoped(endpoint)
       it.map(f.blockReceipts)
     }
   }

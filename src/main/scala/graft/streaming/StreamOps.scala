@@ -261,11 +261,17 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
     val existing =
       if (new java.io.File(tablePath).exists()) {
-        val t = spark.read.parquet(tablePath)
-        // pre-upgrade tables have no marker: treat as never-applied
+        // mergeSchema: after a partial upgrade the table holds MIXED
+        // per-partition schemas (old partitions without last_batch, new
+        // ones with it); the default footer-sampling read could pick an
+        // old file and hide real markers — merging unions the schemas so
+        // markers always surface. Old partitions then read last_batch as
+        // NULL → coalesce to the never-applied sentinel.
+        val t = spark.read.option("mergeSchema", "true").parquet(tablePath)
         val withMarker =
-          if (t.columns.contains("last_batch")) t
-          else t.withColumn("last_batch", lit(-1L))
+          if (t.columns.contains("last_batch"))
+            t.withColumn("last_batch", coalesce(col("last_batch"), lit(-1L)))
+          else t.withColumn("last_batch", lit(-1L)) // pre-upgrade table: no marker anywhere
         withMarker.join(delta.select(col("day")).distinct(), Seq("day"), "left_semi")
       } else spark.emptyDataFrame
         .withColumn("day", lit(null).cast("date"))

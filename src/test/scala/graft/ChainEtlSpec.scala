@@ -433,4 +433,58 @@ class ChainEtlSpec extends SparkSuite {
       graft.etl.Load.compact(spark, path, Schemas.dedupKeys("transactions"))
     }
   }
+
+  test("maintenance is sink-aware: orc compaction + delete work, mismatched sink fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_maint").toString
+    val path = s"$dir/transactions_orc"
+    val b = ChainFixture.blocks(spark, 0L, 1499L)
+    val r = ChainFixture.receipts(spark, 0L, 1499L)
+    val keys = Schemas.dedupKeys("transactions")
+    graft.etl.Load.writeBucketed(
+      Flatten.transactionRows(b, r), path, keys, sink = graft.etl.OrcSink)
+    // fragment range 0 with appended orc debris
+    val extra = Flatten.transactionRows(
+      ChainFixture.blocks(spark, 0L, 99L), ChainFixture.receipts(spark, 0L, 99L))
+      .withColumn("blockRange", lit(0L))
+    (1 to 3).foreach { _ =>
+      extra.repartition(4).write.mode("append").partitionBy("blockRange").orc(path)
+    }
+    val original = spark.read.orc(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    // the old failure mode: a parquet-assuming pass would count 0 files
+    // and "skip" the table as compacted — now it fails fast instead
+    intercept[IllegalArgumentException] {
+      graft.etl.Load.compactPartitioned(spark, path, keys)
+    }
+    val (before, after) = graft.etl.Load.compactPartitioned(
+      spark, path, keys, numFiles = 1, sink = graft.etl.OrcSink)
+    assert(before > after && after == 2L, s"expected 2 orc files after, got ($before, $after)")
+    val compacted = spark.read.orc(path)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted
+    assert(compacted.toSeq == original.toSeq)
+    // deleteWhere through the orc sink (wrong sink likewise fails fast)
+    intercept[IllegalArgumentException] {
+      graft.etl.Load.deleteWhere(spark, path, col("blockNumber") === 42L)
+    }
+    val expectDeleted = ((42L % 5) + 1) * 4 // base write + 3 debris copies
+    val (deleted, rewritten) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") === 42L, sink = graft.etl.OrcSink)
+    assert(deleted == expectDeleted && rewritten == 1L)
+    assert(spark.read.orc(path).filter(col("blockNumber") === 42L).count() == 0)
+    // JSON-lines is not self-describing: maintenance demands the explicit
+    // schema (inference could silently retype columns)...
+    val js = s"$dir/transactions_js"
+    graft.etl.Load.writeBucketed(
+      Flatten.transactionRows(b, r), js, keys, sink = graft.etl.JsonLinesSink)
+    intercept[IllegalArgumentException] {
+      graft.etl.Load.deleteWhere(spark, js, col("blockNumber") === 7L,
+        sink = graft.etl.JsonLinesSink)
+    }
+    // ...and works under it
+    val (dj, rwj) = graft.etl.Load.deleteWhere(spark, js, col("blockNumber") === 7L,
+      sink = graft.etl.JsonLinesSink, schema = Some(Schemas.transactions))
+    assert(dj == (7L % 5) + 1 && rwj == 1L)
+    assert(graft.etl.JsonLinesSink.read(spark, js, Schemas.transactions)
+      .filter(col("blockNumber") === 7L).count() == 0)
+  }
 }

@@ -436,4 +436,38 @@ class OpsSpec extends SparkSuite {
     assert(fr.filter(col("frame_idx") % 4 =!= 0).count() == 0)
     assert(fr.filter(col("frame_bytes") > 32).count() == 0)
   }
+
+  test("float_dot null semantics match the aggregate(zip_with) lambda form") {
+    import spark.implicits._
+    def lambdaDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def check(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select(col("id"), graft.functions.FloatDot(col("a"), col("b")).as("fd"),
+          lambdaDot.as("lam"))
+        .collect().foreach { r =>
+          assert(r.isNullAt(1) == r.isNullAt(2), s"row ${r.getLong(0)}: null mismatch")
+          if (!r.isNullAt(1))
+            assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+              java.lang.Double.doubleToLongBits(r.getDouble(2)),
+              s"row ${r.getLong(0)}: not bit-equal")
+        }
+    // containsNull=true elements: null element and length mismatch -> NULL
+    val nullable = Seq(
+      (1L, Seq(Option(1.5f), Option(2.5f), Option(3.5f)), Seq(Option(4.0f), Option(0.25f), Option(6.0f))),
+      (2L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(1.0f), Option(2.0f), Option(3.0f))),
+      (3L, Seq(Option(1.0f), None), Seq(Option(1.0f), Option(2.0f))))
+      .toDF("id", "a", "b")
+    check(nullable)
+    assert(nullable.select(graft.functions.FloatDot(col("a"), col("b")))
+      .collect().count(_.isNullAt(0)) == 2)
+    // containsNull=false elements (the codegen fast path): mismatch -> NULL
+    val dense = Seq(
+      (10L, Seq(1.5f, 2.5f, 3.5f), Seq(4.0f, 0.25f, 6.0f)),
+      (11L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "a", "b")
+    check(dense)
+    assert(dense.select(graft.functions.FloatDot(col("a"), col("b")))
+      .collect().count(_.isNullAt(0)) == 1)
+  }
 }

@@ -27,6 +27,9 @@ class WsFetcherSpec extends SparkSuite {
     private val pool = Executors.newCachedThreadPool()
     @volatile private var running = true
     val port: Int = server.getLocalPort
+    /** Connection accounting, for the per-task close (leak) regression. */
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+    val live = new java.util.concurrent.atomic.AtomicInteger(0)
 
     def start(): Unit = {
       pool.submit(new Runnable {
@@ -42,6 +45,8 @@ class WsFetcherSpec extends SparkSuite {
 
     private def handle(sock: Socket): Unit = {
       val mapper = new ObjectMapper()
+      opened.incrementAndGet()
+      live.incrementAndGet()
       try {
         val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
         val out = new BufferedOutputStream(sock.getOutputStream)
@@ -122,7 +127,7 @@ class WsFetcherSpec extends SparkSuite {
           }
         }
       } catch { case _: Throwable => () } // connection torn down by client
-      finally sock.close()
+      finally { live.decrementAndGet(); sock.close() }
     }
   }
 
@@ -170,6 +175,22 @@ class WsFetcherSpec extends SparkSuite {
       } finally f.close()
     }
     assert(BlockFetcher.forEndpoint(Some("http://x/")).isInstanceOf[graft.sources.HttpJsonRpcFetcher])
+  }
+
+  test("distributed extract closes its WS connection when each task completes") {
+    val server = new StubWsServer
+    server.start()
+    try {
+      val url = s"ws://127.0.0.1:${server.port}/"
+      assert(BlockFetcher.blocks(spark, 0L, 9L, Some(url)).count() == 10)
+      assert(server.opened.get() > 0, "extract should have opened WS connections")
+      // the client's close frame is asynchronous; give it a moment
+      val deadline = System.currentTimeMillis() + 10000
+      while (server.live.get() != 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(server.live.get() == 0,
+        s"${server.live.get()} WS connections still open after all tasks completed")
+    } finally server.stop()
   }
 
   test("graft.Ingest accepts --endpoint ws:// end-to-end (extract->flatten->load)") {
