@@ -334,23 +334,77 @@ object DedupOps {
   // Semantic dedup, SemDeDup-style (cluster-then-compare; Abbas et al.
   // 2023, arXiv:2303.09540): k-means cells are the BLOCKING key —
   // semantic near-duplicates land in one cell, so candidate pairs are
-  // per-cell quadratic but corpus-linear overall. At 100 TB, K grows
-  // with n so cell size stays bounded (the same role MaxBucket plays
-  // for LSH buckets); the cell assignment is a write-time partition
-  // key, so the within-cell self-join shuffles once on the cell id and
-  // never compares across cells. Exact cosine ≥ 0.99 inside cells, dup
+  // per-cell quadratic but corpus-linear overall. Two guards make that
+  // hold at 100 TB, not just in expectation:
+  //   - K is DERIVED from the corpus (Clustering.kFor: ceil(n /
+  //     TargetCell)), so the expected cell stays ~TargetCell rows as
+  //     data grows — pair work stays ~n·TargetCell/2, corpus-linear;
+  //   - a cell that still exceeds MaxCell (skew: k-means cells have no
+  //     size contract) never reaches the direct self-join. Oversized
+  //     cells fall back to in-cell hyperplane LSH (the embeddingNearDup
+  //     machinery): candidates only within (cell, bucket), buckets over
+  //     MaxBucket dropped — the same bounded-recall trade LSH makes,
+  //     never a quadratic hot task.
+  // The cell assignment is a write-time partition key, so the
+  // within-cell self-join shuffles once on the cell id and never
+  // compares across cells. Exact cosine ≥ 0.99 on candidates, dup
   // groups resolved to connected components, survivor = min id —
   // emitted rows are the DROP LIST (each duplicate with the kept
   // representative), the artifact a training pipeline consumes.
+
+  /** Per-cell pair cap — the MaxCell analog of [[MaxBucket]]: a direct
+    * within-cell self-join is allowed only for cells of ≤ MaxCell rows
+    * (≤ MaxCell²/2 pairs); bigger cells go through the LSH fallback. */
+  val MaxCell = 256
+
+  /** Candidate→verified pairs from a cell assignment `(cluster, vec_id,
+    * embedding, nrm)` under the MaxCell guard. Factored from
+    * [[semanticDedup]] so the skew spec can drive a degenerate
+    * assignment (one giant cell) directly. */
+  private[graft] def semanticPairs(asg: DataFrame): DataFrame = {
+    import graft.functions.FloatDot
+    val sizes = asg.groupBy(col("cluster")).agg(count(lit(1)).as("_cn"))
+    val sized = asg.join(broadcast(sizes), Seq("cluster"))
+    // cells within the cap: exact all-pairs inside the cell
+    val small = sized.filter(col("_cn") <= MaxCell)
+    val l = small.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val r = small.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val direct = l.join(r, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (FloatDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.99)
+    // oversized cells: hyperplane-LSH sub-blocking inside the cell,
+    // buckets capped at MaxBucket like every other LSH path
+    val big = sized.filter(col("_cn") > MaxCell)
+      .withColumn("bucket", SimilarityOps.lshBucket(col("embedding"), 12))
+    val buckets = big.groupBy(col("cluster"), col("bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id"), col("embedding"), col("nrm")))).as("vs"))
+      .filter(size(col("vs")) > 1 && size(col("vs")) <= MaxBucket)
+    val fallback = buckets
+      .select(explode(col("vs")).as("x"), col("vs"))
+      .select(col("x"), explode(col("vs")).as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        (FloatDot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.99)
+    direct.unionByName(fallback)
+  }
+
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
       expr("transform(embedding, x -> CAST(x * 1.001d AS FLOAT))").as("embedding"))
     val base = emb.unionByName(twins)
-    // cells trained on the ORIGINAL corpus (the index-build step); the
-    // twin-augmented base is what gets assigned and deduped
-    val cents = Clustering.trainCentroids(s, dir)
+    // cells trained on the ORIGINAL corpus (the index-build step), but
+    // the cell COUNT is sized for the relation being blocked (corpus ∪
+    // twins) — K grows with what gets assigned, not what got indexed
+    val cents = Clustering.trainCentroids(s, dir, Clustering.kFor(base.count()))
     // per-vector norms computed ONCE, and the per-pair dot runs through
     // the native FloatDot codegen expression — both bit-identical to the
     // inline higher-order cosine (same ascending-index double fold), so
@@ -359,16 +413,7 @@ object DedupOps {
     val asg = Clustering.assign(base, cents)
       .withColumn("nrm", sqrt(FloatDot(col("embedding"), col("embedding"))))
       .localCheckpoint()
-    val l = asg.select(col("cluster"), col("vec_id").as("a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val r = asg.select(col("cluster"), col("vec_id").as("b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = l.join(r, Seq("cluster"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (FloatDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= 0.99)
-      .localCheckpoint()
+    val pairs = semanticPairs(asg).localCheckpoint()
     GraphOps.connectedComponents(pairs.select(col("a"), col("b")))
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"), col("label").as("keep_id"))
@@ -377,30 +422,53 @@ object DedupOps {
 
   /** Oracle: retrains the identical quantized k-means (shared CTE chain
     * from [[Clustering.trainingCtes]] — the cluster_kmeans oracle proved
-    * assignments match bit-exactly cross-engine), assigns the
-    * twin-augmented base, recomputes within-cell cosine pairs, and
-    * resolves components with the recursive reachability walk. */
+    * assignments match bit-exactly cross-engine) with the cell count
+    * derived from the blocked relation (`kp` over corpus ∪ twins,
+    * mirroring [[Clustering.kFor]]), assigns the twin-augmented base,
+    * recomputes candidate pairs under the SAME MaxCell guard (direct
+    * all-pairs in cells ≤ MaxCell; hyperplane-LSH sub-blocking with the
+    * MaxBucket cap in bigger cells), and resolves components with the
+    * recursive reachability walk. */
   val semanticDedupSql: String = {
     def dotSql(a: String, b: String): String =
       s"""list_reduce(list_transform(list_zip($a, $b),
          |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
-    s"""WITH RECURSIVE ${Clustering.trainingCtes},
-       |eb AS (
+    s"""WITH RECURSIVE eb AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL SELECT vec_id + 1000000,
        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT))
        |  FROM embeddings),
+       |${Clustering.kpCte("eb")},
+       |${Clustering.trainingCtes("(SELECT k FROM kp)")},
        |${Clustering.assignSql("sasg", "eb", Clustering.FinalCent)},
        |nasg AS (
        |  SELECT vec_id, embedding, cluster,
        |    sqrt(list_reduce(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
        |  FROM sasg),
-       |dup AS (
+       |cells AS (SELECT cluster, count(*) AS cn FROM nasg GROUP BY 1),
+       |direct AS (
        |  SELECT l.vec_id AS a, r.vec_id AS b
        |  FROM nasg l JOIN nasg r
        |    ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+       |  JOIN cells c ON c.cluster = l.cluster
+       |  WHERE c.cn <= $MaxCell
+       |    AND ${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= 0.99),
+       |bigb AS (
+       |  SELECT n.vec_id, n.embedding, n.nrm, n.cluster,
+       |    ${SimilarityOps.lshBucketSql("n.embedding", 12)} AS bucket
+       |  FROM nasg n JOIN cells c USING (cluster) WHERE c.cn > $MaxCell),
+       |okb AS (
+       |  SELECT cluster, bucket FROM (
+       |    SELECT cluster, bucket, count(*) AS bn FROM bigb GROUP BY 1, 2)
+       |  WHERE bn > 1 AND bn <= $MaxBucket),
+       |fb AS (
+       |  SELECT l.vec_id AS a, r.vec_id AS b
+       |  FROM bigb l JOIN bigb r
+       |    ON l.cluster = r.cluster AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |  JOIN okb o ON o.cluster = l.cluster AND o.bucket = l.bucket
        |  WHERE ${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= 0.99),
+       |dup AS (SELECT a, b FROM direct UNION ALL SELECT a, b FROM fb),
        |edges AS (SELECT a AS src, b AS dst FROM dup
        |          UNION ALL SELECT b AS src, a AS dst FROM dup),
        |walk(node, label) AS (

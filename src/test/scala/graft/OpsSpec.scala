@@ -234,7 +234,8 @@ class OpsSpec extends SparkSuite {
 
   test("deterministic k-means: full partition, deterministic, k*dim centroid rows") {
     val a = graft.ops.Clustering.kmeans(spark, sf)
-    assert(a.count() == graft.ops.Clustering.K * graft.ops.Clustering.Dim)
+    val nEmb = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(a.count() == graft.ops.Clustering.kFor(nEmb) * graft.ops.Clustering.Dim)
     // every vector lands in exactly one cluster
     val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
     val members = a.select("cluster", "n_members").distinct()
@@ -243,6 +244,47 @@ class OpsSpec extends SparkSuite {
     // pure function of the data: a second run is identical
     val b = graft.ops.Clustering.kmeans(spark, sf)
     assert(a.collect().sameElements(b.collect()))
+  }
+
+  test("centroid assignment: broadcast-join path equals the literal-least path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ops.Clustering.trainCentroids(spark, sf, k = 12)
+    val viaLiteral = graft.ops.Clustering.assignLiteral(emb, cents)
+      .select("vec_id", "cluster")
+    val viaJoin = graft.ops.Clustering.assignBroadcast(emb, cents)
+      .select("vec_id", "cluster")
+    assert(viaLiteral.except(viaJoin).count() == 0 &&
+      viaJoin.except(viaLiteral).count() == 0,
+      "the two assignment plan shapes must pick identical cells")
+    // and the cell count really is corpus-derived and monotone
+    import graft.ops.Clustering.kFor
+    assert(kFor(1) == 8 && kFor(512) == 8 && kFor(1000) == 16 && kFor(10000) == 157)
+  }
+
+  test("semantic dedup caps oversized cells: bounded pair work, groups within buckets still found") {
+    val s0 = spark
+    import s0.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => (((seed * 31 + j * 7) % 13) - 6).toFloat)
+    // ONE cell of 320 rows — past MaxCell=256, the case round 5 would have
+    // self-joined quadratically: a 200-copy clique (identical vector ->
+    // one LSH bucket of 200 > MaxBucket=64 -> capped out) plus 6 groups
+    // of 20 copies (same-bucket, under the cap -> all pairs found)
+    val rows = (0 until 200).map(i => (i.toLong, vec(1))) ++
+      (0 until 6).flatMap(g => (0 until 20).map(i => (1000L + g * 100 + i, vec(2 + g))))
+    val asg = rows.toDF("vec_id", "embedding")
+      .withColumn("cluster", lit(0L))
+      .withColumn("nrm", sqrt(graft.functions.FloatDot(col("embedding"), col("embedding"))))
+    val pairs = graft.ops.DedupOps.semanticPairs(asg).localCheckpoint()
+    // every within-group pair of the under-cap groups is found (cos = 1)
+    val sameGroup = pairs.filter(col("a") >= 1000L &&
+      floor(col("a") / 100) === floor(col("b") / 100))
+    assert(sameGroup.count() == 6L * (20 * 19 / 2),
+      "under-cap buckets inside an oversized cell must yield all pairs")
+    // the degenerate clique is capped, not quadratically joined
+    assert(pairs.filter(col("a") < 1000L && col("b") < 1000L).count() == 0,
+      "an over-MaxBucket clique inside an oversized cell must be dropped, not exploded")
   }
 
   test("containment flags every excerpt against its source at exactly 1.0") {
