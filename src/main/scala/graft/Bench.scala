@@ -76,10 +76,36 @@ object Bench {
     // numeric sf parsed from the dir name (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val headline = mins.filter { case (k, _) => Headline.contains(k) }
+    // Per-query ratio vs the frozen round-5 minima (BASELINE_BENCH.json) —
+    // the 2x regression gate now has a number to gate against. Ratios are
+    // only meaningful at the baseline's scale factor; queries added after
+    // the freeze have no ratio. A >2x min-over-min on this shared host
+    // still needs a confirming second sweep before it counts as a real
+    // regression (BENCH methodology, SCALE.md).
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        if (root.get("sf").asDouble() != sfNum.toDouble) Map.empty
+        else {
+          val qs = root.get("queries")
+          import scala.jdk.CollectionConverters._
+          qs.fieldNames().asScala.map(n => n -> qs.get(n).asDouble()).toMap
+        }
+      }
+    }
+    val ratios = mins.flatMap { case (k, v) =>
+      baseline.get(k).filter(_ > 0).filter(_ => v >= 0).map(b => (k, v / b))
+    }
+    val ratioMax = if (ratios.nonEmpty) ratios.map(_._2).max else -1.0
+    val regressed = ratios.filter(_._2 > 2.0).map(_._1).sorted
+    val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"detail":"BENCH.out.json"}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedian,"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()
