@@ -320,15 +320,14 @@ object Load {
     }
   }
 
-  /** Full ingest of a block range into the warehouse — the reference's
-    * main loop (src/main.rs:172-336) as one declarative batch job.
-    * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline
-    * fixture when absent. */
-  def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
-      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit = {
+  /** The four flattened chain tables of a block range — D1's inputs,
+    * exposed so the scale bench can time extract+flatten separately from
+    * the bucketed write. */
+  def tables(spark: SparkSession, from: Long, to: Long,
+      endpoint: Option[String] = None): Map[String, (DataFrame, Seq[String], String)] = {
     val blocks = graft.sources.BlockFetcher.blocks(spark, from, to, endpoint)
     val receipts = graft.sources.BlockFetcher.receipts(spark, from, to, endpoint)
-    writeAll(Map(
+    Map(
       "blocks" -> ((Flatten.blockRows(blocks), Schemas.dedupKeys("blocks"), "number")),
       "transactions" -> ((Flatten.transactionRows(blocks, receipts),
         Schemas.dedupKeys("transactions"), "blockNumber")),
@@ -336,6 +335,14 @@ object Load {
         Schemas.dedupKeys("events"), "blockNumber")),
       "withdraws" -> ((Flatten.withdrawalRows(blocks),
         Schemas.dedupKeys("withdraws"), "blockNumber"))
-    ), warehouse, sink)
+    )
   }
+
+  /** Full ingest of a block range into the warehouse — the reference's
+    * main loop (src/main.rs:172-336) as one declarative batch job.
+    * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline
+    * fixture when absent. */
+  def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
+      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit =
+    writeAll(tables(spark, from, to, endpoint), warehouse, sink)
 }

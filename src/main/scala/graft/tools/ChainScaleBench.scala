@@ -78,17 +78,37 @@ object ChainScaleBench {
       queryBundle(spark, whW)
       rm(new java.io.File(whW))
     }
-    println(f"${"blocks"}%8s ${"tx rows"}%9s ${"ingest"}%8s ${"blk/s"}%7s ${"queries"}%8s")
+    // ingest decomposed into its two phases (VERDICT r5 item 3): the
+    // extract+flatten dag materialized via localCheckpoint, then the
+    // bucketed 4-table concurrent write (task write + dynamic-overwrite
+    // partition commit) from the materialized inputs — so a superlinear
+    // cell can be attributed to compute or to commit, not guessed.
+    println(f"${"blocks"}%8s ${"tx rows"}%9s ${"parts"}%6s ${"flatten"}%8s ${"write"}%8s ${"ingest"}%8s ${"blk/s"}%7s ${"queries"}%8s")
     counts.foreach { n =>
       val wh = s"/tmp/graft_chain_scale_$n"
       rm(new java.io.File(wh))
-      val tIngest = timed(graft.etl.Load.ingest(spark, 0, n - 1, wh))
+      var ck: Map[String, (DataFrame, Seq[String], String)] = Map.empty
+      val tFlatten = timed {
+        ck = graft.etl.Load.tables(spark, 0, n - 1).map {
+          case (name, (df, keys, nc)) => name -> ((df.localCheckpoint(), keys, nc))
+        }
+      }
+      val tWrite = timed(graft.etl.Load.writeAll(ck, wh))
+      val tIngest = tFlatten + tWrite
       val txRows = spark.read.parquet(s"$wh/transactions").count()
+      val parts = new java.io.File(s"$wh/transactions").listFiles()
+        .count(d => d.isDirectory && d.getName.startsWith("blockRange="))
       // cold query bundle: drop any cached scans from the ingest read-back
       spark.catalog.clearCache()
       val tQuery = timed(queryBundle(spark, wh))
-      println(f"$n%8d $txRows%9d $tIngest%7.2fs ${n / tIngest}%7.0f $tQuery%7.2fs")
+      println(f"$n%8d $txRows%9d $parts%6d $tFlatten%7.2fs $tWrite%7.2fs $tIngest%7.2fs ${n / tIngest}%7.0f $tQuery%7.2fs")
       rm(new java.io.File(wh))
+      // Drop this cell's localCheckpoint blocks BEFORE the next cell:
+      // leaving them to the async ContextCleaner let earlier cells'
+      // blocks pile up in the block manager, and the later (larger)
+      // cells measured that pollution as a phantom superlinear cliff
+      // (100k: 63-83 s polluted vs 4.9-10.1 s in a clean JVM).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }
