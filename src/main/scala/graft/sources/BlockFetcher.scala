@@ -194,6 +194,14 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
   private val mapper = new ObjectMapper()
   private val pending = new ConcurrentHashMap[Long, CompletableFuture[JsonNode]]()
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+  // subscription id -> notification handler (eth_subscribe push frames)
+  private val subHandlers = new ConcurrentHashMap[String, JsonNode => Unit]()
+  // pushes that beat the caller's handler registration (the node may push
+  // immediately after its subscribe response, on the listener thread,
+  // before subscribeNewHeads() has stored the handler) are buffered here
+  // and drained at registration — no head is dropped
+  private val earlyPushes =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[JsonNode]]()
 
   private val listener = new WebSocket.Listener {
     private val buf = new java.lang.StringBuilder
@@ -206,7 +214,20 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
         if (idNode != null && !idNode.isNull) {
           val f = pending.remove(idNode.asLong())
           if (f != null) f.complete(root)
-        } // non-response frames (e.g. subscription pushes) are ignored
+        } else {
+          // push frame: route eth_subscription notifications to their
+          // handler; anything else is ignored as before
+          val m = root.get("method")
+          if (m != null && m.asText() == "eth_subscription") {
+            val p = root.get("params")
+            val sub = p.get("subscription").asText()
+            val h = subHandlers.get(sub)
+            if (h != null) h(p.get("result"))
+            else earlyPushes
+              .computeIfAbsent(sub, _ => new java.util.concurrent.ConcurrentLinkedQueue[JsonNode]())
+              .add(p.get("result"))
+          }
+        }
       }
       ws.request(1)
       null
@@ -254,6 +275,28 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
 
   override def blockReceipts(n: Long): BlockReceipts =
     RpcWire.parseReceipts(n, rpc("eth_getBlockReceipts", s"""["0x${n.toHexString}"]"""))
+
+  /** `eth_subscribe("newHeads")`: every pushed head's block number goes
+    * to `onHead` (listener thread — keep it cheap and non-blocking).
+    * Returns the node's subscription id for [[unsubscribe]]. */
+  def subscribeNewHeads(onHead: Long => Unit): String = {
+    val handler: JsonNode => Unit =
+      head => onHead(RpcWire.hexLong(head.get("number")))
+    val id = rpc("eth_subscribe", """["newHeads"]""").asText()
+    subHandlers.put(id, handler)
+    // heads pushed before the handler landed were buffered by the
+    // listener; deliver them now (set semantics downstream — the ingest
+    // keys on block number — so drain-after-register ordering is fine)
+    val q = earlyPushes.remove(id)
+    if (q != null) q.forEach(n => handler(n))
+    id
+  }
+
+  def unsubscribe(id: String): Unit = {
+    subHandlers.remove(id)
+    rpc("eth_unsubscribe", s"""["$id"]""")
+    ()
+  }
 
   override def close(): Unit = {
     try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")

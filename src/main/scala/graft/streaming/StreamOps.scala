@@ -322,11 +322,14 @@ object StreamOps {
   def chainIngestStream(
       spark: SparkSession,
       heights: DataFrame, // streaming frame with a `number: Long` column
-      warehouse: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      warehouse: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
-    heights
+    val writer = heights
       .writeStream
       .outputMode(OutputMode.Append)
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val nums = batch.select(col("number")).as[Long]
         val blocks = nums.map(ChainFixture.genBlock)

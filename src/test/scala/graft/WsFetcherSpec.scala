@@ -30,6 +30,8 @@ class WsFetcherSpec extends SparkSuite {
     /** Connection accounting, for the per-task close (leak) regression. */
     val opened = new java.util.concurrent.atomic.AtomicInteger(0)
     val live = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Heads the node will push to newHeads subscribers (spec enqueues). */
+    val heads = new java.util.concurrent.LinkedBlockingQueue[Long]()
 
     def start(): Unit = {
       pool.submit(new Runnable {
@@ -85,7 +87,10 @@ class WsFetcherSpec extends SparkSuite {
           }
           out.write(payload); out.flush()
         }
-        def writeFrame(opcode: Int, payload: Array[Byte]): Unit =
+        // the subscription pusher writes from its own thread: one lock
+        // per connection keeps frames atomic on the wire
+        val writeLock = new Object
+        def writeFrame(opcode: Int, payload: Array[Byte]): Unit = writeLock.synchronized {
           // fragment large text messages (text + continuation frames) so
           // the client's reassembly path is exercised by every block fetch
           if (opcode == 1 && payload.length > 1024) {
@@ -93,6 +98,20 @@ class WsFetcherSpec extends SparkSuite {
             writeRawFrame(fin = false, 1, payload.take(half))
             writeRawFrame(fin = true, 0, payload.drop(half))
           } else writeRawFrame(fin = true, opcode, payload)
+        }
+        @volatile var subscribed = false
+        def startPusher(): Unit = {
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              while (subscribed && !sock.isClosed)
+                Option(heads.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)).foreach { h =>
+                  writeFrame(1, (s"""{"jsonrpc":"2.0","method":"eth_subscription","params":""" +
+                    s"""{"subscription":"0xfeed1","result":{"number":"0x${h.toHexString}"}}}""")
+                    .getBytes(StandardCharsets.UTF_8))
+                }
+          })
+          ()
+        }
         val msg = new java.io.ByteArrayOutputStream()
         var open = true
         while (open) {
@@ -120,7 +139,19 @@ class WsFetcherSpec extends SparkSuite {
                 msg.write(payload)
                 if (fin) {
                   val req = msg.toString(StandardCharsets.UTF_8); msg.reset()
-                  writeFrame(1, RpcStubWire.respond(req, mapper).getBytes(StandardCharsets.UTF_8))
+                  val root = mapper.readTree(req)
+                  root.get("method").asText() match {
+                    case "eth_subscribe" =>
+                      writeFrame(1, s"""{"jsonrpc":"2.0","id":${root.get("id").asLong()},"result":"0xfeed1"}"""
+                        .getBytes(StandardCharsets.UTF_8))
+                      if (!subscribed) { subscribed = true; startPusher() }
+                    case "eth_unsubscribe" =>
+                      subscribed = false
+                      writeFrame(1, s"""{"jsonrpc":"2.0","id":${root.get("id").asLong()},"result":true}"""
+                        .getBytes(StandardCharsets.UTF_8))
+                    case _ =>
+                      writeFrame(1, RpcStubWire.respond(req, mapper).getBytes(StandardCharsets.UTF_8))
+                  }
                 }
               case _ => ()
             }
@@ -191,6 +222,51 @@ class WsFetcherSpec extends SparkSuite {
       assert(server.live.get() == 0,
         s"${server.live.get()} WS connections still open after all tasks completed")
     } finally server.stop()
+  }
+
+  test("live chain tip: newHeads subscription -> spool -> streaming ingest, exactly-once across restart") {
+    import org.apache.spark.sql.functions._
+    val server = new StubWsServer
+    server.start()
+    val spool = java.nio.file.Files.createTempDirectory("graft_headspool").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_tip_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tip_ck").toString
+    val hs = new graft.streaming.ChainTip.HeadSpool(s"ws://127.0.0.1:${server.port}/", spool)
+    def awaitSpooled(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (hs.count < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(hs.count == n, s"expected $n spooled heads, got ${hs.count}")
+    }
+    try {
+      // phase 1: node pushes heads 0-9; a checkpointed query ingests them
+      (0L until 10L).foreach(server.heads.put)
+      awaitSpooled(10)
+      val q1 = graft.streaming.StreamOps.chainIngestStream(
+        spark, graft.streaming.ChainTip.heights(spark, spool), wh, Some(ckpt))
+      q1.processAllAvailable()
+      q1.stop() // "crash": the tip keeps moving while we are down
+      // phase 2: heads 10-19 arrive while no query runs; a RESTARTED
+      // query (same checkpoint) must ingest exactly the new files
+      (10L until 20L).foreach(server.heads.put)
+      awaitSpooled(20)
+      val q2 = graft.streaming.StreamOps.chainIngestStream(
+        spark, graft.streaming.ChainTip.heights(spark, spool), wh, Some(ckpt))
+      q2.processAllAvailable()
+      q2.stop()
+      // ingested range == pushed range, each block exactly once
+      val tx = spark.read.parquet(s"$wh/transactions_stream")
+      val byBlock = tx.groupBy(col("blockNumber")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byBlock.keySet == (0L until 20L).toSet,
+        s"ingested blocks must equal pushed heads, got ${byBlock.keySet.toSeq.sorted}")
+      (0L until 20L).foreach { n =>
+        assert(byBlock(n) == (n % 5) + 1, // the fixture's txs-per-block
+          s"block $n must appear exactly once (no duplicate ingest on restart)")
+      }
+    } finally {
+      hs.close()
+      server.stop()
+    }
   }
 
   test("graft.Ingest accepts --endpoint ws:// end-to-end (extract->flatten->load)") {
