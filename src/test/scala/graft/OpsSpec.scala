@@ -160,57 +160,26 @@ class OpsSpec extends SparkSuite {
   }
 
   test("IVF over trained k-means cells bows above the random-label diagonal") {
-    import org.apache.spark.sql.expressions.Window
-    val spark0 = spark
-    import spark0.implicits._
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val corpus = emb.count().toDouble
-    val cents = graft.ops.Clustering.trainCentroids(spark, sf)
-    val asg = graft.ops.Clustering.assign(emb, cents)
-      .select(col("vec_id"), col("cluster")).localCheckpoint()
-    val embC = emb.join(asg, Seq("vec_id"))
-    val centDf = cents.zipWithIndex.map { case (c, k) => (k.toLong, c) }
-      .toDF("cluster", "centroid")
-    val probes = emb.filter(col("vec_id") < SimilarityOps.ProbeIds)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val bf = SimilarityOps.annBruteForce(spark, sf).select("q_id", "c_id").localCheckpoint()
-    val denom = (SimilarityOps.ProbeIds * SimilarityOps.TopK).toDouble
-    val sizes = asg.groupBy(col("cluster")).count()
-
-    def run(nprobe: Int): (Double, Double) = {
-      val wCell = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("cluster"))
-      val probed = probes.crossJoin(broadcast(centDf))
-        .select(col("q_id"), col("q_emb"), col("cluster"),
-          SimilarityOps.cosine(col("q_emb"), col("centroid")).as("c_cos"))
-        .withColumn("_r", row_number().over(wCell))
-        .filter(col("_r") <= nprobe)
-        .select(col("q_id"), col("q_emb"), col("cluster"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      val ivf = embC.join(broadcast(probed), Seq("cluster"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select(col("q_id"), col("vec_id").as("c_id"),
-          SimilarityOps.cosine(col("q_emb"), col("embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= SimilarityOps.TopK)
-        .select(col("q_id"), col("c_id"))
-      val recall = bf.intersect(ivf).count().toDouble / denom
-      // fraction of the corpus a query actually scans (cells are unequal)
-      val scanned = probed.join(sizes, Seq("cluster"))
-        .groupBy(col("q_id")).agg(sum(col("count")).as("s"))
-        .agg(avg(col("s"))).head().getDouble(0) / corpus
-      (recall, scanned)
-    }
-    val curve = Seq(1, 2, 4).map(np => (np, run(np)))
-    info(s"kmeans-cell IVF (8 cells): " + curve.map { case (np, (r, f)) =>
-      f"nprobe=$np recall=$r%.3f scanned=$f%.3f" }.mkString("; "))
+    val curve = graft.ops.TrainedIvf.curve(spark, sf, Seq(1, 2, 4))
+    info("kmeans-cell IVF: " + curve.map(p =>
+      f"nprobe=${p.nprobe} recall=${p.recall}%.3f scanned=${p.scanned}%.3f").mkString("; "))
     // random-label cells gave recall ≈ scanned fraction (the diagonal,
     // SCALE.md); trained cells must concentrate true neighbors — demand
     // a clear bow above the diagonal at every operating point
-    curve.foreach { case (np, (recall, scanned)) =>
-      assert(recall >= 1.3 * scanned,
-        f"nprobe=$np: recall $recall%.3f did not beat 1.3x scanned fraction $scanned%.3f")
+    curve.foreach { p =>
+      assert(p.recall >= 1.3 * p.scanned,
+        f"nprobe=${p.nprobe}: recall ${p.recall}%.3f did not beat 1.3x scanned ${p.scanned}%.3f")
     }
+  }
+
+  test("trained-cell IVF at sf0.1: recall@10 >= 0.5 at nprobe=4") {
+    // the judge-specified operating floor, at the larger scale where the
+    // corpus-derived cell count (kFor ~ 32 cells) actually bites
+    val curve = graft.ops.TrainedIvf.curve(spark, "/root/testdata/sf0.1", Seq(4))
+    info(f"sf0.1 trained cells: nprobe=4 recall=${curve.head.recall}%.3f " +
+      f"scanned=${curve.head.scanned}%.3f qps=${curve.head.qps}%.1f")
+    assert(curve.head.recall >= 0.5,
+      f"recall@10 at nprobe=4 on trained cells: ${curve.head.recall}%.3f < 0.5")
   }
 
   test("IVF recall-vs-nprobe curve is monotone and saturates to exhaustive") {
