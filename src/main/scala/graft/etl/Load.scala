@@ -115,26 +115,43 @@ object Load {
   }
 
   /** Resumable ingest: skip 1000-block ranges that already landed
-    * COMPLETELY (partition dir present with exactly Batch blocks) and
-    * (re-)ingest the rest. Dynamic partition overwrite makes re-runs
-    * IDEMPOTENT; this makes them CHEAP — a restarted 100 TB backfill
-    * re-fetches nothing it already landed, where the reference re-runs
-    * its whole loop (main.rs:172). An incomplete range is re-ingested
-    * WHOLE (bounded by `to`) — never a slice, since dynamic overwrite
-    * replaces the entire partition. Returns the ranges ingested. */
+    * COMPLETELY and (re-)ingest the rest. Dynamic partition overwrite
+    * makes re-runs IDEMPOTENT; this makes them CHEAP — a restarted
+    * 100 TB backfill re-fetches nothing it already landed, where the
+    * reference re-runs its whole loop (main.rs:172). An incomplete
+    * range is re-ingested WHOLE (bounded by `to`) — never a slice,
+    * since dynamic overwrite replaces the entire partition. Returns
+    * the ranges ingested.
+    *
+    * Completeness = the range's `_complete` marker covers the requested
+    * slice AND the blocks partition holds every requested block. The
+    * marker is written by [[ingest]] only AFTER all four tables' writes
+    * returned, which closes the crash window a blocks-only data check
+    * had: a job dying between the blocks write and the events write
+    * leaves a complete-looking blocks partition, and a resume keyed on
+    * blocks alone would SKIP the range and silently strand the partial
+    * events table (proven by ChainEtlSpec's injected-crash test). A
+    * marker-less warehouse (pre-upgrade, or crashed mid-writeAll) is
+    * treated as incomplete — re-ingest is idempotent, so the safe
+    * default costs only a re-fetch. */
   def ingestResumable(spark: SparkSession, from: Long, to: Long, warehouse: String,
       endpoint: Option[String] = None): Seq[(Long, Long)] = {
-    // A range is complete when every requested block in it is present —
-    // checked against the clamped [lo, hi] slice, so an unaligned tail
-    // (to not at a Batch-1 boundary) or head is recognized as done and
-    // never re-fetched over the wire on resume.
     def complete(r: Long, lo: Long, hi: Long): Boolean = {
-      val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
-      p.isDirectory && {
-        try spark.read.parquet(p.toString)
-          .where(org.apache.spark.sql.functions.col("number").between(lo, hi))
-          .count() == hi - lo + 1
-        catch { case _: Throwable => false }
+      val m = new java.io.File(s"$warehouse/_complete/blockRange=$r")
+      val markerCovers = m.isFile && {
+        try {
+          val parts = java.nio.file.Files.readString(m.toPath).trim.split("\\s+")
+          parts.length == 2 && parts(0).toLong <= lo && hi <= parts(1).toLong
+        } catch { case _: Throwable => false }
+      }
+      markerCovers && {
+        val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
+        p.isDirectory && {
+          try spark.read.parquet(p.toString)
+            .where(org.apache.spark.sql.functions.col("number").between(lo, hi))
+            .count() == hi - lo + 1
+          catch { case _: Throwable => false }
+        }
       }
     }
     val ranges = (from / Batch to to / Batch)
@@ -341,8 +358,20 @@ object Load {
   /** Full ingest of a block range into the warehouse — the reference's
     * main loop (src/main.rs:172-336) as one declarative batch job.
     * `endpoint` selects the transport: HTTP JSON-RPC url, or the offline
-    * fixture when absent. */
+    * fixture when absent. After ALL four tables land, a per-range
+    * `_complete` marker records the covered slice — the commit record
+    * [[ingestResumable]] keys on (a crash anywhere before this point
+    * leaves no marker, so the whole range is re-ingested on resume). */
   def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
-      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit =
+      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit = {
     writeAll(tables(spark, from, to, endpoint), warehouse, sink)
+    val dir = new java.io.File(s"$warehouse/_complete")
+    dir.mkdirs()
+    (from / Batch to to / Batch).foreach { r =>
+      val lo = math.max(from, r * Batch)
+      val hi = math.min(to, r * Batch + Batch - 1)
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, s"blockRange=$r").toPath, s"$lo $hi")
+    }
+  }
 }

@@ -434,6 +434,59 @@ class ChainEtlSpec extends SparkSuite {
     }
   }
 
+  test("crash between concurrent table writes: resume must not skip the range, rebuilds a clean run exactly") {
+    import java.util.concurrent.CountDownLatch
+    // A sink that lets the OTHER three tables land completely, then
+    // writes HALF of the target table's rows and dies — the worst D3
+    // crash point: a complete-looking blocks table next to a partial
+    // events table, and no range marker.
+    class CrashingSink(failTable: String, cutoff: Long) extends graft.etl.TableSink {
+      val survivors = new CountDownLatch(3)
+      override def format: String = graft.etl.ParquetSink.format
+      override def dataExt: String = graft.etl.ParquetSink.dataExt
+      override def read(spark: org.apache.spark.sql.SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+        graft.etl.ParquetSink.read(spark, path, schema)
+      override def write(df: org.apache.spark.sql.DataFrame, path: String,
+          sortKeys: Seq[String], numberCol: String): Unit =
+        if (path.endsWith(s"/$failTable")) {
+          survivors.await() // deterministic: the other three finish first
+          graft.etl.ParquetSink.write(df.filter(col(numberCol) < cutoff), path, sortKeys, numberCol)
+          throw new RuntimeException("injected crash mid-ingest")
+        } else {
+          graft.etl.ParquetSink.write(df, path, sortKeys, numberCol)
+          survivors.countDown()
+        }
+    }
+    val whClean = java.nio.file.Files.createTempDirectory("graft_crash_clean").toString
+    val whCrash = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    graft.etl.Load.ingest(spark, 0, 1499, whClean)
+    val boom = intercept[RuntimeException] {
+      graft.etl.Load.ingest(spark, 0, 1499, whCrash, sink = new CrashingSink("events", 750L))
+    }
+    assert(boom.getMessage.contains("injected crash"))
+    // the wreckage is what a real crash leaves: full blocks, partial events
+    assert(spark.read.parquet(s"$whCrash/blocks").count() == 1500)
+    val partialEvents = spark.read.parquet(s"$whCrash/events").count()
+    val cleanEvents = spark.read.parquet(s"$whClean/events").count()
+    assert(partialEvents < cleanEvents, "crash must leave events genuinely partial")
+    // resume: the blocks table LOOKS complete, but no marker landed —
+    // both ranges must be re-ingested, not skipped (the silent-loss bug
+    // a blocks-only completeness check had)
+    val redone = graft.etl.Load.ingestResumable(spark, 0, 1499, whCrash)
+    assert(redone == Seq((0L, 999L), (1000L, 1499L)),
+      s"resume after crash must redo the whole range, got $redone")
+    // all four tables now equal the clean single run exactly
+    Seq("blocks", "transactions", "events", "withdraws").foreach { t =>
+      val a = spark.read.parquet(s"$whCrash/$t")
+      val b = spark.read.parquet(s"$whClean/$t")
+      assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+        s"table $t must match a clean run after crash recovery")
+    }
+    // and the rebuilt warehouse is marked: a second resume is a no-op
+    assert(graft.etl.Load.ingestResumable(spark, 0, 1499, whCrash).isEmpty)
+  }
+
   test("maintenance is sink-aware: orc compaction + delete work, mismatched sink fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_maint").toString
     val path = s"$dir/transactions_orc"
