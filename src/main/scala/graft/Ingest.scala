@@ -20,7 +20,17 @@ object Ingest {
       warehouse: String = "/tmp/graft_warehouse",
       schema: Boolean = false,
       resume: Boolean = false,
-      endpoint: Option[String] = None)
+      endpoint: Option[String] = None,
+      sink: etl.TableSink = etl.ParquetSink)
+
+  /** `--sink` names the D1 landing encoding ([[etl.TableSink]]). */
+  def sinkFor(name: String): etl.TableSink = name match {
+    case "parquet" => etl.ParquetSink
+    case "orc" => etl.OrcSink
+    case "jsonl" => etl.JsonLinesSink
+    case other => throw new IllegalArgumentException(
+      s"unknown sink '$other' — expected parquet|orc|jsonl")
+  }
 
   def parse(args: Seq[String]): Config = {
     def loop(rest: List[String], c: Config): Config = rest match {
@@ -30,10 +40,11 @@ object Ingest {
       case "--schema" :: t => loop(t, c.copy(schema = true))
       case "--resume" :: t => loop(t, c.copy(resume = true))
       case "--endpoint" :: v :: t => loop(t, c.copy(endpoint = Some(v)))
+      case "--sink" :: v :: t => loop(t, c.copy(sink = sinkFor(v)))
       case Nil => c
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad' — expected [--schema] [--from A --to B] " +
-          "[--warehouse PATH] [--resume] [--endpoint URL]")
+          "[--warehouse PATH] [--resume] [--endpoint URL] [--sink parquet|orc|jsonl]")
     }
     loop(args.toList, Config())
   }
@@ -44,9 +55,9 @@ object Ingest {
     if (c.schema) etl.Load.createTables(spark, c.warehouse)
     if (c.to >= c.from && c.to >= 0) {
       if (c.resume) {
-        val done = etl.Load.ingestResumable(spark, c.from, c.to, c.warehouse, c.endpoint)
+        val done = etl.Load.ingestResumable(spark, c.from, c.to, c.warehouse, c.endpoint, c.sink)
         System.err.println(s"[ingest] resumed: ${done.size} range(s) ingested")
-      } else etl.Load.ingest(spark, c.from, c.to, c.warehouse, c.endpoint)
+      } else etl.Load.ingest(spark, c.from, c.to, c.warehouse, c.endpoint, c.sink)
     }
   }
 

@@ -135,7 +135,7 @@ object Load {
     * treated as incomplete — re-ingest is idempotent, so the safe
     * default costs only a re-fetch. */
   def ingestResumable(spark: SparkSession, from: Long, to: Long, warehouse: String,
-      endpoint: Option[String] = None): Seq[(Long, Long)] = {
+      endpoint: Option[String] = None, sink: TableSink = ParquetSink): Seq[(Long, Long)] = {
     def complete(r: Long, lo: Long, hi: Long): Boolean = {
       val m = new java.io.File(s"$warehouse/_complete/blockRange=$r")
       val markerCovers = m.isFile && {
@@ -147,7 +147,7 @@ object Load {
       markerCovers && {
         val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
         p.isDirectory && {
-          try spark.read.parquet(p.toString)
+          try sink.read(spark, p.toString, Schemas.blocks)
             .where(org.apache.spark.sql.functions.col("number").between(lo, hi))
             .count() == hi - lo + 1
           catch { case _: Throwable => false }
@@ -161,7 +161,7 @@ object Load {
       // partition overwrite replaces the entire partition, so writing only
       // the [from, hi] slice would drop blocks below `from` already landed
       .map { case (r, _, _) => (r * Batch, math.min(to, r * Batch + Batch - 1)) }
-    ranges.foreach { case (lo, hi) => ingest(spark, lo, hi, warehouse, endpoint) }
+    ranges.foreach { case (lo, hi) => ingest(spark, lo, hi, warehouse, endpoint, sink) }
     ranges.toSeq
   }
 

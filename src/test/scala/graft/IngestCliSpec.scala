@@ -45,6 +45,33 @@ class IngestCliSpec extends SparkSuite {
     assert(graft.etl.Load.ingestResumable(spark, 0, 2999, wh).isEmpty)
   }
 
+  test("--sink selects the landing encoding; content identical across all three sinks") {
+    import org.apache.spark.sql.functions.col
+    import graft.types.Schemas
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_sink").toString
+    Seq("parquet", "orc", "jsonl").foreach { s =>
+      Ingest.run(spark, Ingest.parse(Seq(
+        "--from", "0", "--to", "49", "--warehouse", s"$base/$s", "--sink", s)))
+    }
+    def cols(df: org.apache.spark.sql.DataFrame) =
+      df.select(Schemas.transactions.fieldNames.map(col).toIndexedSeq: _*)
+    val pq = cols(graft.etl.ParquetSink.read(spark, s"$base/parquet/transactions", Schemas.transactions))
+    val orc = cols(graft.etl.OrcSink.read(spark, s"$base/orc/transactions", Schemas.transactions))
+    val js = cols(graft.etl.JsonLinesSink.read(spark, s"$base/jsonl/transactions", Schemas.transactions))
+    assert(pq.count() == (0L to 49L).map(n => (n % 5) + 1).sum)
+    assert(orc.except(pq).count() == 0 && pq.except(orc).count() == 0,
+      "--sink orc must land the identical rows")
+    assert(js.except(pq).count() == 0 && pq.except(js).count() == 0,
+      "--sink jsonl must land the identical rows")
+    // a bad sink name fails fast at parse time
+    intercept[IllegalArgumentException](Ingest.parse(Seq("--sink", "csv")))
+    // resume reads completeness through the sink's encoding: all landed
+    assert(graft.etl.Load.ingestResumable(spark, 0, 49, s"$base/orc",
+      sink = graft.etl.OrcSink).isEmpty)
+    assert(graft.etl.Load.ingestResumable(spark, 0, 49, s"$base/jsonl",
+      sink = graft.etl.JsonLinesSink).isEmpty)
+  }
+
   test("run with schema flag bootstraps the table definitions") {
     val wh = java.nio.file.Files.createTempDirectory("graft_cli_ddl").toString
     Ingest.run(spark, Ingest.Config(schema = true, warehouse = wh))
