@@ -29,22 +29,48 @@ object Clustering {
     * expected cell stays near [[TargetCell]] rows — K ∝ n is what makes
     * cluster-then-compare corpus-linear (SemDeDup §3; the role MaxBucket
     * plays for LSH buckets). [[KMin]] keeps tiny corpora at the legacy
-    * K = 8, so sf0.001/sf0.01 behavior is unchanged. */
+    * K = 8, so sf0.001/sf0.01 behavior is unchanged.
+    *
+    * [[KCap]] bounds the codebook: beyond KCap·TargetCell rows cells
+    * grow past TargetCell and semantic dedup's MaxCell→in-cell-LSH
+    * fallback carries linearity instead (the capped-cell spec proves
+    * that path bounded). An uncapped K ∝ n would make the n·K
+    * assignment scan n²/TargetCell — the same quadratic law the round-5
+    * fix removed from pair generation, just moved one stage earlier.
+    *
+    * [[SampleCap]] bounds the TRAINING corpus: Lloyd iterations run
+    * over the SampleCap rows with the smallest affine id-hash (the same
+    * ordering init uses, so init ⊂ sample by construction). That makes
+    * training cost SampleCap·K·Iters — independent of corpus size — and
+    * small enough (SampleCap×Dim floats ≈ 1 MB) that the whole training
+    * loop runs ON THE DRIVER, exactly as FAISS trains IVF coarse
+    * quantizers from a sample. The distributed footprint of
+    * training+assignment is then exactly two corpus scans: the sample
+    * TakeOrdered and the final NearestCentroid pass. KCap = SampleCap
+    * so the init prefix always exists. Corpora ≤ SampleCap rows train
+    * on everything — sampling changes nothing at the oracle scales. */
   val KMin = 8
   val TargetCell = 64
+  val KCap = 2048
+  val SampleCap = 2048
   val Iters = 3
   val Dim = 64
   val Quantum = 1e6
 
-  /** Cell count for an n-vector corpus: max(KMin, ceil(n / TargetCell)).
+  /** Cell count for an n-vector corpus:
+    * min(KCap, max(KMin, ceil(n / TargetCell))).
     * Mirrored verbatim in the oracles' `kp` CTE. */
   def kFor(n: Long): Int =
-    math.max(KMin.toLong, math.ceil(n.toDouble / TargetCell).toLong).toInt
+    math.min(KCap.toLong,
+      math.max(KMin.toLong, math.ceil(n.toDouble / TargetCell).toLong)).toInt
 
   /** Above this K the literal-`least` assignment plan (K structs × Dim
-    * literal doubles in one expression) stops being codegen-friendly;
-    * [[assign]] switches to a broadcast-join argmin with the identical
-    * fp fold and tie-break. */
+    * literal doubles in one expression) stops being codegen-friendly.
+    * Both legacy plan shapes ([[assignLiteral]] below this K,
+    * [[assignBroadcast]] above it) are kept only as the equality
+    * references for the spec — [[assign]] now always runs the
+    * [[graft.functions.NearestCentroid]] codegen argmin, which is
+    * value-identical to both and materializes no n·K intermediate. */
   val LiteralAssignMax = 64
 
   /** Assign every embedding to its nearest centroid (squared euclidean
@@ -64,10 +90,22 @@ object Clustering {
     *   - larger K: centroids become a broadcast table, argmin via
     *     `min(struct(dist, cluster))` — the plan stays small however
     *     large K grows (the 100 TB shape: K×Dim floats broadcast once,
-    *     corpus scanned once, no shuffle wider than the final groupBy). */
-  def assign(emb: DataFrame, centroids: IndexedSeq[IndexedSeq[Double]]): DataFrame =
-    if (centroids.length <= LiteralAssignMax) assignLiteral(emb, centroids)
-    else assignBroadcast(emb, centroids)
+    *     corpus scanned once, no shuffle wider than the final groupBy).
+    *
+    * Both shapes are now subsumed by the [[graft.functions.NearestCentroid]]
+    * codegen expression: the codebook rides into generated code as ONE
+    * reference object and the whole argmin is a tight per-row loop — no
+    * K-wide expression tree, no n·K join rows (the broadcast-join form
+    * materialized 25M rows through its `min(struct)` agg at n=40k,
+    * K=625). Value-identical on null-free input (same folds, same
+    * tie-break — AssignEquivalenceSpec proves it against both legacy
+    * shapes), so every oracle is untouched. */
+  def assign(emb: DataFrame, centroids: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val cf = centroids.map(cfloat)
+    emb.withColumn("cluster",
+        graft.functions.NearestCentroid(col("embedding"), cf.map(_._1), cf.map(_._2)))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+  }
 
   import graft.functions.FloatDot
 
@@ -120,36 +158,60 @@ object Clustering {
   }
 
   /** The training loop over any (vec_id, embedding) frame — the scale
-    * bench trains on blown-up corpora without a parquet detour. */
+    * bench trains on blown-up corpora without a parquet detour.
+    *
+    * ONE distributed pass (TakeOrdered of the [[SampleCap]] smallest
+    * affine id-hashes) pulls the training sample to the driver; the
+    * Lloyd iterations then run driver-side over ≤ SampleCap×Dim floats.
+    * Every number is identical to the old per-iteration Spark jobs and
+    * to the oracle CTEs: init is the first kk rows of the same (hash,
+    * vec_id) order; assignment runs the SAME
+    * [[graft.functions.NearestCentroid.nearestFloats]] fold the
+    * executors run; the update sums the SAME quantized longs (long
+    * addition is order-independent, so driver order = any shuffle
+    * order) and divides in the same `s / Quantum / n` op order; an
+    * emptied cluster keeps its previous centroid. */
   def trainCentroidsOn(emb: DataFrame, kk: Int): IndexedSeq[IndexedSeq[Double]] = {
-    // deterministic init: k smallest affine id-hashes
-    var centroids: IndexedSeq[IndexedSeq[Double]] = emb
+    require(kk <= SampleCap, s"k=$kk exceeds SampleCap=$SampleCap (KCap should prevent this)")
+    // one corpus scan: the SampleCap-row training sample, in init order
+    val samp: Array[Array[Float]] = emb
       .select(col("embedding"),
         ((col("vec_id") * Sampling.HashA + Sampling.HashB) % Sampling.Mod).as("h"),
         col("vec_id"))
       .orderBy(col("h"), col("vec_id"))
-      .limit(kk)
+      .limit(SampleCap)
       .select(col("embedding"))
       .collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toIndexedSeq)
-      .toIndexedSeq
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+
+    // deterministic init: the k smallest affine id-hashes = sample prefix
+    var centroids: IndexedSeq[IndexedSeq[Double]] =
+      samp.take(kk).map(_.map(_.toDouble).toIndexedSeq).toIndexedSeq
 
     for (_ <- 1 to Iters) {
-      val sums = assign(emb, centroids)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(expr(s"CAST(round(CAST(x AS DOUBLE) * ${Quantum.toLong}) AS BIGINT)")).as("s"),
-          count(lit(1)).as("n"))
-        .collect()
-      val byCluster = sums.groupBy(_.getLong(0))
-      centroids = (0 until kk).map { c =>
-        byCluster.get(c.toLong) match {
-          case Some(rows) =>
-            val arr = new Array[Double](Dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2).toDouble / Quantum / r.getLong(3))
-            arr.toIndexedSeq
-          case None => centroids(c) // emptied cluster keeps its centroid
+      val cf = centroids.map(cfloat)
+      val cMat = cf.map(_._1.toArray).toArray
+      val c2 = cf.map(_._2).toArray
+      val sums = Array.ofDim[Long](kk, Dim)
+      val counts = new Array[Long](kk)
+      samp.foreach { v =>
+        val c = graft.functions.NearestCentroid.nearestFloats(v, cMat, c2).toInt
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) {
+          // Spark's round(double): BigDecimal.valueOf + HALF_UP — half
+          // away from zero, unlike math.round's half-toward-+inf. The
+          // executors and DuckDB both round this way; so must we.
+          sums(c)(i) += java.math.BigDecimal
+            .valueOf(v(i).toDouble * Quantum.toLong)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .longValue()
+          i += 1
         }
+      }
+      centroids = (0 until kk).map { c =>
+        if (counts(c) == 0) centroids(c) // emptied cluster keeps its centroid
+        else (0 until Dim).map(i => sums(c)(i).toDouble / Quantum / counts(c))
       }
     }
     centroids
@@ -202,7 +264,8 @@ object Clustering {
   /** The `kp` CTE computing the corpus-derived cell count — the SQL
     * twin of [[kFor]], over whatever relation is being blocked (`src`). */
   def kpCte(src: String): String =
-    s"kp AS (SELECT greatest($KMin, CAST(ceil(count(*) / $TargetCell.0) AS BIGINT)) AS k FROM $src)"
+    s"""kp AS (SELECT least($KCap, greatest($KMin,
+       | CAST(ceil(count(*) / $TargetCell.0) AS BIGINT))) AS k FROM $src)""".stripMargin.replace("\n", "")
 
   /** The cent0 init + Iters train rounds over `embeddings`; the trained
     * centroids end up in CTE [[FinalCent]]. `kSql` is the scalar SQL
@@ -225,15 +288,25 @@ object Clustering {
          |  LEFT JOIN (SELECT cluster, list(CAST(s2 AS DOUBLE) / ${Quantum.toLong} / n ORDER BY i) AS c
          |             FROM sum$n GROUP BY 1) nc ON nc.cluster = p.cluster)""".stripMargin
     val iters = (1 to Iters).map { n =>
-      assignSql(s"asg$n", "embeddings", if (n == 1) "cent0" else s"cent${n - 1}") + ",\n" + upd(n)
+      assignSql(s"asg$n", "samp", if (n == 1) "cent0" else s"cent${n - 1}") + ",\n" + upd(n)
     }.mkString(",\n")
-    s"""cent0 AS (
+    // Lloyd runs over the SampleCap-row sample (smallest affine
+    // id-hashes — the same ordering init uses, so init ⊂ sample), the
+    // SQL twin of the driver-side training loop. Corpora ≤ SampleCap
+    // rows train on everything, so the oracle scales are unchanged.
+    s"""samp AS (
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (
+       |        ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id
+       |      ) AS rnk
+       |    FROM embeddings) WHERE rnk <= $SampleCap),
+       |cent0 AS (
        |  SELECT cluster, c FROM (
        |    SELECT row_number() OVER (
        |        ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id
        |      ) - 1 AS cluster,
        |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       |    FROM embeddings) WHERE cluster < $kSql),
+       |    FROM samp) WHERE cluster < $kSql),
        |$iters""".stripMargin
   }
 

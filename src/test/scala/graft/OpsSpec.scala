@@ -215,7 +215,7 @@ class OpsSpec extends SparkSuite {
     assert(a.collect().sameElements(b.collect()))
   }
 
-  test("centroid assignment: broadcast-join path equals the literal-least path") {
+  test("centroid assignment: NearestCentroid expression equals both legacy plan shapes") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val cents = graft.ops.Clustering.trainCentroids(spark, sf, k = 12)
@@ -223,9 +223,14 @@ class OpsSpec extends SparkSuite {
       .select("vec_id", "cluster")
     val viaJoin = graft.ops.Clustering.assignBroadcast(emb, cents)
       .select("vec_id", "cluster")
+    val viaExpr = graft.ops.Clustering.assign(emb, cents)
+      .select("vec_id", "cluster")
     assert(viaLiteral.except(viaJoin).count() == 0 &&
       viaJoin.except(viaLiteral).count() == 0,
-      "the two assignment plan shapes must pick identical cells")
+      "the two legacy assignment plan shapes must pick identical cells")
+    assert(viaExpr.except(viaLiteral).count() == 0 &&
+      viaLiteral.except(viaExpr).count() == 0,
+      "the NearestCentroid codegen argmin must pick identical cells")
     // and the cell count really is corpus-derived and monotone
     import graft.ops.Clustering.kFor
     assert(kFor(1) == 8 && kFor(512) == 8 && kFor(1000) == 16 && kFor(10000) == 157)
