@@ -28,8 +28,9 @@ object Ingest {
     case "parquet" => etl.ParquetSink
     case "orc" => etl.OrcSink
     case "jsonl" => etl.JsonLinesSink
+    case "native" => etl.ClickHouseNativeSink
     case other => throw new IllegalArgumentException(
-      s"unknown sink '$other' — expected parquet|orc|jsonl")
+      s"unknown sink '$other' — expected parquet|orc|jsonl|native")
   }
 
   def parse(args: Seq[String]): Config = {
@@ -44,7 +45,7 @@ object Ingest {
       case Nil => c
       case bad :: _ => throw new IllegalArgumentException(
         s"unknown argument '$bad' — expected [--schema] [--from A --to B] " +
-          "[--warehouse PATH] [--resume] [--endpoint URL] [--sink parquet|orc|jsonl]")
+          "[--warehouse PATH] [--resume] [--endpoint URL] [--sink parquet|orc|jsonl|native]")
     }
     loop(args.toList, Config())
   }

@@ -228,7 +228,7 @@ object Load {
       case _ => 0L
     }.sum
 
-  private val KnownExts = Seq(".parquet", ".orc", ".json")
+  private val KnownExts = Seq(".parquet", ".orc", ".json", ".native")
 
   /** Fail fast when `dir` holds data files of a DIFFERENT sink's encoding
     * — the silent-miscount case: counting only `sink.dataExt` over an

@@ -49,7 +49,7 @@ class IngestCliSpec extends SparkSuite {
     import org.apache.spark.sql.functions.col
     import graft.types.Schemas
     val base = java.nio.file.Files.createTempDirectory("graft_cli_sink").toString
-    Seq("parquet", "orc", "jsonl").foreach { s =>
+    Seq("parquet", "orc", "jsonl", "native").foreach { s =>
       Ingest.run(spark, Ingest.parse(Seq(
         "--from", "0", "--to", "49", "--warehouse", s"$base/$s", "--sink", s)))
     }
@@ -58,11 +58,14 @@ class IngestCliSpec extends SparkSuite {
     val pq = cols(graft.etl.ParquetSink.read(spark, s"$base/parquet/transactions", Schemas.transactions))
     val orc = cols(graft.etl.OrcSink.read(spark, s"$base/orc/transactions", Schemas.transactions))
     val js = cols(graft.etl.JsonLinesSink.read(spark, s"$base/jsonl/transactions", Schemas.transactions))
+    val nat = cols(graft.etl.ClickHouseNativeSink.read(spark, s"$base/native/transactions", Schemas.transactions))
     assert(pq.count() == (0L to 49L).map(n => (n % 5) + 1).sum)
     assert(orc.except(pq).count() == 0 && pq.except(orc).count() == 0,
       "--sink orc must land the identical rows")
     assert(js.except(pq).count() == 0 && pq.except(js).count() == 0,
       "--sink jsonl must land the identical rows")
+    assert(nat.except(pq).count() == 0 && pq.except(nat).count() == 0,
+      "--sink native must land the identical rows")
     // a bad sink name fails fast at parse time
     intercept[IllegalArgumentException](Ingest.parse(Seq("--sink", "csv")))
     // resume reads completeness through the sink's encoding: all landed
@@ -70,6 +73,8 @@ class IngestCliSpec extends SparkSuite {
       sink = graft.etl.OrcSink).isEmpty)
     assert(graft.etl.Load.ingestResumable(spark, 0, 49, s"$base/jsonl",
       sink = graft.etl.JsonLinesSink).isEmpty)
+    assert(graft.etl.Load.ingestResumable(spark, 0, 49, s"$base/native",
+      sink = graft.etl.ClickHouseNativeSink).isEmpty)
   }
 
   test("run with schema flag bootstraps the table definitions") {

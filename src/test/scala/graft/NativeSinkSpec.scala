@@ -1,0 +1,227 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{ChainFixture, ClickHouseNativeSink, Flatten}
+import graft.sources.NativeCodec
+import graft.types.Schemas
+
+/** The ClickHouse Native sink: golden-byte format compliance (the
+  * layout is pinned against hand-computed bytes, not merely
+  * self-consistent), lossless roundtrips of the real chain tables,
+  * and the full TableSink contract (bucketing, dynamic overwrite,
+  * maintenance, CLI). */
+class NativeSinkSpec extends SparkSuite {
+
+  private def encode(spec: IndexedSeq[NativeCodec.ChCol],
+      rows: Seq[GenericInternalRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    NativeCodec.writeBlock(out, spec, rows.toIndexedSeq)
+    out.flush()
+    bos.toByteArray
+  }
+
+  test("golden bytes: block layout matches the hand-computed Native encoding") {
+    val schema = StructType(Seq(
+      StructField("number", LongType, nullable = false),
+      StructField("hash", BinaryType, nullable = false),
+      StructField("status", LongType, nullable = true)))
+    val spec = NativeCodec.specFor(schema)
+    val rows = Seq(
+      new GenericInternalRow(Array[Any](1L, Array[Byte](0xde.toByte, 0xad.toByte), 7L)),
+      new GenericInternalRow(Array[Any](258L, Array.emptyByteArray, null)))
+    val got = encode(spec, rows)
+    val expected = Array.concat(
+      Array[Byte](3, 2), // 3 columns, 2 rows (varuints)
+      // column "number": name, type "UInt64", then 8-byte LE per row
+      Array[Byte](6) ++ "number".getBytes("UTF-8"),
+      Array[Byte](6) ++ "UInt64".getBytes("UTF-8"),
+      Array[Byte](1, 0, 0, 0, 0, 0, 0, 0),
+      Array[Byte](2, 1, 0, 0, 0, 0, 0, 0), // 258 = 0x0102 little-endian
+      // column "hash": type "String", varuint length + bytes per row
+      Array[Byte](4) ++ "hash".getBytes("UTF-8"),
+      Array[Byte](6) ++ "String".getBytes("UTF-8"),
+      Array[Byte](2, 0xde.toByte, 0xad.toByte),
+      Array[Byte](0),
+      // column "status": Nullable(UInt64) = null mask first, then data
+      // for ALL rows with zero defaults at null positions
+      Array[Byte](6) ++ "status".getBytes("UTF-8"),
+      Array[Byte](16) ++ "Nullable(UInt64)".getBytes("UTF-8"),
+      Array[Byte](0, 1), // row 0 present, row 1 NULL
+      Array[Byte](7, 0, 0, 0, 0, 0, 0, 0),
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    assert(got.toSeq == expected.toSeq,
+      s"native block bytes diverge:\n got ${got.map("%02x".format(_)).mkString(" ")}\n " +
+        s"exp ${expected.map("%02x".format(_)).mkString(" ")}")
+  }
+
+  test("golden bytes: UInt256 is little-endian, Bool one byte, Array(String) offsets-then-elements") {
+    val schema = StructType(Seq(
+      StructField("value", BinaryType, nullable = false),     // u256 canonical 32B BE
+      StructField("gasUsed", DecimalType(38, 0), nullable = false),
+      StructField("removed", BooleanType, nullable = false),
+      StructField("topics", ArrayType(BinaryType, containsNull = false), nullable = false)))
+    val spec = NativeCodec.specFor(schema)
+    assert(spec.map(_.chType) == Seq("UInt256", "UInt256", "Bool", "Array(String)"))
+    val be = new Array[Byte](32); be(30) = 0x01; be(31) = 0x02 // 0x0102 big-endian
+    val rows = Seq(
+      new GenericInternalRow(Array[Any](
+        be, Decimal(new java.math.BigDecimal("258"), 38, 0), true,
+        new GenericArrayData(Array[Any](Array[Byte](0x0a), Array[Byte](0x0b, 0x0c))))),
+      new GenericInternalRow(Array[Any](
+        new Array[Byte](32), Decimal(new java.math.BigDecimal(0), 38, 0), false,
+        new GenericArrayData(Array.empty[Any]))))
+    val got = encode(spec, rows)
+    val u256le = Array[Byte](2, 1) ++ new Array[Byte](30) // 0x0102 -> LE: 02 01 00...
+    val expected = Array.concat(
+      Array[Byte](4, 2),
+      Array[Byte](5) ++ "value".getBytes("UTF-8"),
+      Array[Byte](7) ++ "UInt256".getBytes("UTF-8"),
+      u256le, new Array[Byte](32),
+      Array[Byte](7) ++ "gasUsed".getBytes("UTF-8"),
+      Array[Byte](7) ++ "UInt256".getBytes("UTF-8"),
+      u256le, new Array[Byte](32),
+      Array[Byte](7) ++ "removed".getBytes("UTF-8"),
+      Array[Byte](4) ++ "Bool".getBytes("UTF-8"),
+      Array[Byte](1, 0),
+      Array[Byte](6) ++ "topics".getBytes("UTF-8"),
+      Array[Byte](13) ++ "Array(String)".getBytes("UTF-8"),
+      // cumulative end offsets as UInt64 LE: 2, 2
+      Array[Byte](2, 0, 0, 0, 0, 0, 0, 0),
+      Array[Byte](2, 0, 0, 0, 0, 0, 0, 0),
+      // flattened elements
+      Array[Byte](1, 0x0a),
+      Array[Byte](2, 0x0b, 0x0c))
+    assert(got.toSeq == expected.toSeq,
+      s"native block bytes diverge:\n got ${got.map("%02x".format(_)).mkString(" ")}\n " +
+        s"exp ${expected.map("%02x".format(_)).mkString(" ")}")
+    // and the codec reads its own bytes back
+    val blk = NativeCodec.readBlock(
+      new DataInputStream(new ByteArrayInputStream(got))).get
+    assert(blk.rows == 2 && blk.cols.map(_.chType) == spec.map(_.chType))
+    assert(blk.data(0)(0).asInstanceOf[Array[Byte]].toSeq == be.toSeq) // back to canonical BE
+    assert(NativeCodec.toCatalyst(blk.data(1)(0), blk.cols(1), DecimalType(38, 0))
+      .asInstanceOf[Decimal].toJavaBigDecimal.longValueExact() == 258L)
+  }
+
+  test("varuint: multi-byte lengths roundtrip (ULEB128)") {
+    for (v <- Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L, 1234567L, Int.MaxValue.toLong)) {
+      val bos = new ByteArrayOutputStream()
+      NativeCodec.writeVarUInt(bos, v)
+      val in = new DataInputStream(new ByteArrayInputStream(bos.toByteArray))
+      assert(NativeCodec.readVarUInt(in) == v)
+    }
+    // a string long enough to need a 2-byte varuint length
+    val big = Array.fill[Byte](300)(0x41)
+    val bos = new ByteArrayOutputStream()
+    NativeCodec.writeString(new DataOutputStream(bos), big)
+    val bytes = bos.toByteArray
+    assert(bytes(0) == 0xac.toByte && bytes(1) == 0x02 && bytes.length == 302) // 300 = 0x012c
+  }
+
+  test("chnative sink: transactions + events roundtrip losslessly, bucketing + overwrite contract holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chnative").toString
+    val b = ChainFixture.blocks(spark, 0L, 49L)
+    val r = ChainFixture.receipts(spark, 0L, 49L)
+    val tx = Flatten.transactionRows(b, r)
+    val ev = Flatten.eventRows(b, r)
+    graft.etl.Load.writeBucketed(tx, s"$dir/tx", Schemas.dedupKeys("transactions"),
+      sink = ClickHouseNativeSink)
+    graft.etl.Load.writeBucketed(ev, s"$dir/ev", Schemas.dedupKeys("events"),
+      sink = ClickHouseNativeSink)
+    // layout contract: blockRange dirs holding .native data files
+    val part = new java.io.File(s"$dir/tx/blockRange=0")
+    assert(part.isDirectory && part.listFiles().exists(_.getName.endsWith(".native")))
+    // idempotent re-run (dynamic partition overwrite)
+    graft.etl.Load.writeBucketed(tx, s"$dir/tx", Schemas.dedupKeys("transactions"),
+      sink = ClickHouseNativeSink)
+    def cols(df: org.apache.spark.sql.DataFrame, s: StructType) =
+      df.select(s.fieldNames.map(col).toIndexedSeq: _*)
+    val txBack = cols(ClickHouseNativeSink.read(spark, s"$dir/tx", Schemas.transactions),
+      Schemas.transactions)
+    val evBack = cols(ClickHouseNativeSink.read(spark, s"$dir/ev", Schemas.events),
+      Schemas.events)
+    assert(txBack.count() == tx.count())
+    assert(txBack.except(tx).count() == 0 && tx.except(txBack).count() == 0,
+      "chnative transactions roundtrip must be lossless (u256 binaries, decimals, " +
+        "nullable root/status, accessList text)")
+    assert(evBack.except(ev).count() == 0 && ev.except(evBack).count() == 0,
+      "chnative events roundtrip must be lossless (topics arrays, removed bool)")
+  }
+
+  test("chnative sink: multi-block files decode seamlessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chnative_blocks").toString
+    val b = ChainFixture.blocks(spark, 0L, 49L)
+    val r = ChainFixture.receipts(spark, 0L, 49L)
+    val tx = Flatten.transactionRows(b, r) // 150 rows
+    tx.coalesce(1).write.option("blockRows", "16").format("chnative").save(s"$dir/t")
+    val back = spark.read.schema(Schemas.transactions).format("chnative").load(s"$dir/t")
+    assert(back.count() == tx.count())
+    assert(back.except(tx).count() == 0 && tx.except(back).count() == 0)
+  }
+
+  test("chnative maintenance: compactPartitioned and deleteWhere work through the sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chnative_maint").toString
+    val path = s"$dir/transactions"
+    val b = ChainFixture.blocks(spark, 0L, 1999L)
+    val r = ChainFixture.receipts(spark, 0L, 1999L)
+    val tx = Flatten.transactionRows(b, r)
+    graft.etl.Load.writeBucketed(tx, path, Schemas.dedupKeys("transactions"),
+      sink = ClickHouseNativeSink)
+    // fragment range 0 with appended debris, then compact through chnative
+    val extra = Flatten.transactionRows(
+      ChainFixture.blocks(spark, 0L, 99L), ChainFixture.receipts(spark, 0L, 99L))
+      .withColumn("blockRange", lit(0L))
+    (1 to 3).foreach { _ =>
+      extra.repartition(4).write.mode("append").partitionBy("blockRange")
+        .format("chnative").save(path)
+    }
+    val schemaOpt = Some(Schemas.transactions)
+    val original = ClickHouseNativeSink.read(spark, path, Schemas.transactions)
+    val originalHashes = original.select(hex(col("hash"))).collect()
+      .map(_.getString(0)).sorted.toSeq
+    val (before, after) = graft.etl.Load.compactPartitioned(
+      spark, path, Schemas.dedupKeys("transactions"), numFiles = 1,
+      sink = ClickHouseNativeSink, schema = schemaOpt)
+    assert(before > after)
+    val compacted = ClickHouseNativeSink.read(spark, path, Schemas.transactions)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(compacted == originalHashes, "compaction through chnative must preserve content")
+    // reorg rollback straight through the native layout
+    val total = ClickHouseNativeSink.read(spark, path, Schemas.transactions).count()
+    val (deleted, rewritten) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") >= 1000L,
+      sink = ClickHouseNativeSink, schema = schemaOpt)
+    assert(rewritten == 1L && deleted > 0L)
+    assert(!new java.io.File(s"$path/blockRange=1").exists(),
+      "fully-emptied native partition directory must be deleted")
+    val left = ClickHouseNativeSink.read(spark, path, Schemas.transactions)
+    assert(left.count() == total - deleted)
+    assert(left.agg(max(col("blockNumber"))).head.getLong(0) == 999L)
+  }
+
+  test("chnative bare read: schema-less inference falls back to the lossless binary defaults") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chnative_bare").toString
+    val b = ChainFixture.blocks(spark, 0L, 9L)
+    val r = ChainFixture.receipts(spark, 0L, 9L)
+    Flatten.transactionRows(b, r).coalesce(1)
+      .write.format("chnative").save(s"$dir/t")
+    val bare = spark.read.format("chnative").load(s"$dir/t")
+    val f = bare.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(f("hash") == BinaryType)
+    assert(f("blockNumber") == LongType)
+    assert(f("gasUsed") == BinaryType, "UInt256 infers as lossless 32-byte binary")
+    assert(f("accessList") == BinaryType, "CH String carries no text marker; bytes by default")
+    assert(bare.count() == (0L to 9L).map(n => (n % 5) + 1).sum)
+    // the inferred gasUsed is the canonical 32-byte big-endian u256 form
+    val one = bare.select(col("gasUsed")).head.getAs[Array[Byte]](0)
+    assert(one.length == 32)
+  }
+}
