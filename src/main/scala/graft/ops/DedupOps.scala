@@ -108,9 +108,21 @@ object DedupOps {
       .select(col("doc_id"), col("s.shingle").as("shingle"), col("s.h").as("H"))
   }
 
-  /** MinHash signatures as ONE wide aggregation: 32 min-columns in a
-    * single groupBy(doc) — no 32x row explosion, one shuffle whose rows
-    * are already partially aggregated map-side. */
+  /** MinHash signatures as ONE narrow codegen pass
+    * ([[graft.functions.MinHashSig]]): tokens → array of the 32
+    * permutation minima, no shingle explosion and no shuffle at all —
+    * a MIN is invariant under duplicate shingles, so the exploded
+    * array_distinct + wide-groupBy shape is unnecessary for signature
+    * building (it remains [[signaturesFromShingles]], the spec's
+    * equality reference and the streaming incremental-index path,
+    * which genuinely needs the shingle rows as state). */
+  def signatureArray(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.MinHashSig(TextOps.tokens(col("text")), 31L, HashMod, 131L, permAB)
+        .as("sig"))
+
+  /** Legacy exploded-form signatures (m0..m31 columns) — equality
+    * reference for [[signatureArray]]. */
   def signatures(d: DataFrame): DataFrame = signaturesFromShingles(shingles(d))
 
   def signaturesFromShingles(sh: DataFrame): DataFrame = {
@@ -120,15 +132,46 @@ object DedupOps {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs via banding; bucket-capped against skew. Band keys
-    * fold BandRows consecutive signature columns through the same
-    * polynomial combine the oracle uses. */
-  def minhashCandidates(d: DataFrame): DataFrame =
-    minhashCandidatesFromShingles(shingles(d))
+  /** Band structs folded from the signature ARRAY column — same
+    * polynomial combine as the exploded form (a null signature nulls
+    * every band key element-wise, preserving the short-doc bucket
+    * quirk and its MaxBucket cap). */
+  private def bandStructsFromSig(sig: Column): Seq[Column] = {
+    val nBands = NumPerms / BandRows
+    (0 until nBands).map { b =>
+      val key = (0 until BandRows).foldLeft(lit(b.toLong): Column) { (acc, r) =>
+        (acc * lit(BandMult) + element_at(sig, b * BandRows + r + 1)) % lit(HashMod)
+      }
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+  }
+
+  /** Candidate pairs via banding; bucket-capped against skew. The
+    * signature/banding side is the narrow [[signatureArray]] scan, so
+    * the ONLY shuffle before exact verification is the (band, band_key)
+    * bucket groupBy. */
+  def minhashCandidates(d: DataFrame): DataFrame = pairsFromBuckets(bandKeys(d))
 
   /** (doc_id, band, band_key) rows — the write-time shape of the banded
-    * LSH index (also probed incrementally by streaming near-dup). */
-  def bandKeys(d: DataFrame): DataFrame = bandKeysFromShingles(shingles(d))
+    * LSH index, from the narrow signature pass. */
+  def bandKeys(d: DataFrame): DataFrame =
+    signatureArray(d)
+      .select(col("doc_id"), explode(array(bandStructsFromSig(col("sig")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
+  /** Bucket grouping + capped pair expansion shared by the fast and
+    * exploded-form candidate paths. */
+  private def pairsFromBuckets(keys: DataFrame): DataFrame = {
+    val buckets = keys
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+    buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
 
   /** (doc_id, shingle, H) rows — the shingled-corpus view shared by the
     * batch pipeline and the streaming incremental index (which persists
@@ -148,17 +191,8 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame = {
-    val buckets = bandKeysFromShingles(sh)
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-    buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-  }
+  def minhashCandidatesFromShingles(sh: DataFrame): DataFrame =
+    pairsFromBuckets(bandKeysFromShingles(sh))
 
   /** Exact pairwise Jaccard over candidate pairs. */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
@@ -190,11 +224,23 @@ object DedupOps {
     dupPairsFrom(withTwins(docs(s, dir)))
 
   /** Same pipeline over an arbitrary (doc_id, text) corpus — used by the
-    * scale benchmark to run the identical dag on blown-up inputs. */
+    * scale benchmark to run the identical dag on blown-up inputs.
+    *
+    * Candidates come from the narrow [[signatureArray]] scan; the
+    * shingle EXPLOSION is then built only for docs that actually appear
+    * in a candidate pair (left-semi restriction — exactly the rows the
+    * exact-verify joins would touch, so the result is identical while
+    * the exploded corpus shrinks to the candidate neighborhood). At
+    * 100 TB this is the difference between shingling the corpus and
+    * shingling the collision set. */
   def dupPairsFrom(base: DataFrame): DataFrame = {
-    val sh = shingles(base)
+    val cand = minhashCandidates(base).localCheckpoint()
+    val inCand = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id")))
+      .distinct()
+    val sh = shingles(base.join(inCand, Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccard(minhashCandidatesFromShingles(sh), sh)
+    jaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
   }
 

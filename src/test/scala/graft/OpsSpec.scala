@@ -22,6 +22,38 @@ class OpsSpec extends SparkSuite {
     assert(one.getDouble(0) > 0.5 && one.getDouble(1) <= 1.0)
   }
 
+  test("MinHashSig narrow signature path equals the exploded aggregate path") {
+    val base = DedupOps.withTwins(spark.read.parquet(s"$sf/documents.parquet"))
+    // signatures: every doc, every permutation minimum, bit-identical
+    val legacy = DedupOps.signatures(base)
+    val fast = DedupOps.signatureArray(base)
+    val joined = legacy.join(fast, Seq("doc_id"))
+    val mismatch = (0 until DedupOps.NumPerms).map(i =>
+      when(!(col(s"m$i") <=> element_at(col("sig"), i + 1)), 1).otherwise(0))
+      .reduce(_ + _)
+    assert(joined.filter(mismatch > 0).count() == 0,
+      "narrow MinHashSig must reproduce every exploded-form permutation minimum")
+    assert(legacy.count() == fast.count())
+    // candidate pairs identical end-to-end
+    val legacyCand = DedupOps.minhashCandidatesFromShingles(DedupOps.shingleSet(base))
+    val fastCand = DedupOps.minhashCandidates(base)
+    assert(fastCand.except(legacyCand).count() == 0 &&
+      legacyCand.except(fastCand).count() == 0)
+    // short docs (< 3 tokens): the narrow path degrades to a null
+    // signature -> null band keys (grouped, still MaxBucket-capped);
+    // the exploded form CRASHES under ANSI mode (out-of-range _t[i+1]
+    // subscript throws instead of nulling) — a strict improvement,
+    // pinned here so the contrast is documented
+    import spark.implicits._
+    val shorties = Seq((1L, "only two"), (2L, "tiny doc"), (3L, "a b c d")).toDF("doc_id", "text")
+    val fastK = DedupOps.bandKeys(shorties)
+    assert(fastK.filter(col("band_key").isNull).count() == 16) // 2 short docs x 8 bands
+    assert(fastK.filter(col("band_key").isNotNull).count() == 8) // the 4-token doc
+    intercept[ArrayIndexOutOfBoundsException] { // SparkArrayIndexOutOfBoundsException
+      DedupOps.bandKeysFromShingles(DedupOps.shingleSet(shorties)).count()
+    }
+  }
+
   test("simhash near-dup finds twins with tiny hamming distance") {
     val pairs = DedupOps.simhashNearDup(spark, sf)
     assert(pairs.count() > 0)
