@@ -194,18 +194,28 @@ object DedupOps {
   def minhashCandidatesFromShingles(sh: DataFrame): DataFrame =
     pairsFromBuckets(bandKeysFromShingles(sh))
 
-  /** Exact pairwise Jaccard over candidate pairs. */
+  /** Exact pairwise Jaccard over candidate pairs.
+    *
+    * Shape: one groupBy folds the (already distinct-per-doc) shingle
+    * rows back to a per-doc ARRAY, then each candidate pair takes two
+    * doc_id equi-joins and a codegen `array_intersect` size — the
+    * intersection count is |A∩B| over distinct sets, the exact integer
+    * the former pair×shingle row join-then-count produced, without ever
+    * materializing pair×shingle rows (candidates × ~50 shingles) or
+    * shuffling them into a per-pair aggregation. At 100 TB the shuffled
+    * payload is one array row per collision-set doc instead of its
+    * whole exploded shingle list, and the per-pair work is a hash-set
+    * probe. */
   def jaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val shA = sh.select(col("doc_id").as("a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("b"), col("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("n"))
     cand
-      .join(shA, Seq("a"))
-      .join(shB, Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .join(sets.select(col("doc_id").as("a"), col("set").as("_sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("set").as("_sb"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+      .filter(col("inter") > 0) // the former per-pair count() emitted no inter=0 rows
       .select(col("a"), col("b"), col("inter"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
