@@ -446,7 +446,93 @@ object TextOps {
       |FROM tf JOIN totals USING (doc_id)
       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // BM25 ranked retrieval: Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's
+  // +1-smoothed idf) of a fixed term query against the corpus, top-K
+  // docs. The one transcendental (ln) is quantized to milli-nats the
+  // same way tfidf's idf is; every other factor — the tf saturation and
+  // the length normalization dl·N/Σdl — is plain IEEE +,-,·,/ with the
+  // operand order written identically in both engines (exactly-rounded
+  // ops are bit-portable), and the per-(doc,term) weight is rounded to
+  // an integer micro-score BEFORE the per-doc sum so the aggregation is
+  // exact whatever order the engines add in.
+  //
+  // Shape for 100 TB: the query-term filter runs INSIDE the token
+  // array (narrow filter(), no corpus explode — only matching tokens
+  // are exploded), doc length comes from size(); df and the corpus
+  // stats are term-count-sized broadcasts; the top-K is
+  // TakeOrdered(bm25 desc), never a global sort.
+  val Bm25TopK = 20
+  val Bm25Terms: Seq[String] = Seq("query", "join", "stream")
+
+  /** The per-(doc,term) micro-weight, as ONE sql string shared verbatim
+    * by the Spark expr() and the DuckDB oracle. Every operand is CAST
+    * to DOUBLE explicitly: both engines parse bare fractional literals
+    * (2.2, 0.5) as DECIMAL, and their decimal/double promotion chains
+    * round differently — with the casts the whole expression is IEEE
+    * double ops in one fixed order, hence bit-identical. Outer
+    * quantizer is floor (acts on the exact binary double); round(x)
+    * goes through the shortest-decimal string in Spark vs the binary
+    * value in DuckDB and flipped the last micro digit on 3/20 rows. */
+  private val bm25WSql: String =
+    "CAST(floor(" +
+      "CAST(round(CAST(1000 AS DOUBLE) * ln(" +
+      "(CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))" +
+      " + CAST(1 AS DOUBLE))) AS BIGINT)" +
+      " * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /" +
+      " (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)" +
+      " + CAST(0.75 AS DOUBLE) * CAST(dl * n_docs AS DOUBLE) / CAST(total_toks AS DOUBLE))))" +
+      " * CAST(1000 AS DOUBLE)) AS BIGINT)"
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val perDoc = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        expr(s"filter(_t, t -> t IN ($termList))").as("_q"))
+      .localCheckpoint() // tokenized once; feeds stats, tf, and df
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1-row corpus stats
+      .withColumn("w", expr(bm25WSql))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("bm25_micro"))
+      .select(col("doc_id"), col("n_terms"), col("bm25_micro"),
+        (col("bm25_micro").cast("double") / lit(1000000)).as("bm25"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val bm25Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |perdoc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT CAST(sum(dl) AS BIGINT) FROM perdoc) AS total_toks),
+       |tf AS (
+       |  SELECT t.doc_id, p.dl, t.term, count(*) AS tf
+       |  FROM toks t JOIN perdoc p USING (doc_id)
+       |  WHERE t.term IN ($termList) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id, $bm25WSql AS w
+       |  FROM tf JOIN df USING (term), stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(w) AS BIGINT) AS bm25_micro,
+       |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1000000 AS bm25
+       |FROM contrib GROUP BY doc_id
+       |ORDER BY bm25_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
     "text_perplexity" -> (perplexity _),
     "text_vocabulary" -> (vocabulary _),
@@ -461,6 +547,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,
     "text_perplexity" -> perplexitySql,
     "text_bigrams" -> bigramsSql,

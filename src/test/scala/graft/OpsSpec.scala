@@ -305,6 +305,25 @@ class OpsSpec extends SparkSuite {
     assert(c.filter(col("containment") > 1.0).count() == 0)
   }
 
+  test("bm25: top-k ordered desc, positive scores, per-term idf monotone in df") {
+    val r = graft.ops.TextOps.bm25TopK(spark, sf).collect()
+    assert(r.length == graft.ops.TextOps.Bm25TopK)
+    // descending micro-score with doc_id tiebreak, all positive
+    val micro = r.map(_.getAs[Long]("bm25_micro"))
+    assert(micro.zip(micro.tail).forall { case (x, y) => x >= y })
+    assert(micro.forall(_ > 0))
+    assert(r.forall(_.getAs[Long]("n_terms") <= graft.ops.TextOps.Bm25Terms.size))
+    // bm25 is exactly the micro score scaled
+    assert(r.forall(row =>
+      row.getAs[Double]("bm25") == row.getAs[Long]("bm25_micro").toDouble / 1000000))
+    // plan shape: top-k must be TakeOrdered (no global sort) and the
+    // df/stats joins broadcast (no shuffle join for vocabulary-sized dims)
+    val plan = graft.ops.TextOps.bm25TopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "df/stats must broadcast")
+  }
+
   test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
     val e = graft.ops.TextOps.entropy(spark, sf)
     assert(e.filter(col("entropy_milli") < 0.0).count() == 0)
