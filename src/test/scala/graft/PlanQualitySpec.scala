@@ -66,7 +66,7 @@ class PlanQualitySpec extends SparkSuite {
     "q25_sessionization" -> 2,
     "q30_topk_custom_operator" -> 2, // TopKPerGroupExec: shuffle on group + sort
     "dedup_exact" -> 2,
-    "dedup_minhash_lsh" -> 4, // narrow MinHashSig candidates: 2 fewer than the exploded form
+    "dedup_minhash_lsh" -> 3, // narrow MinHashSig candidates (-2) + array-intersect verify (-1) vs the exploded form's 6
     "sim_ann_lsh" -> 3,
     "text_tfidf" -> 4,
     "chain_gas_by_range" -> 2,
