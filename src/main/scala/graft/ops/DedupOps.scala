@@ -549,7 +549,71 @@ object DedupOps {
 
   private val twinBaseSql = "WITH " + twinBaseBody
 
+  // ------------------------------------------------------------------
+  // Winnowing-based shared-span detection (the MOSS match step over
+  // [[graft.functions.Winnow]] fingerprints): two documents sharing any
+  // substring of ≥ k+w-1 = 11 characters are guaranteed ≥ 1 common
+  // winnowed fingerprint; pairs sharing ≥ WinnowMinShared cold
+  // fingerprints are reported with their shared count. Fingerprints
+  // carried by more than WinnowHotCap docs are dropped as stop-grams —
+  // the exact skew cap the LSH paths use (MaxBucket) and the
+  // decontamination path uses (StopGramCap), so the fp-keyed self-join
+  // is bounded at ≤ HotCap² rows per fingerprint.
+  //
+  // 100 TB shape: the exploded artifact is the winnowed set (density
+  // 2/(w+1) per k-gram, distinct per doc), one fp-keyed shuffle for the
+  // hot-fp count, one for the pair join — corpus-linear, no full
+  // k-gram grid ever materializes (the one-pass expression builds
+  // fingerprints inside the scan).
+  val WinnowHotCap = 16L
+  val WinnowMinShared = 8L
+
+  def winnowSpans(s: SparkSession, dir: String): DataFrame = {
+    val fps = withTwins(docs(s, dir))
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp"))
+      .distinct()
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > WinnowHotCap).select("fp")
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    cold.as("a").join(cold.as("b"), Seq("fp"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val winnowSpansSql: String =
+    s"""$twinBaseSql,
+       |d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM base),
+       |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM d),
+       |pos AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 8), ''),
+       |                       c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |  FROM idx),
+       |win AS (
+       |  SELECT doc_id, i AS j,
+       |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+       |  FROM pos),
+       |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE wn = 4),
+       |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $WinnowHotCap),
+       |cold AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |FROM cold a JOIN cold b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
     "dedup_simhash" -> (simhashNearDup _),
@@ -709,6 +773,7 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_winnow_spans" -> winnowSpansSql,
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,

@@ -531,7 +531,58 @@ object TextOps {
        |ORDER BY bm25_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+  // per-doc selected k-gram fingerprint count + exact integer sum, from
+  // the one-pass codegen Winnow expression (k=8, w=4 → any shared
+  // substring of ≥ 11 chars is guaranteed a shared fingerprint, density
+  // ~2/(w+1)). The oracle replays the identical selection in SQL: the
+  // same PolyHash fold per 8-gram, windowed min over 4 consecutive
+  // grams, rightmost argmin per full window, distinct positions.
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.Winnow.winnow(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x.getField("fp")).as("sum_fp"))
+      .orderBy(col("doc_id"))
+
+  val winnowFingerprintsSql: String =
+    """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM d),
+      |pos AS (
+      |  SELECT doc_id, i,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 8), ''),
+      |                       c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM idx),
+      |win AS (
+      |  SELECT doc_id, i AS j,
+      |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      |  FROM pos),
+      |sel AS (
+      |  SELECT p.doc_id, w.j, max(p.i) AS pos, w.wmin AS fp
+      |  FROM pos p JOIN win w
+      |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 3 AND p.h = w.wmin
+      |  WHERE w.wn = 4
+      |  GROUP BY p.doc_id, w.j, w.wmin),
+      |fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(coalesce(a.sum_fp, 0) AS BIGINT) AS sum_fp
+      |FROM documents d LEFT JOIN (
+      |  SELECT doc_id, count(*) AS n_fp, sum(fp) AS sum_fp FROM fps GROUP BY doc_id) a
+      |  USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
     "text_perplexity" -> (perplexity _),
@@ -547,6 +598,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,
     "text_perplexity" -> perplexitySql,

@@ -537,4 +537,58 @@ class OpsSpec extends SparkSuite {
     assert(dense.select(graft.functions.FloatDot(col("a"), col("b")))
       .collect().count(_.isNullAt(0)) == 1)
   }
+
+  test("winnow: shared-substring guarantee, sorted positions, exact fold arithmetic") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps" // 25 chars >= k+w-1 = 11
+    val df = Seq(
+      (1L, "AAAA " + shared + " zz"),
+      (2L, "completely different prefix text then " + shared),
+      (3L, "short")).toDF("doc_id", "text")
+    val rows = df
+      .select(col("doc_id"), graft.functions.Winnow.winnow(lower(col("text"))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+
+    // a doc shorter than k+w-1 has no full window -> empty, not null
+    assert(rows(3L).isEmpty)
+
+    // positions strictly increasing; every fp is the PolyHash fold of its 8-gram
+    def gramHash(t: String, p: Int): Long =
+      t.substring(p, p + 8).getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+    for (id <- Seq(1L, 2L)) {
+      val t = df.filter(col("doc_id") === id).head().getString(1).toLowerCase
+      val fps = rows(id)
+      assert(fps.map(_.getInt(0)).sliding(2).forall(s => s.length < 2 || s(0) < s(1)))
+      fps.foreach(f => assert(f.getLong(1) == gramHash(t, f.getInt(0))))
+    }
+
+    // winnowing guarantee: a shared substring of >= 11 chars at DIFFERENT
+    // offsets in the two docs still yields >= 1 common fingerprint value
+    assert(rows(1L).map(_.getLong(1)).toSet
+      .intersect(rows(2L).map(_.getLong(1)).toSet).nonEmpty)
+  }
+
+  test("winnow spans: operator equals a brute-force reference over the fingerprint sets") {
+    // reference: per-doc distinct winnowed fp sets -> drop hot fps
+    // (> HotCap docs) -> count shared cold fps per pair -> threshold
+    val perDoc = DedupOps.withTwins(spark.read.parquet(s"$sf/documents.parquet"))
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.winnow(
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("f"))
+      .select(col("doc_id"), col("f.fp").as("fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docsPerFp = perDoc.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val expected = docsPerFp.valuesIterator
+      .filter(_.size <= DedupOps.WinnowHotCap)
+      .flatMap(ds => for (a <- ds.iterator; b <- ds.iterator if a < b) yield (a, b))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= DedupOps.WinnowMinShared).toMap
+    val got = DedupOps.winnowSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"pair sets differ: extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(3)}")
+    // the templated corpus still yields real twin pairs among the cold spans
+    assert(got.keysIterator.count { case (a, b) => b == a + 1000000L } > 100)
+  }
 }
