@@ -101,11 +101,95 @@ object SketchOps {
        |ORDER BY 2 DESC, 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // KMV distinct sketch over orders: distinct customers per order
+  // priority AND the grand total, in ONE rollup pass. The per-group
+  // sketch is the k smallest distinct customer hashes ([[graft
+  // .functions.KMinHashes]], k-long mergeable buffer); the estimator
+  // (k-1)·H div h_(k) is exact integer arithmetic, so the oracle
+  // recomputes sketch + estimate cell-exactly via rank-k SQL. The
+  // exact distinct count rides along to surface the sketch error the
+  // spec bounds (±1/sqrt(k-1) std). Groups with fewer than k distinct
+  // hashes report their exact distinct-hash count (the sketch IS the
+  // value set there) and a null h_(k).
+  val KmvK = 64
+  val KmvMod = 1000000007L
+
+  /** KMV is a RANK statistic: it needs hashes ~uniform on [0, mod).
+    * The polynomial fold alone is fine for equality-keyed uses (LSH
+    * buckets, dedup joins) but concentrates short keys near 0, which
+    * wrecks the k-th-minimum estimator. This two-round quadratic
+    * permutation-ish map mod p scatters any input range across the
+    * full space with pure BIGINT arithmetic (every intermediate
+    * < 2.2e18, so no overflow in either engine), and the SAME text is
+    * evaluated by Spark's `expr` and the DuckDB oracle — one
+    * definition, two engines, identical integers. */
+  def kmvMixSql(x: String): String = {
+    def round(v: String, a: Long, b: Long, c: Long): String =
+      s"((($v) * ($v)) % $KmvMod * $a + ($v) * $b + $c) % $KmvMod"
+    val r1 = round(x, 776531401L, 15485863L, 32452843L)
+    round(s"($r1)", 413158511L, 452930477L, 715827883L)
+  }
+
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val hashed = s.read.parquet(s"$dir/orders.parquet").select(
+      col("o_orderpriority"),
+      graft.functions.PolyHash
+        .polyHash(col("o_custkey").cast("string"), 31, KmvMod).as("ph"),
+      col("o_custkey"))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+    hashed
+      .rollup(col("o_orderpriority"))
+      .agg(
+        graft.functions.KMinHashes.kMinHashes(col("hv"), KmvK).as("kmin"),
+        countDistinct(col("o_custkey")).as("exact_distinct"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("*ALL*")).as("grp"),
+        when(size(col("kmin")) < KmvK, size(col("kmin")).cast("long"))
+          .otherwise(expr(s"${(KmvK - 1) * KmvMod}L div element_at(kmin, $KmvK)"))
+          .as("est_distinct"),
+        col("exact_distinct"),
+        when(size(col("kmin")) >= KmvK, expr(s"element_at(kmin, $KmvK)"))
+          .cast("long").as("kth_hash"))
+      .orderBy(col("grp"))
+  }
+
+  val kmvDistinctSql: String = {
+    val est = s"CASE WHEN n < $KmvK THEN n ELSE ${(KmvK - 1) * KmvMod} // kth END"
+    val kth = s"CASE WHEN n < $KmvK THEN NULL ELSE kth END"
+    s"""WITH hp AS (
+       |  SELECT o_orderpriority AS grp, o_custkey,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(o_custkey AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM orders),
+       |h AS (SELECT grp, o_custkey, ${kmvMixSql("ph")} AS hv FROM hp),
+       |dh AS (SELECT DISTINCT grp, hv FROM h),
+       |rk AS (SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM dh),
+       |pg AS (SELECT grp, max(hv) AS kth, count(*) AS n FROM rk WHERE rn <= $KmvK GROUP BY grp),
+       |ex AS (SELECT grp, count(DISTINCT o_custkey) AS exact FROM h GROUP BY grp),
+       |rka AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+       |        FROM (SELECT DISTINCT hv FROM h)),
+       |pga AS (SELECT max(hv) AS kth, count(*) AS n FROM rka WHERE rn <= $KmvK),
+       |exa AS (SELECT count(DISTINCT o_custkey) AS exact FROM h)
+       |SELECT grp, CAST($est AS BIGINT) AS est_distinct,
+       |  CAST(exact AS BIGINT) AS exact_distinct, CAST($kth AS BIGINT) AS kth_hash
+       |FROM pg JOIN ex USING (grp)
+       |UNION ALL
+       |SELECT '*ALL*' AS grp, CAST($est AS BIGINT) AS est_distinct,
+       |  CAST(exact AS BIGINT) AS exact_distinct, CAST($kth AS BIGINT) AS kth_hash
+       |FROM pga, exa
+       |ORDER BY grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _)
+    "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "sketch_kmv_distinct" -> (kmvDistinct _)
   )
 
   val oracle: Map[String, String] = Map(
-    "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql
+    "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "sketch_kmv_distinct" -> kmvDistinctSql
   )
 }

@@ -538,6 +538,35 @@ class OpsSpec extends SparkSuite {
       .collect().count(_.isNullAt(0)) == 1)
   }
 
+  test("KMV sketch: union of per-group sketches equals the global sketch; estimates within bounds") {
+    import graft.ops.SketchOps
+    val hashed = spark.read.parquet(s"$sf/orders.parquet").select(
+      col("o_orderpriority").as("grp"),
+      graft.functions.PolyHash
+        .polyHash(col("o_custkey").cast("string"), 31, SketchOps.KmvMod).as("ph"))
+      .withColumn("hv", expr(SketchOps.kmvMixSql("ph")))
+    val perGroup = hashed.groupBy("grp")
+      .agg(graft.functions.KMinHashes.kMinHashes(col("hv"), SketchOps.KmvK).as("kmin"))
+      .collect().map(_.getSeq[Long](1))
+    val globalSketch = hashed
+      .agg(graft.functions.KMinHashes.kMinHashes(col("hv"), SketchOps.KmvK))
+      .head().getSeq[Long](0)
+    // mergeability: k smallest distinct of the union of group sketches
+    // IS the whole-corpus sketch — the property that lets shards and
+    // days combine without rescanning
+    val merged = perGroup.flatten.distinct.sorted.take(SketchOps.KmvK).toSeq
+    assert(globalSketch == merged)
+    // estimator error: (k-1)H/h_k within 4 standard errors (1/sqrt(k-1))
+    val rows = SketchOps.kmvDistinct(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val est = r.getLong(1)
+      val exact = r.getLong(2)
+      assert(math.abs(est - exact).toDouble / exact < 4.0 / math.sqrt(SketchOps.KmvK - 1.0),
+        s"grp=${r.getString(0)} est=$est exact=$exact")
+    }
+  }
+
   test("winnow: shared-substring guarantee, sorted positions, exact fold arithmetic") {
     import spark.implicits._
     val shared = "the quick brown fox jumps" // 25 chars >= k+w-1 = 11
