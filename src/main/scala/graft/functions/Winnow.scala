@@ -113,9 +113,17 @@ object Winnow {
     new GenericArrayData(out.toArray)
   }
 
-  /** Column form with the corpus-wide parameters (8-char grams, window
-    * 4 → shared substrings of ≥ 11 chars are guaranteed a match). */
-  def winnow(c: Column): Column = winnow(c, 8, 4, 31, 1000000007L)
+  /** Column form with the corpus-wide parameters: 16-char grams,
+    * window 8 → shared substrings of ≥ k+w-1 = 23 chars (≈ 4 tokens)
+    * are guaranteed a match, density ~2/(w+1) ≈ 0.22 per gram. Grams
+    * must be long enough to be DOC-specific: at 8 chars (~1.5 tokens)
+    * nearly every fingerprint of a templated corpus is carried by more
+    * than HotCap docs once the corpus grows 10×, and the stop-gram cap
+    * (correctly) drops them all — measured 475 → 13 surviving pairs
+    * from sf0.01 to sf0.1. At 16 chars fingerprints sit on doc-specific
+    * token runs, which is what the MOSS parameterization (k in the
+    * 25-50 char range for code/prose) is about. */
+  def winnow(c: Column): Column = winnow(c, 16, 8, 31, 1000000007L)
 
   def winnow(c: Column, k: Int, w: Int, base: Long, mod: Long): Column =
     ColumnBridge.column(Winnow(ColumnBridge.expression(c), k, w, base, mod))

@@ -552,7 +552,7 @@ object DedupOps {
   // ------------------------------------------------------------------
   // Winnowing-based shared-span detection (the MOSS match step over
   // [[graft.functions.Winnow]] fingerprints): two documents sharing any
-  // substring of ≥ k+w-1 = 11 characters are guaranteed ≥ 1 common
+  // substring of ≥ k+w-1 = 23 characters are guaranteed ≥ 1 common
   // winnowed fingerprint; pairs sharing ≥ WinnowMinShared cold
   // fingerprints are reported with their shared count. Fingerprints
   // carried by more than WinnowHotCap docs are dropped as stop-grams —
@@ -568,16 +568,29 @@ object DedupOps {
   val WinnowHotCap = 16L
   val WinnowMinShared = 8L
 
-  def winnowSpans(s: SparkSession, dir: String): DataFrame = {
-    val fps = withTwins(docs(s, dir))
+  def winnowSpans(s: SparkSession, dir: String): DataFrame =
+    winnowSpansFrom(withTwins(docs(s, dir)))
+
+  /** The span pipeline over an arbitrary (doc_id, text) corpus — the
+    * scale-bench entry point. Per-doc fp dedupe happens INSIDE the scan
+    * (`array_distinct` on the winnowed array) so the exploded rows are
+    * already the distinct (doc, fp) set: no corpus-wide distinct
+    * shuffle. The hot-fp set is a small aggregate (the boilerplate
+    * vocabulary), so its anti-join broadcasts — drop the hint if that
+    * vocabulary outgrows the broadcast budget and the shuffle anti-join
+    * is the fallback. The only shuffles left are the hot-fp count, the
+    * fp-keyed pair join, and the pair count. */
+  def winnowSpansFrom(base: DataFrame): DataFrame = {
+    val fps = base
       .select(col("doc_id"),
-        explode(graft.functions.Winnow.winnow(
-          regexp_replace(trim(lower(col("text"))), "\\s+", " "))).as("f"))
-      .select(col("doc_id"), col("f.fp").as("fp"))
-      .distinct()
+        explode(array_distinct(transform(
+          graft.functions.Winnow.winnow(
+            regexp_replace(trim(lower(col("text"))), "\\s+", " ")),
+          f => f.getField("fp")))).as("fp"))
+      .localCheckpoint() // shared by the hot count and both join sides
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
       .filter(col("nd") > WinnowHotCap).select("fp")
-    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    val cold = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     cold.as("a").join(cold.as("b"), Seq("fp"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -589,20 +602,20 @@ object DedupOps {
   private val winnowSpansSql: String =
     s"""$twinBaseSql,
        |d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t FROM base),
-       |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM d),
+       |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 15, 0))) AS i FROM d),
        |pos AS (
        |  SELECT doc_id, i,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 8), ''),
+       |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 16), ''),
        |                       c -> CAST(ascii(c) AS BIGINT))),
        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
        |  FROM idx),
        |win AS (
        |  SELECT doc_id, i AS j,
-       |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-       |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+       |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+       |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
        |  FROM pos),
-       |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE wn = 4),
+       |fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM win WHERE wn = 8),
        |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > $WinnowHotCap),
        |cold AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot))
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared

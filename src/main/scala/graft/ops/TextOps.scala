@@ -534,10 +534,10 @@ object TextOps {
   // ------------------------------------------------------------------
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
   // per-doc selected k-gram fingerprint count + exact integer sum, from
-  // the one-pass codegen Winnow expression (k=8, w=4 → any shared
-  // substring of ≥ 11 chars is guaranteed a shared fingerprint, density
+  // the one-pass codegen Winnow expression (k=16, w=8 → any shared
+  // substring of ≥ 23 chars is guaranteed a shared fingerprint, density
   // ~2/(w+1)). The oracle replays the identical selection in SQL: the
-  // same PolyHash fold per 8-gram, windowed min over 4 consecutive
+  // same PolyHash fold per 16-gram, windowed min over 8 consecutive
   // grams, rightmost argmin per full window, distinct positions.
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -553,24 +553,24 @@ object TextOps {
 
   val winnowFingerprintsSql: String =
     """WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
-      |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS i FROM d),
+      |idx AS (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 15, 0))) AS i FROM d),
       |pos AS (
       |  SELECT doc_id, i,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 8), ''),
+      |        list_transform(string_split(substr(t, CAST(i + 1 AS INTEGER), 16), ''),
       |                       c -> CAST(ascii(c) AS BIGINT))),
       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
       |  FROM idx),
       |win AS (
       |  SELECT doc_id, i AS j,
-      |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-      |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      |    min(h)   OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin,
+      |    count(*) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
       |  FROM pos),
       |sel AS (
       |  SELECT p.doc_id, w.j, max(p.i) AS pos, w.wmin AS fp
       |  FROM pos p JOIN win w
-      |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 3 AND p.h = w.wmin
-      |  WHERE w.wn = 4
+      |    ON p.doc_id = w.doc_id AND p.i BETWEEN w.j AND w.j + 7 AND p.h = w.wmin
+      |  WHERE w.wn = 8
       |  GROUP BY p.doc_id, w.j, w.wmin),
       |fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
       |SELECT d.doc_id,

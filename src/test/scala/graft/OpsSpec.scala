@@ -569,7 +569,7 @@ class OpsSpec extends SparkSuite {
 
   test("winnow: shared-substring guarantee, sorted positions, exact fold arithmetic") {
     import spark.implicits._
-    val shared = "the quick brown fox jumps" // 25 chars >= k+w-1 = 11
+    val shared = "the quick brown fox jumps" // 25 chars >= k+w-1 = 23
     val df = Seq(
       (1L, "AAAA " + shared + " zz"),
       (2L, "completely different prefix text then " + shared),
@@ -581,9 +581,9 @@ class OpsSpec extends SparkSuite {
     // a doc shorter than k+w-1 has no full window -> empty, not null
     assert(rows(3L).isEmpty)
 
-    // positions strictly increasing; every fp is the PolyHash fold of its 8-gram
+    // positions strictly increasing; every fp is the PolyHash fold of its 16-gram
     def gramHash(t: String, p: Int): Long =
-      t.substring(p, p + 8).getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
+      t.substring(p, p + 16).getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
     for (id <- Seq(1L, 2L)) {
       val t = df.filter(col("doc_id") === id).head().getString(1).toLowerCase
       val fps = rows(id)
