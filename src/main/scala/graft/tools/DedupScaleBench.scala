@@ -31,6 +31,28 @@ object DedupScaleBench {
         expr("array_join(transform(split(trim(lower(text)), '\\\\s+'), " +
           "t -> concat(t, '_r', CAST(_rep AS STRING))), ' ')").as("text"))
 
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Winnow-appropriate replication: replica k applies a Caesar
+    * substitution (alphabet rotated by k) instead of a token suffix.
+    * The `_rK` suffix blowUp is right for TOKEN-shingle pipelines but
+    * pollutes CHARACTER grams with shared low-entropy suffix material —
+    * measured: it drove winnow span counts DOWN as the corpus grew
+    * (5746 → 3421 at 5×) because suffixed grams stop being
+    * doc-specific and the hot cap eats them. A substitution cipher is a
+    * bijection on the gram space: within-replica gram statistics are
+    * IDENTICAL to the original corpus, replicas are gram-disjoint, so
+    * span counts must scale ~factor× — an invariant the printout
+    * exposes. */
+  def blowUpCipher(docs: DataFrame, factor: Int): DataFrame =
+    if (factor <= 1) docs.select(col("doc_id"), col("text"))
+    else (0 until factor).map { k =>
+      val rot = Alpha.drop(k % 26) + Alpha.take(k % 26)
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 10000L)).as("doc_id"),
+        translate(lower(col("text")), Alpha, rot).as("text"))
+    }.reduce(_ unionByName _)
+
   def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -62,10 +84,17 @@ object DedupScaleBench {
       val (nClustered, tClusters) = timed {
         GraphOps.connectedComponents(DedupOps.dupPairsFrom(base)).count()
       }
+      val wbase = DedupOps.withTwins(blowUpCipher(docs, f)).localCheckpoint()
+      val (nSpans, tSpans) = timed(DedupOps.winnowSpansFrom(wbase).count())
       println(f"[scale] factor=$f%-3d docs=$nDocs%7d pairs=$nPairs%7d " +
         f"pairs_time=$tPairs%6.1fs (${nDocs / tPairs}%8.0f docs/s) " +
         f"clusters_time=$tClusters%6.1fs (${nDocs / tClusters}%8.0f docs/s) " +
-        f"clustered_docs=$nClustered%7d")
+        f"clustered_docs=$nClustered%7d " +
+        f"winnow_spans=$nSpans%7d winnow_time=$tSpans%6.1fs (${nDocs / tSpans}%8.0f docs/s)")
+      // drop this factor's localCheckpoint blocks before the next cell —
+      // accumulated blocks polluted earlier measurements (same hygiene
+      // fix ChainScaleBench needed; see SCALE.md "commit exonerated")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }
