@@ -581,7 +581,115 @@ object TextOps {
       |  USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // BPE merge induction (Sennrich et al., "Neural Machine Translation of
+  // Rare Words with Subword Units", ACL 2016): learn the first
+  // `BpeSteps` byte-pair-encoding merges over the corpus — tokenizer
+  // TRAINING as a first-class distributed operator, not just token
+  // counting.
+  //
+  // Shape for 100 TB (the Sennrich trick): the corpus is reduced ONCE to
+  // a (word, count) vocabulary table — the only corpus-scale shuffle,
+  // map-side combined, output bounded by vocabulary not corpus. Every
+  // merge iteration then runs on that table: adjacent-pair counts
+  // weighted by word frequency (vocab-bounded shuffle), a deterministic
+  // argmax (freq desc, then lexicographic — a 1-row TakeOrdered), and
+  // the merge applied via a broadcast of that single row. Nothing in the
+  // loop ever touches the corpus again; driver holds zero data.
+  //
+  // Words are carried as a unit-separator-encoded symbol string
+  // (`<us>sym<us><us>sym<us>...<us>` with <us> = U+001F, one '</w>' terminal
+  // per word): merging pair (l, r) is then replace(w, ⟂l⟂⟂r⟂, ⟂lr⟂),
+  // and because every occurrence consumes both symbols' delimiters,
+  // string replace's leftmost-first resume-after-replacement scan IS
+  // BPE's greedy left-to-right non-overlapping merge ('a a a a' with
+  // (a,a) -> 'aa aa', never 'aa a a') — the same semantics in Spark's
+  // replace() and DuckDB's, so the oracle replays all `BpeSteps`
+  // iterations as unrolled CTE layers, cell-exact. Everything is
+  // integer counts and binary string compares; no floats anywhere.
+  val BpeSteps = 8
+  private val BpeD = "\u001f" // U+001F unit separator; words containing it are excluded in both engines
+  private val BpeEow = "</w>"
+
+  /** Encoded (w, c) vocabulary + the step-1..N merge loop over any
+    * (doc_id, text) corpus; output = (step, lhs, rhs, merged, freq). */
+  def bpeMergesFrom(d: DataFrame): DataFrame = {
+    var words = d
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(BpeD))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(
+        concat(lit(BpeD),
+          array_join(expr(
+            s"array_append(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$BpeEow')"),
+            BpeD + BpeD),
+          lit(BpeD)).as("w"),
+        col("c"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to BpeSteps) {
+      val pairs = words
+        .select(split(trim(col("w"), BpeD), BpeD + BpeD).as("_s"), col("c"))
+        .filter(size(col("_s")) >= 2) // a fully-merged single-symbol word has no pairs
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(_s) - 1), i -> struct(_s[i-1] AS lhs, _s[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("c")).as("t"))
+      val best = pairs
+        .orderBy(col("t").desc, col("lhs"), col("rhs")).limit(1)
+        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"), col("t"))
+        .localCheckpoint() // one tiny row: feeds both the output and the merge apply
+      merges += best
+      words = words
+        .crossJoin(broadcast(best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
+        .select(
+          replace(col("w"),
+            concat(lit(BpeD), col("_l"), lit(BpeD + BpeD), col("_r"), lit(BpeD)),
+            concat(lit(BpeD), col("_l"), col("_r"), lit(BpeD))).as("w"),
+          col("c"))
+        .localCheckpoint() // keep the vocab table flat: lineage must not re-run earlier merges
+    }
+    merges.result().reduce(_ unionByName _)
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("t").as("freq"))
+      .orderBy(col("step"))
+  }
+
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesFrom(docs(s, dir))
+
+  /** The identical iteration unrolled as CTE layers w0 -> (p_i, m_i,
+    * w_i)* — one layer per merge step, same argmax tie-break, same
+    * delimiter-encoded replace. */
+  val bpeSql: String = {
+    val d = "chr(31)"
+    val layers = (1 to BpeSteps).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(c) AS BIGINT) AS t
+         |  FROM (SELECT str_split(trim(w, $d), $d||$d) AS syms, c FROM w${i - 1}),
+         |       UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS step, lhs, rhs, t FROM p$i ORDER BY t DESC, lhs, rhs LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w.w, $d||m.lhs||$d||$d||m.rhs||$d, $d||m.lhs||m.rhs||$d) AS w, w.c
+         |  FROM w${i - 1} w, m$i m)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT $d || array_to_string(list_append(
+       |           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+       |           '$BpeEow'), $d||$d) || $d AS w,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, $d)
+       |  GROUP BY 1),
+       |${layers.mkString(",\n")}
+       |SELECT step, lhs, rhs, lhs || rhs AS merged, t AS freq
+       |FROM (${(1 to BpeSteps).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (bpeMerges _),
     "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
@@ -598,6 +706,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeSql,
     "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,

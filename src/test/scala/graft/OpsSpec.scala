@@ -324,6 +324,30 @@ class OpsSpec extends SparkSuite {
       "df/stats must broadcast")
   }
 
+  test("bpe merges: hand-computed sequence, greedy left-to-right, deterministic ties") {
+    import spark.implicits._
+    // vocab: aaaa x2, low x3, lower x1 — every interesting case at once:
+    //   step 1 (a,a) must merge 'aaaa' GREEDILY to aa|aa (never aa|a|a);
+    //   step 2 is a freq tie (l,o) vs (o,w) broken lexicographically;
+    //   step 4 merges into the '</w>' terminal, collapsing 'low' to ONE
+    //   symbol which must then stop contributing pairs;
+    //   steps 5-6 only exist if step 1 was greedy (aa|aa -> aa|aa</w> -> aaaa</w>).
+    val corpus = Seq((1L, "aaaa aaaa low low low"), (2L, "lower")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bpeMergesFrom(corpus)
+      .select("step", "lhs", "rhs", "merged", "freq").as[(Long, String, String, String, Long)]
+      .collect().toSeq
+    val want = Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "l", "o", "lo", 4L),
+      (3L, "lo", "w", "low", 4L),
+      (4L, "low", "</w>", "low</w>", 3L),
+      (5L, "aa", "</w>", "aa</w>", 2L),
+      (6L, "aa", "aa</w>", "aaaa</w>", 2L),
+      (7L, "e", "r", "er", 1L),
+      (8L, "er", "</w>", "er</w>", 1L))
+    assert(got == want)
+  }
+
   test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
     val e = graft.ops.TextOps.entropy(spark, sf)
     assert(e.filter(col("entropy_milli") < 0.0).count() == 0)
