@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** The analytic query surface (SURVEY §2E): everything the reference
   * delegates to ClickHouse, supplied natively by Catalyst built-ins.
@@ -25,14 +25,28 @@ object Relational {
   /** Exact decimal sum of a 2-dp double column, surfaced as double. */
   private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
-  /** The events table carries INT64 TIMESTAMP(NANOS), which Spark 4's
-    * parquet reader rejects outright; read it as raw nanos (legacy conf)
-    * and derive `_ms` = epoch milliseconds by exact integer division —
-    * the same value DuckDB's epoch_ms(ts) produces, so both engines
-    * order and subtract on identical integers. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Epoch-millisecond column for the events table, adaptive to how the
+    * fixture encodes `ts` (it has shipped as both INT64 TIMESTAMP(NANOS)
+    * and timestamp[us] across regenerations):
+    *   - LongType — raw nanos surfaced by spark.sql.legacy.parquet
+    *     .nanosAsLong (Spark 4's reader rejects TIMESTAMP(NANOS) outright);
+    *     exact integer division to ms.
+    *   - Timestamp / TimestampNTZ — unix_millis; NTZ wall-clock is cast
+    *     through the UTC session zone first.
+    * Both paths equal DuckDB's epoch_ms(ts) bit-for-bit, so the two
+    * engines order and subtract on identical integers. */
+  private[graft] def eventsMs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case LongType                         => expr("ts DIV 1000000")
+      case TimestampType | TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("_ms", expr("ts DIV 1000000"))
+    val df = t(s, dir, "events")
+    df.withColumn("_ms", eventsMs(df))
   }
 
   // ------------------------------------------------------------------
@@ -1176,7 +1190,34 @@ object Relational {
       |      FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q47: native TIMESTAMP_NTZ semantics — the regenerated fixture stores
+  // ts as timestamp[us], which Spark reads as TIMESTAMP_NTZ; operate on
+  // the timestamp column directly (to_date / hour), no _ms arithmetic.
+  // If the fixture ever reverts to raw INT64 nanos, rebuild an NTZ column
+  // from _ms so the query keeps exercising the same type end-to-end.
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val ntz = ev.schema("ts").dataType match {
+      case TimestampNTZType => col("ts")
+      case _                => timestamp_millis(col("_ms")).cast(TimestampNTZType)
+    }
+    ev.withColumn("_t", ntz)
+      .groupBy(to_date(col("_t")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(hour(col("_t"))).cast("long").as("max_hour"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q47Sql =
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(max(EXTRACT(hour FROM ts)) AS BIGINT) AS max_hour
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_ntz_native" -> (q47 _),
     "q46_json_typed" -> (q46 _),
     "q45_interval_overlap" -> (q45 _),
     "q44_anomaly_days" -> (q44 _),
@@ -1226,6 +1267,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q47_ntz_native" -> q47Sql,
     "q46_json_typed" -> q46Sql,
     "q45_interval_overlap" -> q45Sql,
     "q44_anomaly_days" -> q44Sql,

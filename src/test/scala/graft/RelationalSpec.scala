@@ -44,11 +44,10 @@ class RelationalSpec extends SparkSuite {
     assert(r.filter(col("day_offset") < 0L).count() == 0)
     // the signup event itself is activity on the cohort day, so the
     // offset-0 cell must equal the cohort size
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.queries.Relational.events(spark, sf)
     val cohorts = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
-      .agg(min(expr("ts DIV 1000000 DIV 86400000")).as("cohort_day"))
+      .agg(min(expr("_ms DIV 86400000")).as("cohort_day"))
       .groupBy(col("cohort_day")).agg(countDistinct(col("user_id")).as("n_cohort"))
     val day0 = r.filter(col("day_offset") === 0L)
       .select(col("cohort_day"), col("n_active"))
