@@ -62,16 +62,20 @@ object Bench {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    val results = names.map { case (name, _) =>
+    // Failed queries are reported ONLY in `failed` — no -1 sentinels in
+    // the timing maps (a consumer summing the map would silently get
+    // garbage), and totals over a partial query set are not comparable
+    // round-over-round, so they are null whenever anything failed.
+    val results = names.flatMap { case (name, _) =>
       val xs = samples(name)
-      (name, if (xs.nonEmpty) xs.min else -1.0, if (xs.nonEmpty) median(xs) else -1.0)
+      if (xs.nonEmpty) Some((name, xs.min, median(xs))) else None
     }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val mins = results.map { case (k, mn, _) => (k, mn) }
     val medians = results.map { case (k, _, md) => (k, md) }
-    val total = mins.map(_._2).filter(_ >= 0).sum
-    val totalMedian = medians.map(_._2).filter(_ >= 0).sum
+    val totalJson = if (failed.isEmpty) mins.map(_._2).sum.toString else "null"
+    val totalMedianJson = if (failed.isEmpty) medians.map(_._2).sum.toString else "null"
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // numeric sf parsed from the dir name (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
@@ -97,15 +101,15 @@ object Bench {
       }
     }
     val ratios = mins.flatMap { case (k, v) =>
-      baseline.get(k).filter(_ > 0).filter(_ => v >= 0).map(b => (k, v / b))
+      baseline.get(k).filter(_ > 0).map(b => (k, v / b))
     }
     val ratioMax = if (ratios.nonEmpty) ratios.map(_._2).max else -1.0
     val regressed = ratios.filter(_._2 > 2.0).map(_._1).sorted
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${results.size},"reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"detail":"BENCH.out.json"}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedian,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()

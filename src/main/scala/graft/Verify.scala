@@ -31,14 +31,31 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] chain_raw dumps failed: ${e.getMessage}")
     }
-    SparkEntry.queries
+    // A failed query must leave a loud trace in the artifact, not vanish:
+    // write a sentinel 1-row parquet (schema `graft_verify_error: string`)
+    // so the driver's compare records a red row for it, collect the error
+    // for errors.json, and assert every registered query was attempted.
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        import spark.implicits._
+        Seq(msg).toDF("graft_verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    }
+    // Every selected query must have produced an output dir (result or
+    // sentinel) — a missing row can never masquerade as a clean run.
+    val missing = selected.keySet.filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    require(missing.isEmpty, s"queries with no verify output: $missing")
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${selected.size} queries FAILED: ${errors.keys.mkString(", ")}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -59,6 +76,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }
