@@ -26,6 +26,10 @@ object DedupOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The twinned benchmark corpus — the exact input minhashDedup and the
+    * scale/diagnostic tools run on. */
+  def corpus(s: SparkSession, dir: String): DataFrame = withTwins(docs(s, dir))
+
   /** Corpus ∪ perturbed twins (twin id = id + 1,000,000). */
   def withTwins(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
@@ -40,7 +44,7 @@ object DedupOps {
   def exactDedup(s: SparkSession, dir: String): DataFrame = {
     val fp = md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
     val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
-    val base = withTwins(docs(s, dir))
+    val base = corpus(s, dir)
     base.unionByName(base) // doubled corpus => real duplicates exist
       .withColumn("fingerprint", fp)
       .withColumn("_rn", row_number().over(w))
@@ -99,10 +103,15 @@ object DedupOps {
   private def shingles(d: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     d.select(col("doc_id"), toks.as("_t"))
+      // a doc with <3 tokens has no trigram shingle; without this filter
+      // the _t[i+1] access below is out of bounds for such docs and
+      // throws under ANSI mode (non-ANSI silently made a null-padded
+      // pseudo-shingle instead)
+      .filter(size(col("_t")) >= 3)
       .withColumn("_th", transform(col("_t"),
         tok => graft.functions.PolyHash.polyHash(tok, 31, HashMod)))
       .select(col("doc_id"), expr(
-        "explode(array_distinct(transform(sequence(1, greatest(size(_t) - 2, 1)), " +
+        "explode(array_distinct(transform(sequence(1, size(_t) - 2), " +
           "i -> struct(concat_ws(' ', _t[i-1], _t[i], _t[i+1]) AS shingle, " +
           s"((_th[i-1] * 131 + _th[i]) % $HashMod * 131 + _th[i+1]) % $HashMod AS h))))").as("s"))
       .select(col("doc_id"), col("s.shingle").as("shingle"), col("s.h").as("H"))
@@ -231,7 +240,7 @@ object DedupOps {
     * cluster resolution ([[GraphOps.dedupClusters]]), which doesn't need
     * the presentation sort minhashDedup adds. */
   def dupPairs(s: SparkSession, dir: String): DataFrame =
-    dupPairsFrom(withTwins(docs(s, dir)))
+    dupPairsFrom(corpus(s, dir))
 
   /** Same pipeline over an arbitrary (doc_id, text) corpus — used by the
     * scale benchmark to run the identical dag on blown-up inputs.
@@ -281,7 +290,7 @@ object DedupOps {
   }
 
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = withTwins(docs(s, dir))
+    val base = corpus(s, dir)
     val sigs = simhashSignatures(base)
     // band into 4×16-bit chunks; same chunk => candidate
     val banded = sigs.select(col("doc_id"), col("simhash"),
@@ -306,7 +315,7 @@ object DedupOps {
   // n-gram Jaccard similarity: exact pairwise for a bounded probe set
   // (first 20 docs) against the corpus — the verify-side primitive.
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val base = withTwins(docs(s, dir))
+    val base = corpus(s, dir)
     val sh = shingles(base)
     val probes = sh.filter(col("doc_id") < 20)
       .select(col("doc_id").as("a"), col("shingle"))
@@ -569,7 +578,7 @@ object DedupOps {
   val WinnowMinShared = 8L
 
   def winnowSpans(s: SparkSession, dir: String): DataFrame =
-    winnowSpansFrom(withTwins(docs(s, dir)))
+    winnowSpansFrom(corpus(s, dir))
 
   /** The span pipeline over an arbitrary (doc_id, text) corpus — the
     * scale-bench entry point. Per-doc fp dedupe happens INSIDE the scan

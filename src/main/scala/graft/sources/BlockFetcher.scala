@@ -194,14 +194,12 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
   private val mapper = new ObjectMapper()
   private val pending = new ConcurrentHashMap[Long, CompletableFuture[JsonNode]]()
   private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
-  // subscription id -> notification handler (eth_subscribe push frames)
-  private val subHandlers = new ConcurrentHashMap[String, JsonNode => Unit]()
-  // pushes that beat the caller's handler registration (the node may push
-  // immediately after its subscribe response, on the listener thread,
-  // before subscribeNewHeads() has stored the handler) are buffered here
-  // and drained at registration — no head is dropped
-  private val earlyPushes =
-    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[JsonNode]]()
+  // subscription id -> notification handler; pushes that beat the
+  // caller's handler registration (the node may push immediately after
+  // its subscribe response, on the listener thread, before
+  // subscribeNewHeads() has stored the handler) are buffered and
+  // race-safely drained by [[PushRouter]] — no head is dropped
+  private val pushes = new PushRouter[JsonNode]()
 
   private val listener = new WebSocket.Listener {
     private val buf = new java.lang.StringBuilder
@@ -220,12 +218,7 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
           val m = root.get("method")
           if (m != null && m.asText() == "eth_subscription") {
             val p = root.get("params")
-            val sub = p.get("subscription").asText()
-            val h = subHandlers.get(sub)
-            if (h != null) h(p.get("result"))
-            else earlyPushes
-              .computeIfAbsent(sub, _ => new java.util.concurrent.ConcurrentLinkedQueue[JsonNode]())
-              .add(p.get("result"))
+            pushes.push(p.get("subscription").asText(), p.get("result"))
           }
         }
       }
@@ -283,17 +276,16 @@ class WsJsonRpcFetcher(endpoint: String, timeoutSec: Long = 60L) extends BlockFe
     val handler: JsonNode => Unit =
       head => onHead(RpcWire.hexLong(head.get("number")))
     val id = rpc("eth_subscribe", """["newHeads"]""").asText()
-    subHandlers.put(id, handler)
     // heads pushed before the handler landed were buffered by the
-    // listener; deliver them now (set semantics downstream — the ingest
-    // keys on block number — so drain-after-register ordering is fine)
-    val q = earlyPushes.remove(id)
-    if (q != null) q.forEach(n => handler(n))
+    // listener; register-then-drain is TOCTOU-safe inside PushRouter
+    // (set semantics downstream — the ingest keys on block number — so
+    // drain-after-register ordering is fine)
+    pushes.register(id, handler)
     id
   }
 
   def unsubscribe(id: String): Unit = {
-    subHandlers.remove(id)
+    pushes.remove(id)
     rpc("eth_unsubscribe", s"""["$id"]""")
     ()
   }

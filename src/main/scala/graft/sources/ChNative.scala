@@ -113,7 +113,7 @@ object NativeCodec {
       if (t.startsWith("Nullable(") && t.endsWith(")")) (t.substring(9, t.length - 1), true)
       else (t, false)
     val kind = inner match {
-      case "String" => if (U256BinaryCols(name)) KBytes else KBytes // bytes default; reads are schema-driven
+      case "String" => KBytes // lossless bytes default; reads are schema-driven
       case "UInt64" => KU64
       case "UInt256" => if (U256BinaryCols(name)) KU256Bin else KU256Dec
       case "Bool" | "UInt8" => KBool
@@ -187,13 +187,22 @@ object NativeCodec {
 
   /** Canonical 32-byte big-endian -> 32-byte little-endian (and back:
     * the transform is an involution). Shorter big-endian input is
-    * left-padded, i.e. high little-endian bytes stay zero. */
+    * left-padded, i.e. high little-endian bytes stay zero. Longer input
+    * may only carry leading ZERO bytes (BigInteger's sign byte for
+    * values with the top bit set); any nonzero overflow byte means the
+    * value doesn't fit in 256 bits and must fail, not truncate. */
   def beToLe32(be: Array[Byte]): Array[Byte] = {
-    val src = if (be.length > 32) be.slice(be.length - 32, be.length) else be
+    var off = 0
+    while (be.length - off > 32) {
+      require(be(off) == 0,
+        s"chnative: value is wider than 32 bytes (${be.length} bytes, leading 0x${(be(off) & 0xff).toHexString})")
+      off += 1
+    }
+    val n = be.length - off
     val le = new Array[Byte](32)
     var i = 0
-    while (i < src.length) {
-      le(i) = src(src.length - 1 - i)
+    while (i < n) {
+      le(i) = be(be.length - 1 - i)
       i += 1
     }
     le
@@ -286,7 +295,9 @@ object NativeCodec {
               val arr = rows(r).getArray(c)
               var i = 0
               while (i < arr.numElements()) {
-                writeString(out, arr.getBinary(i))
+                // null elements encode as empty bytes, like null scalars —
+                // getBinary on a null slot would NPE inside writeString
+                writeString(out, if (arr.isNullAt(i)) EmptyBytes else arr.getBinary(i))
                 i += 1
               }
             }

@@ -44,6 +44,20 @@ object MinHashProfile {
       val cand = t("band+buckets+pairs")(
         { val c = DedupOps.minhashCandidatesFromShingles(sh).localCheckpoint(); c.count(); c })
       println(s"  candidates=${cand.count()}")
+      // candidate-volume stats — the confirm-before-flagging diagnostic:
+      // a timing shift with UNCHANGED counts is host noise; a shift that
+      // tracks candidate growth is the corpus changing near-dup density
+      val buckets = DedupOps.bandKeys(base)
+        .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val st = buckets.agg(count(lit(1)), max(col("n")),
+        sum(col("n") * (col("n") - 1) / 2),
+        sum(when(col("n") > DedupOps.MaxBucket, 1).otherwise(0))).head()
+      println(s"  buckets(n>1)=${st.getLong(0)} max_bucket=${st.getLong(1)} " +
+        s"raw_pairs=${st.getDouble(2).toLong} over_cap=${st.getLong(3)}")
+      val touched = cand.select(col("a").as("d"))
+        .unionByName(cand.select(col("b").as("d"))).distinct().count()
+      println(s"  docs_touched_by_verify=$touched")
       t("exact jaccard") {
         DedupOps.jaccard(cand, sh).filter(col("jaccard") >= 0.5).count()
       }

@@ -1,0 +1,97 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import graft.sources.{NativeCodec, PushRouter}
+
+/** Regression pins for the round-6 ADVICE findings (all fixed round 8):
+  * subscribeNewHeads TOCTOU head-drop, ANSI-mode short-doc shingle
+  * crash, chnative null array-element NPE, silent >32-byte u256
+  * truncation, and the dead String-branch conditional (that one is
+  * covered by compilation + the schema-driven read tests in
+  * NativeSinkSpec). */
+class AdviceRegressionSpec extends SparkSuite {
+
+  test("PushRouter: a push racing registration is never dropped, never duplicated") {
+    // tight-loop race: a pusher thread streams frames while the main
+    // thread registers the handler mid-stream; every frame must be
+    // delivered exactly once whichever side wins each interleaving
+    for (round <- 1 to 200) {
+      val router = new PushRouter[Integer]()
+      val got = new ConcurrentLinkedQueue[Integer]()
+      val n = 50
+      val start = new CountDownLatch(1)
+      val pusher = new Thread(() => {
+        start.await()
+        var i = 0
+        while (i < n) { router.push("s", Integer.valueOf(i)); i += 1 }
+      })
+      pusher.start()
+      start.countDown()
+      // register somewhere in the middle of the push stream
+      if (round % 3 == 0) Thread.onSpinWait()
+      router.register("s", v => { got.add(v); () })
+      pusher.join()
+      // any frame buffered at the instant registration landed must have
+      // been drained by one side or the other
+      val seen = got.toArray(Array.empty[Integer]).map(_.intValue()).sorted.toSeq
+      assert(seen == (0 until n), s"round $round: lost/duplicated frames, got ${seen.size} of $n")
+    }
+  }
+
+  test("chnative: null array elements encode as empty bytes, not NPE") {
+    val schema = StructType(Seq(
+      StructField("topics", ArrayType(BinaryType, containsNull = true), nullable = false)))
+    val spec = NativeCodec.specFor(schema)
+    val rows = Seq(new GenericInternalRow(Array[Any](
+      new GenericArrayData(Array[Any](Array[Byte](0x0a), null, Array[Byte](0x0b))))))
+    val bos = new ByteArrayOutputStream()
+    NativeCodec.writeBlock(new DataOutputStream(bos), spec, rows.toIndexedSeq)
+    val got = bos.toByteArray
+    val expected = Array.concat(
+      Array[Byte](1, 1),
+      Array[Byte](6) ++ "topics".getBytes("UTF-8"),
+      Array[Byte](13) ++ "Array(String)".getBytes("UTF-8"),
+      Array[Byte](3, 0, 0, 0, 0, 0, 0, 0), // end offset 3
+      Array[Byte](1, 0x0a), Array[Byte](0), Array[Byte](1, 0x0b))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("chnative: beToLe32 strips only zero overflow bytes; nonzero width overflow fails") {
+    // 33-byte array with a BigInteger sign byte: legitimate max-range u256
+    val maxish = new java.math.BigInteger(
+      "f000000000000000000000000000000000000000000000000000000000000001", 16)
+    val be33 = maxish.toByteArray
+    assert(be33.length == 33 && be33(0) == 0)
+    val le = NativeCodec.beToLe32(be33)
+    assert(le(0) == 0x01 && (le(31) & 0xff) == 0xf0)
+    // round-trips back to the same value
+    assert(new java.math.BigInteger(1, NativeCodec.beToLe32(le)) == maxish)
+    // a genuinely-too-wide value must throw, not silently truncate
+    val wide = Array.fill[Byte](33)(0x01)
+    val e = intercept[IllegalArgumentException](NativeCodec.beToLe32(wide))
+    assert(e.getMessage.contains("wider than 32 bytes"))
+  }
+
+  test("dedup shingles: docs shorter than 3 tokens survive ANSI mode") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val corpus = Seq(
+        (1L, "one"), (2L, "two tokens"), (3L, ""),
+        (4L, "alpha beta gamma delta shared tail of text here"),
+        (5L, "alpha beta gamma delta shared tail of text here")).toDF("doc_id", "text")
+      // pre-fix this threw INVALID_ARRAY_INDEX on docs 1-3; post-fix they
+      // simply contribute no trigram shingles
+      val pairs = graft.ops.DedupOps.dupPairsFrom(corpus).collect()
+      assert(pairs.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L))
+      assert(!pairs.exists(r => r.getLong(0) <= 3L || r.getLong(1) <= 3L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+}

@@ -41,17 +41,17 @@ class OpsSpec extends SparkSuite {
       legacyCand.except(fastCand).count() == 0)
     // short docs (< 3 tokens): the narrow path degrades to a null
     // signature -> null band keys (grouped, still MaxBucket-capped);
-    // the exploded form CRASHES under ANSI mode (out-of-range _t[i+1]
-    // subscript throws instead of nulling) — a strict improvement,
-    // pinned here so the contrast is documented
+    // the exploded form excludes them at the shingle source — no
+    // trigram exists — where pre-r8 it crashed under ANSI mode on the
+    // out-of-range _t[i+1] subscript (AdviceRegressionSpec pins the
+    // ANSI behavior end-to-end)
     import spark.implicits._
     val shorties = Seq((1L, "only two"), (2L, "tiny doc"), (3L, "a b c d")).toDF("doc_id", "text")
     val fastK = DedupOps.bandKeys(shorties)
     assert(fastK.filter(col("band_key").isNull).count() == 16) // 2 short docs x 8 bands
     assert(fastK.filter(col("band_key").isNotNull).count() == 8) // the 4-token doc
-    intercept[ArrayIndexOutOfBoundsException] { // SparkArrayIndexOutOfBoundsException
-      DedupOps.bandKeysFromShingles(DedupOps.shingleSet(shorties)).count()
-    }
+    val explodedK = DedupOps.bandKeysFromShingles(DedupOps.shingleSet(shorties))
+    assert(explodedK.count() == 8 && explodedK.filter(col("band_key").isNull).count() == 0)
   }
 
   test("simhash near-dup finds twins with tiny hamming distance") {
