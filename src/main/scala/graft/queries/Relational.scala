@@ -576,10 +576,16 @@ object Relational {
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        // one percentile buffer for both quantiles — percentile(array)
+        // sorts each group's value multiset once; two scalar calls
+        // would build and merge two identical buffers
+        percentile(col("value"), array(lit(0.5), lit(0.9))).as("_p"),
         min(col("value")).as("v_min"),
         max(col("value")).as("v_max"))
+      .select(col("event_type"),
+        round(element_at(col("_p"), 1), 4).as("p50"),
+        round(element_at(col("_p"), 2), 4).as("p90"),
+        col("v_min"), col("v_max"))
       .orderBy(col("event_type"))
 
   private val q26Sql =
