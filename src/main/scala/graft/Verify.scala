@@ -4,6 +4,37 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each query's result to `outDir/<name>`; a query that throws
+    * leaves a sentinel 1-row parquet (`graft_verify_error: string`) so
+    * the driver's compare records a red row instead of silently
+    * omitting it. Returns name → error for the failures. Aborts if any
+    * selected query produced no output dir at all — a missing row can
+    * never masquerade as a clean run. */
+  def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame])
+      : Map[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        import spark.implicits._
+        Seq(msg).toDF("graft_verify_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    }
+    val missing = queries.keySet.filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
+    require(missing.isEmpty, s"queries with no verify output: $missing")
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    }
+    errors.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional 3rd arg: comma-separated query-name subset (local iteration
     // only — the driver always runs the full surface).
@@ -31,32 +62,9 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] chain_raw dumps failed: ${e.getMessage}")
     }
-    // A failed query must leave a loud trace in the artifact, not vanish:
-    // write a sentinel 1-row parquet (schema `graft_verify_error: string`)
-    // so the driver's compare records a red row for it, collect the error
-    // for errors.json, and assert every registered query was attempted.
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        System.err.println(s"[verify] $name FAILED: $msg")
-        errors(name) = msg
-        import spark.implicits._
-        Seq(msg).toDF("graft_verify_error").coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
-      }
-    }
-    // Every selected query must have produced an output dir (result or
-    // sentinel) — a missing row can never masquerade as a clean run.
-    val missing = selected.keySet.filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
-    require(missing.isEmpty, s"queries with no verify output: $missing")
-    if (errors.nonEmpty) {
-      System.err.println(s"[verify] ${errors.size}/${selected.size} queries FAILED: ${errors.keys.mkString(", ")}")
-    }
+    val errors = dumpQueries(spark, sfDir, outDir, selected)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
