@@ -94,11 +94,15 @@ object FilterOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
     val topBig = d.select(col("doc_id"), toks.as("_t"))
+      // <2 tokens -> no bigram; unguarded _t[i] is out of bounds under
+      // ANSI mode. Short docs keep their metric row via the LEFT join +
+      // coalesce below (top_big = 0, denominator floored at 1).
+      .filter(size(col("_t")) >= 2)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> concat_ws(' ', _t[i-1], _t[i]))")).as("bg"))
+        "transform(sequence(1, size(_t) - 1), i -> concat_ws(' ', _t[i-1], _t[i]))")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_big"))
-    val m = narrow.join(topTok, Seq("doc_id")).join(topBig, Seq("doc_id"))
+    val m = narrow.join(topTok, Seq("doc_id")).join(topBig, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
         expr("sum_tok_len * 1000 DIV n_tokens").as("mean_tok_len_milli"),
@@ -106,7 +110,8 @@ object FilterOps {
         expr("n_alpha * 1000 DIV n_tokens").as("alpha_frac_milli"),
         col("n_stop_distinct"),
         expr("top_tok * 1000 DIV n_tokens").as("top_token_frac_milli"),
-        expr("top_big * 1000 DIV (n_tokens - 1)").as("top_bigram_frac_milli"))
+        expr("coalesce(top_big, 0L) * 1000 DIV greatest(n_tokens - 1, 1)")
+          .as("top_bigram_frac_milli"))
     val rules = Seq(
       col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens,
       col("mean_tok_len_milli") >= MinWordLenMilli && col("mean_tok_len_milli") <= MaxWordLenMilli,
@@ -158,7 +163,7 @@ object FilterOps {
        |  SELECT doc_id, max(c) AS top_big FROM (
        |    SELECT doc_id, bg, count(*) AS c
        |    FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
-       |          FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS g(i))
+       |          FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i))
        |    GROUP BY 1, 2)
        |  GROUP BY 1),
        |m AS (
@@ -168,8 +173,8 @@ object FilterOps {
        |    n_alpha * 1000 // n_tokens AS alpha_frac_milli,
        |    n_stop_distinct,
        |    top_tok * 1000 // n_tokens AS top_token_frac_milli,
-       |    top_big * 1000 // (n_tokens - 1) AS top_bigram_frac_milli
-       |  FROM narrow JOIN toptok USING (doc_id) JOIN topbig USING (doc_id))""".stripMargin
+       |    coalesce(top_big, 0) * 1000 // greatest(n_tokens - 1, 1) AS top_bigram_frac_milli
+       |  FROM narrow JOIN toptok USING (doc_id) LEFT JOIN topbig USING (doc_id))""".stripMargin
 
   val qualityFiltersSql: String = {
     val ruleFails = Seq(

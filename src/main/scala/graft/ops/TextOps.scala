@@ -317,8 +317,11 @@ object TextOps {
     val toks = tokens(col("text"))
     val bi = docs(s, dir)
       .select(col("doc_id"), toks.as("_t"))
+      // <2 tokens -> no bigram; unguarded _t[i] would be out of bounds
+      // under ANSI mode (same hazard class as DedupOps.shingles)
+      .filter(size(col("_t")) >= 2)
       .select(explode(expr(
-        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
     val uni = docs(s, dir)
@@ -339,7 +342,7 @@ object TextOps {
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
        |bi AS (
        |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS n_bigram
-       |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS g(i)
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
        |  GROUP BY 1, 2),
        |uni AS (
        |  SELECT w1, count(*) AS n_w1 FROM (
@@ -366,8 +369,9 @@ object TextOps {
     val d = docs(s, dir)
     val toks = tokens(col("text"))
     val docBigrams = d.select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 2) // no bigram below 2 tokens (ANSI-safe)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(_t) - 1, 1)), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bi = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val uni = d.select(explode(toks).as("w1"))
@@ -393,7 +397,7 @@ object TextOps {
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
       |docbi AS (
       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |  FROM t, UNNEST(generate_series(1, greatest(len(toks) - 1, 1))) AS g(i)),
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
       |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t))

@@ -78,6 +78,31 @@ class AdviceRegressionSpec extends SparkSuite {
     assert(e.getMessage.contains("wider than 32 bytes"))
   }
 
+  test("bigram pipelines survive sub-2-token docs under ANSI mode, keeping row coverage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ansi-docs").toString
+    Seq((1L, "one"), (2L, ""), (3L, "alpha beta gamma alpha beta"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // pre-r8 each of these threw INVALID_ARRAY_INDEX on docs 1-2
+      assert(graft.ops.TextOps.bigrams(spark, dir).count() > 0)
+      assert(graft.ops.TextOps.perplexity(spark, dir)
+        .select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+      val q = graft.ops.FilterOps.qualityFilters(spark, dir)
+      // short docs keep their metric row (LEFT join + coalesce), with a
+      // zero top-bigram numerator and a floored denominator
+      assert(q.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+      assert(q.filter(col("doc_id") <= 2L)
+        .select("top_bigram_frac_milli").as[Long].collect().forall(_ == 0L))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("dedup shingles: docs shorter than 3 tokens survive ANSI mode") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
