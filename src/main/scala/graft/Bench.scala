@@ -31,6 +31,16 @@ object Bench {
     // warm the JVM/codegen once on the tiniest sf so per-query numbers
     // measure the query, not first-use classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Fixed warmup sweep: the Headline set once, UNTIMED, on the target
+    // sf. Interleaved min-of-N already absorbs first-use codegen into
+    // rep 1, but the warmup pulls whole plan families (broadcast join,
+    // window, LSH dag, ingest) through codegen + parquet footer caches
+    // BEFORE any timed rep, shrinking the rep-1 outlier that otherwise
+    // widens the back-to-back noise band on sub-second queries.
+    for (name <- Headline; fn <- SparkEntry.queries.get(name)) {
+      spark.catalog.clearCache()
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+    }
     var failed = List.empty[String]
     // Cold best-of-N per query: the shared-VM host's CPU throughput swings
     // up to ~2.5x between single runs (SCALE.md), so one sample per query
@@ -49,9 +59,11 @@ object Bench {
       val t0 = System.nanoTime()
       // A rep that throws must not contribute its (near-zero) duration —
       // min over SUCCESSFUL reps only; all-failed queries report -1.
+      // NonFatal: an OOM/dead-context must abort the bench as ONE fatal
+      // failure, not bleed through the sweep as N bogus per-query fails
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
@@ -116,8 +128,15 @@ object Bench {
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val shortJson =
       s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"detail":"BENCH.out.json"}"""
+    // per-query successful-sample count: `reps` is the attempt count;
+    // a rep that failed contributes no sample, so a min over fewer
+    // samples is visibly weaker evidence
+    val nSamples = names.flatMap { case (name, _) =>
+      val n = samples(name).size
+      if (n > 0) Some((name, "\"" + name + "\":" + n)) else None
+    }.map(_._2).mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     spark.stop()

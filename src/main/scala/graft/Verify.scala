@@ -16,15 +16,24 @@ object Verify {
       : Map[String, String] = {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
+      // NonFatal only: a dying JVM (OOM, killed SparkContext) must
+      // propagate as ONE fatal failure, not masquerade as N unrelated
+      // per-query red rows
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: $msg")
         errors(name) = msg
         import spark.implicits._
-        Seq(msg).toDF("graft_verify_error").coalesce(1)
+        // sentinel write gets its own guard so one unwritable dir
+        // doesn't abort the remaining dumps (the missing-dir require
+        // below still catches it)
+        try Seq(msg).toDF("graft_verify_error").coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case scala.util.control.NonFatal(e2) =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
     val missing = queries.keySet.filterNot(n => Files.isDirectory(Paths.get(s"$outDir/$n")))
@@ -52,14 +61,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    locally {
+      val (fs, p) = graft.etl.WarehouseFs.resolve(spark, outDir)
+      graft.etl.WarehouseFs.mkdirs(fs, p)
+    }
     // Raw (binary/array-typed) chain table dumps — NOT registered queries;
     // the chain_* DuckDB oracles recompute their answers from these files.
     // They live OUTSIDE outDir (ChainQueries.RawDumpDir): the driver
     // hash-checks every parquet dir under outDir and chokes on native
     // array columns.
     try graft.queries.ChainQueries.materializeRaw(spark)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] chain_raw dumps failed: ${e.getMessage}")
     }
     val selected = SparkEntry.queries

@@ -136,21 +136,25 @@ object Load {
     * default costs only a re-fetch. */
   def ingestResumable(spark: SparkSession, from: Long, to: Long, warehouse: String,
       endpoint: Option[String] = None, sink: TableSink = ParquetSink): Seq[(Long, Long)] = {
+    // resolved from the warehouse path's scheme so resume works on
+    // hdfs://s3a:// too — a local-FS probe there is always false and
+    // would silently re-ingest the entire backfill
+    val (fs, _) = WarehouseFs.resolve(spark, warehouse)
     def complete(r: Long, lo: Long, hi: Long): Boolean = {
-      val m = new java.io.File(s"$warehouse/_complete/blockRange=$r")
-      val markerCovers = m.isFile && {
+      val m = new org.apache.hadoop.fs.Path(s"$warehouse/_complete/blockRange=$r")
+      val markerCovers = WarehouseFs.isFile(fs, m) && {
         try {
-          val parts = java.nio.file.Files.readString(m.toPath).trim.split("\\s+")
+          val parts = WarehouseFs.readString(fs, m).trim.split("\\s+")
           parts.length == 2 && parts(0).toLong <= lo && hi <= parts(1).toLong
-        } catch { case _: Throwable => false }
+        } catch { case scala.util.control.NonFatal(_) => false }
       }
       markerCovers && {
-        val p = new java.io.File(s"$warehouse/blocks/blockRange=$r")
-        p.isDirectory && {
-          try sink.read(spark, p.toString, Schemas.blocks)
+        val p = new org.apache.hadoop.fs.Path(s"$warehouse/blocks/blockRange=$r")
+        WarehouseFs.isDirectory(fs, p) && {
+          try sink.read(spark, s"$warehouse/blocks/blockRange=$r", Schemas.blocks)
             .where(org.apache.spark.sql.functions.col("number").between(lo, hi))
             .count() == hi - lo + 1
-          catch { case _: Throwable => false }
+          catch { case scala.util.control.NonFatal(_) => false }
         }
       }
     }
@@ -194,37 +198,39 @@ object Load {
   def compact(spark: SparkSession, path: String, sortKeys: Seq[String],
       numFiles: Int = 1, sink: TableSink = ParquetSink,
       schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"compact: $path is not a directory")
-    val partitioned = dir.listFiles().exists(d => d.isDirectory && d.getName.contains("="))
+    val (fs, dir) = WarehouseFs.resolve(spark, path)
+    require(WarehouseFs.isDirectory(fs, dir), s"compact: $path is not a directory")
+    val partitioned = WarehouseFs.list(fs, dir)
+      .exists(d => d.isDirectory && d.getPath.getName.contains("="))
     require(!partitioned,
       s"compact: $path is a hive-partitioned root; compact its partition dirs individually")
-    requireSinkLayout(dir, sink, "compact")
-    val before = dataFiles(dir, sink)
-    val tmp = new java.io.File(path + "__compacting")
-    val old = new java.io.File(path + "__old")
-    def delete(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(delete)
-      p.delete(); ()
-    }
-    if (tmp.exists()) delete(tmp) // debris of a previous crashed attempt
-    if (old.exists()) delete(old)
+    requireSinkLayout(fs, dir, sink, "compact")
+    val before = dataFiles(fs, dir, sink)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    WarehouseFs.deleteTree(fs, tmp) // debris of a previous crashed attempt
+    WarehouseFs.deleteTree(fs, old)
     readThrough(spark, path, sink, schema, "compact")
       .repartition(numFiles)
       .sortWithinPartitions(sortKeys.map(col): _*)
       .write.mode("overwrite").format(sink.format).save(tmp.toString)
-    java.nio.file.Files.move(dir.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, dir.toPath)
-    delete(old)
-    (before, dataFiles(dir, sink))
+    // rename, not delete-then-move: every crash point leaves a complete
+    // table at either `path` or `path__old` (atomic on HDFS/local; on
+    // S3A rename is a copy, but the order still never leaves a window
+    // with NO complete copy)
+    WarehouseFs.rename(fs, dir, old)
+    WarehouseFs.rename(fs, tmp, dir)
+    WarehouseFs.deleteTree(fs, old)
+    (before, dataFiles(fs, dir, sink))
   }
 
   /** Count of `sink`-encoded data files under `p`, recursive. */
-  private def dataFiles(p: java.io.File, sink: TableSink): Long =
-    if (!p.isDirectory) 0L
-    else p.listFiles().map {
-      case d if d.isDirectory => dataFiles(d, sink)
-      case f if f.getName.endsWith(sink.dataExt) => 1L
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, sink: TableSink): Long =
+    if (!WarehouseFs.isDirectory(fs, p)) 0L
+    else WarehouseFs.list(fs, p).map {
+      case d if d.isDirectory => dataFiles(fs, d.getPath, sink)
+      case f if f.getPath.getName.endsWith(sink.dataExt) => 1L
       case _ => 0L
     }.sum
 
@@ -233,13 +239,15 @@ object Load {
   /** Fail fast when `dir` holds data files of a DIFFERENT sink's encoding
     * — the silent-miscount case: counting only `sink.dataExt` over an
     * alien layout reports 0 files and "nothing to do". */
-  private def requireSinkLayout(dir: java.io.File, sink: TableSink, who: String): Unit = {
-    def foreign(p: java.io.File): Option[String] =
-      if (p.isDirectory) p.listFiles().iterator.flatMap(foreign(_).iterator).nextOption()
-      else KnownExts.find(e => e != sink.dataExt && p.getName.endsWith(e))
-    foreign(dir).foreach { ext =>
+  private def requireSinkLayout(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, sink: TableSink, who: String): Unit = {
+    def foreign(p: org.apache.hadoop.fs.FileStatus): Option[String] =
+      if (p.isDirectory)
+        WarehouseFs.list(fs, p.getPath).iterator.flatMap(foreign(_).iterator).nextOption()
+      else KnownExts.find(e => e != sink.dataExt && p.getPath.getName.endsWith(e))
+    WarehouseFs.list(fs, dir).iterator.flatMap(foreign(_).iterator).nextOption().foreach { ext =>
       throw new IllegalArgumentException(
-        s"$who: ${dir.getPath} holds $ext data files but sink ${sink.format} " +
+        s"$who: $dir holds $ext data files but sink ${sink.format} " +
           s"expects ${sink.dataExt}; pass the matching TableSink")
     }
   }
@@ -267,18 +275,19 @@ object Load {
   def compactPartitioned(spark: SparkSession, path: String, sortKeys: Seq[String],
       numFiles: Int = 1, sink: TableSink = ParquetSink,
       schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"compactPartitioned: $path is not a directory")
-    requireSinkLayout(dir, sink, "compactPartitioned")
-    val parts = dir.listFiles()
-      .filter(d => d.isDirectory && d.getName.contains("="))
-      .sortBy(_.getName)
+    val (fs, dir) = WarehouseFs.resolve(spark, path)
+    require(WarehouseFs.isDirectory(fs, dir), s"compactPartitioned: $path is not a directory")
+    requireSinkLayout(fs, dir, sink, "compactPartitioned")
+    val parts = WarehouseFs.list(fs, dir)
+      .filter(d => d.isDirectory && d.getPath.getName.contains("="))
+      .sortBy(_.getPath.getName)
     require(parts.nonEmpty,
       s"compactPartitioned: $path has no partition directories; use compact")
-    val results = parts.toSeq.map { p =>
-      val already = p.listFiles().count(_.getName.endsWith(sink.dataExt))
+    val results = parts.map { p =>
+      val already = WarehouseFs.list(fs, p.getPath)
+        .count(_.getPath.getName.endsWith(sink.dataExt))
       if (already <= numFiles) (already.toLong, already.toLong)
-      else compact(spark, p.toString, sortKeys, numFiles, sink, schema)
+      else compact(spark, p.getPath.toString, sortKeys, numFiles, sink, schema)
     }
     (results.map(_._1).sum, results.map(_._2).sum)
   }
@@ -296,7 +305,8 @@ object Load {
   def deleteWhere(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column, sink: TableSink = ParquetSink,
       schema: Option[org.apache.spark.sql.types.StructType] = None): (Long, Long) = {
-    requireSinkLayout(new java.io.File(path), sink, "deleteWhere")
+    val (dwFs, dwRoot) = WarehouseFs.resolve(spark, path)
+    requireSinkLayout(dwFs, dwRoot, sink, "deleteWhere")
     val table = readThrough(spark, path, sink, schema, "deleteWhere")
     require(table.columns.contains("blockRange"),
       s"deleteWhere: $path is not a blockRange-partitioned table")
@@ -325,13 +335,8 @@ object Load {
       // fully-emptied partition directories explicitly.
       val kept = keep.select(col("blockRange")).distinct()
         .collect().map(_.getAs[Number](0).longValue).toSet
-      def rmTree(p: java.io.File): Unit = {
-        if (p.isDirectory) p.listFiles().foreach(rmTree)
-        p.delete(); ()
-      }
       hit.filterNot(kept.contains).foreach { r =>
-        val d = new java.io.File(s"$path/blockRange=$r")
-        if (d.exists()) rmTree(d)
+        WarehouseFs.deleteTree(dwFs, new org.apache.hadoop.fs.Path(s"$path/blockRange=$r"))
       }
       (deleted, hit.length.toLong)
     }
@@ -365,13 +370,13 @@ object Load {
   def ingest(spark: SparkSession, from: Long, to: Long, warehouse: String,
       endpoint: Option[String] = None, sink: TableSink = ParquetSink): Unit = {
     writeAll(tables(spark, from, to, endpoint), warehouse, sink)
-    val dir = new java.io.File(s"$warehouse/_complete")
-    dir.mkdirs()
+    val (fs, dir) = WarehouseFs.resolve(spark, s"$warehouse/_complete")
+    WarehouseFs.mkdirs(fs, dir)
     (from / Batch to to / Batch).foreach { r =>
       val lo = math.max(from, r * Batch)
       val hi = math.min(to, r * Batch + Batch - 1)
-      java.nio.file.Files.writeString(
-        new java.io.File(dir, s"blockRange=$r").toPath, s"$lo $hi")
+      WarehouseFs.writeString(fs,
+        new org.apache.hadoop.fs.Path(dir, s"blockRange=$r"), s"$lo $hi")
     }
   }
 }

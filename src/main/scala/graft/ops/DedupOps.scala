@@ -650,7 +650,7 @@ object DedupOps {
     """,
       |toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM base),
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-      |       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)),
+      |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
       |          FROM sh a JOIN sh b USING (shingle)
@@ -671,7 +671,7 @@ object DedupOps {
        |tkh AS (SELECT doc_id, t, list_transform(t, tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs FROM toks),
        |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle,
        |       ((hs[i] * 131 + hs[i+1]) % $HashMod * 131 + hs[i+2]) % $HashMod AS h
-       |       FROM tkh, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS g(i))""".stripMargin
+       |       FROM tkh, UNNEST(generate_series(1, len(t) - 2)) AS g(i))""".stripMargin
 
   private def pairsFromBuckets(idsRel: String): String =
     s"cand AS (SELECT DISTINCT a, b FROM $idsRel, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)"

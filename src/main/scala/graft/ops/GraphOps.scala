@@ -33,29 +33,29 @@ object GraphOps {
     * rows. Returns (node, label) with label = min node id reachable —
     * a canonical, deterministic component id. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // localCheckpoint (eager) both materializes AND TRUNCATES LINEAGE.
+    // Lineage.truncate (eager) both materializes AND TRUNCATES LINEAGE.
     // Plain persist() short-circuits execution but not analysis: every
     // round Catalyst would re-optimize a logical plan embedding the whole
     // upstream pipeline (here: the entire MinHash LSH dag) plus all
     // previous rounds, and driver-side planning dominates the loop
     // (measured ~2 s/round at sf0.1 vs ~0.2 s with truncation). It also
     // stops the symmetrizing union's two branches from racing to compute
-    // the cold upstream twice. On a real cluster the same role is played
-    // by reliable checkpoint() to the cluster FS (localCheckpoint blocks
-    // are lost with an executor; fine in local mode).
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // the cold upstream twice. The primitive is fault-model-bound: with
+    // a checkpoint dir configured it is reliable checkpoint() (the loop
+    // survives executor loss on a cluster); otherwise localCheckpoint
+    // (local mode — losing the one executor is losing the job anyway).
+    val p = Lineage.truncate(pairs.select(col("a"), col("b")))
+    val edges = Lineage.truncate(
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
     // Seed labels with the FIRST propagation round for free: label(v) =
     // min(v, min neighbor) is one aggregation over the (already
     // symmetrized) edge list — no join, and for diameter-1 components
     // (the bulk of near-dup clusters: twin pairs) it is already the
     // fixpoint, so the loop below runs exactly one confirming round.
-    var labels = edges
+    var labels = Lineage.truncate(edges
       .groupBy(col("src").as("node"))
-      .agg(least(col("node"), min(col("dst"))).as("label"))
-      .localCheckpoint()
+      .agg(least(col("node"), min(col("dst"))).as("label")))
     def labelSum(df: DataFrame): Long =
       Option(df.agg(sum(col("label"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -63,12 +63,11 @@ object GraphOps {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = edges
+      val next = Lineage.truncate(edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
       val cur = labelSum(next)
       labels = next
       converged = cur == prev
@@ -105,21 +104,20 @@ object GraphOps {
     val base = DedupOps.withTwins(
         s.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"))
-    val pairs = DedupOps.dupPairs(s, dir).select(col("a"), col("b")).localCheckpoint()
+    val pairs = Lineage.truncate(DedupOps.dupPairs(s, dir).select(col("a"), col("b")))
     val cc = connectedComponents(pairs)
     def coin(c: Column) = (c * Sampling.HashA + Sampling.HashB) % Sampling.Mod
     def splitOf(c: Column) =
       when(coin(c) < Sampling.Mod * 8 / 10, "train")
         .when(coin(c) < Sampling.Mod * 9 / 10, "val")
         .otherwise("test")
-    val assigned = base
+    val assigned = Lineage.truncate(base
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("split_key"))
       .select(col("doc_id"), col("split_key"),
         splitOf(col("split_key")).as("split"),
-        splitOf(col("doc_id")).as("naive_split"))
-      .localCheckpoint()
+        splitOf(col("doc_id")).as("naive_split")))
     val pairSplits = pairs
       .join(assigned.select(col("doc_id").as("a"),
         col("split").as("sa"), col("naive_split").as("na")), Seq("a"))

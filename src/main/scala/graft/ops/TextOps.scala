@@ -629,7 +629,7 @@ object TextOps {
             BpeD + BpeD),
           lit(BpeD)).as("w"),
         col("c"))
-      .localCheckpoint()
+    words = Lineage.truncate(words)
     val merges = Seq.newBuilder[DataFrame]
     for (step <- 1 to BpeSteps) {
       val pairs = words
@@ -639,19 +639,19 @@ object TextOps {
           "transform(sequence(1, size(_s) - 1), i -> struct(_s[i-1] AS lhs, _s[i] AS rhs))")).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("c")).as("t"))
-      val best = pairs
+      val best = Lineage.truncate(pairs
         .orderBy(col("t").desc, col("lhs"), col("rhs")).limit(1)
-        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"), col("t"))
-        .localCheckpoint() // one tiny row: feeds both the output and the merge apply
+        .select(lit(step.toLong).as("step"), col("lhs"), col("rhs"), col("t")))
+        // one tiny row: feeds both the output and the merge apply
       merges += best
-      words = words
+      // keep the vocab table flat: lineage must not re-run earlier merges
+      words = Lineage.truncate(words
         .crossJoin(broadcast(best.select(col("lhs").as("_l"), col("rhs").as("_r"))))
         .select(
           replace(col("w"),
             concat(lit(BpeD), col("_l"), lit(BpeD + BpeD), col("_r"), lit(BpeD)),
             concat(lit(BpeD), col("_l"), col("_r"), lit(BpeD))).as("w"),
-          col("c"))
-        .localCheckpoint() // keep the vocab table flat: lineage must not re-run earlier merges
+          col("c")))
     }
     merges.result().reduce(_ unionByName _)
       .select(col("step"), col("lhs"), col("rhs"),

@@ -55,12 +55,8 @@ object ChainQueries {
     * oracles below. The previous run's dumps are removed first so stale
     * tables can never feed an oracle. */
   def materializeRaw(s: SparkSession): Unit = synchronized {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    val root = new java.io.File(RawDumpDir)
-    if (root.exists()) rm(root)
+    val (fs, root) = graft.etl.WarehouseFs.resolve(s, RawDumpDir)
+    graft.etl.WarehouseFs.deleteTree(fs, root)
     rawTables(s).foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$RawDumpDir/chain_raw_$name")
     }
@@ -375,12 +371,8 @@ object ChainQueries {
     * writer, read back, and report per-table counts — the whole
     * source→flatten→dedup→write→read loop as one checked row set. */
   def chainIngest1k(s: SparkSession, dir: String): DataFrame = {
-    val wh = new java.io.File(IngestWarehouse)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (wh.exists()) rm(wh)
+    val (fs, wh) = graft.etl.WarehouseFs.resolve(s, IngestWarehouse)
+    graft.etl.WarehouseFs.deleteTree(fs, wh)
     graft.etl.Load.ingest(s, 0, 999, IngestWarehouse)
     def counted(name: String): DataFrame =
       s.read.parquet(s"$IngestWarehouse/$name").agg(

@@ -433,8 +433,12 @@ class NativeFileFormat extends FileFormat with DataSourceRegister with Serializa
       files: Seq[FileStatus]): Option[StructType] = {
     val conf = spark.sessionState.newHadoopConf()
     files.iterator.filter(_.getLen > 0).flatMap { f =>
-      val in = new DataInputStream(
+      val base = new DataInputStream(
         new BufferedInputStream(f.getPath.getFileSystem(conf).open(f.getPath)))
+      val in =
+        if (f.getPath.getName.endsWith(".lz4.native"))
+          new DataInputStream(new ChCompressed.FrameInputStream(base))
+        else base
       try {
         readBlock(in).map { blk =>
           StructType(blk.cols.map(c => inferredField(c.name, c.chType)))
@@ -449,13 +453,26 @@ class NativeFileFormat extends FileFormat with DataSourceRegister with Serializa
       options: Map[String, String],
       dataSchema: StructType): OutputWriterFactory = {
     val blockRows = options.get("blockRows").map(_.toInt).getOrElse(DefaultBlockRows)
+    // compression=lz4 wraps each block in the ClickHouse compressed
+    // frame (checksum + method + sizes + LZ4) — the client protocol's
+    // on-wire encoding (reference: the TCP INSERT of main.rs:294-309).
+    // The extension KEEPS the .native suffix so sink-layout maintenance
+    // (dataFiles/requireSinkLayout match on ".native") stays correct.
+    val compressed = options.get("compression") match {
+      case None | Some("none") => false
+      case Some("lz4") => true
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"chnative: unsupported compression '$other' (lz4 or none)")
+    }
     new OutputWriterFactory {
-      override def getFileExtension(context: TaskAttemptContext): String = ".native"
+      override def getFileExtension(context: TaskAttemptContext): String =
+        if (compressed) ".lz4.native" else ".native"
       override def newInstance(
           path: String,
           schema: StructType,
           context: TaskAttemptContext): OutputWriter =
-        new NativeOutputWriter(path, schema, context, blockRows)
+        new NativeOutputWriter(path, schema, context, blockRows, compressed)
     }
   }
 
@@ -472,8 +489,12 @@ class NativeFileFormat extends FileFormat with DataSourceRegister with Serializa
     val required = requiredSchema // serialize into the closure
     (file: PartitionedFile) => {
       val path = file.toPath
-      val in = new DataInputStream(new BufferedInputStream(
+      val base = new DataInputStream(new BufferedInputStream(
         path.getFileSystem(confBroadcast.value.value).open(path)))
+      val in =
+        if (path.getName.endsWith(".lz4.native"))
+          new DataInputStream(new ChCompressed.FrameInputStream(base))
+        else base
       val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
       def closeOnce(): Unit = if (closed.compareAndSet(false, true)) in.close()
       org.apache.spark.TaskContext.get() match {
@@ -533,7 +554,8 @@ private class NativeOutputWriter(
     val path: String,
     schema: StructType,
     context: TaskAttemptContext,
-    blockRows: Int) extends OutputWriter {
+    blockRows: Int,
+    compressed: Boolean = false) extends OutputWriter {
 
   import NativeCodec._
 
@@ -548,7 +570,14 @@ private class NativeOutputWriter(
   }
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    writeBlock(out, spec, buf.toIndexedSeq)
+    if (compressed) {
+      // one frame per block — the server's flush-per-block shape
+      val bos = new java.io.ByteArrayOutputStream()
+      val bout = new DataOutputStream(bos)
+      writeBlock(bout, spec, buf.toIndexedSeq)
+      bout.flush()
+      ChCompressed.writeFrame(out, bos.toByteArray)
+    } else writeBlock(out, spec, buf.toIndexedSeq)
     buf.clear()
   }
 

@@ -14,6 +14,15 @@ import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
   * re-reads the handler after buffering and self-drains if registration
   * won the race; draining uses queue poll semantics, so each frame is
   * delivered exactly once no matter which side wins.
+  *
+  * ==Handler contract==
+  * When registration races an in-flight push, the handler can be invoked
+  * CONCURRENTLY from the listener thread (direct delivery) and the
+  * registering thread (drain), and a queued older frame can be delivered
+  * after a newer direct-delivered one. Handlers MUST therefore be
+  * thread-safe and tolerate out-of-order delivery — fine for
+  * latest-wins/set semantics like `newHeads` (see the chain-tip call
+  * site), wrong for a handler that assumes strict arrival order.
   */
 final class PushRouter[T] {
   private val handlers = new ConcurrentHashMap[String, T => Unit]()

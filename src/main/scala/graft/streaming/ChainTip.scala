@@ -28,17 +28,26 @@ import graft.sources.WsJsonRpcFetcher
 object ChainTip {
 
   /** Tails newHeads into `dir`. AutoCloseable: close() unsubscribes and
-    * tears down the WS connection. */
-  class HeadSpool(endpoint: String, dir: String) extends AutoCloseable {
-    new java.io.File(dir).mkdirs()
+    * tears down the WS connection. Spool I/O goes through the Hadoop
+    * FileSystem resolved from `dir`'s scheme (conf override for
+    * credentialed stores), so the spool can live on the shared FS the
+    * streaming query reads — a local-only spool on a cluster driver
+    * would be invisible to executor-side file listing. */
+  class HeadSpool(endpoint: String, dir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()) extends AutoCloseable {
+    private val (fs, root) = graft.etl.WarehouseFs.resolve(hadoopConf, dir)
+    graft.etl.WarehouseFs.mkdirs(fs, root)
     private val seq = new AtomicLong(0L)
     private val fetcher = new WsJsonRpcFetcher(endpoint)
     private val subId = fetcher.subscribeNewHeads { number =>
       val name = f"head-${seq.getAndIncrement()}%012d.json"
-      val tmp = java.nio.file.Paths.get(dir, s".$name.tmp")
-      java.nio.file.Files.writeString(tmp, s"""{"number":$number}""" + "\n")
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // write-to-dotfile + rename: the json file source ignores paths
+      // starting with '.', so a reader never lists a partial file even
+      // on stores where rename is copy-based
+      val tmp = new org.apache.hadoop.fs.Path(root, s".$name.tmp")
+      graft.etl.WarehouseFs.writeString(fs, tmp, s"""{"number":$number}""" + "\n")
+      graft.etl.WarehouseFs.rename(fs, tmp, new org.apache.hadoop.fs.Path(root, name))
       ()
     }
 

@@ -177,10 +177,12 @@ object StreamOps {
         .parquet(path)
     // state as of the PREVIOUS committed batch: a crashed attempt of
     // THIS batch may have landed partitions already — exclude them
-    def state(path: String): Option[DataFrame] =
-      if (new java.io.File(path).exists())
+    def state(path: String): Option[DataFrame] = {
+      val (fs, p) = graft.etl.WarehouseFs.resolve(spark, path)
+      if (graft.etl.WarehouseFs.exists(fs, p))
         Some(spark.read.parquet(path).filter(col("batch_id") =!= batchId))
       else None
+    }
     val sh = DedupOps.shingleSet(batch).localCheckpoint()
     val keys = DedupOps.bandKeysFromShingles(sh).localCheckpoint()
     val intra = DedupOps.minhashCandidatesFromShingles(sh)
@@ -260,7 +262,8 @@ object StreamOps {
       .groupBy(col("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
     val existing =
-      if (new java.io.File(tablePath).exists()) {
+      if ({ val (fs, p) = graft.etl.WarehouseFs.resolve(spark, tablePath)
+            graft.etl.WarehouseFs.exists(fs, p) }) {
         // mergeSchema: after a partial upgrade the table holds MIXED
         // per-partition schemas (old partitions without last_batch, new
         // ones with it); the default footer-sampling read could pick an

@@ -65,18 +65,18 @@ object ChainScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    def rm(path: String): Unit = {
+      val (fs, p) = graft.etl.WarehouseFs.resolve(spark, path)
+      graft.etl.WarehouseFs.deleteTree(fs, p)
     }
     // warm-up: first-use codegen + classloading would otherwise pollute
     // the smallest measured cell (observed 7.1s vs 0.8s warm at 1k blocks)
     locally {
       val whW = "/tmp/graft_chain_scale_warmup"
-      rm(new java.io.File(whW))
+      rm(whW)
       graft.etl.Load.ingest(spark, 0, 199, whW)
       queryBundle(spark, whW)
-      rm(new java.io.File(whW))
+      rm(whW)
     }
     // ingest decomposed into its two phases (VERDICT r5 item 3): the
     // extract+flatten dag materialized via localCheckpoint, then the
@@ -86,7 +86,7 @@ object ChainScaleBench {
     println(f"${"blocks"}%8s ${"tx rows"}%9s ${"parts"}%6s ${"flatten"}%8s ${"write"}%8s ${"ingest"}%8s ${"blk/s"}%7s ${"queries"}%8s")
     counts.foreach { n =>
       val wh = s"/tmp/graft_chain_scale_$n"
-      rm(new java.io.File(wh))
+      rm(wh)
       var ck: Map[String, (DataFrame, Seq[String], String)] = Map.empty
       val tFlatten = timed {
         ck = graft.etl.Load.tables(spark, 0, n - 1).map {
@@ -96,13 +96,16 @@ object ChainScaleBench {
       val tWrite = timed(graft.etl.Load.writeAll(ck, wh))
       val tIngest = tFlatten + tWrite
       val txRows = spark.read.parquet(s"$wh/transactions").count()
-      val parts = new java.io.File(s"$wh/transactions").listFiles()
-        .count(d => d.isDirectory && d.getName.startsWith("blockRange="))
+      val parts = {
+        val (fs, p) = graft.etl.WarehouseFs.resolve(spark, s"$wh/transactions")
+        graft.etl.WarehouseFs.list(fs, p)
+          .count(d => d.isDirectory && d.getPath.getName.startsWith("blockRange="))
+      }
       // cold query bundle: drop any cached scans from the ingest read-back
       spark.catalog.clearCache()
       val tQuery = timed(queryBundle(spark, wh))
       println(f"$n%8d $txRows%9d $parts%6d $tFlatten%7.2fs $tWrite%7.2fs $tIngest%7.2fs ${n / tIngest}%7.0f $tQuery%7.2fs")
-      rm(new java.io.File(wh))
+      rm(wh)
       // Drop this cell's localCheckpoint blocks BEFORE the next cell:
       // leaving them to the async ContextCleaner let earlier cells'
       // blocks pile up in the block manager, and the later (larger)

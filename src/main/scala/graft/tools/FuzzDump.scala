@@ -141,7 +141,10 @@ object FuzzDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    new java.io.File(outDir).mkdirs()
+    locally {
+      val (fs, p) = graft.etl.WarehouseFs.resolve(spark, outDir)
+      graft.etl.WarehouseFs.mkdirs(fs, p)
+    }
     val specs = (0 until n).map(spec(_, seed, sfDir))
     specs.foreach { s =>
       s.df(li).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${s.name}")

@@ -47,7 +47,12 @@ object MinHashProfile {
       // candidate-volume stats — the confirm-before-flagging diagnostic:
       // a timing shift with UNCHANGED counts is host noise; a shift that
       // tracks candidate growth is the corpus changing near-dup density
-      val buckets = DedupOps.bandKeys(base)
+      // stats MUST come from the same candidate path being timed
+      // (bandKeysFromShingles): the narrow bandKeys() path emits null
+      // band_key rows for sub-3-token docs, which would pool into one
+      // pseudo-bucket per band and inflate buckets/max_bucket/raw_pairs
+      // relative to the pipeline actually profiled above
+      val buckets = DedupOps.bandKeysFromShingles(sh)
         .groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
       val st = buckets.agg(count(lit(1)), max(col("n")),

@@ -51,4 +51,40 @@ class GraphOpsSpec extends SparkSuite {
     assert(badSize == 0L)
     clusters.unpersist()
   }
+
+  test("with a checkpoint dir configured, CC rounds use RELIABLE checkpoints") {
+    // cluster fault model: localCheckpoint blocks die with an executor
+    // mid-loop and the truncated lineage leaves nothing to recompute —
+    // a configured checkpoint dir must flip every round to reliable
+    // checkpoint() files on the (cluster) FS
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+      val cc = GraphOps.connectedComponents(pairs)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(cc == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable checkpoint files physically landed under the configured dir
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+      assert(rddDirs(new java.io.File(dir)).nonEmpty,
+        "no rdd-* checkpoint dirs written: CC loop did not use reliable checkpoint()")
+      // and the truncation helper itself picks reliable checkpointing
+      val t = graft.ops.Lineage.truncate(Seq(1L).toDF("x"))
+      assert(t.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        s"Lineage.truncate did not produce a reliable checkpoint:\n${t.rdd.toDebugString}")
+    } finally {
+      // scala/spark: setCheckpointDir(null) resets to None (Option(null))
+      sc.setCheckpointDir(null)
+    }
+  }
+
+  test("without a checkpoint dir, Lineage.truncate stays on localCheckpoint") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    val t = graft.ops.Lineage.truncate(Seq(1L).toDF("x"))
+    assert(t.rdd.toDebugString.contains("LocalCheckpoint"),
+      s"expected localCheckpoint in local mode:\n${t.rdd.toDebugString}")
+  }
 }
