@@ -53,7 +53,7 @@ object Clustering {
   val TargetCell = 64
   val KCap = 2048
   val SampleCap = 2048
-  val Iters = 3
+  val Iters = 5
   val Dim = 64
   val Quantum = 1e6
 
