@@ -71,7 +71,16 @@ class PlanQualitySpec extends SparkSuite {
     "text_tfidf" -> 4,
     "chain_gas_by_range" -> 2,
     "dedup_bloom_probe" -> 6,
-    "cluster_kmeans" -> 2)
+    "cluster_kmeans" -> 2,
+    // The two most expensive plans. Their checkpoints TRUNCATE the final
+    // plan: dedup_clusters' 2 shuffles are the cluster-size window +
+    // orderBy over the checkpointed CC labels, and split_leakage's 5 are
+    // the audit joins over the checkpointed pairs/assignment. A refactor
+    // that un-checkpoints the shared MinHash dag (re-running the whole
+    // candidate pipeline per consumer) would surface that dag's shuffles
+    // here and fail this pin instead of silently drifting the bench.
+    "dedup_clusters" -> 2,
+    "dedup_split_leakage" -> 5)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
