@@ -213,7 +213,8 @@ object Load {
     readThrough(spark, path, sink, schema, "compact")
       .repartition(numFiles)
       .sortWithinPartitions(sortKeys.map(col): _*)
-      .write.mode("overwrite").format(sink.format).save(tmp.toString)
+      .write.mode("overwrite").options(sink.writeOptions)
+      .format(sink.format).save(tmp.toString)
     // rename, not delete-then-move: every crash point leaves a complete
     // table at either `path` or `path__old` (atomic on HDFS/local; on
     // S3A rename is a copy, but the order still never leaves a window
@@ -325,6 +326,7 @@ object Load {
       val deleted = touched.count() - keep.count()
       keep.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .options(sink.writeOptions)
         .partitionBy("blockRange")
         .format(sink.format).save(path)
       // Dynamic partition overwrite only rewrites partitions PRESENT in the

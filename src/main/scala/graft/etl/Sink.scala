@@ -44,6 +44,11 @@ trait TableSink {
     * any maintenance read — inference could silently retype columns. */
   def selfDescribing: Boolean = true
 
+  /** Write options the MAINTENANCE rewrites must carry too: a compact
+    * or deleteWhere that re-wrote a compressed table without its
+    * compression option would silently land a decompressed copy. */
+  def writeOptions: Map[String, String] = Map.empty
+
   /** Land `df` at `path`, bucketed by `blockRange = floor(numberCol /
     * Load.Batch)` with dynamic partition overwrite, sorted within
     * partitions by `sortKeys`. */
@@ -118,15 +123,22 @@ object OrcSink extends TableSink {
   * ClickHouse String carries no text/bytes distinction, so maintenance
   * reads pass the table schema (bare reads fall back to a documented
   * lossless binary-default mapping). */
-object ClickHouseNativeSink extends TableSink {
+class ClickHouseNativeSink private[etl] (compressed: Boolean) extends TableSink {
   override def format: String = "chnative"
+  // Both variants claim ".native": the compressed files' ".lz4.native"
+  // suffix still ends with it, the datasource reads either transparently
+  // by file name, and maintenance accounting stays uniform across a
+  // table holding a mix (e.g. compacted after a compression switch).
   override def dataExt: String = ".native"
   override def selfDescribing: Boolean = false
+  override def writeOptions: Map[String, String] =
+    if (compressed) Map("compression" -> "lz4") else Map.empty
   override def write(df: DataFrame, path: String, sortKeys: Seq[String], numberCol: String): Unit =
     bucketed(df, sortKeys, numberCol)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .options(writeOptions)
       .partitionBy("blockRange")
       .format(format)
       .save(path)
@@ -134,6 +146,13 @@ object ClickHouseNativeSink extends TableSink {
   override def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).format(format).load(path)
 }
+
+object ClickHouseNativeSink extends ClickHouseNativeSink(compressed = false)
+
+/** The same Native blocks inside ClickHouse's LZ4 compressed frames
+  * ([[graft.sources.ChCompressed]]) — the encoding the reference's
+  * TCP INSERT actually puts on the wire. */
+object ClickHouseNativeLz4Sink extends ClickHouseNativeSink(compressed = true)
 
 object JsonLinesSink extends TableSink {
   override def format: String = "json"

@@ -295,4 +295,52 @@ class NativeSinkSpec extends SparkSuite {
     // schema inference reads through the frames too
     assert(spark.read.format("chnative").load(s"$dir/t").columns.sameElements(tx.columns))
   }
+
+  test("chnative lz4 sink: full contract — bucketed write, maintenance preserves compression") {
+    import graft.etl.ClickHouseNativeLz4Sink
+    val dir = java.nio.file.Files.createTempDirectory("graft_chnative_lz4sink").toString
+    val path = s"$dir/transactions"
+    val b = ChainFixture.blocks(spark, 0L, 1499L)
+    val r = ChainFixture.receipts(spark, 0L, 1499L)
+    val tx = Flatten.transactionRows(b, r)
+    graft.etl.Load.writeBucketed(tx, path, Schemas.dedupKeys("transactions"),
+      sink = ClickHouseNativeLz4Sink)
+    def files(rangeDir: String): Seq[String] =
+      new java.io.File(s"$path/$rangeDir").listFiles().toSeq.map(_.getName)
+        .filter(_.endsWith(".native"))
+    assert(files("blockRange=0").nonEmpty && files("blockRange=0").forall(_.endsWith(".lz4.native")),
+      "lz4 sink must land compressed frames")
+    val schemaOpt = Some(Schemas.transactions)
+    val back = ClickHouseNativeLz4Sink.read(spark, path, Schemas.transactions)
+    assert(back.count() == tx.count())
+    // fragment then compact THROUGH THE LZ4 SINK: the rewrite must keep
+    // the compression (writeOptions carried by the maintenance path) —
+    // without it a compact would silently land a decompressed copy
+    val extra = Flatten.transactionRows(
+      ChainFixture.blocks(spark, 0L, 99L), ChainFixture.receipts(spark, 0L, 99L))
+      .withColumn("blockRange", lit(0L))
+    extra.repartition(4).write.mode("append").partitionBy("blockRange")
+      .option("compression", "lz4").format("chnative").save(path)
+    val originalHashes = ClickHouseNativeLz4Sink.read(spark, path, Schemas.transactions)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted.toSeq
+    val (before, after) = graft.etl.Load.compactPartitioned(
+      spark, path, Schemas.dedupKeys("transactions"), numFiles = 1,
+      sink = ClickHouseNativeLz4Sink, schema = schemaOpt)
+    assert(before > after)
+    assert(files("blockRange=0").forall(_.endsWith(".lz4.native")),
+      "compaction must preserve the compressed encoding")
+    val compacted = ClickHouseNativeLz4Sink.read(spark, path, Schemas.transactions)
+      .select(hex(col("hash"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(compacted == originalHashes)
+    // deleteWhere through the lz4 sink: rewritten partition stays compressed
+    val total = compacted.size.toLong
+    val (deleted, rewritten) = graft.etl.Load.deleteWhere(
+      spark, path, col("blockNumber") >= 500L && col("blockNumber") <= 520L,
+      sink = ClickHouseNativeLz4Sink, schema = schemaOpt)
+    assert(rewritten == 1L && deleted > 0L)
+    assert(files("blockRange=0").forall(_.endsWith(".lz4.native")),
+      "deleteWhere rewrite must preserve the compressed encoding")
+    assert(ClickHouseNativeLz4Sink.read(spark, path, Schemas.transactions).count()
+      == total - deleted)
+  }
 }
