@@ -1,0 +1,211 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{ChainFixture, Flatten}
+import graft.sources.{ChCompressed, ChProto, ChTcpClient, ChTcpLoad, NativeCodec}
+
+/** In-process stub implementing the SERVER side of the pinned protocol
+  * revision (hello → header block → data packets → EndOfStream), the
+  * same proof shape the WS transport uses (WsFetcherSpec's stub node):
+  * no live ClickHouse exists in this sandbox, so the client is
+  * validated against an independent implementation of the documented
+  * packet layout, collecting every inserted block for comparison.
+  * Accepts any number of sequential or concurrent connections (one
+  * thread each) — the distributed foreachPartition path needs several.
+  */
+class ChTcpStubServer(compress: Boolean, failInsert: Boolean = false) extends AutoCloseable {
+  import ChProto._
+
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+  val received = new ConcurrentLinkedQueue[NativeCodec.Block]()
+  val queries = new ConcurrentLinkedQueue[String]()
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    try while (running) {
+      val sock = server.accept()
+      new Thread(() => try serve(sock) catch { case _: Throwable => () }
+        finally sock.close()).start()
+    } catch { case _: Throwable => () } // server closed
+  })
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def str(in: DataInputStream): String =
+    new String(NativeCodec.readString(in), StandardCharsets.UTF_8)
+  private def wstr(out: DataOutputStream, s: String): Unit =
+    NativeCodec.writeString(out, s.getBytes(StandardCharsets.UTF_8))
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    // ---- hello ----
+    require(NativeCodec.readVarUInt(in) == ClientHello, "expected client hello")
+    str(in) // client name
+    NativeCodec.readVarUInt(in); NativeCodec.readVarUInt(in) // version
+    val clientRevision = NativeCodec.readVarUInt(in)
+    str(in); str(in); str(in) // database, user, password
+    NativeCodec.writeVarUInt(out, ServerHello)
+    wstr(out, "graft-stub-clickhouse")
+    NativeCodec.writeVarUInt(out, 23L); NativeCodec.writeVarUInt(out, 8L)
+    NativeCodec.writeVarUInt(out, 54465L) // server revision; negotiation picks the client's
+    val negotiated = math.min(clientRevision, 54465L)
+    if (negotiated >= 54058L) wstr(out, "UTC")
+    out.flush()
+    // ---- query ----
+    require(NativeCodec.readVarUInt(in) == ClientQuery, "expected query packet")
+    str(in) // query id
+    in.readByte() // query kind
+    str(in); str(in); str(in) // initial user/query id/address
+    in.readByte() // interface
+    str(in); str(in); str(in) // os user, hostname, client name
+    NativeCodec.readVarUInt(in); NativeCodec.readVarUInt(in); NativeCodec.readVarUInt(in)
+    if (negotiated >= 54060L) str(in) // quota key
+    require(str(in).isEmpty, "stub supports only empty settings") // settings terminator
+    NativeCodec.readVarUInt(in) // stage
+    val compression = NativeCodec.readVarUInt(in)
+    require((compression == 1L) == compress, "compression flag mismatch with stub config")
+    queries.add(str(in))
+    if (failInsert) {
+      NativeCodec.writeVarUInt(out, ServerException)
+      out.write(Array[Byte](60, 0, 0, 0)) // code 60 UNKNOWN_TABLE, i32 LE
+      wstr(out, "DB::Exception"); wstr(out, "Table missing (stub)"); wstr(out, "")
+      out.writeByte(0)
+      out.flush()
+      return
+    }
+    // ---- INSERT header: an empty structure block ----
+    sendBlock(out, NativeCodec.Block(IndexedSeq.empty, 0, IndexedSeq.empty))
+    // ---- data packets until the empty terminator ----
+    var done = false
+    while (!done) {
+      require(NativeCodec.readVarUInt(in) == ClientData, "expected data packet")
+      str(in) // external-table name
+      val block =
+        if (compress) {
+          val raw = ChCompressed.readFrame(in).getOrElse(sys.error("EOF in data packet"))
+          val b = new DataInputStream(new java.io.ByteArrayInputStream(raw))
+          ChProto.readBlockInfo(b)
+          NativeCodec.readBlock(b).get
+        } else {
+          ChProto.readBlockInfo(in)
+          NativeCodec.readBlock(in).get
+        }
+      if (block.rows == 0) done = true else received.add(block)
+    }
+    NativeCodec.writeVarUInt(out, ServerEndOfStream)
+    out.flush()
+  }
+
+  private def sendBlock(out: DataOutputStream, block: NativeCodec.Block): Unit = {
+    NativeCodec.writeVarUInt(out, ServerData)
+    wstr(out, "")
+    val bos = new java.io.ByteArrayOutputStream()
+    val b = new DataOutputStream(bos)
+    ChProto.writeBlockInfo(b)
+    NativeCodec.writeVarUInt(b, block.cols.size.toLong)
+    NativeCodec.writeVarUInt(b, block.rows.toLong)
+    b.flush()
+    if (compress) ChCompressed.writeFrame(out, bos.toByteArray)
+    else out.write(bos.toByteArray)
+    out.flush()
+  }
+
+  override def close(): Unit = { running = false; server.close() }
+}
+
+class ChTcpSpec extends SparkSuite {
+
+  private def txFrame = {
+    val b = ChainFixture.blocks(spark, 0L, 19L)
+    val r = ChainFixture.receipts(spark, 0L, 19L)
+    Flatten.transactionRows(b, r)
+  }
+
+  private def hashesOf(blocks: Iterable[NativeCodec.Block]): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    blocks.foreach { blk =>
+      val hi = blk.cols.indexWhere(_.name == "hash")
+      assert(hi >= 0, s"hash column missing: ${blk.cols.map(_.name)}")
+      (0 until blk.rows).foreach { r =>
+        out += blk.data(hi)(r).asInstanceOf[Array[Byte]].map(x => f"$x%02x").mkString
+      }
+    }
+    out.toSeq.sorted
+  }
+
+  test("uncompressed INSERT: handshake, header, blocks, terminator, EndOfStream") {
+    val stub = new ChTcpStubServer(compress = false)
+    try {
+      val tx = txFrame
+      val expected = tx.select(hex(col("hash"))).collect()
+        .map(_.getString(0).toLowerCase).sorted.toSeq
+      val spec = NativeCodec.specFor(tx.schema)
+      val client = new ChTcpClient("127.0.0.1", stub.port)
+      try {
+        assert(client.serverInfo._1 == "graft-stub-clickhouse")
+        assert(client.serverInfo._2 == ChProto.Revision, "negotiation must pick the client revision")
+        assert(client.serverInfo._3 == "UTC")
+        val rows = tx.queryExecution.toRdd.map(_.copy()).collect().toIndexedSeq
+        val sent = client.insertNative("ethereum.transactions", spec, rows.grouped(64).map(_.toIndexedSeq))
+        assert(sent == (rows.size + 63) / 64)
+      } finally client.close()
+      assert(stub.queries.peek() == "INSERT INTO ethereum.transactions FORMAT Native")
+      assert(hashesOf(stub.received.toArray(Array.empty[NativeCodec.Block])) == expected)
+    } finally stub.close()
+  }
+
+  test("compressed INSERT: the same blocks inside LZ4 frames survive a real socket") {
+    val stub = new ChTcpStubServer(compress = true)
+    try {
+      val tx = txFrame
+      val expected = tx.select(hex(col("hash"))).collect()
+        .map(_.getString(0).toLowerCase).sorted.toSeq
+      val spec = NativeCodec.specFor(tx.schema)
+      val client = new ChTcpClient("127.0.0.1", stub.port, compress = true)
+      try {
+        val rows = tx.queryExecution.toRdd.map(_.copy()).collect().toIndexedSeq
+        client.insertNative("ethereum.transactions", spec, rows.grouped(50).map(_.toIndexedSeq))
+      } finally client.close()
+      assert(hashesOf(stub.received.toArray(Array.empty[NativeCodec.Block])) == expected)
+    } finally stub.close()
+  }
+
+  test("server exception surfaces as a loud client error with the server message") {
+    val stub = new ChTcpStubServer(compress = false, failInsert = true)
+    try {
+      val tx = txFrame
+      val spec = NativeCodec.specFor(tx.schema)
+      val client = new ChTcpClient("127.0.0.1", stub.port)
+      try {
+        val e = intercept[RuntimeException] {
+          client.insertNative("missing.table", spec, Iterator.empty)
+        }
+        assert(e.getMessage.contains("Table missing (stub)"))
+        assert(e.getMessage.contains("60"))
+      } finally client.close()
+    } finally stub.close()
+  }
+
+  test("ChTcpLoad: distributed per-partition insert lands every row exactly once") {
+    val stub = new ChTcpStubServer(compress = false)
+    try {
+      val tx = txFrame.repartition(4) // 4 partitions → up to 4 concurrent connections
+      val expected = tx.select(hex(col("hash"))).collect()
+        .map(_.getString(0).toLowerCase).sorted.toSeq
+      ChTcpLoad.insert(tx, "127.0.0.1", stub.port, "ethereum.transactions", blockRows = 37)
+      assert(hashesOf(stub.received.toArray(Array.empty[NativeCodec.Block])) == expected)
+      // one INSERT query per non-empty partition
+      assert(stub.queries.size <= 4 && stub.queries.size >= 1)
+    } finally stub.close()
+  }
+}
