@@ -236,9 +236,61 @@ class ChTcpClient(
     ()
   }
 
+  /** Execute a resultless statement (DDL — the reference's `--schema`
+    * bootstrap, main.rs:52-163): Query, then drain Progress/Data
+    * packets until EndOfStream. */
+  def execute(sql: String): Unit = {
+    sendQuery(sql)
+    var done = false
+    while (!done) {
+      NativeCodec.readVarUInt(in) match {
+        case ServerEndOfStream => done = true
+        case ServerProgress => skipProgress()
+        case ServerData => readServerBlock()
+        case ServerException => throw readException()
+        case other => throw new java.io.IOException(s"chtcp: unexpected packet $other for DDL")
+      }
+    }
+  }
+
   override def close(): Unit = {
     try out.flush() catch { case scala.util.control.NonFatal(_) => () }
     socket.close()
+  }
+}
+
+/** Server-side schema bootstrap DDL — the reference's `--schema` path
+  * (CREATE DATABASE + four ReplacingMergeTree tables, reference:
+  * src/main.rs:52-163), generated from the SAME Spark schemas the
+  * warehouse uses so the two layers can never drift. Engine and ORDER
+  * BY keys mirror the reference exactly (blocks: (hash, number),
+  * transactions: hash, events: (transactionHash, logIndex), withdraws:
+  * (blockHash, index)); column types are the ones our wire blocks
+  * actually carry ([[NativeCodec.ChCol.chType]]: String/UInt64/UInt256/
+  * Bool/Array(String)/Nullable) — the reference DDL declares
+  * FixedString(n) for hashes/addresses (main.rs:66-160), but its own
+  * klickhouse rows serialize them as `Bytes` → String and rely on the
+  * server coercing; our blocks declare the honest wire type instead.
+  */
+object ChDdl {
+  def createDatabaseSql: String = "CREATE DATABASE IF NOT EXISTS ethereum"
+
+  def createTableSql(table: String): String = {
+    val schema = table match {
+      case "blocks" => graft.types.Schemas.blocks
+      case "transactions" => graft.types.Schemas.transactions
+      case "events" => graft.types.Schemas.events
+      case "withdraws" => graft.types.Schemas.withdraws
+      case other => throw new IllegalArgumentException(s"unknown chain table '$other'")
+    }
+    val cols = NativeCodec.specFor(schema)
+      .map(c => s"`${c.name}` ${c.chType}").mkString(",\n  ")
+    val orderBy = graft.types.Schemas.dedupKeys(table)
+      .map(k => s"`$k`").mkString("(", ", ", ")")
+    s"""CREATE TABLE IF NOT EXISTS ethereum.$table (
+       |  $cols
+       |) ENGINE = ReplacingMergeTree
+       |ORDER BY $orderBy""".stripMargin
   }
 }
 

@@ -61,8 +61,18 @@ class ChTcpStubServer(compress: Boolean, failInsert: Boolean = false) extends Au
     val negotiated = math.min(clientRevision, 54465L)
     if (negotiated >= 54058L) wstr(out, "UTC")
     out.flush()
-    // ---- query ----
-    require(NativeCodec.readVarUInt(in) == ClientQuery, "expected query packet")
+    // ---- query loop: one connection may carry several statements
+    // (the CLI's --schema path runs 5 DDLs on one client) ----
+    while (true) {
+      val first = try NativeCodec.readVarUInt(in) catch {
+        case _: java.io.EOFException => return // client closed cleanly
+      }
+      require(first == ClientQuery, "expected query packet")
+      serveQuery(in, out, negotiated)
+    }
+  }
+
+  private def serveQuery(in: DataInputStream, out: DataOutputStream, negotiated: Long): Unit = {
     str(in) // query id
     in.readByte() // query kind
     str(in); str(in); str(in) // initial user/query id/address
@@ -74,12 +84,19 @@ class ChTcpStubServer(compress: Boolean, failInsert: Boolean = false) extends Au
     NativeCodec.readVarUInt(in) // stage
     val compression = NativeCodec.readVarUInt(in)
     require((compression == 1L) == compress, "compression flag mismatch with stub config")
-    queries.add(str(in))
+    val sql = str(in)
+    queries.add(sql)
     if (failInsert) {
       NativeCodec.writeVarUInt(out, ServerException)
       out.write(Array[Byte](60, 0, 0, 0)) // code 60 UNKNOWN_TABLE, i32 LE
       wstr(out, "DB::Exception"); wstr(out, "Table missing (stub)"); wstr(out, "")
       out.writeByte(0)
+      out.flush()
+      return
+    }
+    // DDL (CREATE …): no data phase, just EndOfStream
+    if (!sql.trim.toUpperCase.startsWith("INSERT")) {
+      NativeCodec.writeVarUInt(out, ServerEndOfStream)
       out.flush()
       return
     }
@@ -206,6 +223,40 @@ class ChTcpSpec extends SparkSuite {
       assert(hashesOf(stub.received.toArray(Array.empty[NativeCodec.Block])) == expected)
       // one INSERT query per non-empty partition
       assert(stub.queries.size <= 4 && stub.queries.size >= 1)
+    } finally stub.close()
+  }
+
+  test("Ingest --schema --clickhouse: DDL bootstrap + full 4-table stream over TCP") {
+    val stub = new ChTcpStubServer(compress = false)
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("graft_chtcp_cli").toString
+      graft.Ingest.run(spark, graft.Ingest.parse(Seq(
+        "--schema", "--from", "0", "--to", "99",
+        "--warehouse", s"$wh/wh",
+        "--clickhouse", s"127.0.0.1:${stub.port}")))
+      val qs = stub.queries.toArray(Array.empty[String]).toSeq
+      // 1 CREATE DATABASE + 4 CREATE TABLE (reference main.rs:52-163) + 4 INSERTs
+      assert(qs.count(_.startsWith("CREATE DATABASE")) == 1)
+      val creates = qs.filter(_.startsWith("CREATE TABLE"))
+      assert(creates.size == 4)
+      // ORDER BY keys mirror the reference DDL exactly
+      assert(creates.exists(q => q.contains("ethereum.blocks") && q.contains("ORDER BY (`hash`, `number`)")))
+      assert(creates.exists(q => q.contains("ethereum.transactions") && q.contains("ORDER BY (`hash`)")))
+      assert(creates.exists(q => q.contains("ethereum.events") && q.contains("ORDER BY (`transactionHash`, `logIndex`)")))
+      assert(creates.exists(q => q.contains("ethereum.withdraws") && q.contains("ORDER BY (`blockHash`, `index`)")))
+      assert(creates.forall(_.contains("ENGINE = ReplacingMergeTree")))
+      val inserts = qs.filter(_.startsWith("INSERT"))
+      assert(inserts.toSet == Set("blocks", "transactions", "events", "withdraws")
+        .map(t => s"INSERT INTO ethereum.$t FORMAT Native"))
+      // every flattened row arrived: blocks=100, txs per generator, events, withdraws
+      val byTable = stub.received.toArray(Array.empty[NativeCodec.Block])
+        .groupBy(b => b.cols.map(_.name).toSet)
+      val rowTotals = byTable.values.map(_.map(_.rows).sum).toSeq.sorted
+      val expectedTx = (0L to 99L).map(n => (n % 5) + 1).sum.toInt
+      assert(rowTotals.contains(100), s"blocks rows missing: $rowTotals") // blocks table
+      assert(rowTotals.contains(expectedTx), s"tx rows missing: $rowTotals")
+      // the warehouse landed too (it remains the durable/resume layer)
+      assert(spark.read.parquet(s"$wh/wh/blocks").count() == 100)
     } finally stub.close()
   }
 }
