@@ -631,10 +631,158 @@ object FilterOps {
        |FROM per, tot ORDER BY source""".stripMargin
   }
 
+
+  // ------------------------------------------------------------------
+  // Gopher repetition rules (Rae et al. 2021, appendix A1.1): documents
+  // dominated by repeated phrases are boilerplate/templating, not prose.
+  // Signals, in exact milli-units over token characters:
+  //   top_{3,4}gram_frac:  character MASS of the heaviest-repeated
+  //                        word n-gram (occurrences x n-gram chars)
+  //                        over total token chars — deterministic
+  //                        argmax-by-mass, which is the quantity the
+  //                        threshold actually guards (ties in raw
+  //                        occurrence count are broken by mass, not by
+  //                        an engine-dependent gram choice);
+  //   dup_5gram_frac:      chars at token POSITIONS covered by at
+  //                        least one 5-gram that occurs 2+ times
+  //                        (position-coverage union, each position
+  //                        counted once).
+  // Thresholds follow the paper: 0.18 / 0.16 / 0.15. The line/paragraph
+  // duplicate rules are omitted: this corpus is single-line by
+  // construction (no newlines in documents.text), so they are
+  // degenerate here; the n-gram family is the load-bearing part.
+  val MaxTop3GramMilli = 180L
+  val MaxTop4GramMilli = 160L
+  val MaxDup5GramMilli = 150L
+
+  def repetitionRules(s: SparkSession, dir: String): DataFrame =
+    repetitionMetricsFrom(docs(s, dir)).orderBy(col("doc_id"))
+
+  /** Repetition metrics + verdict over any (doc_id, text) corpus.
+    * 100 TB shape: per-doc n-gram aggregates are the same explode →
+    * map-side-combined groupBy(doc_id, gram) as tf-idf; every later
+    * join keys on doc_id, so the post-aggregate stages co-partition.
+    * No corpus-wide state — repetition is a per-document property. */
+  def repetitionMetricsFrom(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = d.select(col("doc_id"), toks.as("_t"))
+    val totals = base.select(
+      col("doc_id"),
+      size(col("_t")).cast("long").as("n_tokens"),
+      expr("aggregate(transform(_t, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+        .as("total_chars"))
+    // heaviest-repeated n-gram mass; docs with < n tokens have none
+    // (LEFT join + coalesce 0 below), mirroring the trigram shingle
+    // guard — unguarded _t[i] is out of bounds under ANSI mode
+    def topMass(n: Int): DataFrame = {
+      val gram = (0 until n).map(k => s"_t[i-1+$k]").mkString("concat_ws(' ', ", ", ", ")")
+      val gc = (0 until n).map(k => s"CAST(length(_t[i-1+$k]) AS BIGINT)").mkString(" + ")
+      base.filter(size(col("_t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(_t) - ${n - 1}), i -> struct($gram AS g, ($gc) AS gc))")).as("p"))
+        .groupBy(col("doc_id"), col("p.g")).agg(count(lit(1)).as("c"), max(col("p.gc")).as("gc"))
+        .groupBy(col("doc_id")).agg(max(col("c") * col("gc")).as(s"top${n}_mass"))
+    }
+    // duplicated-5-gram position coverage: union of covered positions,
+    // then one co-partitioned join back to per-position token lengths
+    val g5 = base.filter(size(col("_t")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 4), i -> struct(i AS pos, " +
+          "concat_ws(' ', _t[i-1], _t[i], _t[i+1], _t[i+2], _t[i+3]) AS g))")).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.g").as("g"))
+    val dupKeys = g5.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("doc_id"), col("g"))
+    val covered = g5.join(dupKeys, Seq("doc_id", "g"))
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("cpos"))
+      .distinct()
+    val tokLens = base
+      .select(col("doc_id"), posexplode(col("_t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("cpos"),
+        length(col("tok")).cast("long").as("tok_len"))
+    val dupChars = covered.join(tokLens, Seq("doc_id", "cpos"))
+      .groupBy(col("doc_id")).agg(sum(col("tok_len")).as("dup5_chars"))
+    val m = totals
+      .join(topMass(3), Seq("doc_id"), "left")
+      .join(topMass(4), Seq("doc_id"), "left")
+      .join(dupChars, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("coalesce(top3_mass, 0L) * 1000 DIV greatest(total_chars, 1)")
+          .as("top_3gram_frac_milli"),
+        expr("coalesce(top4_mass, 0L) * 1000 DIV greatest(total_chars, 1)")
+          .as("top_4gram_frac_milli"),
+        expr("coalesce(dup5_chars, 0L) * 1000 DIV greatest(total_chars, 1)")
+          .as("dup_5gram_frac_milli"))
+    val rules = Seq(
+      col("top_3gram_frac_milli") <= MaxTop3GramMilli,
+      col("top_4gram_frac_milli") <= MaxTop4GramMilli,
+      col("dup_5gram_frac_milli") <= MaxDup5GramMilli)
+    m.select(col("doc_id"), col("n_tokens"),
+      col("top_3gram_frac_milli"), col("top_4gram_frac_milli"), col("dup_5gram_frac_milli"),
+      rules.map(r => when(r, 0L).otherwise(1L)).reduce(_ + _).as("n_rules_failed"),
+      rules.reduce(_ && _).as("keep"))
+  }
+
+  val repetitionRulesSql: String = {
+    def topMassCte(n: Int): String = {
+      val gram = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      val gc = (0 until n).map(k => s"length(toks[i+$k])").mkString(" + ")
+      s"""rep$n AS (
+         |  SELECT doc_id, max(c * gc) AS top${n}_mass FROM (
+         |    SELECT doc_id, g, count(*) AS c, max(gc) AS gc FROM (
+         |      SELECT doc_id, $gram AS g, CAST($gc AS BIGINT) AS gc
+         |      FROM t, UNNEST(generate_series(1, len(toks) - ${n - 1})) AS a(i))
+         |    GROUP BY 1, 2) GROUP BY 1)"""
+    }
+    val ruleFails = Seq(
+      s"NOT (top_3gram_frac_milli <= $MaxTop3GramMilli)",
+      s"NOT (top_4gram_frac_milli <= $MaxTop4GramMilli)",
+      s"NOT (dup_5gram_frac_milli <= $MaxDup5GramMilli)"
+    ).map(r => s"CASE WHEN $r THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |totals AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), (a, x) -> a + x) AS total_chars
+       |  FROM t),
+       |${topMassCte(3).stripMargin},
+       |${topMassCte(4).stripMargin},
+       |g5 AS (
+       |  SELECT doc_id, i AS pos,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 4)) AS a(i)),
+       |dupg AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + k AS cpos
+       |        FROM g5 JOIN dupg USING (doc_id, g), UNNEST(generate_series(0, 4)) AS b(k)),
+       |dupchars AS (
+       |  SELECT doc_id, CAST(sum(length(tok)) AS BIGINT) AS dup5_chars FROM (
+       |    SELECT cov.doc_id, cov.cpos, t.toks[cov.cpos] AS tok
+       |    FROM cov JOIN t ON t.doc_id = cov.doc_id)
+       |  GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(top3_mass, 0) * 1000 // greatest(total_chars, 1) AS top_3gram_frac_milli,
+       |    coalesce(top4_mass, 0) * 1000 // greatest(total_chars, 1) AS top_4gram_frac_milli,
+       |    coalesce(dup5_chars, 0) * 1000 // greatest(total_chars, 1) AS dup_5gram_frac_milli
+       |  FROM totals LEFT JOIN rep3 USING (doc_id) LEFT JOIN rep4 USING (doc_id)
+       |    LEFT JOIN dupchars USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |  CAST(top_3gram_frac_milli AS BIGINT) AS top_3gram_frac_milli,
+       |  CAST(top_4gram_frac_milli AS BIGINT) AS top_4gram_frac_milli,
+       |  CAST(dup_5gram_frac_milli AS BIGINT) AS dup_5gram_frac_milli,
+       |  CAST($ruleFails AS BIGINT) AS n_rules_failed,
+       |  ($ruleFails) = 0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_refinery" -> (refinery _),
     "filter_domain_mix" -> (domainMix _),
     "filter_quality_rules" -> (qualityFilters _),
+    "filter_repetition_rules" -> (repetitionRules _),
     "filter_quality_by_lang" -> (qualityByLang _),
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
@@ -645,6 +793,7 @@ object FilterOps {
     "pipeline_refinery" -> refinerySql,
     "filter_domain_mix" -> domainMixSql,
     "filter_quality_rules" -> qualityFiltersSql,
+    "filter_repetition_rules" -> repetitionRulesSql,
     "filter_quality_by_lang" -> qualityByLangSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,

@@ -168,4 +168,32 @@ class FilterOpsSpec extends SparkSuite {
     // kept rows contribute zero failed rules
     assert(rollup.filter(col("keep") && col("rules_failed_total") =!= 0L).count() == 0)
   }
+
+  test("repetition rules: hand-computed n-gram masses and dup-5-gram coverage") {
+    import spark.implicits._
+    // doc 1: "a b c" x3 — 9 single-char tokens, total_chars = 9.
+    //   top 3-gram: "a b c" occurs 3x, 3 chars -> mass 9 -> 1000 milli
+    //   top 4-gram: every 4-gram occurs 2x, 4 chars -> mass 8 -> 888
+    //   dup 5-grams: p1/p4 and p2/p5 repeat -> positions 1..9 covered -> 1000
+    // doc 2: 30 distinct 3-char tokens, total_chars = 90, no repeats:
+    //   top3 mass = 9 -> 100, top4 mass = 12 -> 133, dup5 = 0 -> keep
+    val clean = (0 until 30).map(i => f"t$i%02d").mkString(" ")
+    val d = Seq((1L, "a b c a b c a b c"), (2L, clean)).toDF("doc_id", "text")
+    val m = FilterOps.repetitionMetricsFrom(d).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(m(0) == ((1L, 9L, 1000L, 888L, 1000L, 3L, false)))
+    assert(m(1) == ((2L, 30L, 100L, 133L, 0L, 0L, true)))
+  }
+
+  test("repetition rules: registered query is total over the corpus and ordered") {
+    val out = FilterOps.repetitionRules(spark, sf).cache()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == n, "every document gets a repetition verdict row")
+    // fractions are valid milli-units and keep <=> zero failed rules
+    assert(out.filter(col("top_3gram_frac_milli") < 0 || col("top_3gram_frac_milli") > 1000).count() == 0)
+    assert(out.filter(col("dup_5gram_frac_milli") < 0 || col("dup_5gram_frac_milli") > 1000).count() == 0)
+    assert(out.filter(col("keep") =!= (col("n_rules_failed") === 0L)).count() == 0)
+    out.unpersist()
+  }
 }
