@@ -338,12 +338,119 @@ object Sampling {
        |    FROM documents))
        |ORDER BY CAST(lnu_milli AS DOUBLE) / n_tokens DESC, doc_id LIMIT $ResK""".stripMargin
 
+  // ------------------------------------------------------------------
+  // DSIR importance weights (Xie et al. 2023, "Data Selection for
+  // Language Models via Importance Resampling"): score each raw-corpus
+  // document by how much likelier its hashed n-gram features are under
+  // a target-domain bag-of-ngrams model than under the raw-corpus
+  // model, then resample the top of that ranking. Features are
+  // unigrams + bigrams hashed into DsirBuckets buckets (the paper's
+  // hashed n-gram generative model); per-bucket log-likelihood ratio
+  // under add-one smoothing is
+  //   λ[b] = ln( (ct[b]+1)/(Nt+B) ) − ln( (cr[b]+1)/(Nr+B) )
+  // and a doc's importance weight is log w(x) = Σ_grams λ[bucket(gram)].
+  // λ is quantized to milli-nats (the repo-wide recipe: ONE ln of ONE
+  // exactly-rounded division of exact integer products, ×1000, round)
+  // so the transcendental is bit-portable across engines, and the
+  // per-doc sum is exact integer arithmetic.
+  //
+  // Shape for 100 TB: the two n-gram models are ONE map-side-combined
+  // aggregate whose output is bounded by the bucket count (≤ B rows —
+  // the paper's whole point is that the model is a fixed-size hashed
+  // profile, not a vocabulary); λ is a ≤ B-row broadcast; scoring is a
+  // narrow explode + broadcast join + per-doc combine. Two shuffles
+  // total (model fit, per-doc sum), both key-bounded. The top-K
+  // resample is a TakeOrdered, never a global sort. Integer products
+  // (c+1)·(N+B) stay exact below 2^53; at corpus scale beyond that,
+  // bump the quantization to compute the two ln terms separately —
+  // documented tradeoff, same as the tf-idf family.
+  val DsirBuckets = 1024L
+  val DsirTargetLang = "en"
+  val DsirTopK = 64
+
+  /** (doc_id, lang, b): every unigram+bigram occurrence hashed to its
+    * DSIR feature bucket. Narrow — no shuffle. */
+  private def dsirGrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs(s, dir).select(col("doc_id"), col("lang"), toks.as("_t"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("_t"), expr(
+          "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), i -> concat(_t[i-1], ' ', _t[i])) ELSE array() END"))).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.PolyHash.polyHash(col("gram"), 31, 1000000007L)
+          % DsirBuckets).as("b"))
+  }
+
+  /** Unordered (doc_id, n_grams, logw_milli) importance-weight frame. */
+  private def dsirCore(s: SparkSession, dir: String): DataFrame = {
+    val g = dsirGrams(s, dir)
+    val counts = g.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = g.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"))
+    val lam = counts.crossJoin(broadcast(totals)) // 1-row totals: structural
+      .select(col("b"), expr(
+        s"CAST(round(1000 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE) / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE))) AS BIGINT)")
+        .as("lam_milli"))
+    g.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lam_milli")).as("logw_milli"))
+  }
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirCore(s, dir).orderBy(col("doc_id"))
+
+  /** The resample step: deterministic top-K by importance weight. */
+  def dsirTopK(s: SparkSession, dir: String): DataFrame =
+    dsirCore(s, dir).orderBy(col("logw_milli").desc, col("doc_id")).limit(DsirTopK)
+
+  private val dsirCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, UNNEST(toks) AS gram FROM t
+       |  UNION ALL
+       |  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS gram
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bucketed AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(gram, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % $DsirBuckets AS b
+       |  FROM grams),
+       |counts AS (
+       |  SELECT b, count(*) AS cr,
+       |    CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS ct
+       |  FROM bucketed GROUP BY 1),
+       |tot AS (
+       |  SELECT count(*) AS nr,
+       |    CAST(count(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS nt
+       |  FROM bucketed),
+       |lam AS (
+       |  SELECT b, CAST(round(1000 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE) / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE))) AS BIGINT) AS lam_milli
+       |  FROM counts, tot),
+       |w AS (
+       |  SELECT doc_id, count(*) AS n_grams, CAST(sum(lam_milli) AS BIGINT) AS logw_milli
+       |  FROM bucketed JOIN lam USING (b) GROUP BY 1)""".stripMargin
+
+  val dsirWeightsSql: String =
+    dsirCtes + "\nSELECT doc_id, n_grams, logw_milli FROM w ORDER BY doc_id"
+
+  val dsirTopKSql: String =
+    dsirCtes +
+      s"\nSELECT doc_id, n_grams, logw_milli FROM w ORDER BY logw_milli DESC, doc_id LIMIT $DsirTopK"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_split_assign" -> (splitAssign _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_mixture_weights" -> (mixtureWeights _),
     "sample_temperature" -> (temperatureMixture _),
     "sample_reservoir_weighted" -> (reservoirWeighted _),
+    "sample_dsir_weights" -> (dsirWeights _),
+    "sample_dsir_topk" -> (dsirTopK _),
     "pack_sequences" -> (packSequences _),
     "pack_chunks_overlap" -> (chunkOverlap _)
   )
@@ -354,6 +461,8 @@ object Sampling {
     "sample_mixture_weights" -> mixtureWeightsSql,
     "sample_temperature" -> temperatureMixtureSql,
     "sample_reservoir_weighted" -> reservoirWeightedSql,
+    "sample_dsir_weights" -> dsirWeightsSql,
+    "sample_dsir_topk" -> dsirTopKSql,
     "pack_sequences" -> packSequencesSql,
     "pack_chunks_overlap" -> chunkOverlapSql
   )

@@ -427,6 +427,33 @@ class OpsSpec extends SparkSuite {
     assert(sampleMean > corpusMean)
   }
 
+  test("DSIR weights: total, deterministic, and target-domain-concentrated") {
+    import graft.ops.Sampling
+    val w1 = Sampling.dsirWeights(spark, sf).collect()
+    val w2 = Sampling.dsirWeights(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // every document scores (unigram features exist even for 1-token docs)
+    assert(w1.length == nDocs)
+    assert(w1.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      w2.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    // the resample step must concentrate on the target domain: docs whose
+    // hashed-ngram profile matches the target LM outrank the rest. Base
+    // rate of lang='en' in the fixture is ~39%; importance ranking should
+    // push the top-64 well past it (measured 56/64 at sf0.001).
+    val top = Sampling.dsirTopK(spark, sf)
+    assert(top.count() == Sampling.DsirTopK)
+    val enInTop = top.join(
+        spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang"),
+        Seq("doc_id"))
+      .filter(col("lang") === Sampling.DsirTargetLang).count()
+    assert(enInTop >= 40, s"expected >= 40 target-lang docs in top-64, got $enInTop")
+    // weights on the two frames agree (same core dag)
+    val wMap = w1.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    top.collect().foreach { r =>
+      assert(wMap(r.getLong(0)) == r.getLong(2))
+    }
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
