@@ -445,11 +445,116 @@ object SimilarityOps {
        |QUALIFY rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------
+  // MMR diversity selection (Carbonell & Goldstein 1998, maximal
+  // marginal relevance): pick K items that are RELEVANT to a probe but
+  // mutually DIVERSE — the subset-selection step of a training-data
+  // pipeline (dedup alone keeps near-identical-but-not-duplicate
+  // clusters; MMR actively spreads the pick). Greedy: first take the
+  // most relevant, then repeatedly take
+  //   argmax_d  rel(d) − max_{s∈chosen} sim(d, s)
+  // (λ = 0.5 with both terms on the same scale, so the ×2 cancels).
+  // Scores are cosine quantized to integer micro-units (ONE round of
+  // the shared double fold), so the greedy comparisons are exact
+  // integer math — bit-identical to the oracle's recursive CTE.
+  //
+  // Shape for 100 TB: relevance is one corpus scan with the broadcast
+  // probe; the pool is a TakeOrdered top-P (never a global sort); the
+  // P×P pairwise block and the K-step greedy run on CONSTANT-size data
+  // (P = 32 → 1 024 pairs), driver-side like the PQ codebook anchors —
+  // the standard retrieve-distributed / re-rank-centrally split.
+  val MmrPool = 32
+  val MmrK = 8
+  val MmrProbeId = 0L
+
+  def mmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val probe = broadcast(
+      emb.filter(col("vec_id") === MmrProbeId).select(col("embedding").as("q")))
+    val scored = emb.filter(col("vec_id") =!= MmrProbeId)
+      .crossJoin(probe) // 1-row probe: structural
+      .withColumn("cos", cosineFF(col("embedding"), col("q")))
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(round(1000000 * cos) AS BIGINT)").as("rel_micro"))
+    val top = scored.orderBy(col("rel_micro").desc, col("vec_id")).limit(MmrPool)
+    val a = top.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("rel_micro").as("rel_a"))
+    val b = top.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = a.join(broadcast(b), col("a") =!= col("b"))
+      .withColumn("cos", cosineFF(col("ea"), col("eb")))
+      .select(col("a"), col("b"), col("rel_a"),
+        expr("CAST(round(1000000 * cos) AS BIGINT)").as("sim_micro"))
+      .collect() // bounded: MmrPool² rows
+    val rel: Map[Long, Long] =
+      pairs.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sim: Map[(Long, Long), Long] =
+      pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // exact integer greedy; ties by vec_id ascending (matches the oracle)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var rank = 1L
+    while (rank <= MmrK && chosen.size < rel.size) {
+      val picked = chosen.map(_._2).toSet
+      val (id, mmr) = rel.keysIterator.filterNot(picked)
+        .map { d =>
+          val m = if (picked.isEmpty) rel(d)
+            else rel(d) - picked.iterator.map(sv => sim((d, sv))).max
+          (d, m)
+        }
+        .reduceLeft { (x, y) =>
+          if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+        }
+      chosen += ((rank, id, rel(id), mmr))
+      rank += 1
+    }
+    import s.implicits._
+    chosen.toSeq.toDF("sel_rank", "vec_id", "rel_micro", "mmr_micro")
+      .orderBy(col("sel_rank"))
+  }
+
+  val mmrSelectSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""(list_reduce(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |/ (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         | * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))))""".stripMargin
+    s"""WITH RECURSIVE
+       |probe AS (SELECT embedding AS q FROM embeddings WHERE vec_id = $MmrProbeId),
+       |scored AS (
+       |  SELECT e.vec_id, CAST(round(1000000 * ${cosSql("e.embedding", "q")}) AS BIGINT) AS rel_micro
+       |  FROM embeddings e, probe WHERE e.vec_id <> $MmrProbeId),
+       |pool AS (
+       |  SELECT s.vec_id, s.rel_micro, e.embedding
+       |  FROM scored s JOIN embeddings e USING (vec_id)
+       |  ORDER BY s.rel_micro DESC, s.vec_id LIMIT $MmrPool),
+       |pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(round(1000000 * ${cosSql("a.embedding", "b.embedding")}) AS BIGINT) AS sim_micro
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |sel(sel_rank, vec_id, rel_micro, mmr_micro, chosen) AS (
+       |  (SELECT 1, vec_id, rel_micro, rel_micro, [vec_id] FROM pool
+       |   ORDER BY rel_micro DESC, vec_id LIMIT 1)
+       |  UNION ALL
+       |  (SELECT s.sel_rank + 1, nxt.vec_id, nxt.rel_micro, nxt.mmr, list_append(s.chosen, nxt.vec_id)
+       |   FROM sel s, LATERAL (
+       |     SELECT p.vec_id, p.rel_micro,
+       |       p.rel_micro - (SELECT max(pr.sim_micro) FROM pairs pr
+       |                      WHERE pr.a = p.vec_id AND list_contains(s.chosen, pr.b)) AS mmr
+       |     FROM pool p WHERE NOT list_contains(s.chosen, p.vec_id)
+       |     ORDER BY mmr DESC, p.vec_id LIMIT 1) nxt
+       |   WHERE s.sel_rank < $MmrK))
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, rel_micro,
+       |  CAST(mmr_micro AS BIGINT) AS mmr_micro
+       |FROM sel ORDER BY sel_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_sq" -> (annSq _),
-    "sim_ann_pq" -> (annPq _)
+    "sim_ann_pq" -> (annPq _),
+    "sim_mmr_select" -> (mmrSelect _)
   )
 
   /** Full oracle for the LSH path: the literal hyperplane weights make
@@ -486,6 +591,7 @@ object SimilarityOps {
     "sim_ann_brute_force" -> annBruteForceSql,
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_sq" -> annSqSql,
-    "sim_ann_pq" -> annPqSql
+    "sim_ann_pq" -> annPqSql,
+    "sim_mmr_select" -> mmrSelectSql
   )
 }

@@ -454,6 +454,40 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("MMR selection is deterministic and more diverse than pure top-K") {
+    val sel1 = SimilarityOps.mmrSelect(spark, sf).collect()
+    val sel2 = SimilarityOps.mmrSelect(spark, sf).collect()
+    assert(sel1.length == SimilarityOps.MmrK)
+    assert(sel1.map(_.getLong(1)).toSeq == sel2.map(_.getLong(1)).toSeq)
+    // rank 1 is the relevance argmax, so its marginal gain IS its
+    // relevance (no chosen set to discount against). Later gains are
+    // NOT monotone: an anti-correlated pick (negative max-sim) can
+    // out-gain the first pick's raw relevance.
+    assert(sel1.head.getLong(2) == sel1.head.getLong(3))
+    // diversity: mean pairwise cosine of the MMR pick is strictly below
+    // the pure top-K-by-relevance pick of the same size
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val a = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .select(SimilarityOps.cosineFF(col("ea"), col("eb")).as("cos"))
+        .agg(avg(col("cos"))).collect()(0).getDouble(0)
+    }
+    val probe = broadcast(emb.filter(col("vec_id") === SimilarityOps.MmrProbeId)
+      .select(col("embedding").as("q")))
+    val topByRel = emb.filter(col("vec_id") =!= SimilarityOps.MmrProbeId)
+      .crossJoin(probe)
+      .select(col("vec_id"), SimilarityOps.cosineFF(col("embedding"), col("q")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(SimilarityOps.MmrK)
+      .collect().map(_.getLong(0)).toSeq
+    val mmrIds = sel1.map(_.getLong(1)).toSeq
+    assert(meanPairSim(mmrIds) < meanPairSim(topByRel),
+      "MMR must select a less self-similar set than pure relevance top-K")
+  }
+
   test("exact dedup halves the doubled corpus") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val out = DedupOps.exactDedup(spark, sf)
