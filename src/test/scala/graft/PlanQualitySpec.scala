@@ -80,7 +80,12 @@ class PlanQualitySpec extends SparkSuite {
     // candidate pipeline per consumer) would surface that dag's shuffles
     // here and fail this pin instead of silently drifting the bench.
     "dedup_clusters" -> 2,
-    "dedup_split_leakage" -> 5)
+    "dedup_split_leakage" -> 5,
+    // DSIR: bucket-count agg + 1-row totals agg + per-doc agg + output
+    // sort; λ model joins are broadcast (≤ DsirBuckets rows). The topk
+    // variant replaces the sort with TakeOrdered (3).
+    "sample_dsir_weights" -> 4,
+    "sample_dsir_topk" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
