@@ -381,23 +381,46 @@ object Sampling {
           % DsirBuckets).as("b"))
   }
 
-  /** Unordered (doc_id, n_grams, logw_milli) importance-weight frame. */
-  private def dsirCore(s: SparkSession, dir: String): DataFrame = {
-    val g = dsirGrams(s, dir)
+  /** The λ model (b, lam_milli): the fixed-size artifact a 100 TB
+    * deployment trains ONCE and reuses across every scoring run —
+    * bounded by the bucket count whatever the corpus size. */
+  private def dsirLambda(g: DataFrame): DataFrame = {
     val counts = g.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
     val totals = g.agg(
       count(lit(1)).as("nr"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"))
-    val lam = counts.crossJoin(broadcast(totals)) // 1-row totals: structural
+    counts.crossJoin(broadcast(totals)) // 1-row totals: structural
       .select(col("b"), expr(
         s"CAST(round(1000 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE) / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE))) AS BIGINT)")
         .as("lam_milli"))
+  }
+
+  /** Score hashed grams against a λ model: broadcast join + per-doc sum. */
+  private def dsirScore(g: DataFrame, lam: DataFrame): DataFrame =
     g.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("lam_milli")).as("logw_milli"))
+
+  /** Unordered (doc_id, n_grams, logw_milli) importance-weight frame. */
+  private def dsirCore(s: SparkSession, dir: String): DataFrame = {
+    val g = dsirGrams(s, dir)
+    dsirScore(g, dsirLambda(g))
   }
+
+  /** Train-once half of the operational split: fit the λ model on the
+    * corpus at `dir` and persist it as a parquet artifact. */
+  def dsirFit(s: SparkSession, dir: String, modelPath: String): Unit =
+    dsirLambda(dsirGrams(s, dir)).coalesce(1)
+      .write.mode("overwrite").parquet(modelPath)
+
+  /** Score-many half: score the corpus at `dir` against a previously
+    * saved λ model — identical results to the inline [[dsirWeights]]
+    * when the model was fit on the same corpus. */
+  def dsirScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
+    dsirScore(dsirGrams(s, dir), s.read.parquet(modelPath))
+      .orderBy(col("doc_id"))
 
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirCore(s, dir).orderBy(col("doc_id"))

@@ -454,6 +454,19 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("DSIR model artifact: saved λ scores identically to the inline path") {
+    import graft.ops.Sampling
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("dsir_model").resolve("lambda").toString
+    Sampling.dsirFit(spark, sf, modelPath)
+    // the artifact is bucket-bounded: ≤ DsirBuckets rows whatever the corpus
+    assert(spark.read.parquet(modelPath).count() <= Sampling.DsirBuckets)
+    val fromModel = Sampling.dsirScoreWith(spark, sf, modelPath).collect()
+    val inline = Sampling.dsirWeights(spark, sf).collect()
+    assert(fromModel.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      inline.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("MMR selection is deterministic and more diverse than pure top-K") {
     val sel1 = SimilarityOps.mmrSelect(spark, sf).collect()
     val sel2 = SimilarityOps.mmrSelect(spark, sf).collect()
