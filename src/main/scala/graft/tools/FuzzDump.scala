@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Randomized differential testing of the engine against DuckDB: a
   * seeded generator builds N random scan→filter→group→aggregate→sort
-  * pipelines over `lineitem` (and, every ~4th spec, time-keyed
+  * pipelines over `lineitem` (every ~4th spec: time-keyed
   * filter/group/join pipelines over `events` through both the `_ms`
-  * and native-NTZ ts derivations) as BOTH a DataFrame program and the
+  * and native-NTZ ts derivations; ~1/5 of the rest: ranking/frame/
+  * analytic WINDOW pipelines with total-order OVER clauses) as BOTH a
+  * DataFrame program and the
   * equivalent ANSI SQL, dumps each result + an `oracle_sql.json`, and
   * the standard `tools/check_oracle.py` then grades every pair exactly
   * like the driver grades the curated queries. Where the curated suite
@@ -184,6 +186,61 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
+  // ---- window-function grammar ---------------------------------------
+  // Ranking/frame/analytic windows over lineitem with a TOTAL order in
+  // every OVER clause ((l_extendedprice DESC, l_orderkey, l_linenumber)
+  // — (orderkey, linenumber) is the table's primary key, so ranks,
+  // frames, and lag values are all deterministic and the default RANGE
+  // frame equals ROWS on both engines (no peer ties). Samples the
+  // window composition space the curated q07/q08/q09/q34/q35 only
+  // spot-check.
+
+  private def windowSpec(i: Int, rng: Random): Spec = {
+    import org.apache.spark.sql.expressions.Window
+    val (fCol, fSql) = filters(rng)
+    val (pCol, pSql) = rng.shuffle(Seq[(Column, String)](
+      (col("l_returnflag"), "l_returnflag"),
+      (col("l_linestatus"), "l_linestatus"),
+      ((col("l_orderkey") % 5), "l_orderkey % 5"))).head
+    val w = Window.partitionBy(col("pk"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val over = "OVER (PARTITION BY pk ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
+    // (Column, output alias, SQL expression) — alias shared verbatim
+    val palette: Seq[(Column, String, String)] = Seq(
+      (rank().over(w).cast("long"), "rnk", s"CAST(rank() $over AS BIGINT)"),
+      (dense_rank().over(w).cast("long"), "drnk", s"CAST(dense_rank() $over AS BIGINT)"),
+      (sum(col("l_quantity").cast(D)).over(w).cast("double"), "run_qty",
+        s"CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) $over AS DOUBLE)"),
+      (lag(col("l_extendedprice"), 1).over(w).cast("double"), "prev_p",
+        s"CAST(lag(l_extendedprice, 1) $over AS DOUBLE)"),
+      (count(lit(1)).over(Window.partitionBy(col("pk"))), "n_part",
+        "CAST(count(*) OVER (PARTITION BY pk) AS BIGINT)"))
+    val fns = rng.shuffle(palette).take(1 + rng.nextInt(2))
+    val keep = 3 + rng.nextInt(5) // rn <= 3..7
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val base = li.filter(fCol).withColumn("pk", pCol)
+        .withColumn("rn", row_number().over(w).cast("long"))
+      val withFns = fns.foldLeft(base) { case (d, (c, alias, _)) =>
+        d.withColumn(alias, c)
+      }
+      withFns.filter(col("rn") <= keep)
+        .select(Seq(col("pk"), col("l_orderkey"), col("l_linenumber"), col("rn")) ++
+          fns.map(f => col(f._2)): _*)
+        .orderBy(col("pk"), col("rn"))
+    }
+    val sql =
+      s"""SELECT pk, l_orderkey, l_linenumber, rn, ${fns.map(_._2).mkString(", ")}
+         |FROM (
+         |  SELECT pk, l_orderkey, l_linenumber,
+         |    CAST(row_number() $over AS BIGINT) AS rn,
+         |    ${fns.map(f => s"${f._3} AS ${f._2}").mkString(",\n    ")}
+         |  FROM (SELECT *, $pSql AS pk FROM lineitem WHERE $fSql))
+         |WHERE rn <= $keep
+         |ORDER BY pk, rn""".stripMargin
+    Spec(name, df, sql)
+  }
+
   def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01"): Spec = {
     val rng = new Random(seed + i)
     // burn one draw before the shape selector: java.util.Random's FIRST
@@ -191,9 +248,11 @@ object FuzzDump {
     // events specs without the burn, ~10/30 with it — the low seed bits
     // need an LCG step to reach the top bits nextInt(4) samples)
     rng.nextLong()
-    // every ~4th spec draws from the events grammar, the rest from the
-    // relational (lineitem/orders) grammar
+    // every ~4th spec draws from the events grammar, ~1/5 of the rest
+    // from the window grammar, the remainder from the relational
+    // (lineitem/orders) grammar
     if (rng.nextInt(4) == 1) return eventSpec(i, rng, sfDir)
+    if (rng.nextInt(5) == 2) return windowSpec(i, rng)
     val (fCol, fSql) = filters(rng)
     val joinShape = rng.nextInt(3) == 0 // every ~3rd spec joins orders
     val keys = if (joinShape) groupKeys(rng) ++ orderKeys(rng) else groupKeys(rng)
