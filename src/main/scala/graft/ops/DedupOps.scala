@@ -264,6 +264,52 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Batch-incremental near-dup against a PERSISTED index — the corpus-
+  // growth shape: at 100 TB you never re-minhash the whole corpus when
+  // a delivery arrives; the banded index (8 small rows per doc) is
+  // written once and each delta dedups against it. Only buckets the
+  // delta actually touches are read (a (band, band_key) semi-join that
+  // partition/predicate-prunes the index scan), candidate pairs keep
+  // the same MaxBucket cap as the batch pipeline, and exact verify
+  // re-shingles ONLY collision-involved docs (the delta plus the few
+  // base docs it collides with), never the corpus.
+
+  /** Write-once banded LSH index for a base corpus: the
+    * (doc_id, band, band_key) rows of [[bandKeys]]. */
+  def buildMinhashIndex(base: DataFrame, indexPath: String): Unit =
+    bandKeys(base).write.mode("overwrite").parquet(indexPath)
+
+  /** Near-dup pairs (jaccard ≥ 0.5) involving at least one doc of the
+    * NEW batch, found against a saved index. `base` supplies text only
+    * for the collision-involved base docs (left-semi pruned) — the
+    * index itself carries no text. Bucket membership (and therefore
+    * the MaxBucket cap) is identical to re-running the batch pipeline
+    * on base ∪ delta, so results match it exactly on the
+    * involves-a-new-doc slice. */
+  def minhashDedupIncremental(s: SparkSession, newDocs: DataFrame,
+      indexPath: String, base: DataFrame): DataFrame = {
+    val newKeys = bandKeys(newDocs).localCheckpoint()
+    val baseKeys = s.read.parquet(indexPath)
+    val touched = baseKeys.join(
+      newKeys.select(col("band"), col("band_key")).distinct(),
+      Seq("band", "band_key"), "left_semi")
+    val cand = pairsFromBuckets(touched.unionByName(newKeys)).localCheckpoint()
+    // delta ≪ corpus is the incremental premise — its id set broadcasts
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    val candNew = cand
+      .join(broadcast(newIds.select(col("doc_id").as("a"), lit(1).as("_na"))), Seq("a"), "left")
+      .join(broadcast(newIds.select(col("doc_id").as("b"), lit(1).as("_nb"))), Seq("b"), "left")
+      .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      .select(col("a"), col("b"))
+    val involved = candNew.select(col("a").as("doc_id"))
+      .unionByName(candNew.select(col("b").as("doc_id"))).distinct()
+    val texts = base.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    val sh = shingles(texts.join(involved, Seq("doc_id"), "left_semi"))
+    jaccard(candNew, sh).filter(col("jaccard") >= 0.5)
+  }
+
+  // ------------------------------------------------------------------
   // SimHash near-dup: 62-bit signature, banded hamming candidates.
   // One wide aggregation (62 conditional-sum columns) per doc instead of
   // exploding 62 rows per token: single shuffle, map-side combined.

@@ -454,6 +454,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("incremental MinHash index: delta-vs-index equals the full-corpus pipeline") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val all = DedupOps.corpus(spark, sf) // base + twins
+    val twins = all.filter(col("doc_id") >= 1000000L) // the "new delivery"
+    val idx = java.nio.file.Files
+      .createTempDirectory("minhash_idx").resolve("bands").toString
+    DedupOps.buildMinhashIndex(base, idx)
+    val inc = DedupOps.minhashDedupIncremental(spark, twins, idx, base)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the batch pipeline over base ∪ delta, sliced to
+    // pairs that involve a new doc
+    val full = DedupOps.dupPairsFrom(all)
+      .filter(col("a") >= 1000000L || col("b") >= 1000000L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full,
+      s"incremental minus full: ${(inc -- full).take(5)}; full minus incremental: ${(full -- inc).take(5)}")
+    // and the delta's twins were actually caught against the indexed base
+    val caught = inc.count { case (a, b) => b == a + 1000000L }
+    assert(caught >= (base.count() * 0.95).toLong)
+  }
+
   test("DSIR model artifact: saved λ scores identically to the inline path") {
     import graft.ops.Sampling
     val modelPath = java.nio.file.Files
