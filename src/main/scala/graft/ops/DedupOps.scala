@@ -309,6 +309,22 @@ object DedupOps {
     jaccard(candNew, sh).filter(col("jaccard") >= 0.5)
   }
 
+  /** Registered-query form of the incremental path: index the raw
+    * corpus into a fresh temp dir, then dedup the twin batch against
+    * the saved index — end-to-end through the persisted artifact, so
+    * the driver's DuckDB compare gates the whole incremental flow (the
+    * oracle is the batch pipeline sliced to twin-involved pairs, which
+    * the incremental result must equal exactly). Writes a small temp
+    * index per invocation, like chain_ingest_1k's warehouse write. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val twins = corpus(s, dir).filter(col("doc_id") >= 1000000L)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_minhash_idx").resolve("bands").toString
+    buildMinhashIndex(base, idx)
+    minhashDedupIncremental(s, twins, idx, base).orderBy(col("a"), col("b"))
+  }
+
   // ------------------------------------------------------------------
   // SimHash near-dup: 62-bit signature, banded hamming candidates.
   // One wide aggregation (62 conditional-sum columns) per doc instead of
@@ -684,6 +700,7 @@ object DedupOps {
     "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashNearDup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_containment" -> (containment _),
@@ -761,6 +778,14 @@ object DedupOps {
   val minhashLshSql: String =
     "WITH " + dupPairCtes +
       "\nSELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b"
+
+  /** Oracle for [[incrementalDedup]]: the batch pipeline sliced to
+    * twin-involved pairs — exactly what the index path must reproduce
+    * (equivalence argument in the incrementalDedup scaladoc + OpsSpec). */
+  val incrementalDedupSql: String =
+    "WITH " + dupPairCtes +
+      "\nSELECT a, b, inter, jaccard FROM jac" +
+      "\nWHERE jaccard >= 0.5 AND (a >= 1000000 OR b >= 1000000) ORDER BY a, b"
 
   /** Excerpt analog of [[twinBaseBody]]: first-half-token copies. The
     * half cut is floor on both engines (Spark CAST(x/2 AS INT) truncates
@@ -846,6 +871,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql,
     "dedup_semantic" -> semanticDedupSql
