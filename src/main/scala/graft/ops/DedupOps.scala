@@ -296,18 +296,30 @@ object DedupOps {
     val cand = pairsFromBuckets(touched.unionByName(newKeys)).localCheckpoint()
     // delta ≪ corpus is the incremental premise — its id set broadcasts
     val newIds = newDocs.select(col("doc_id")).distinct()
-    val candNew = cand
-      .join(broadcast(newIds.select(col("doc_id").as("a"), lit(1).as("_na"))), Seq("a"), "left")
-      .join(broadcast(newIds.select(col("doc_id").as("b"), lit(1).as("_nb"))), Seq("b"), "left")
-      .filter(col("_na").isNotNull || col("_nb").isNotNull)
-      .select(col("a"), col("b"))
+    val candNew = pairsInvolving(cand, newIds)
     val involved = candNew.select(col("a").as("doc_id"))
       .unionByName(candNew.select(col("b").as("doc_id"))).distinct()
-    val texts = base.select(col("doc_id"), col("text"))
-      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    // delta wins on a re-sent doc_id (an updated doc in a delivery):
+    // without the anti-join, both text versions would shingle and the
+    // doubled set size would HALVE that doc's jaccard, silently
+    // dropping true near-dups below the threshold
+    val texts = newDocs.select(col("doc_id"), col("text"))
+      .unionByName(base.select(col("doc_id"), col("text"))
+        .join(broadcast(newIds), Seq("doc_id"), "left_anti"))
     val sh = shingles(texts.join(involved, Seq("doc_id"), "left_semi"))
     jaccard(candNew, sh).filter(col("jaccard") >= 0.5)
   }
+
+  /** Pairs where `a` or `b` is in `ids` — the delta-slice filter shared
+    * by the incremental path and IncrementalBench's full-rerun slice
+    * (one definition, so the two sides can never diverge). `ids` is
+    * expected delta-sized → broadcast. */
+  private[graft] def pairsInvolving(cand: DataFrame, ids: DataFrame): DataFrame =
+    cand
+      .join(broadcast(ids.select(col("doc_id").as("a"), lit(1).as("_na"))), Seq("a"), "left")
+      .join(broadcast(ids.select(col("doc_id").as("b"), lit(1).as("_nb"))), Seq("b"), "left")
+      .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      .select(col("a"), col("b"))
 
   /** Registered-query form of the incremental path: index the raw
     * corpus into a fresh temp dir, then dedup the twin batch against

@@ -358,8 +358,10 @@ object Sampling {
   // aggregate whose output is bounded by the bucket count (≤ B rows —
   // the paper's whole point is that the model is a fixed-size hashed
   // profile, not a vocabulary); λ is a ≤ B-row broadcast; scoring is a
-  // narrow explode + broadcast join + per-doc combine. Two shuffles
-  // total (model fit, per-doc sum), both key-bounded. The top-K
+  // narrow explode + broadcast join + per-doc combine. Two corpus-
+  // scale shuffles total (model fit, per-doc sum), both key-bounded;
+  // the post-fit totals/λ arithmetic runs on the materialized ≤ B-row
+  // counts (lineage-truncated — the corpus is hashed once). The top-K
   // resample is a TakeOrdered, never a global sort. Integer products
   // (c+1)·(N+B) stay exact below 2^53; at corpus scale beyond that,
   // bump the quantization to compute the two ln terms separately —
@@ -383,15 +385,28 @@ object Sampling {
 
   /** The λ model (b, lam_milli): the fixed-size artifact a 100 TB
     * deployment trains ONCE and reuses across every scoring run —
-    * bounded by the bucket count whatever the corpus size. */
+    * bounded by the bucket count whatever the corpus size.
+    *
+    * DENSE over all DsirBuckets rows: buckets unseen at fit time carry
+    * the add-one-smoothed default λ the model defines for them, so
+    * scoring a DIFFERENT corpus against a saved model (the whole point
+    * of train-once/score-many) never drops grams on the inner join.
+    * Corpus totals nr/nt are derived from the per-bucket counts (they
+    * are exactly sum(cr)/sum(ct)) instead of a second full aggregation
+    * over the exploded gram corpus — the fit reads the corpus once. */
   private def dsirLambda(g: DataFrame): DataFrame = {
-    val counts = g.groupBy(col("b")).agg(
+    // truncate lineage on the ≤B-row counts so the corpus is hashed
+    // ONCE for the model — both the λ join and the totals derive from
+    // the materialized bucket counts
+    val counts = Lineage.truncate(g.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
-    val totals = g.agg(
-      count(lit(1)).as("nr"),
-      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("nt"))
-    counts.crossJoin(broadcast(totals)) // 1-row totals: structural
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct")))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val allBuckets = g.sparkSession.range(DsirBuckets).select(col("id").as("b"))
+    allBuckets
+      .join(broadcast(counts), Seq("b"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(totals)) // 1-row totals: structural
       .select(col("b"), expr(
         s"CAST(round(1000 * ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE) / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE))) AS BIGINT)")
         .as("lam_milli"))
@@ -417,7 +432,9 @@ object Sampling {
 
   /** Score-many half: score the corpus at `dir` against a previously
     * saved λ model — identical results to the inline [[dsirWeights]]
-    * when the model was fit on the same corpus. */
+    * when the model was fit on the same corpus, and well-defined on a
+    * DIFFERENT corpus (the dense model covers every bucket, so no gram
+    * is dropped by the join). */
   def dsirScoreWith(s: SparkSession, dir: String, modelPath: String): DataFrame =
     dsirScore(dsirGrams(s, dir), s.read.parquet(modelPath))
       .orderBy(col("doc_id"))

@@ -476,19 +476,23 @@ object SimilarityOps {
       .withColumn("cos", cosineFF(col("embedding"), col("q")))
       .select(col("vec_id"), col("embedding"),
         expr("CAST(round(1000000 * cos) AS BIGINT)").as("rel_micro"))
+    // localCheckpoint truncates the pool's lineage so the corpus-wide
+    // cosine scan + top-P sort run ONCE, not once per self-join side
     val top = scored.orderBy(col("rel_micro").desc, col("vec_id")).limit(MmrPool)
-    val a = top.select(col("vec_id").as("a"), col("embedding").as("ea"),
-      col("rel_micro").as("rel_a"))
+      .localCheckpoint()
+    // rel comes from the pool itself (not the a≠b self-join, which is
+    // empty for a singleton pool — the oracle still returns its anchor)
+    val rel: Map[Long, Long] = top.select(col("vec_id"), col("rel_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = top.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val b = top.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    val pairs = a.join(broadcast(b), col("a") =!= col("b"))
-      .withColumn("cos", cosineFF(col("ea"), col("eb")))
-      .select(col("a"), col("b"), col("rel_a"),
-        expr("CAST(round(1000000 * cos) AS BIGINT)").as("sim_micro"))
-      .collect() // bounded: MmrPool² rows
-    val rel: Map[Long, Long] =
-      pairs.map(r => r.getLong(0) -> r.getLong(2)).toMap
     val sim: Map[(Long, Long), Long] =
-      pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      a.join(broadcast(b), col("a") =!= col("b"))
+        .withColumn("cos", cosineFF(col("ea"), col("eb")))
+        .select(col("a"), col("b"),
+          expr("CAST(round(1000000 * cos) AS BIGINT)").as("sim_micro"))
+        .collect() // bounded: MmrPool² rows
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // exact integer greedy; ties by vec_id ascending (matches the oracle)
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var rank = 1L

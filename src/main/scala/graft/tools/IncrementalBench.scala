@@ -74,14 +74,13 @@ object IncrementalBench {
       nInc = DedupOps.minhashDedupIncremental(spark, delta, idx, base).count()
     }).min
     // slice the full re-run to pairs involving a DELTA doc (blown-up
-    // replica ids also exceed 1e6, so a range filter would over-count)
+    // replica ids also exceed 1e6, so a range filter would over-count);
+    // same filter definition as the incremental path uses
     val deltaIds = delta.select(col("doc_id")).distinct()
     var nFull = 0L
     val tFull = (1 to reps).map(_ => time {
-      nFull = DedupOps.dupPairsFrom(baseAndDelta)
-        .join(broadcast(deltaIds.select(col("doc_id").as("a"), lit(1).as("_na"))), Seq("a"), "left")
-        .join(broadcast(deltaIds.select(col("doc_id").as("b"), lit(1).as("_nb"))), Seq("b"), "left")
-        .filter(col("_na").isNotNull || col("_nb").isNotNull)
+      nFull = DedupOps.pairsInvolving(
+        DedupOps.dupPairsFrom(baseAndDelta).select(col("a"), col("b")), deltaIds)
         .count()
     }).min
     println(f"[incr] sf=$sfDir base=${base.count()} delta=${delta.count()} " +

@@ -119,4 +119,71 @@ class AdviceRegressionSpec extends SparkSuite {
       assert(!pairs.exists(r => r.getLong(0) <= 3L || r.getLong(1) <= 3L))
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
+
+  // ---- round-9 continuation review findings -------------------------
+
+  test("dsirScoreWith on a model fit elsewhere scores every gram (dense λ, no join drop)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sampling
+    // fit on a 10% slice — most buckets of the full corpus are unseen
+    // by this model; pre-fix the inner join dropped those grams
+    val modelPath = java.nio.file.Files
+      .createTempDirectory("dsir_slice").resolve("lambda").toString
+    val slicePath = java.nio.file.Files
+      .createTempDirectory("dsir_slice").resolve("docs").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).write.parquet(s"$slicePath/documents.parquet")
+    Sampling.dsirFit(spark, slicePath, modelPath)
+    // dense model: exactly DsirBuckets rows, every bucket defined
+    assert(spark.read.parquet(modelPath).count() == Sampling.DsirBuckets)
+    val scored = Sampling.dsirScoreWith(spark, sf, modelPath)
+    val inline = Sampling.dsirWeights(spark, sf)
+    // every doc keeps its FULL gram count — nothing dropped by the join
+    val gramsByDoc = inline.select(col("doc_id"), col("n_grams").as("n_inline"))
+    val drop = scored.join(gramsByDoc, Seq("doc_id"))
+      .filter(col("n_grams") =!= col("n_inline")).count()
+    assert(drop == 0, "cross-corpus scoring must not drop grams on unseen buckets")
+    assert(scored.count() == inline.count())
+  }
+
+  test("incremental dedup: a re-sent doc_id does not halve its jaccard") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.DedupOps
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val all = DedupOps.corpus(spark, sf)
+    // delivery = the twins PLUS a re-sent copy of base doc 0 (same id,
+    // same text — an idempotent re-delivery)
+    val resent = base.filter(col("doc_id") === 0L).select(col("doc_id"), col("text"))
+    val delta = all.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("text")).unionByName(resent)
+    val idx = java.nio.file.Files
+      .createTempDirectory("minhash_idx2").resolve("bands").toString
+    DedupOps.buildMinhashIndex(base, idx)
+    val inc = DedupOps.minhashDedupIncremental(spark, delta, idx, base)
+    // pre-fix doc 0's shingles counted twice → jaccard(0, 1000000)
+    // halved below the 0.5 threshold and the pair vanished
+    val pair = inc.filter(col("a") === 0L && col("b") === 1000000L).collect()
+    assert(pair.length == 1, "the twin pair of a re-sent doc must survive")
+    val batch = DedupOps.dupPairsFrom(all)
+      .filter(col("a") === 0L && col("b") === 1000000L).collect()
+    assert(pair.head.getAs[Double]("jaccard") == batch.head.getAs[Double]("jaccard"))
+  }
+
+  test("MMR on a singleton pool returns the anchor row like the oracle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mmr_tiny").toString
+    Seq(
+      (0L, Array.fill(8)(0.5f), 0),
+      (7L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // pool = {7} only; pre-fix rel was derived from the empty a≠b
+    // self-join and the query returned 0 rows while the oracle's
+    // anchor SELECT returned one
+    val out = graft.ops.SimilarityOps.mmrSelect(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 7L)
+    assert(out.head.getLong(2) == out.head.getLong(3)) // mmr = rel for the anchor
+  }
 }

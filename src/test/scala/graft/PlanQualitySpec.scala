@@ -81,11 +81,12 @@ class PlanQualitySpec extends SparkSuite {
     // here and fail this pin instead of silently drifting the bench.
     "dedup_clusters" -> 2,
     "dedup_split_leakage" -> 5,
-    // DSIR: bucket-count agg + 1-row totals agg + per-doc agg + output
+    // DSIR post-checkpoint plan (bucket counts materialize once behind
+    // a lineage truncation): tiny totals agg + per-doc agg + output
     // sort; λ model joins are broadcast (≤ DsirBuckets rows). The topk
-    // variant replaces the sort with TakeOrdered (3).
-    "sample_dsir_weights" -> 4,
-    "sample_dsir_topk" -> 3)
+    // variant replaces the sort with TakeOrdered (2).
+    "sample_dsir_weights" -> 3,
+    "sample_dsir_topk" -> 2)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
