@@ -225,6 +225,56 @@ object ChainQueries {
       .orderBy(col("sender"))
   }
 
+  // ------------------------------------------------------------------
+  // PageRank over the address transfer graph — the classic iterative
+  // graph-analytics workload of a chain warehouse (address importance
+  // from who-pays-whom), and the repo's second bounded-iteration graph
+  // operator after connected components. All arithmetic is exact
+  // integer micro-rank units (total mass 1e6): floor divisions are
+  // positive-operand (Spark DIV truncation == DuckDB // floor), so the
+  // 5 unrolled iterations are bit-identical cross-engine — the oracle
+  // replays them as 5 chained CTEs. Dangling addresses (no out-edges)
+  // leak their mass identically on both engines (documented classic
+  // simplification).
+  //
+  // Shape for scale: edges (weighted by tx count) and out-weights are
+  // materialized ONCE behind a lineage truncation; each iteration is
+  // one join on src + one aggregation on dst (the Pregel step), with
+  // per-round truncation so the plan stays bounded across iterations —
+  // the CC loop's proven recipe. Rank state is one long per address.
+  val PrIters = 5
+  val PrMass = 1000000L
+
+  def chainPagerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lineage
+    val tx = raw(s, "transactions")
+    val edges = Lineage.truncate(
+      tx.filter(col("to").isNotNull)
+        .select(hex(col("from")).as("src"), hex(col("to")).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val nodes = Lineage.truncate(
+      edges.select(col("src").as("addr"))
+        .unionByName(edges.select(col("dst").as("addr"))).distinct())
+    val n = nodes.count()
+    val perNode = PrMass / n // positive floor div — identical to SQL //
+    val eOut = Lineage.truncate(edges.join(outw, Seq("src")))
+    var r = nodes.select(col("addr"), lit(perNode).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contribs = eOut
+        .join(r.select(col("addr").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("addr"), expr("(r * w) DIV wout").as("c"))
+        .groupBy(col("addr")).agg(sum(col("c")).as("csum"))
+      r = Lineage.truncate(
+        nodes.join(contribs, Seq("addr"), "left")
+          .na.fill(0L, Seq("csum"))
+          .select(col("addr"),
+            expr(s"(150 * $perNode) DIV 1000 + (850 * csum) DIV 1000").as("r")))
+    }
+    r.select(col("addr"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("addr"))
+  }
+
   /** EIP-1559 fee-market decomposition per 100-block bucket: the burned
     * base fee (baseFeePerGas·gasUsed) and the miner tip
     * ((effectiveGasPrice−baseFeePerGas)·gasUsed), with pre-London
@@ -452,6 +502,7 @@ object ChainQueries {
     "chain_top_contracts" -> (chainTopContracts _),
     "chain_validator_withdrawals" -> (chainValidatorWithdrawals _),
     "chain_address_activity" -> (chainAddressActivity _),
+    "chain_address_pagerank" -> (chainPagerank _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
     "chain_tbl_events" -> (chainTblEvents _),
@@ -472,7 +523,35 @@ object ChainQueries {
   // cell-by-cell from the raw dumps; everything else re-aggregates them.
   private def tbl(name: String) = s"'$RawDumpDir/chain_raw_$name/*.parquet'"
 
+  /** Oracle for [[chainPagerank]]: the identical 5 iterations unrolled
+    * as chained CTEs — same integer micro-rank floor arithmetic, same
+    * dangling-mass behavior. */
+  private val chainPagerankSql: String = {
+    val iterCtes = (1 to PrIters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nodes.addr,
+         |    CAST((150 * (1000000 // n)) // 1000 + (850 * COALESCE(cs.c, CAST(0 AS BIGINT))) // 1000 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS addr, CAST(sum((p.r * e.w) // o.wout) AS BIGINT) AS c
+         |    FROM edges e JOIN outw o USING (src) JOIN $prev p ON p.addr = e.src
+         |    GROUP BY 1) cs ON cs.addr = nodes.addr)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT hex("from") AS src, hex("to") AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM ${tbl("transactions")} WHERE "to" IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT addr, CAST(1000000 // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT addr, r AS rank_micro FROM r$PrIters
+       |ORDER BY rank_micro DESC, addr""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "chain_address_pagerank" -> chainPagerankSql,
     "chain_transfer_decode" ->
       s"""SELECT blockNumber,
          |  CAST(transactionIndex AS BIGINT) AS txIndex,

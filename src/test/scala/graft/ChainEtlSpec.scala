@@ -540,4 +540,28 @@ class ChainEtlSpec extends SparkSuite {
     assert(graft.etl.JsonLinesSink.read(spark, js, Schemas.transactions)
       .filter(col("blockNumber") === 7L).count() == 0)
   }
+
+  test("address PageRank: deterministic, mass-bounded, and in-degree-responsive") {
+    import graft.queries.ChainQueries
+    val a = ChainQueries.chainPagerank(spark, sf).collect()
+    val b = ChainQueries.chainPagerank(spark, sf).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // every address holds positive rank; total mass never exceeds the
+    // budget (floor divisions + dangling leak only ever LOSE mass)
+    assert(a.forall(_.getLong(1) > 0))
+    assert(a.map(_.getLong(1)).sum <= ChainQueries.PrMass)
+    // in-degree responsiveness: an address with no inbound edges holds
+    // exactly the teleport floor (150·perNode)/1000 after any number of
+    // iterations; the top address must sit strictly above it (it
+    // accumulated real contributions), and the graph must show spread.
+    // (Comparing against the INITIAL uniform share would be wrong: the
+    // fixture graph leaks mass through dangling sinks, so every rank
+    // can decay below it.)
+    val perNode = ChainQueries.PrMass / a.length
+    val floor = (150 * perNode) / 1000
+    assert(a.head.getLong(1) > floor)
+    assert(a.map(_.getLong(1)).min >= floor)
+    assert(a.head.getLong(1) > a.last.getLong(1))
+  }
 }
