@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, DedupOps, FilterOps, GraphOps, Multimodal, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
+import graft.ops.{Clustering, DedupOps, FilterOps, GraphOps, Layout, Multimodal, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
 import graft.queries.{ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.queries ++ ChainQueries.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries ++
       VectorAgg.queries ++ Sampling.queries ++ Clustering.queries ++
-      GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries
+      GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     Relational.oracle ++ TextOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ Multimodal.oracle ++ ChainQueries.oracle ++
       VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle ++
-      GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle
+      GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle ++
+      Layout.oracle
 }

@@ -50,6 +50,12 @@ object GraftExtensions {
     (FunctionIdentifier("u256_mod"),
       new ExpressionInfo(classOf[U256Mod].getName, "u256_mod"),
       (args: Seq[Expression]) => U256Mod(args(0), args(1))),
+    // zorder_key(x, y): Morton interleave of two BIGINT keys — the
+    // layout clustering key behind Layout.zorderWrite, SQL-visible so
+    // `CLUSTER BY zorder_key(a, b)`-style statements work verbatim.
+    (FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[graft.functions.BitInterleave16].getName, "zorder_key"),
+      (args: Seq[Expression]) => graft.functions.BitInterleave16(args(0), args(1))),
     // poly_hash(str, base, mod): the engine-independent polynomial fold
     // behind rolling hashes / MinHash shingles / SimHash — base and mod
     // are plan-time constants (they parameterize generated code).

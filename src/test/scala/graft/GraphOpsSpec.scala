@@ -87,4 +87,37 @@ class GraphOpsSpec extends SparkSuite {
     assert(t.rdd.toDebugString.contains("LocalCheckpoint"),
       s"expected localCheckpoint in local mode:\n${t.rdd.toDebugString}")
   }
+
+  test("triangles: hand-computed co-occurrence graph, duplicates collapsed") {
+    // o=1 -> {1,2,3}: one triangle. o=3 -> {4,5,6,7}: K4 = 4 triangles,
+    // each vertex in 3 of them. o=2 -> bridge edge 3-4 (no triangle
+    // through it). o=4/o=5 re-state edges 2-3 and 1-3 (distinct edge
+    // dedup), and (1,1) repeats a membership row (distinct (o,p) dedup).
+    val membership = Seq(
+      1L -> 1L, 1L -> 1L, 1L -> 2L, 1L -> 3L,
+      2L -> 3L, 2L -> 4L,
+      3L -> 4L, 3L -> 5L, 3L -> 6L, 3L -> 7L,
+      4L -> 2L, 4L -> 3L,
+      5L -> 1L, 5L -> 3L).toDF("o", "p")
+    val got = GraphOps.trianglesOf(membership)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 3L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: a triangle-free graph (star + path) yields no rows") {
+    // o=1 -> {1,2}, o=2 -> {1,3}, o=3 -> {1,4}: star around 1.
+    val membership = Seq(1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+      .toDF("o", "p")
+    assert(GraphOps.trianglesOf(membership).count() == 0L)
+  }
+
+  test("triangles: registered query is non-empty, descending, capped at TopK") {
+    val top = GraphOps.triangles(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(top.nonEmpty && top.size <= GraphOps.Triangles.TopK)
+    assert(top.forall(_._2 > 0L))
+    // total order (n_tri desc, part asc) actually holds in the output
+    assert(top == top.sortBy { case (p, n) => (-n, p) })
+  }
 }

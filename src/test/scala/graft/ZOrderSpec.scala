@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrder
+import graft.ops.Layout
+
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave — independent of the mask-doubling
+    * spread the production code uses. */
+  private def naive(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc |
+        (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleave matches the bit-by-bit reference on edges and a sweep") {
+    val edges = Seq(0L, 1L, 2L, 0xffffL, 0x8000L, 0x5555L, 0xaaaaL, 12345L)
+    for (x <- edges; y <- edges)
+      assert(ZOrder.interleave(x, y) == naive(x, y), s"($x, $y)")
+    // deterministic pseudo-random sweep, including values beyond 16 bits
+    // (only the low 16 must matter)
+    var seed = 0x9e3779b97f4a7c15L
+    for (_ <- 1 to 2000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val x = seed >>> 20
+      val y = (seed * 31) >>> 17
+      assert(ZOrder.interleave(x, y) == naive(x & 0xffffL, y & 0xffffL))
+    }
+  }
+
+  test("monotone per dimension: growing one coordinate never shrinks the key") {
+    // within a fixed y, the key is strictly increasing in x (and vice
+    // versa) — the property that makes range filters map to key ranges
+    for (y <- Seq(0L, 7L, 999L); x <- 0L until 255L)
+      assert(ZOrder.interleave(x, y) < ZOrder.interleave(x + 1, y))
+    for (x <- Seq(0L, 7L, 999L); y <- 0L until 255L)
+      assert(ZOrder.interleave(x, y) < ZOrder.interleave(x, y + 1))
+  }
+
+  test("codegen and interpreted agree; SQL function is registered") {
+    val df = Seq((3L, 5L), (65535L, 0L), (70000L, 70000L)).toDF("x", "y")
+    val viaExpr = df.select(ZOrder.zorderKey(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaExpr == Seq(ZOrder.interleave(3, 5),
+      ZOrder.interleave(65535, 0), ZOrder.interleave(70000, 70000)))
+    // non-codegen (interpreted) path: force eval through a filter on a
+    // literal expression
+    val lit3 = ZOrder.interleave(3, 5)
+    assert(df.filter(ZOrder.zorderKey(col("x"), col("y")) === lit3).count() == 1L)
+  }
+
+  test("z-order layout prunes more files than a single-column sort layout") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val files = 16
+    // layout A: sorted by p only (the naive single-column clustering)
+    li.repartitionByRange(files, col("p")).sortWithinPartitions(col("p"))
+      .write.mode("overwrite").parquet(s"$tmp/by_p")
+    // layout B: z-order on (p, sk)
+    Layout.zorderWrite(li, col("p"), col("sk"), s"$tmp/by_z", files)
+    // a conjunctive box filter that is WIDE on p and narrow on sk — the
+    // regime where a p-only sort cannot help (its files all span the
+    // full sk domain) but the z layout's two-dimensional boxes can
+    val (pLo, pHi, sLo, sHi) = (50L, 150L, 4L, 5L)
+    def touched(path: String): Long =
+      Layout.fileBoxes(spark, path, "p", "sk")
+        .filter(col("x_max") >= pLo && col("x_min") <= pHi &&
+          col("y_max") >= sLo && col("y_min") <= sHi)
+        .count()
+    val byP = touched(s"$tmp/by_p")
+    val byZ = touched(s"$tmp/by_z")
+    // the p-sorted layout has tight p boxes but every file spans the sk
+    // domain; the z layout bounds both — it must touch strictly fewer
+    // files for a two-dimensional box
+    assert(byZ < byP, s"z layout touched $byZ files, p-sorted touched $byP")
+    // and both layouts return identical rows for the actual filter
+    def rows(path: String): Set[(Long, Long)] =
+      spark.read.parquet(path)
+        .filter(col("p").between(pLo, pHi) && col("sk").between(sLo, sHi))
+        .as[(Long, Long)].collect().toSet
+    assert(rows(s"$tmp/by_z") == rows(s"$tmp/by_p"))
+  }
+
+  test("bucketed tables join with ZERO exchanges (co-located sort-merge)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE wrappers (AdaptiveSparkPlanExec, QueryStageExec) hold their
+    // real subtree outside `children` — descend explicitly
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Nil
+      })
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.bucketedWrite(spark.read.parquet(s"$sf/lineitem.parquet"),
+        "li_bucketed", s"$tmp/li", "l_orderkey", 8)
+      Layout.bucketedWrite(spark.read.parquet(s"$sf/orders.parquet"),
+        "ord_bucketed", s"$tmp/ord", "o_orderkey", 8)
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect() // force AQE to finalize the physical plan
+      val plan = nodes(joined.queryExecution.executedPlan)
+      val exchanges = plan.count(_.isInstanceOf[ShuffleExchangeExec])
+      // the join itself must be exchange-free: only the (tiny) groupBy
+      // aggregation above it may shuffle
+      assert(plan.exists(_.nodeName.contains("SortMergeJoin")),
+        s"expected a sort-merge join:\n${joined.queryExecution.executedPlan}")
+      assert(exchanges <= 1,
+        s"bucketed join should not shuffle its inputs, got $exchanges exchanges:\n" +
+          joined.queryExecution.executedPlan)
+      // and the result matches the unbucketed join
+      val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(joined.as[(String, Long)].collect().toMap == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("layout_zorder buckets carry tight boxes in BOTH dimensions") {
+    val out = Layout.layoutZorder(spark, sf).cache()
+    val buckets = out.count()
+    assert(buckets > 1, "expected multiple coarse z buckets")
+    // each bucket's part-range must cover well under the full part
+    // domain (a p-sort gives this too), AND its supplier-range must
+    // cover under the full supplier domain (a p-sort does NOT give
+    // this) — on average across buckets
+    val doms = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(max(col("l_partkey")), max(col("l_suppkey"))).as[(Long, Long)].head()
+    val widths = out.agg(
+        avg(col("p_max") - col("p_min")).as("pw"),
+        avg(col("s_max") - col("s_min")).as("sw"))
+      .as[(Double, Double)].head()
+    assert(widths._1 < doms._1 * 0.4, s"avg part width ${widths._1} vs domain ${doms._1}")
+    assert(widths._2 < doms._2 * 0.4, s"avg supp width ${widths._2} vs domain ${doms._2}")
+    out.unpersist()
+  }
+}
