@@ -86,7 +86,16 @@ class PlanQualitySpec extends SparkSuite {
     // sort; λ model joins are broadcast (≤ DsirBuckets rows). The topk
     // variant replaces the sort with TakeOrdered (2).
     "sample_dsir_weights" -> 3,
-    "sample_dsir_topk" -> 2)
+    "sample_dsir_topk" -> 2,
+    // Post-checkpoint triangle plan: wedge self-join on src (its two
+    // arms reuse ONE exchange of the checkpointed oriented edges) +
+    // per-part agg + TakeOrdered; degree lookups and the wedge-closure
+    // probe are broadcasts. A fourth exchange here means the closure
+    // stopped broadcasting or the edge checkpoint was dropped.
+    "graph_triangles" -> 3,
+    // Two 1-row domain/extent aggs (SinglePartition exchanges), the
+    // bucket agg + sort; the 1-row crosses are broadcast BNLJs.
+    "layout_zorder" -> 5)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
