@@ -227,10 +227,46 @@ object GraphOps {
       .limit(Triangles.TopK)
   }
 
+  // ------------------------------------------------------------------
+  // Butterfly counting — the BIPARTITE analog of triangles: a butterfly
+  // is a 2×2 biclique (two orders that share the same two parts), the
+  // smallest unit of bipartite clustering (Sanei-Mehri et al. 2018).
+  // Where the triangle query projects the bipartite membership down to
+  // a part-part graph first, this counts cohesion in the bipartite
+  // structure itself. Closed form: a part pair sharing w orders carries
+  // C(w, 2) butterflies, so the whole computation is ONE aggregation
+  // over the per-order pair expansion (no wedge self-join at all) —
+  // per-pair co-occurrence counts, then Σ w·(w−1)/2 rolled up to each
+  // part. 100 TB shape: the pair expansion is keyed on order id with
+  // C(k, 2) fan-out bounded by order size; the only shuffle of
+  // consequence is the (a, b) count — same key-bounded pattern as every
+  // co-occurrence build here; per-part rollup map-side combines.
+
+  /** Per-part butterfly participation (top 100): for each part, the
+    * number of 2×2 bicliques it belongs to in the order-part graph. */
+  def butterflies(s: SparkSession, dir: String): DataFrame =
+    butterfliesOf(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  def butterfliesOf(membership: DataFrame): DataFrame = {
+    val li = membership.select(col("o"), col("p")).distinct()
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2L)
+      .withColumn("bf", expr("(w * (w - 1)) DIV 2"))
+    pairs.select(explode(array(col("a"), col("b"))).as("part"), col("bf"))
+      .groupBy(col("part")).agg(sum(col("bf")).as("n_butterflies"))
+      .orderBy(col("n_butterflies").desc, col("part"))
+      .limit(Triangles.TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_split_leakage" -> (splitLeakage _),
-    "graph_triangles" -> (triangles _)
+    "graph_triangles" -> (triangles _),
+    "graph_butterflies" -> (butterflies _)
   )
 
   /** DuckDB oracle: re-runs the whole MinHash pipeline (shared CTE chain
@@ -324,9 +360,27 @@ object GraphOps {
        |FROM corners GROUP BY part
        |ORDER BY n_tri DESC, part LIMIT ${Triangles.TopK}""".stripMargin
 
+  /** Oracle: the identical closed form — per-pair shared-order counts,
+    * C(w,2) per pair, rolled up to both endpoint parts. */
+  val butterfliesSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b, count(*) AS w
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |bf AS (SELECT a, b, (w * (w - 1)) // 2 AS bf FROM pairs),
+       |corners AS (
+       |  SELECT a AS part, bf FROM bf
+       |  UNION ALL SELECT b, bf FROM bf)
+       |SELECT part, CAST(sum(bf) AS BIGINT) AS n_butterflies
+       |FROM corners GROUP BY part
+       |ORDER BY n_butterflies DESC, part LIMIT ${Triangles.TopK}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     "dedup_split_leakage" -> splitLeakageSql,
-    "graph_triangles" -> trianglesSql
+    "graph_triangles" -> trianglesSql,
+    "graph_butterflies" -> butterfliesSql
   )
 }

@@ -113,6 +113,19 @@ class GraphOpsSpec extends SparkSuite {
     assert(GraphOps.trianglesOf(membership).count() == 0L)
   }
 
+  test("butterflies: closed form on a hand-computed bipartite graph") {
+    // pair (1,2) shares orders {1,2,3} -> C(3,2)=3 butterflies;
+    // (1,3) and (2,3) share {1,2} -> 1 each; (4,5) shares only order 4
+    // -> w=1, below the >=2 support, contributes nothing.
+    val membership = Seq(
+      1L -> 1L, 1L -> 2L, 1L -> 3L,
+      2L -> 1L, 2L -> 2L, 2L -> 3L,
+      3L -> 1L, 3L -> 2L,
+      4L -> 4L, 4L -> 5L).toDF("o", "p")
+    val got = GraphOps.butterfliesOf(membership).as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 4L, 2L -> 4L, 3L -> 2L))
+  }
+
   test("triangles: registered query is non-empty, descending, capped at TopK") {
     val top = GraphOps.triangles(spark, sf).as[(Long, Long)].collect().toSeq
     assert(top.nonEmpty && top.size <= GraphOps.Triangles.TopK)

@@ -93,6 +93,10 @@ class PlanQualitySpec extends SparkSuite {
     // probe are broadcasts. A fourth exchange here means the closure
     // stopped broadcasting or the edge checkpoint was dropped.
     "graph_triangles" -> 3,
+    // Pair expansion join on order id (broadcast side: the distinct
+    // membership is dimension-sized at spec sf), (a,b) count agg,
+    // per-part rollup, TakeOrdered.
+    "graph_butterflies" -> 4,
     // Two 1-row domain/extent aggs (SinglePartition exchanges), the
     // bucket agg + sort; the 1-row crosses are broadcast BNLJs.
     "layout_zorder" -> 5)
