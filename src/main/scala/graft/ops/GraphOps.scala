@@ -191,9 +191,12 @@ object GraphOps {
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
-    val deg = und.select(col("a").as("n"))
+    // Materialized once: both broadcast lookups below embed deg, and
+    // as distinct subtrees they would otherwise each re-run the O(E)
+    // degree aggregation.
+    val deg = Lineage.truncate(und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
     // deg is node-cardinality (dimension-sized): broadcast both lookups
     // so the edge list is never shuffled on its endpoints.
     val keyed = und

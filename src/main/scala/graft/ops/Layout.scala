@@ -44,10 +44,29 @@ object Layout {
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
+  /** `a >> b` with a COLUMN shift amount (`functions.shiftright` only
+    * accepts a literal Int). */
+  private def shr(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** `(v - lo) * 65536 DIV (hi - lo + 1)` — the 16-bit grid rank of v in
-    * [lo, hi]; all operands non-negative so Spark `DIV` == DuckDB `//`. */
-  private def grid(v: Column, lo: Column, hi: Column): Column =
-    intDiv((v - lo) * lit(65536L), hi - lo + lit(1L)).cast("long")
+    * [lo, hi]; all operands non-negative so Spark `DIV` == DuckDB `//`.
+    *
+    * Domains wider than 2^47 would overflow the `* 65536` product, so
+    * both the value offset and the span are first right-shifted by
+    * `bitlen(span) - 47` (zero for everyday key domains — the shift
+    * only drops bits far below the 16 the grid keeps, so small-domain
+    * results are bit-identical to the unshifted form). The span itself
+    * must fit in a signed 64-bit long. */
+  private def grid(v: Column, lo: Column, hi: Column): Column = {
+    val span = hi - lo
+    val sh = greatest(length(bin(span)) - lit(47), lit(0))
+    intDiv(shr(v - lo, sh) * lit(65536L),
+      shr(span, sh) + lit(1L)).cast("long")
+  }
 
   /** Z-order key of two LONG columns after 16-bit grid normalization
     * against the given per-column domains. */
@@ -111,9 +130,12 @@ object Layout {
     val dom = li.agg(
       min(col("p")).as("pmin"), max(col("p")).as("pmax"),
       min(col("sk")).as("smin"), max(col("sk")).as("smax"))
-    val z = li.crossJoin(broadcast(dom))
+    // Materialize the keyed rows once: both the extent agg below and the
+    // final bucket agg consume them, and without the truncation each
+    // would re-run the scan + interleave projection.
+    val z = Lineage.truncate(li.crossJoin(broadcast(dom))
       .withColumn("z", normKey(col("p"), col("pmin"), col("pmax"),
-        col("sk"), col("smin"), col("smax")))
+        col("sk"), col("smin"), col("smax"))))
     val mm = z.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
     z.crossJoin(broadcast(mm))
       .groupBy(intDiv((col("z") - col("zmin")) * lit(Buckets),

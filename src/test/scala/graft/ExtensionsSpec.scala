@@ -90,4 +90,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // 10^40 exceeds Decimal(38,0): the pair must null it, not pass it through
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("zorder_key is callable from SQL and widens INT arguments") {
+    // INT literals: the builder's explicit widening must kick in (the
+    // expression itself only accepts BIGINT)
+    assert(spark.sql("SELECT zorder_key(3, 5) AS z").collect()(0).getLong(0) ==
+      graft.functions.ZOrder.interleave(3L, 5L))
+    // BIGINT passthrough
+    assert(spark.sql("SELECT zorder_key(CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS z")
+      .collect()(0).getLong(0) == graft.functions.ZOrder.interleave(65535L, 0L))
+  }
 }

@@ -97,9 +97,10 @@ class PlanQualitySpec extends SparkSuite {
     // membership is dimension-sized at spec sf), (a,b) count agg,
     // per-part rollup, TakeOrdered.
     "graph_butterflies" -> 4,
-    // Two 1-row domain/extent aggs (SinglePartition exchanges), the
-    // bucket agg + sort; the 1-row crosses are broadcast BNLJs.
-    "layout_zorder" -> 5)
+    // Post-checkpoint plan (the keyed rows materialize once behind a
+    // lineage truncation): the 1-row extent agg, the bucket agg, the
+    // output sort; the 1-row crosses are broadcast BNLJs.
+    "layout_zorder" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted

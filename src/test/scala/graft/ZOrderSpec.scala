@@ -53,6 +53,30 @@ class ZOrderSpec extends SparkSuite {
     assert(df.filter(ZOrder.zorderKey(col("x"), col("y")) === lit3).count() == 1L)
   }
 
+  test("wide domains (span >= 2^47) stay monotone: no overflow in grid ranks") {
+    // nanosecond-timestamp-style keys: span ~2^52 would overflow the
+    // naive (v - lo) * 65536 product; the bit-shift pre-scale must keep
+    // the z key monotone in x (y held constant) so the range-partitioned
+    // layout still orders files by x
+    val base = 1700000000000000000L
+    val span = 1L << 52
+    val xs = (0 until 64).map(i => base + i * (span / 64))
+    val df = xs.map(x => (x, 7L)).toDF("x", "y")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wide").toString
+    Layout.zorderWrite(df, col("x"), col("y"), s"$tmp/wide", 4)
+    val boxes = Layout.fileBoxes(spark, s"$tmp/wide", "x", "y")
+      .orderBy(col("x_min"))
+      .select(col("x_min"), col("x_max")).as[(Long, Long)].collect().toSeq
+    assert(boxes.size == 4)
+    // files must partition the x range without interleaving — overflow
+    // would scramble the key order and overlap the boxes
+    boxes.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, s"overlapping file ranges: $boxes")
+    }
+    // and all 64 rows survived the roundtrip
+    assert(spark.read.parquet(s"$tmp/wide").count() == 64L)
+  }
+
   test("z-order layout prunes more files than a single-column sort layout") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
