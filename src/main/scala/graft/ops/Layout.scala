@@ -68,23 +68,34 @@ object Layout {
       shr(span, sh) + lit(1L)).cast("long")
   }
 
-  /** Z-order key of two LONG columns after 16-bit grid normalization
-    * against the given per-column domains. */
+  /** Space-filling-curve key of two LONG columns after 16-bit grid
+    * normalization against the given per-column domains; `key` is the
+    * curve (Morton [[graft.functions.ZOrder.zorderKey]] or Hilbert
+    * [[graft.functions.Hilbert.hilbertKey]]). */
+  def normKeyWith(key: (Column, Column) => Column)(
+      x: Column, xLo: Column, xHi: Column,
+      y: Column, yLo: Column, yHi: Column): Column =
+    key(grid(x, xLo, xHi), grid(y, yLo, yHi))
+
+  /** Z-order key of two LONG columns after 16-bit grid normalization. */
   def normKey(x: Column, xLo: Column, xHi: Column,
       y: Column, yLo: Column, yHi: Column): Column =
-    ZOrder.zorderKey(grid(x, xLo, xHi), grid(y, yLo, yHi))
+    normKeyWith(ZOrder.zorderKey)(x, xLo, xHi, y, yLo, yHi)
 
-  /** Writes `df` parquet at `path` clustered on the normalized Z-order
-    * key of the two given LONG columns: one extra pass for the domain
-    * agg, one range exchange into `numFiles` key ranges, a local sort
-    * inside each, and the helper columns dropped before the bytes land. */
+  /** Writes `df` parquet at `path` clustered on the normalized
+    * space-filling-curve key of the two given LONG columns (Morton by
+    * default, Hilbert via `key = Hilbert.hilbertKey`): one extra pass
+    * for the domain agg, one range exchange into `numFiles` key ranges,
+    * a local sort inside each, and the helper columns dropped before
+    * the bytes land. */
   def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
-      numFiles: Int): Unit = {
+      numFiles: Int,
+      key: (Column, Column) => Column = ZOrder.zorderKey): Unit = {
     val dom = df.agg(
       min(x.cast("long")).as("_xlo"), max(x.cast("long")).as("_xhi"),
       min(y.cast("long")).as("_ylo"), max(y.cast("long")).as("_yhi"))
     df.crossJoin(broadcast(dom))
-      .withColumn("_zkey", normKey(x.cast("long"), col("_xlo"), col("_xhi"),
+      .withColumn("_zkey", normKeyWith(key)(x.cast("long"), col("_xlo"), col("_xhi"),
         y.cast("long"), col("_ylo"), col("_yhi")))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
@@ -124,7 +135,17 @@ object Layout {
     * one column would leave the other column's box spanning its whole
     * domain). Exact integer arithmetic on both engines; the oracle
     * recomputes the interleave as an unrolled 32-term bit sum. */
-  def layoutZorder(s: SparkSession, dir: String): DataFrame = {
+  def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    bucketDiag(s, dir, ZOrder.zorderKey)
+
+  /** Same diagnostic under the HILBERT curve — the stronger-locality
+    * alternative (no Morton diagonal jumps; measured tighter boxes on
+    * both dimensions, SCALE.md). */
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame =
+    bucketDiag(s, dir, graft.functions.Hilbert.hilbertKey)
+
+  private def bucketDiag(s: SparkSession, dir: String,
+      key: (Column, Column) => Column): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
     val dom = li.agg(
@@ -132,9 +153,9 @@ object Layout {
       min(col("sk")).as("smin"), max(col("sk")).as("smax"))
     // Materialize the keyed rows once: both the extent agg below and the
     // final bucket agg consume them, and without the truncation each
-    // would re-run the scan + interleave projection.
+    // would re-run the scan + curve-key projection.
     val z = Lineage.truncate(li.crossJoin(broadcast(dom))
-      .withColumn("z", normKey(col("p"), col("pmin"), col("pmax"),
+      .withColumn("z", normKeyWith(key)(col("p"), col("pmin"), col("pmax"),
         col("sk"), col("smin"), col("smax"))))
     val mm = z.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
     z.crossJoin(broadcast(mm))
@@ -171,11 +192,49 @@ object Layout {
        |FROM z CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Oracle: the same normalization, then the Hilbert xy2d bit-descent
+    * UNROLLED as 16 chained CTEs — each step classifies the quadrant
+    * (rx, ry) at scale s, adds s²·((3·rx) XOR ry) to the distance, and
+    * applies the reflect-and-transpose frame rotation as CASE algebra.
+    * BIGINT casts keep the s² products out of INT32. */
+  val layoutHilbertSql: String = {
+    val steps = (15 to 0 by -1).map { i =>
+      val s = 1L << i
+      val prev = if (i == 15) "hinit" else s"h${i + 1}"
+      s"""h$i AS (
+         |  SELECT p, sk,
+         |    CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN 65535 - y ELSE y END AS x,
+         |    CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN 65535 - x ELSE x END AS y,
+         |    d + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS d
+         |  FROM (SELECT p, sk, x, y, d,
+         |        CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |        CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |dom AS (SELECT min(p) AS pmin, max(p) AS pmax,
+       |               min(sk) AS smin, max(sk) AS smax FROM li),
+       |n AS (SELECT p, sk,
+       |        ((p - pmin) * 65536) // (pmax - pmin + 1) AS xn,
+       |        ((sk - smin) * 65536) // (smax - smin + 1) AS yn
+       |      FROM li CROSS JOIN dom),
+       |hinit AS (SELECT p, sk, xn AS x, yn AS y, CAST(0 AS BIGINT) AS d FROM n),
+       |$steps,
+       |z AS (SELECT p, sk, d AS z FROM h0),
+       |mm AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+       |SELECT ((z - zmin) * $Buckets) // (zmax - zmin + 1) AS bucket,
+       |  count(*) AS n_rows,
+       |  min(p) AS p_min, max(p) AS p_max,
+       |  min(sk) AS s_min, max(sk) AS s_max
+       |FROM z CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (layoutZorder _)
+    "layout_zorder" -> (layoutZorder _),
+    "layout_hilbert" -> (layoutHilbert _)
   )
 
   val oracle: Map[String, String] = Map(
-    "layout_zorder" -> layoutZorderSql
+    "layout_zorder" -> layoutZorderSql,
+    "layout_hilbert" -> layoutHilbertSql
   )
 }

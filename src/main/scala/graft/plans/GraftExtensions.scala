@@ -27,6 +27,20 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
+  /** The curve-key expressions deliberately avoid ExpectsInputTypes (its
+    * AbstractDataType signature is private[sql] in Spark 4 — see
+    * PolyHash), so narrower integrals get no implicit widening; coerce
+    * them at the builder so `zorder_key(1, 2)` (INT literals) works like
+    * any native function. Non-integral types fall through to the
+    * expression's own analysis-time type check. */
+  private def widenIntegral(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    if (e.resolved && Seq(ByteType, ShortType, IntegerType).contains(e.dataType))
+      Cast(e, LongType)
+    else e
+  }
+
   /** SQL-visible u256 functions: `SELECT u256_to_decimal(value) …`. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("u256_to_decimal"),
@@ -55,21 +69,14 @@ object GraftExtensions {
     // `CLUSTER BY zorder_key(a, b)`-style statements work verbatim.
     (FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[graft.functions.BitInterleave16].getName, "zorder_key"),
-      (args: Seq[Expression]) => {
-        // BitInterleave16 deliberately avoids ExpectsInputTypes (its
-        // AbstractDataType signature is private[sql] in Spark 4 — see
-        // PolyHash), so narrower integrals get no implicit widening;
-        // coerce them here so `zorder_key(1, 2)` (INT literals) works
-        // like any native function. Non-integral types fall through to
-        // the expression's own analysis-time type check.
-        import org.apache.spark.sql.catalyst.expressions.Cast
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        def widen(e: Expression): Expression =
-          if (e.resolved && Seq(ByteType, ShortType, IntegerType).contains(e.dataType))
-            Cast(e, LongType)
-          else e
-        graft.functions.BitInterleave16(widen(args(0)), widen(args(1)))
-      }),
+      (args: Seq[Expression]) =>
+        graft.functions.BitInterleave16(widenIntegral(args(0)), widenIntegral(args(1)))),
+    // hilbert_key(x, y): the Hilbert-curve layout key — same role,
+    // stronger locality (see functions/Hilbert.scala).
+    (FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[graft.functions.HilbertKey16].getName, "hilbert_key"),
+      (args: Seq[Expression]) =>
+        graft.functions.HilbertKey16(widenIntegral(args(0)), widenIntegral(args(1)))),
     // poly_hash(str, base, mod): the engine-independent polynomial fold
     // behind rolling hashes / MinHash shingles / SimHash — base and mod
     // are plan-time constants (they parameterize generated code).

@@ -91,6 +91,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("hilbert_key is callable from SQL and widens INT arguments") {
+    assert(spark.sql("SELECT hilbert_key(3, 5) AS h").collect()(0).getLong(0) ==
+      graft.functions.Hilbert.xy2d(3L, 5L))
+  }
+
   test("zorder_key is callable from SQL and widens INT arguments") {
     // INT literals: the builder's explicit widening must kick in (the
     // expression itself only accepts BIGINT)

@@ -100,7 +100,8 @@ class PlanQualitySpec extends SparkSuite {
     // Post-checkpoint plan (the keyed rows materialize once behind a
     // lineage truncation): the 1-row extent agg, the bucket agg, the
     // output sort; the 1-row crosses are broadcast BNLJs.
-    "layout_zorder" -> 3)
+    "layout_zorder" -> 3,
+    "layout_hilbert" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted

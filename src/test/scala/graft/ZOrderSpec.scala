@@ -159,6 +159,46 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("hilbert: d2xy/xy2d roundtrip and curve adjacency (neighbors differ by 1 step)") {
+    import graft.functions.Hilbert
+    // full-curve anchors: the curve starts at the origin
+    assert(Hilbert.xy2d(0L, 0L) == 0L)
+    assert(Hilbert.d2xy(0L) == (0L, 0L))
+    // deterministic pseudo-random sweep over the 2^32 distance domain
+    var seed = 0x2545f4914f6cdd1dL
+    for (_ <- 1 to 2000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val d = (seed >>> 16) % (Hilbert.N * Hilbert.N - 1)
+      val (x1, y1) = Hilbert.d2xy(d)
+      val (x2, y2) = Hilbert.d2xy(d + 1)
+      // the defining Hilbert property Morton lacks: consecutive curve
+      // positions are always GRID NEIGHBORS
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L, s"jump at d=$d")
+      assert(Hilbert.xy2d(x1, y1) == d, s"roundtrip at d=$d")
+    }
+  }
+
+  test("hilbert codegen and interpreted agree on a DataFrame") {
+    import graft.functions.Hilbert
+    val df = Seq((3L, 5L), (65535L, 0L), (70000L, 70000L)).toDF("x", "y")
+    val got = df.select(Hilbert.hilbertKey(col("x"), col("y")).as("h"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(Hilbert.xy2d(3, 5), Hilbert.xy2d(65535, 0),
+      Hilbert.xy2d(70000, 70000)))
+  }
+
+  test("hilbert buckets are tighter than z-order buckets on BOTH dimensions") {
+    def widths(df: org.apache.spark.sql.DataFrame): (Double, Double) =
+      df.agg(avg(col("p_max") - col("p_min")), avg(col("s_max") - col("s_min")))
+        .as[(Double, Double)].head()
+    val (zp, zs) = widths(Layout.layoutZorder(spark, sf))
+    val (hp, hs) = widths(Layout.layoutHilbert(spark, sf))
+    // measured at sf0.001: part 0.120 vs 0.163 of domain, supplier
+    // 0.028 vs 0.049 — the no-diagonal-jumps property in data form
+    assert(hp < zp, s"hilbert part width $hp !< zorder $zp")
+    assert(hs < zs, s"hilbert supplier width $hs !< zorder $zs")
+  }
+
   test("layout_zorder buckets carry tight boxes in BOTH dimensions") {
     val out = Layout.layoutZorder(spark, sf).cache()
     val buckets = out.count()
