@@ -53,12 +53,61 @@ case class BitInterleave16(left: Expression, right: Expression)
   override def prettyName: String = "zorder_key"
 }
 
+/** 3-dimensional Morton key: interleaves the low 21 bits of THREE LONG
+  * columns into one 63-bit curve rank (x on positions 0,3,6,…, y on
+  * 1,4,7,…, z on 2,5,8,…) — the mechanical widening of
+  * [[BitInterleave16]] for three-column clustering (e.g. key × key ×
+  * day). Same mask-doubling spread, 3-bit stride. */
+case class BitInterleave21x3(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder_key3 requires (BIGINT, BIGINT, BIGINT), got " +
+        children.map(_.dataType.catalogString).mkString("(", ", ", ")"))
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BitInterleave21x3 =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrder.interleave3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) =>
+      s"${ev.value} = graft.functions.ZOrder.interleave3($x, $y, $z);")
+
+  override def prettyName: String = "zorder_key3"
+}
+
 object ZOrder {
 
   /** Shared by interpreted eval and generated code — one definition of
     * the arithmetic. Low 16 bits of x on even positions, y on odd. */
   def interleave(x: Long, y: Long): Long =
     spread16(x & 0xffffL) | (spread16(y & 0xffffL) << 1)
+
+  /** 3-D Morton: low 21 bits of each input, 3-bit stride. */
+  def interleave3(x: Long, y: Long, z: Long): Long =
+    spread21(x) | (spread21(y) << 1) | (spread21(z) << 2)
+
+  /** Spreads the low 21 bits of v to positions 0,3,…,60 — the standard
+    * 3-D Morton mask-doubling spread. */
+  def spread21(v: Long): Long = {
+    var x = v & 0x1fffffL
+    x = (x | (x << 32)) & 0x1f00000000ffffL
+    x = (x | (x << 16)) & 0x1f0000ff0000ffL
+    x = (x | (x << 8)) & 0x100f00f00f00f00fL
+    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
 
   /** Spreads the low 16 bits of v to even bit positions 0,2,…,30 —
     * the standard mask-doubling Morton spread. */
@@ -75,4 +124,9 @@ object ZOrder {
   def zorderKey(x: Column, y: Column): Column =
     ColumnBridge.column(
       BitInterleave16(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** Column form of the 3-D key. */
+  def zorderKey3(x: Column, y: Column, z: Column): Column =
+    ColumnBridge.column(BitInterleave21x3(ColumnBridge.expression(x),
+      ColumnBridge.expression(y), ColumnBridge.expression(z)))
 }

@@ -61,10 +61,13 @@ object Layout {
     * only drops bits far below the 16 the grid keeps, so small-domain
     * results are bit-identical to the unshifted form). The span itself
     * must fit in a signed 64-bit long. */
-  private def grid(v: Column, lo: Column, hi: Column): Column = {
+  private def grid(v: Column, lo: Column, hi: Column): Column =
+    gridBits(v, lo, hi, 16)
+
+  private def gridBits(v: Column, lo: Column, hi: Column, bits: Int): Column = {
     val span = hi - lo
-    val sh = greatest(length(bin(span)) - lit(47), lit(0))
-    intDiv(shr(v - lo, sh) * lit(65536L),
+    val sh = greatest(length(bin(span)) - lit(63 - bits), lit(0))
+    intDiv(shr(v - lo, sh) * lit(1L << bits),
       shr(span, sh) + lit(1L)).cast("long")
   }
 
@@ -192,6 +195,69 @@ object Layout {
        |FROM z CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** 3-DIMENSIONAL Morton diagnostic: lineitem clustered on the 63-bit
+    * interleave of (part, supplier, order) under 21-bit grid
+    * normalization — per-bucket boxes in all THREE dimensions. The
+    * widening that the 2-D scaladoc calls mechanical, implemented:
+    * same spread trick, 3-bit stride, same normalization with a 21-bit
+    * budget (overflow guard shifts at bitlen(span) > 42). */
+  def layoutZorder3(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"),
+        col("l_orderkey").as("ok"))
+    val dom = li.agg(
+      min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+      min(col("sk")).as("smin"), max(col("sk")).as("smax"),
+      min(col("ok")).as("omin"), max(col("ok")).as("omax"))
+    val z = Lineage.truncate(li.crossJoin(broadcast(dom))
+      .withColumn("z", ZOrder.zorderKey3(
+        gridBits(col("p"), col("pmin"), col("pmax"), 21),
+        gridBits(col("sk"), col("smin"), col("smax"), 21),
+        gridBits(col("ok"), col("omin"), col("omax"), 21))))
+    val mm = z.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+    // Divide-FIRST bucketing: the 63-bit key × 64 would overflow the
+    // multiply-first form the 2-D diagnostics use (their keys are 32-bit).
+    z.crossJoin(broadcast(mm))
+      .groupBy(intDiv(col("z") - col("zmin"),
+        intDiv(col("zmax") - col("zmin"), lit(Buckets)) + lit(1L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("sk")).as("s_min"), max(col("sk")).as("s_max"),
+        min(col("ok")).as("o_min"), max(col("ok")).as("o_max"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle: 21-bit grid normalization of the three columns, then the
+    * 63-term unrolled interleave (bit i of each rank on positions 3i,
+    * 3i+1, 3i+2). */
+  val layoutZorder3Sql: String = {
+    val terms = (0 until 21).flatMap { i =>
+      Seq(
+        s"((xn >> $i) & 1) * ${1L << (3 * i)}",
+        s"((yn >> $i) & 1) * ${1L << (3 * i + 1)}",
+        s"((wn >> $i) & 1) * ${1L << (3 * i + 2)}")
+    }.mkString(" + ")
+    s"""WITH li AS (SELECT l_partkey AS p, l_suppkey AS sk, l_orderkey AS ok
+       |            FROM lineitem),
+       |dom AS (SELECT min(p) AS pmin, max(p) AS pmax,
+       |               min(sk) AS smin, max(sk) AS smax,
+       |               min(ok) AS omin, max(ok) AS omax FROM li),
+       |n AS (SELECT p, sk, ok,
+       |        ((p - pmin) * 2097152) // (pmax - pmin + 1) AS xn,
+       |        ((sk - smin) * 2097152) // (smax - smin + 1) AS yn,
+       |        ((ok - omin) * 2097152) // (omax - omin + 1) AS wn
+       |      FROM li CROSS JOIN dom),
+       |z AS (SELECT p, sk, ok, $terms AS z FROM n),
+       |mm AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z)
+       |SELECT (z - zmin) // ((zmax - zmin) // $Buckets + 1) AS bucket,
+       |  count(*) AS n_rows,
+       |  min(p) AS p_min, max(p) AS p_max,
+       |  min(sk) AS s_min, max(sk) AS s_max,
+       |  min(ok) AS o_min, max(ok) AS o_max
+       |FROM z CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Oracle: the same normalization, then the Hilbert xy2d bit-descent
     * UNROLLED as 16 chained CTEs — each step classifies the quadrant
     * (rx, ry) at scale s, adds s²·((3·rx) XOR ry) to the distance, and
@@ -230,11 +296,13 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
+    "layout_zorder3" -> (layoutZorder3 _),
     "layout_hilbert" -> (layoutHilbert _)
   )
 
   val oracle: Map[String, String] = Map(
     "layout_zorder" -> layoutZorderSql,
+    "layout_zorder3" -> layoutZorder3Sql,
     "layout_hilbert" -> layoutHilbertSql
   )
 }

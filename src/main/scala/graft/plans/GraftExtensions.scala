@@ -71,6 +71,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.BitInterleave16].getName, "zorder_key"),
       (args: Seq[Expression]) =>
         graft.functions.BitInterleave16(widenIntegral(args(0)), widenIntegral(args(1)))),
+    (FunctionIdentifier("zorder_key3"),
+      new ExpressionInfo(classOf[graft.functions.BitInterleave21x3].getName, "zorder_key3"),
+      (args: Seq[Expression]) =>
+        graft.functions.BitInterleave21x3(widenIntegral(args(0)),
+          widenIntegral(args(1)), widenIntegral(args(2)))),
     // hilbert_key(x, y): the Hilbert-curve layout key — same role,
     // stronger locality (see functions/Hilbert.scala).
     (FunctionIdentifier("hilbert_key"),

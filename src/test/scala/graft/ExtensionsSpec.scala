@@ -96,6 +96,11 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.functions.Hilbert.xy2d(3L, 5L))
   }
 
+  test("zorder_key3 is callable from SQL and widens INT arguments") {
+    assert(spark.sql("SELECT zorder_key3(3, 5, 7) AS z").collect()(0).getLong(0) ==
+      graft.functions.ZOrder.interleave3(3L, 5L, 7L))
+  }
+
   test("zorder_key is callable from SQL and widens INT arguments") {
     // INT literals: the builder's explicit widening must kick in (the
     // expression itself only accepts BIGINT)

@@ -101,6 +101,7 @@ class PlanQualitySpec extends SparkSuite {
     // lineage truncation): the 1-row extent agg, the bucket agg, the
     // output sort; the 1-row crosses are broadcast BNLJs.
     "layout_zorder" -> 3,
+    "layout_zorder3" -> 3,
     "layout_hilbert" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {

@@ -32,6 +32,46 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("3-D interleave matches the bit-by-bit reference") {
+    def naive3(x: Long, y: Long, z: Long): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc |
+          (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val edges = Seq(0L, 1L, 0x1fffffL, 0x100000L, 0x155555L, 987654L)
+    for (x <- edges; y <- edges; z <- edges)
+      assert(ZOrder.interleave3(x, y, z) == naive3(x, y, z), s"($x, $y, $z)")
+    var seed = 0x6a09e667f3bcc908L
+    for (_ <- 1 to 2000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val x = seed >>> 20
+      val y = (seed * 31) >>> 17
+      val z = (seed * 131) >>> 23
+      assert(ZOrder.interleave3(x, y, z) ==
+        naive3(x & 0x1fffffL, y & 0x1fffffL, z & 0x1fffffL))
+    }
+  }
+
+  test("layout_zorder3 bounds ALL THREE dimensions per bucket") {
+    val out = graft.ops.Layout.layoutZorder3(spark, sf).cache()
+    assert(out.count() > 1)
+    val doms = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(max(col("l_partkey")), max(col("l_suppkey")), max(col("l_orderkey")))
+      .as[(Long, Long, Long)].head()
+    val w = out.agg(
+        avg(col("p_max") - col("p_min")), avg(col("s_max") - col("s_min")),
+        avg(col("o_max") - col("o_min")))
+      .as[(Double, Double, Double)].head()
+    // measured ~0.18-0.31 of each domain at the test sfs; an
+    // unclustered dimension would sit at ~1.0
+    assert(w._1 < doms._1 * 0.5, s"part width ${w._1} vs ${doms._1}")
+    assert(w._2 < doms._2 * 0.5, s"supp width ${w._2} vs ${doms._2}")
+    assert(w._3 < doms._3 * 0.5, s"order width ${w._3} vs ${doms._3}")
+    out.unpersist()
+  }
+
   test("monotone per dimension: growing one coordinate never shrinks the key") {
     // within a fixed y, the key is strictly increasing in x (and vice
     // versa) — the property that makes range filters map to key ranges
@@ -87,10 +127,13 @@ class ZOrderSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$tmp/by_p")
     // layout B: z-order on (p, sk)
     Layout.zorderWrite(li, col("p"), col("sk"), s"$tmp/by_z", files)
-    // a conjunctive box filter that is WIDE on p and narrow on sk — the
-    // regime where a p-only sort cannot help (its files all span the
-    // full sk domain) but the z layout's two-dimensional boxes can
-    val (pLo, pHi, sLo, sHi) = (50L, 150L, 4L, 5L)
+    // a box filter selective on sk ONLY — the regime where a p-only
+    // sort cannot help AT ALL (every file spans the full sk domain, so
+    // all 16 are touched) while the z layout's two-dimensional boxes
+    // prune most files. (A near-square conjunctive box is too close to
+    // break-even at 16 files to assert on: repartitionByRange samples
+    // its boundaries, so marginal cells drift run to run.)
+    val (pLo, pHi, sLo, sHi) = (0L, 1000L, 4L, 5L)
     def touched(path: String): Long =
       Layout.fileBoxes(spark, path, "p", "sk")
         .filter(col("x_max") >= pLo && col("x_min") <= pHi &&
