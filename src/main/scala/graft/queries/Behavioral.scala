@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral sequence analytics over the events table — the ClickHouse
+  * product-analytics family the reference's users run server-side
+  * (windowFunnel / sequenceCount; the loader ships events, ClickHouse
+  * answers these). Both operators are deliberately formulated as pure
+  * window-function pipelines so the whole computation is ONE shuffle on
+  * `user_id` with every subsequent pass reusing the same exchange —
+  * no self-join, no per-pair event explosion, no collected arrays.
+  *
+  * Determinism contract (the driver hash-compares against DuckDB):
+  * all times are exact epoch-millis BIGINTs, every tie is broken by
+  * `event_id`, and both engines run the identical greedy definitions
+  * spelled out on each operator.
+  */
+object Behavioral {
+
+  /** Funnel step window: each later step must land within this many ms
+    * of the step-1 anchor (24 h — the classic product-analytics span). */
+  val FunnelWindowMs: Long = 86400000L
+
+  /** The 3-step funnel over the fixture's event vocabulary. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  // ------------------------------------------------------------------
+  // windowFunnel: deepest funnel level per user, earliest-anchor greedy.
+  //
+  // Semantics (deterministic; both engines run it verbatim):
+  //   t1 = earliest 'view' of the user (the anchor),
+  //   t2 = earliest 'click'    with t1 < ts <= t1 + W,
+  //   t3 = earliest 'purchase' with t2 < ts <= t1 + W,
+  //   level = 3 if t3 else 2 if t2 else 1   (every user in the table
+  //   with no 'view' would be level 0; strict ts increase between steps
+  //   mirrors ClickHouse windowFunnel's strict_increase mode).
+  // This is the earliest-anchor variant: the chain is rooted at the
+  // user's FIRST step-1 event rather than scanning every anchor.
+  // ClickHouse's default re-anchors on later step-1 events, which can
+  // find deeper chains; earliest-anchor is the deterministic contract
+  // we can hash-check cross-engine, and the divergence is confined to
+  // users whose first view's 24 h window misses a conversion a later
+  // view would catch.
+  //
+  // Plan shape: three Window passes over the SAME partitioning
+  // (user_id, no ordering — whole-partition min frames), so Catalyst
+  // plans one exchange and chains the three WindowExecs; the per-user
+  // rollup then groups on the partition key and reuses that exchange
+  // too. At 100 TB the query moves each user's events once and nothing
+  // else — there is no join anywhere. t1/t2/t3 are per-user constants,
+  // so the rollup's min() is just "take the value".
+  def windowFunnel(s: SparkSession, dir: String): DataFrame =
+    windowFunnelOf(Relational.events(s, dir))
+
+  /** Funnel over any frame with (user_id, event_type, event_id, _ms). */
+  def windowFunnelOf(ev: DataFrame): DataFrame = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = ev
+      .withColumn("t1",
+        min(when(col("event_type") === s1, col("_ms"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === s2 &&
+          col("_ms") > col("t1") &&
+          col("_ms") <= col("t1") + FunnelWindowMs, col("_ms"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === s3 &&
+          col("_ms") > col("t2") &&
+          col("_ms") <= col("t1") + FunnelWindowMs, col("_ms"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
+    perUser
+      .select(
+        when(col("t3").isNotNull, 3L)
+          .when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L)
+          .otherwise(0L).as("level"),
+        (col("t3") - col("t1")).as("_delay"))
+      .groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        // integer mean ms from anchor to conversion; the CASE keeps the
+        // ANSI DIV away from empty groups (levels 1/2 have no delays)
+        expr("CASE WHEN count(_delay) > 0 THEN " +
+          "CAST(sum(_delay) AS BIGINT) DIV count(_delay) END")
+          .as("avg_ms_to_convert"))
+      .orderBy(col("level"))
+  }
+
+  private def windowFunnelSql: String = {
+    val Seq(s1, s2, s3) = FunnelSteps
+    val W = FunnelWindowMs
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |p1 AS (
+       |  SELECT *, min(CASE WHEN event_type = '$s1' THEN ms END)
+       |    OVER (PARTITION BY user_id) AS t1 FROM e),
+       |p2 AS (
+       |  SELECT *, min(CASE WHEN event_type = '$s2'
+       |                     AND ms > t1 AND ms <= t1 + $W THEN ms END)
+       |    OVER (PARTITION BY user_id) AS t2 FROM p1),
+       |p3 AS (
+       |  SELECT *, min(CASE WHEN event_type = '$s3'
+       |                     AND ms > t2 AND ms <= t1 + $W THEN ms END)
+       |    OVER (PARTITION BY user_id) AS t3 FROM p2),
+       |u AS (
+       |  SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+       |  FROM p3 GROUP BY user_id),
+       |lv AS (
+       |  SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+       |              WHEN t2 IS NOT NULL THEN 2
+       |              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS level,
+       |         t3 - t1 AS delay
+       |  FROM u)
+       |SELECT level, count(*) AS n_users,
+       |  CASE WHEN count(delay) > 0
+       |       THEN CAST(sum(delay) AS BIGINT) // count(delay) END
+       |    AS avg_ms_to_convert
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // sequenceCount: greedy NON-OVERLAPPING (open → close) match count
+  // per user — ClickHouse sequenceCount's counting discipline (each
+  // event participates in at most one match) for the 2-step pattern
+  // view → purchase.
+  //
+  // The greedy scan ("on open: push; on close: pop-if-open") is
+  // sequential, but it has a closed form over prefix sums:
+  //     matched(u) = totClose − max(0, max over prefixes (cumClose − cumOpen))
+  // Proof sketch: the running surplus cumClose − cumOpen counts closes
+  // that arrived with no open to consume; its running max is exactly
+  // the number of closes the greedy scan leaves unmatched (the surplus
+  // only grows when an unmatched close arrives and never shrinks below
+  // a past peak — once a close is orphaned no later open can reach
+  // back to it). Verified against a direct scan simulation in
+  // BehavioralSpec. That closed form turns the sequential automaton
+  // into one running-sum window + one per-user aggregate: a single
+  // shuffle on user_id, scan-shaped at any corpus size.
+  def sequenceCount(s: SparkSession, dir: String): DataFrame =
+    sequenceCountOf(Relational.events(s, dir), "view", "purchase")
+
+  /** Greedy non-overlapping (open→close) matches per user over any
+    * frame with (user_id, event_type, event_id, _ms). */
+  def sequenceCountOf(ev: DataFrame, open: String, close: String): DataFrame = {
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin(open, close))
+      .withColumn("_diff",
+        sum(when(col("event_type") === close, 1L).otherwise(-1L)).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === open, 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("event_type") === close, 1L).otherwise(0L)).as("n_close"),
+        (sum(when(col("event_type") === close, 1L).otherwise(0L)) -
+          greatest(lit(0L), max(col("_diff")))).as("n_matched"))
+      .orderBy(col("user_id"))
+  }
+
+  private def sequenceCountSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       |r AS (
+       |  SELECT user_id, event_type,
+       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+       |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS diff
+       |  FROM e)
+       |SELECT user_id,
+       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |       - GREATEST(0, MAX(diff)) AS BIGINT) AS n_matched
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window_funnel" -> (windowFunnel _),
+    "events_sequence_count" -> (sequenceCount _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_window_funnel" -> windowFunnelSql,
+    "events_sequence_count" -> sequenceCountSql
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Behavioral
+
+/** Behavioral sequence analytics: windowFunnel and sequenceCount. */
+class BehavioralSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val W = Behavioral.FunnelWindowMs
+
+  private def ev(rows: (Long, String, Long, Long)*) =
+    rows.toDF("user_id", "event_type", "event_id", "_ms")
+
+  test("windowFunnel: hand-computed levels, window and order boundaries") {
+    val events = ev(
+      // user 1: clean 3-step chain inside the window -> level 3, delay 200
+      (1L, "view", 1L, 0L), (1L, "click", 2L, 100L), (1L, "purchase", 3L, 200L),
+      // user 2: click lands outside the 24 h anchor window -> level 1
+      (2L, "view", 4L, 0L), (2L, "click", 5L, W + 1000L),
+      // user 3: purchase exists but BEFORE the click -> strict-increase
+      // chain stops at level 2
+      (3L, "view", 6L, 100L), (3L, "purchase", 7L, 150L), (3L, "click", 8L, 200L),
+      // user 4: no view at all -> level 0
+      (4L, "click", 9L, 0L), (4L, "purchase", 10L, 50L),
+      // user 5: purchase exactly AT t1 + W (inclusive bound) -> level 3
+      (5L, "view", 11L, 0L), (5L, "click", 12L, 50L), (5L, "purchase", 13L, W))
+    val got = Behavioral.windowFunnelOf(events)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, None),
+      (1L, 1L, None),
+      (2L, 1L, None),
+      (3L, 2L, Some((200L + W) / 2))))
+  }
+
+  test("windowFunnel: earliest-anchor contract — a later view cannot re-anchor") {
+    // The first view's window misses the purchase; a later view would
+    // catch it. Earliest-anchor greedy stays at the level the first
+    // anchor reaches (here 2: the click IS inside the first window).
+    val events = ev(
+      (1L, "view", 1L, 0L), (1L, "click", 2L, 10L),
+      (1L, "view", 3L, W + 100L), (1L, "purchase", 4L, W + 200L))
+    val got = Behavioral.windowFunnelOf(events)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((2L, 1L, None)))
+  }
+
+  test("sequenceCount: closed form equals the direct greedy scan on random streams") {
+    val rnd = new scala.util.Random(42)
+    val types = Seq("view", "purchase", "click")
+    val rows = for {
+      uid <- 0L until 40L
+      eid <- 0L until (5 + rnd.nextInt(30)).toLong
+    } yield (uid, types(rnd.nextInt(3)), uid * 1000 + eid, rnd.nextInt(100000).toLong)
+    val got = Behavioral.sequenceCountOf(ev(rows: _*), "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // direct automaton: on view push, on purchase pop-if-open
+    val want = rows.groupBy(_._1).map { case (uid, es) =>
+      var open = 0; var matched = 0
+      es.filter(e => e._2 == "view" || e._2 == "purchase")
+        .sortBy(e => (e._4, e._3))
+        .foreach { e =>
+          if (e._2 == "view") open += 1
+          else if (open > 0) { matched += 1; open -= 1 }
+        }
+      uid -> matched.toLong
+    }
+    assert(got == want.filter { case (uid, _) =>
+      rows.exists(r => r._1 == uid && (r._2 == "view" || r._2 == "purchase")) })
+  }
+
+  test("sequenceCount: registered query invariants hold on the fixture") {
+    val df = Behavioral.sequenceCount(spark, sf)
+    val rows = df.as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.sortBy(_._1) == rows, "ordered by user_id")
+    rows.foreach { case (uid, nOpen, nClose, nMatched) =>
+      assert(nMatched >= 0L && nMatched <= math.min(nOpen, nClose),
+        s"user $uid: matched $nMatched outside [0, min($nOpen, $nClose)]")
+    }
+  }
+
+  test("windowFunnel: registered query is a valid level histogram on the fixture") {
+    val rows = Behavioral.windowFunnel(spark, sf)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) == rows.map(_._1).sorted, "ordered by level")
+    assert(rows.map(_._1).distinct == rows.map(_._1), "one row per level")
+    rows.foreach { case (level, nUsers, delay) =>
+      assert(level >= 0L && level <= 3L && nUsers > 0L)
+      assert(delay.isEmpty == (level != 3L),
+        s"avg delay must exist exactly at level 3 (level $level)")
+      delay.foreach(d => assert(d > 0L && d <= W))
+    }
+  }
+}

@@ -102,7 +102,15 @@ class PlanQualitySpec extends SparkSuite {
     // output sort; the 1-row crosses are broadcast BNLJs.
     "layout_zorder" -> 3,
     "layout_zorder3" -> 3,
-    "layout_hilbert" -> 3)
+    "layout_hilbert" -> 3,
+    // Behavioral family: pure window-chain plans. The funnel's ONE
+    // user_id exchange feeds all three WindowExecs AND the per-user
+    // rollup (same partitioning); level histogram + output sort are the
+    // other two. sequenceCount: user_id exchange (window + rollup) +
+    // output range sort. A join or per-user re-shuffle appearing in
+    // either plan is a de-optimization and fails here.
+    "events_window_funnel" -> 3,
+    "events_sequence_count" -> 2)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
