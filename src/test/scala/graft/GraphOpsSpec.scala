@@ -133,4 +133,98 @@ class GraphOpsSpec extends SparkSuite {
     // total order (n_tri desc, part asc) actually holds in the output
     assert(top == top.sortBy { case (p, n) => (-n, p) })
   }
+
+  test("star CC equals label-propagation CC on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 10 + rnd.nextInt(50)
+      val pairs = Seq.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("a", "b")
+      val lp = GraphOps.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      val st = GraphOps.connectedComponentsStar(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(st == lp, s"trial $trial: star CC diverged from label propagation")
+    }
+  }
+
+  test("star CC collapses a 200-node path — beyond label propagation's round budget") {
+    // Diameter 199: label propagation at default maxIter=25 CANNOT
+    // finish this graph; star contraction converges in O(log n) rounds.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val st = GraphOps.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(st == (0L until 200L).map(_ -> 0L))
+  }
+
+  test("star CC: empty pair set yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponentsStar(pairs).count() == 0L)
+  }
+
+  test("dedup_clusters_star matches dedup_clusters row for row on the fixture") {
+    val lp = GraphOps.dedupClusters(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val st = GraphOps.dedupClustersStar(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(st == lp)
+  }
+
+  test("core decomposition: hand-computed graph (K4 + pendant + path), support rule applied") {
+    // Each kept edge is stated by TWO orders (o and o+100) to clear the
+    // MinSupport=2 bar. K4 on {1,2,3,4}: core 3 each. Node 5 hangs off
+    // 4: core 1. Path 10-11-12: core 1 each. Orders 50/51 state a 6-7
+    // edge only ONCE — support 1, dropped, so 6 and 7 never appear.
+    val base = Seq(
+      1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 4L,
+      4L -> 2L, 4L -> 3L, 5L -> 2L, 5L -> 4L, 6L -> 3L, 6L -> 4L,
+      7L -> 4L, 7L -> 5L,
+      8L -> 10L, 8L -> 11L, 9L -> 11L, 9L -> 12L)
+    val membership =
+      (base ++ base.map { case (o, p) => (o + 100L, p) } ++
+        Seq(50L -> 6L, 50L -> 7L)).toDF("o", "p")
+    val got = GraphOps.coreDecompositionOf(membership)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("core decomposition: estimates reach the exact peel fixpoint at fixture scale") {
+    val got = GraphOps.kcore(spark, sf).as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // exact sequential peel on the collected fixture graph (tiny at sf0.001)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val byO = li.groupBy(_._1).values
+    // support-filtered edges: pairs co-occurring in >= MinSupport orders
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byO.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (x <- ps; y <- ps if x < y)
+        support((x, y)) = support.getOrElse((x, y), 0L) + 1L
+    }
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    support.foreach { case ((x, y), w) =>
+      if (w >= GraphOps.Cores.MinSupport) {
+        adj.getOrElseUpdate(x, scala.collection.mutable.Set.empty) += y
+        adj.getOrElseUpdate(y, scala.collection.mutable.Set.empty) += x
+      }
+    }
+    val deg = scala.collection.mutable.Map(adj.view.mapValues(_.size).toSeq: _*)
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var cur = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(x => (deg(x), x))
+      cur = math.max(cur, deg(v).toLong)
+      core(v) = cur
+      alive -= v
+      adj(v).foreach(u => if (alive(u)) deg(u) -= 1)
+    }
+    assert(got == core.toMap,
+      "h-index fixpoint must equal the exact sequential peel")
+  }
 }

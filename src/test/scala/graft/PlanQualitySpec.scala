@@ -110,7 +110,14 @@ class PlanQualitySpec extends SparkSuite {
     // output range sort. A join or per-user re-shuffle appearing in
     // either plan is a de-optimization and fails here.
     "events_window_funnel" -> 3,
-    "events_sequence_count" -> 2)
+    "events_sequence_count" -> 2,
+    // Post-checkpoint graph plans: kcore's final estimate table is
+    // lineage-truncated, so the registered plan is scan + output sort
+    // only (the loop's per-round work is measured in SCALE.md, not
+    // visible here). Star CC: label union+distinct over the converged
+    // star edges + cluster-size window + output sort.
+    "graph_kcore" -> 1,
+    "dedup_clusters_star" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
