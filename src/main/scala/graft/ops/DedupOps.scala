@@ -708,8 +708,115 @@ object DedupOps {
        |HAVING count(*) >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // ExactSubstr-style duplicated-span coverage (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): mark
+  // every position whose L-token window occurs VERBATIM in at least one
+  // other document, merge marked positions into maximal spans, and
+  // report per-doc span count / duplicated-token mass / milli-coverage.
+  // The paper's suffix array is a shared-memory artifact; the
+  // distributed formulation is windowed grams + a count-by-gram — no
+  // pair join anywhere (the winnow path reports WHICH docs share
+  // material; this one reports WHERE and HOW MUCH of each doc is
+  // duplicated — the removal-decision signal).
+  //
+  // 100 TB shape: the gram explode is one row per token position
+  // (corpus-linear, the same artifact every shingle path here builds),
+  // the dup test is one count-distinct keyed on the gram, and the span
+  // merge is a per-doc window — nothing quadratic, no candidate pairs.
+  // At that scale the gram STRING in the shuffle key would be swapped
+  // for a 128-bit rolling fingerprint (PolyHash-style, the shingles()
+  // trick above) with an identical plan; the fixture-scale query keeps
+  // the exact text so the dup test has zero collision caveat.
+  object ExactSubstr {
+    /** Window length in tokens. Long enough that natural-language
+      * collisions are rare (the paper uses 50 BPE tokens at web scale;
+      * the fixture corpus repeats templated phrases at ~9% of positions
+      * under 8). */
+    val L = 8
+  }
+
+  /** Registered query: duplicated-span coverage over the RAW documents
+    * table — the fixture's templated phrasing supplies genuine
+    * cross-doc verbatim L-grams, so no twin augmentation is needed. */
+  def exactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    exactSubstrOf(docs(s, dir))
+
+  /** Per-doc maximal duplicated spans of any (doc_id, text) corpus. */
+  def exactSubstrOf(d: DataFrame): DataFrame = {
+    val L = ExactSubstr.L
+    val toked = d.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t"), size(col("_t")).cast("long").as("n_tokens"))
+    val grams = toked.filter(size(col("_t")) >= L)
+      .select(col("doc_id"), expr(
+        s"explode(transform(sequence(1, size(_t) - ${L - 1}), " +
+          s"i -> struct(CAST(i AS BIGINT) AS pos, array_join(slice(_t, i, $L), ' ') AS gram)))").as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    // cross-doc duplication only: a phrase repeated inside ONE doc is
+    // repetition (filter_repetition_rules' business), not duplication
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val marked = grams.join(dupGrams, Seq("gram"), "left_semi")
+    // gaps-and-islands: windows [pos, pos+L-1] chain while the next
+    // start is within L of the previous (coverage stays contiguous)
+    val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wRun = wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDoc = marked
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1, -1000000L).over(wD) > L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("_new")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + L).as("span_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    toked.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_milli", expr("dup_tokens * 1000 DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical gram/dup/island pipeline as plain CTEs. */
+  val exactSubstrSql: String = {
+    val L = ExactSubstr.L
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(t, i, i + ${L - 1}), ' ') AS gram
+       |  FROM toks, UNNEST(CASE WHEN len(t) >= $L
+       |    THEN range(1, len(t) - ${L - 2}) ELSE [] END) s(i)),
+       |dup AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+       |flags AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+       |      -1000000) > $L THEN 1 ELSE 0 END AS f
+       |  FROM marked),
+       |isl AS (
+       |  SELECT doc_id, pos, SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flags),
+       |sp AS (SELECT doc_id, island, max(pos) - min(pos) + $L AS span_tokens
+       |       FROM isl GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+       |       FROM sp GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(COALESCE(pd.dup_tokens, 0) * 1000 // len(t.t) AS BIGINT) AS dup_milli
+       |FROM toks t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow_spans" -> (winnowSpans _),
+    "dedup_exact_substr" -> (exactSubstrSpans _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
     "dedup_incremental" -> (incrementalDedup _),
@@ -879,6 +986,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "dedup_winnow_spans" -> winnowSpansSql,
+    "dedup_exact_substr" -> exactSubstrSql,
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,

@@ -746,4 +746,69 @@ class OpsSpec extends SparkSuite {
     // the templated corpus still yields real twin pairs among the cold spans
     assert(got.keysIterator.count { case (a, b) => b == a + 1000000L } > 100)
   }
+
+  test("exact-substr spans: hand-computed islands, same-doc repeats excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share two DISJOINT 8-grams (positions 1 and 10) -> 2 spans
+      1L -> "a b c d e f g h X p q r s t u v w Y",
+      2L -> "a b c d e f g h Z p q r s t u v w Q",
+      // doc 3 repeats an 8-gram only WITHIN itself -> cross-doc rule says 0
+      3L -> "m m m m m m m m m",
+      // doc 4 is shorter than L -> no grams at all
+      4L -> "x y z",
+      // doc 5: window 1 is shared with docs 1/2/7 and window 2 with
+      // doc 7, so the two overlapping windows merge -> fully covered
+      5L -> "a b c d e f g h i",
+      // docs 6/7 share a 10-token run -> three OVERLAPPING marked
+      // positions merge into ONE maximal span in each
+      6L -> "q a b c d e f g h i j",
+      7L -> "a b c d e f g h i j").toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 18L, 2L, 16L, 888L),
+      (2L, 18L, 2L, 16L, 888L),
+      (3L, 9L, 0L, 0L, 0L),
+      (4L, 3L, 0L, 0L, 0L),
+      (5L, 9L, 1L, 9L, 1000L),
+      (6L, 11L, 1L, 10L, 909L),
+      (7L, 10L, 1L, 10L, 1000L)))
+  }
+
+  test("exact-substr spans: adjacent-but-gapped windows split exactly at distance L") {
+    import spark.implicits._
+    // positions 1 and 9: gap 8 == L -> contiguous coverage, ONE span of
+    // 16 tokens; positions 1 and 10 (doc pair B): gap 9 > L -> two spans
+    val docs = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 b4 b5 b6 b7 b8",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 a8 b1 b2 b3 b4 b5 b6 b7 b8 zz",
+      3L -> "c1 c2 c3 c4 c5 c6 c7 c8 x d1 d2 d3 d4 d5 d6 d7 d8",
+      4L -> "c1 c2 c3 c4 c5 c6 c7 c8 y d1 d2 d3 d4 d5 d6 d7 d8").toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrOf(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // docs 1/2: every window of doc 1 is in doc 2 -> positions 1..9 all
+    // marked -> one 16-token span covering doc 1 entirely
+    assert(got.head == (1L, 16L, 1L, 16L, 1000L))
+    // docs 3/4: shared windows at positions 1 and 10 only (the middle
+    // token differs) -> two disjoint 8-token spans
+    assert(got(2) == (3L, 17L, 2L, 16L, 941L))
+    assert(got(3) == (4L, 17L, 2L, 16L, 941L))
+  }
+
+  test("exact-substr spans: registered query invariants on the fixture corpus") {
+    import spark.implicits._
+    val rows = DedupOps.exactSubstrSpans(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.size == nDocs, "every doc reported, including span-free ones")
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    rows.foreach { case (id, n, spans, dup, milli) =>
+      assert(dup >= 0L && dup <= n, s"doc $id: dup mass $dup outside [0, $n]")
+      assert((spans == 0L) == (dup == 0L))
+      assert(milli == dup * 1000 / n)
+    }
+    // the templated fixture phrasing produces real cross-doc duplication
+    assert(rows.exists(_._3 > 0L), "expected at least one duplicated span")
+  }
 }

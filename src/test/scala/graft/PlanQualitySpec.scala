@@ -117,7 +117,12 @@ class PlanQualitySpec extends SparkSuite {
     // visible here). Star CC: label union+distinct over the converged
     // star edges + cluster-size window + output sort.
     "graph_kcore" -> 1,
-    "dedup_clusters_star" -> 3)
+    "dedup_clusters_star" -> 3,
+    // ExactSubstr spans: gram-count agg + the per-doc island window +
+    // per-doc rollup feed + output sort; the dup-gram semi-join and the
+    // all-docs left join are broadcasts. No pair join exists to regress,
+    // so the pin guards against the gram explode being re-shuffled.
+    "dedup_exact_substr" -> 4)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
