@@ -692,7 +692,81 @@ object TextOps {
        |ORDER BY step""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Collocation mining: top bigrams by pointwise mutual information —
+  // the corpus-statistics view of "which token pairs belong together"
+  // (multi-word expressions, named entities, templated boilerplate).
+  // Complements the bigram LM above: n_bigram ranks by raw frequency
+  // (dominated by stop-word glue); PMI ranks by ASSOCIATION, surfacing
+  // pairs that co-occur far above chance.
+  //   pmi_milli = round(1000·ln( (c12/B) / ((c1/T)·(c2/T)) ))
+  // with T total tokens, B total bigrams — quantized to milli-nats via
+  // the same bit-portable CAST(round(1000·ln(·))) idiom as tf-idf and
+  // perplexity; the ratio is computed in DOUBLE (identical expression
+  // both engines) so huge corpora cannot overflow an integer product.
+  // MinCount prunes the hapax noise that makes raw PMI degenerate.
+  //
+  // Shape: one bigram explode + two vocabulary-bounded aggregates; the
+  // unigram table joins back as a broadcast (vocabulary-sized — far
+  // below corpus scale), totals are 1-row broadcast crosses, and the
+  // output is a TakeOrdered. One corpus pass, key-bounded shuffles.
+  object Collocations {
+    /** Minimum bigram support — PMI is notoriously hapax-dominated. */
+    val MinCount = 3L
+    val TopK = 64
+  }
+
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    collocationsOf(docs(s, dir))
+
+  /** Top-PMI bigrams of any (doc_id, text) corpus. */
+  def collocationsOf(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bi = d.select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 2) // no bigram below 2 tokens (ANSI-safe)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= Collocations.MinCount)
+    val uni = d.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+    val btot = bi.agg(count(lit(1)).as("bt"))
+    c12
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(tot.select(col("tt"))))
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("CAST(round(1000 * ln((CAST(c12 AS DOUBLE) * tt * tt) / " +
+          "(CAST(bt AS DOUBLE) * c1 * c2))) AS BIGINT)").as("pmi_milli"))
+      .orderBy(col("pmi_milli").desc, col("w1"), col("w2"))
+      .limit(Collocations.TopK)
+  }
+
+  val collocationsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |bi AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+       |c12 AS (
+       |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+       |  HAVING count(*) >= ${Collocations.MinCount}),
+       |uni AS (SELECT w, count(*) AS c FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+       |btot AS (SELECT count(*) AS bt FROM bi)
+       |SELECT c12.w1, c12.w2, c12.c12,
+       |  CAST(round(1000 * ln((CAST(c12.c12 AS DOUBLE) * tt * tt) /
+       |    (CAST(bt AS DOUBLE) * u1.c * u2.c))) AS BIGINT) AS pmi_milli
+       |FROM c12
+       |JOIN uni u1 ON u1.w = c12.w1
+       |JOIN uni u2 ON u2.w = c12.w2, tot, btot
+       |ORDER BY pmi_milli DESC, w1, w2 LIMIT ${Collocations.TopK}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
@@ -710,6 +784,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,
     "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,

@@ -140,6 +140,51 @@ class FilterOpsSpec extends SparkSuite {
     assert(best > worst, "perplexity must separate documents")
   }
 
+  test("collocations: PMI ranking matches a brute-force model on a hand corpus") {
+    import spark.implicits._
+    // "san francisco" always co-occurs (high PMI); "the cat"/"the dog"
+    // repeat but 'the' is everywhere (low PMI); hapax pairs are pruned
+    // by MinCount.
+    val d = Seq(
+      1L -> "san francisco the cat sat",
+      2L -> "san francisco the dog ran",
+      3L -> "the cat saw the dog here",
+      4L -> "san francisco the cat and the dog",
+      5L -> "unique pair once only").toDF("doc_id", "text")
+    val got = graft.ops.TextOps.collocationsOf(d)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // brute-force the same statistic
+    val docs = Seq("san francisco the cat sat", "san francisco the dog ran",
+      "the cat saw the dog here", "san francisco the cat and the dog",
+      "unique pair once only").map(_.split("\\s+").toSeq)
+    val bigrams = docs.flatMap(t => t.zip(t.tail))
+    val unigrams = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = docs.map(_.size).sum.toDouble
+    val bt = bigrams.size.toDouble
+    val want = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= graft.ops.TextOps.Collocations.MinCount)
+      .map { case ((w1, w2), c) =>
+        val pmi = math.round(1000 * math.log(
+          (c.toDouble * tt * tt) / (bt * unigrams(w1) * unigrams(w2))))
+        (w1, w2, c, pmi)
+      }
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(graft.ops.TextOps.Collocations.TopK)
+    assert(got == want)
+    // the always-together pair dominates the stop-word glue
+    assert(got.head._1 == "san" && got.head._2 == "francisco")
+  }
+
+  test("collocations: registered query invariants on the fixture corpus") {
+    import spark.implicits._
+    val rows = graft.ops.TextOps.collocations(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= graft.ops.TextOps.Collocations.TopK)
+    assert(rows.forall(_._3 >= graft.ops.TextOps.Collocations.MinCount))
+    assert(rows == rows.sortBy { case (w1, w2, _, p) => (-p, w1, w2) },
+      "total order (pmi desc, w1, w2) must hold")
+  }
+
   test("bloom probe: zero false negatives, planted members detected, summary is a confusion table") {
     val b = FilterOps.bloomProbe(spark, sf).cache()
     val rows = b.collect()

@@ -122,7 +122,12 @@ class PlanQualitySpec extends SparkSuite {
     // per-doc rollup feed + output sort; the dup-gram semi-join and the
     // all-docs left join are broadcasts. No pair join exists to regress,
     // so the pin guards against the gram explode being re-shuffled.
-    "dedup_exact_substr" -> 4)
+    "dedup_exact_substr" -> 4,
+    // PMI collocations: bigram-count agg, unigram agg (+ its 1-row
+    // totals rollup), the bigram-total rollup, and TakeOrdered; the
+    // vocabulary and totals join back as broadcasts. All shuffles are
+    // vocabulary- or 1-row-sized except the bigram count.
+    "text_collocations" -> 6)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
