@@ -54,11 +54,13 @@ object Behavioral {
   def windowFunnel(s: SparkSession, dir: String): DataFrame =
     windowFunnelOf(Relational.events(s, dir))
 
-  /** Funnel over any frame with (user_id, event_type, event_id, _ms). */
-  def windowFunnelOf(ev: DataFrame): DataFrame = {
+  /** The per-user (t1, t2, t3) chain — the funnel's intermediate frame,
+    * exposed so the streaming op's parity spec can compare against the
+    * exact batch semantics. */
+  def windowFunnelPerUser(ev: DataFrame): DataFrame = {
     val Seq(s1, s2, s3) = FunnelSteps
     val w = Window.partitionBy(col("user_id"))
-    val perUser = ev
+    ev
       .withColumn("t1",
         min(when(col("event_type") === s1, col("_ms"))).over(w))
       .withColumn("t2",
@@ -72,7 +74,11 @@ object Behavioral {
       .groupBy(col("user_id"))
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
         min(col("t3")).as("t3"))
-    perUser
+  }
+
+  /** Funnel over any frame with (user_id, event_type, event_id, _ms). */
+  def windowFunnelOf(ev: DataFrame): DataFrame =
+    windowFunnelPerUser(ev)
       .select(
         when(col("t3").isNotNull, 3L)
           .when(col("t2").isNotNull, 2L)
@@ -88,7 +94,6 @@ object Behavioral {
           "CAST(sum(_delay) AS BIGINT) DIV count(_delay) END")
           .as("avg_ms_to_convert"))
       .orderBy(col("level"))
-  }
 
   private def windowFunnelSql: String = {
     val Seq(s1, s2, s3) = FunnelSteps

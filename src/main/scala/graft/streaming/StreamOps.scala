@@ -91,6 +91,75 @@ object StreamOps {
       }
   }
 
+  /** Per-user funnel progress (streaming twin of the batch
+    * `Behavioral.windowFunnel` query). t1/t2/t3 carry the earliest-
+    * anchor chain with -1 = unset; one row is emitted each time a
+    * user's level INCREASES. */
+  case class FunnelProgress(user_id: Long, level: Long,
+      t1: Long, t2: Long, t3: Long)
+
+  private def funnelLevel(t1: Long, t2: Long, t3: Long): Long =
+    if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+
+  /** Streaming windowFunnel: the earliest-anchor greedy chain
+    * (view → click → purchase inside `windowMs` of the anchor, strict
+    * ts increase — the exact batch contract) folded incrementally per
+    * user with flatMapGroupsWithState. Each batch's events are folded
+    * in (ts, event_id) order; for a stream delivered in event-time
+    * order across batches (the tip-follow case; the parity spec feeds
+    * the fixture this way) the final state is row-for-row identical to
+    * the batch window chain.
+    *
+    * State is BOUNDED: a user idle for `retention` of event time is
+    * evicted. A funnel whose anchor window has closed can never change
+    * level again, so eviction loses nothing for reporting — but a user
+    * who RETURNS after eviction starts a fresh funnel EPISODE with a
+    * new anchor. That is the streaming-native reading (and the one
+    * divergence from the batch global-first-anchor semantics; the
+    * episode spec pins it explicitly). */
+  def funnelStream(
+      events: Dataset[Event],
+      windowMs: Long = graft.queries.Behavioral.FunnelWindowMs,
+      retention: java.time.Duration = java.time.Duration.ofDays(45)): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val Seq(s1, s2, s3) = graft.queries.Behavioral.FunnelSteps
+    val retMs = retention.toMillis
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove() // closed-or-idle episode: level is frozen, drop
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(uid, 0L, -1L, -1L, -1L))
+            val before = st.level
+            val evs = batch.toSeq
+            // in-batch fold runs in event-time order regardless of
+            // delivery order inside the micro-batch
+            evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val m = e.ts.getTime
+              if (e.event_type == s1 && st.t1 < 0)
+                st = st.copy(t1 = m)
+              else if (e.event_type == s2 && st.t1 >= 0 && st.t2 < 0 &&
+                m > st.t1 && m <= st.t1 + windowMs)
+                st = st.copy(t2 = m)
+              else if (e.event_type == s3 && st.t2 >= 0 && st.t3 < 0 &&
+                m > st.t2 && m <= st.t1 + windowMs)
+                st = st.copy(t3 = m)
+            }
+            st = st.copy(level = funnelLevel(st.t1, st.t2, st.t3))
+            state.update(st)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retMs, state.getCurrentWatermarkMs() + 1))
+            if (st.level > before) Iterator.single(st) else Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream interval join: impressions ⋈ clicks by user within
     * [0, 10 min] AFTER the impression — the streaming analog of the batch
     * range join (Relational.q21). Both sides carry watermarks and the

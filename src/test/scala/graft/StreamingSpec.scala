@@ -360,4 +360,75 @@ class StreamingSpec extends SparkSuite {
     assert(snap("band_index") == idx0 && snap("shingle_index") == sh0,
       "replayed batch must not grow the state tables")
   }
+
+  test("streaming funnel equals the batch window chain on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the real events table, delivered tip-follow style in 3 time-ordered
+    // micro-batches — final streaming state must equal the batch query
+    val ev = graft.queries.Relational.events(spark, sf)
+    val ordered = ev
+      .select(col("event_id"), col("_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("_ms"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("fun").outputMode("append").start()
+    ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.sql(
+      "SELECT user_id, level, t1, t2, t3 FROM fun")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    q.stop()
+    val want = graft.queries.Behavioral.windowFunnelPerUser(ev)
+      .collect()
+      .map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+        val (t1, t2, t3) = (g(1), g(2), g(3))
+        val level = if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+        r.getLong(0) -> ((level, t1, t2, t3))
+      }
+      .filter(_._2._1 >= 1L).toMap
+    assert(got == want,
+      s"streaming/batch funnel divergence: extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+
+  test("streaming funnel: evicted user re-anchors as a fresh episode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 1-hour retention: user 5's day-1 level-1 funnel is evicted once the
+    // watermark passes; the day-3 return starts a NEW anchor and climbs
+    // to level 2 in one batch
+    val q = StreamOps.funnelStream(in.toDS(),
+        retention = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("episode").outputMode("append").start()
+    in.addData(Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 5, "view", 0))
+    q.processAllAvailable()
+    // another user pushes the watermark days past user 5's timeout
+    in.addData(Event(2, Timestamp.valueOf("2024-01-03 10:00:00"), 6, "view", 0))
+    q.processAllAvailable()
+    in.addData(Event(3, Timestamp.valueOf("2024-01-03 12:00:00"), 6, "click", 0))
+    q.processAllAvailable() // fires user 5's timeout -> state removed
+    in.addData(
+      Event(4, Timestamp.valueOf("2024-01-03 13:00:00"), 5, "view", 0),
+      Event(5, Timestamp.valueOf("2024-01-03 13:05:00"), 5, "click", 0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT level, t1 FROM episode WHERE user_id = 5 ORDER BY t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    q.stop()
+    val day1 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val day3 = Timestamp.valueOf("2024-01-03 13:00:00").getTime
+    assert(rows == Seq((1L, day1), (2L, day3)),
+      "expected the old episode's level-1 row, then a re-anchored level-2 row")
+  }
 }
