@@ -662,6 +662,95 @@ object TextOps {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMergesFrom(docs(s, dir))
 
+  // ------------------------------------------------------------------
+  // BPE ENCODE — apply the learned merge sequence to the corpus and
+  // report per-doc token counts under the trained tokenizer: the
+  // budget/packing number every training pipeline actually needs
+  // (context-window packing, per-doc cost, mixture weighting all count
+  // BPE tokens, not whitespace tokens).
+  //
+  // Shape: training reduces the corpus to the vocab table once (see
+  // above); ENCODING never shuffles at all beyond the per-doc count —
+  // the merge table is MergeSteps tiny rows read to the driver (the
+  // bounded-collect pattern of the PQ codebook anchors), and each merge
+  // is one narrow literal `replace` pass over the per-doc word column,
+  // so the whole apply chain is map-only and codegen'd. The
+  // delimiter-encoded replace reproduces BPE's greedy left-to-right
+  // non-overlapping merge exactly as in training.
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(docs(s, dir))
+
+  /** Per-doc BPE token counts of any (doc_id, text) corpus under
+    * merges trained on that same corpus. */
+  def bpeEncodeFrom(d: DataFrame): DataFrame = {
+    val mergeRows = bpeMergesFrom(d)
+      .select(col("step"), col("lhs"), col("rhs")).collect()
+      .sortBy(_.getLong(0)) // MergeSteps rows: bounded driver read
+    var dw = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(BpeD))
+      .select(col("doc_id"),
+        concat(lit(BpeD),
+          array_join(expr(
+            s"array_append(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '$BpeEow')"),
+            BpeD + BpeD),
+          lit(BpeD)).as("w"))
+    mergeRows.foreach { r =>
+      val (l, rr) = (r.getString(1), r.getString(2))
+      dw = dw.select(col("doc_id"),
+        replace(col("w"),
+          lit(BpeD + l + BpeD + BpeD + rr + BpeD),
+          lit(BpeD + l + rr + BpeD)).as("w"))
+    }
+    dw.select(col("doc_id"),
+        size(split(trim(col("w"), BpeD), BpeD + BpeD)).cast("long").as("_n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the training layers (MATERIALIZED — each w_i is referenced
+    * twice, and plain inlining would expand the chain 2^steps-fold once
+    * the doc-apply chain references the merges too) plus a per-doc
+    * apply chain d0 → d_n running the identical literal replaces. */
+  val bpeEncodeSql: String = {
+    val dl = "chr(31)"
+    val layers = (1 to BpeSteps).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(c) AS BIGINT) AS t
+         |  FROM (SELECT str_split(trim(w, $dl), $dl||$dl) AS syms, c FROM w${i - 1}),
+         |       UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs FROM p$i ORDER BY t DESC, lhs, rhs LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(w.w, $dl||m.lhs||$dl||$dl||m.rhs||$dl, $dl||m.lhs||m.rhs||$dl) AS w, w.c
+         |  FROM w${i - 1} w, m$i m),
+         |d$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(d.w, $dl||m.lhs||$dl||$dl||m.rhs||$dl, $dl||m.lhs||m.rhs||$dl) AS w
+         |  FROM d${i - 1} d, m$i m)""".stripMargin
+    }
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, $dl)),
+       |w0 AS MATERIALIZED (
+       |  SELECT $dl || array_to_string(list_append(
+       |           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+       |           '$BpeEow'), $dl||$dl) || $dl AS w,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM words GROUP BY 1),
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id, $dl || array_to_string(list_append(
+       |           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+       |           '$BpeEow'), $dl||$dl) || $dl AS w
+       |  FROM words),
+       |${layers.mkString(",\n")}
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(str_split(trim(w, $dl), $dl||$dl))) AS BIGINT) AS n_bpe_tokens
+       |FROM d$BpeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The identical iteration unrolled as CTE layers w0 -> (p_i, m_i,
     * w_i)* — one layer per merge step, same argmax tie-break, same
     * delimiter-encoded replace. */
@@ -768,6 +857,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
+    "text_bpe_encode" -> (bpeEncode _),
     "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
@@ -786,6 +876,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,

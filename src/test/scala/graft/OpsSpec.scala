@@ -355,6 +355,58 @@ class OpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("bpe encode: per-doc counts match a reference greedy merge fold") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaaa aaaa low low low"), (2L, "lower"),
+      (3L, "low aaaa newword")).toDF("doc_id", "text")
+    // reference: apply the trained merges to each word's symbol list with
+    // the same greedy left-to-right non-overlapping scan replace() uses
+    val merges = graft.ops.TextOps.bpeMergesFrom(corpus)
+      .select("step", "lhs", "rhs").as[(Long, String, String)]
+      .collect().sortBy(_._1).map(m => (m._2, m._3))
+    def fold(sym: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.toList
+    }
+    val docs = Seq(1L -> "aaaa aaaa low low low", 2L -> "lower", 3L -> "low aaaa newword")
+    val want = docs.map { case (id, text) =>
+      val words = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val counts = words.map { w =>
+        val syms0 = w.map(_.toString).toList :+ "</w>"
+        merges.foldLeft(syms0) { case (s, (l, r)) => fold(s, l, r) }.size.toLong
+      }
+      (id, words.length.toLong, counts.sum)
+    }
+    val got = graft.ops.TextOps.bpeEncodeFrom(corpus)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("bpe encode: registered query invariants on the fixture corpus") {
+    import spark.implicits._
+    val rows = graft.ops.TextOps.bpeEncode(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    rows.foreach { case (id, nWords, nBpe) =>
+      assert(nWords >= 1L && nBpe >= nWords,
+        s"doc $id: every word is at least one BPE token ($nWords words, $nBpe tokens)")
+    }
+    // the learned merges actually compress: total BPE tokens < total
+    // initial symbols (chars + one </w> per word)
+    val init = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(sum(length(col("w")) + 1)).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum < init, "merges must reduce the symbol count")
+  }
+
   test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
     val e = graft.ops.TextOps.entropy(spark, sf)
     assert(e.filter(col("entropy_milli") < 0.0).count() == 0)

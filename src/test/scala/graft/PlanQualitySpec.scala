@@ -127,7 +127,12 @@ class PlanQualitySpec extends SparkSuite {
     // totals rollup), the bigram-total rollup, and TakeOrdered; the
     // vocabulary and totals join back as broadcasts. All shuffles are
     // vocabulary- or 1-row-sized except the bigram count.
-    "text_collocations" -> 6)
+    "text_collocations" -> 6,
+    // BPE encode: the apply chain is literal map-only replaces (the
+    // merge table is a bounded driver read), so the registered plan is
+    // just the word explode's per-doc count agg + output sort; the
+    // training loop's shuffles sit behind its lineage truncations.
+    "text_bpe_encode" -> 2)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
