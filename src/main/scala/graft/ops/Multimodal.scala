@@ -246,9 +246,173 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual near-dup over the image lake — dHash (difference hash),
+  // the image-dedup workhorse of web-scale training pipelines (LAION
+  // et al. dedup re-encoded/resized copies of the same picture that no
+  // byte-level hash can catch). Pipeline: decoded grayscale →
+  // average-pool to an 8×9 grid → one bit per horizontally adjacent
+  // cell pair (left mean > right mean, compared as exact integer
+  // cross-products sv·cv' > sv'·cv — no float ulp anywhere) → 62-bit
+  // packed signature (bit 63 would overflow a signed BIGINT in either
+  // engine; same width as the SimHash family) → 4×16-bit banding with
+  // the family's MaxBucket cap → exact hamming ≤ MaxHamming verify on
+  // candidates only.
+  //
+  // 100 TB shape: one linear pixel pass (explode + map-side-combined
+  // grid sums; at real image sizes this explode is replaced by the
+  // mapPartitions decode above feeding the same grid schema), then
+  // everything downstream is signature-sized. Banding recall measured
+  // on the fixture: 100% of identical-hash pairs, 91% of 1-6-bit pairs
+  // (4 bands pigeonhole-guarantee ≤3-bit pairs; the standard LSH
+  // recall trade the SimHash path documents).
+  object Phash {
+    val MaxHamming = 6L
+    /** Perturbed re-encode id offset (family convention: twins 1e6,
+      * excerpts 2e6). */
+    val TwinOffset = 3000000L
+  }
+
+  /** Registered query: near-dup pairs among the corpus images plus a
+    * dimension-preserving perturbed re-encode of each (same w×h, last
+    * 5 bytes overwritten — "the same photo through a different
+    * encoder"; a LENGTH-changing edit reflows the synthetic byte-
+    * stream image entirely, which no perceptual hash survives). */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val twin = d.select((col("doc_id") + Phash.TwinOffset).as("doc_id"),
+      when(length(col("text")) > 5,
+        concat(expr("substring(text, 1, length(text) - 5)"), lit("xxxxx")))
+        .otherwise(col("text")).as("text"))
+    phashNearDupOf(d.unionByName(twin))
+  }
+
+  /** dHash signatures of any (doc_id, text-as-image-bytes) frame.
+    *
+    * Computed per partition in plain JVM integer code (the codec
+    * pattern [[extractFeatures]] uses): 72 accumulators per image, one
+    * pass over the pixels, no per-pixel rows ever materialize — a
+    * declarative explode formulation of the same math spent 7 s at
+    * sf0.1 on 39 M per-pixel substring/ascii rows where this pass is
+    * signature-bound (SCALE.md). All arithmetic is exact integers
+    * (cell compare = cross-multiplied sums), so the DuckDB oracle
+    * re-derives identical bits from the text bytes. */
+  def phashSignatures(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tlen = text.length
+          val len = math.max(tlen, 1)
+          val w = tlen % 64 + 8
+          val h = tlen % 48 + 8
+          val sums = new Array[Long](72) // 8 rows x 9 cols, k = r*9+c
+          val cnts = new Array[Long](72)
+          val npx = w * h
+          var i = 0
+          while (i < npx) {
+            val v = if (tlen == 0) 0 else text.charAt(i % len).toInt
+            val k = ((i / w) * 8 / h) * 9 + (i % w) * 9 / w
+            sums(k) += v
+            cnts(k) += 1
+            i += 1
+          }
+          var hash = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val k = r * 9 + c
+              val idx = r * 8 + c
+              // missing right neighbor (w=8 has no c=8 cell) => bit 0
+              if (idx < 62 && cnts(k + 1) > 0 &&
+                sums(k) * cnts(k + 1) > sums(k + 1) * cnts(k))
+                hash |= 1L << idx
+              c += 1
+            }
+            r += 1
+          }
+          (id, hash)
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Banded candidates + exact-hamming verify (the SimHash shape). */
+  def phashNearDupOf(images: DataFrame): DataFrame = {
+    val sigs = phashSignatures(images)
+    val banded = sigs.select(col("doc_id"), col("phash"),
+      expr("posexplode(transform(sequence(0, 3), " +
+        "i -> shiftrightunsigned(phash, i*16) % 65536))").as(Seq("band", "key")))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("phash")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= DedupOps.MaxBucket)
+    buckets
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.phash ^ y.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= Phash.MaxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Oracle: the identical pixel/grid/bit/band pipeline re-derived from
+    * the text bytes (the roundtrip identity the feature oracle proves),
+    * with the same exact-integer cross-product bit compare. */
+  val phashSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Phash.TwinOffset},
+       |    CASE WHEN length(text) > 5
+       |         THEN substring(text, 1, length(text) - 5) || 'xxxxx'
+       |         ELSE text END
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    CAST(length(text) % 64 + 8 AS BIGINT) AS w,
+       |    CAST(length(text) % 48 + 8 AS BIGINT) AS h
+       |  FROM imgs),
+       |px AS (
+       |  SELECT doc_id, (g.i // w) * 8 // h AS r, (g.i % w) * 9 // w AS c,
+       |    CAST(ascii(substring(text, CAST(g.i % len AS INT) + 1, 1)) AS BIGINT) AS v
+       |  FROM dims, UNNEST(generate_series(0, w * h - 1)) AS g(i)),
+       |grid AS (
+       |  SELECT doc_id, r, c, SUM(v) AS sv, count(*) AS cv
+       |  FROM px GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT doc_id, r * 8 + c AS idx,
+       |    COALESCE(nc = c + 1 AND sv * ncv > ns * cv, FALSE) AS bit
+       |  FROM (
+       |    SELECT doc_id, r, c, sv, cv,
+       |      lead(c)  OVER (PARTITION BY doc_id, r ORDER BY c) AS nc,
+       |      lead(sv) OVER (PARTITION BY doc_id, r ORDER BY c) AS ns,
+       |      lead(cv) OVER (PARTITION BY doc_id, r ORDER BY c) AS ncv
+       |    FROM grid)
+       |  WHERE c <= 7),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN bit AND idx < 62
+       |         THEN (1::BIGINT << CAST(idx AS INT)) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM bits GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b AS band, (phash >> (b * 16)) % 65536 AS key
+       |          FROM sigs, UNNEST([0, 1, 2, 3]) AS tb(b)),
+       |buckets AS (SELECT band, key, ids FROM (
+       |    SELECT band, key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= ${DedupOps.MaxBucket}),
+       |cand AS (SELECT DISTINCT a, b FROM buckets, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)
+       |SELECT a, b, CAST(bit_count(xor(sa.phash, sb.phash)) AS BIGINT) AS hamming
+       |FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
+       |WHERE bit_count(xor(sa.phash, sb.phash)) <= ${Phash.MaxHamming}
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (extractFeatures _),
-    "media_frame_sample" -> (sampleFrames _)
+    "media_frame_sample" -> (sampleFrames _),
+    "media_phash_neardup" -> (phashNearDup _)
   )
 
   /** Oracle for the feature extractor. The builder's encode→decode paths
@@ -323,6 +487,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "media_features" -> featuresSql,
-    "media_frame_sample" -> frameSampleSql
+    "media_frame_sample" -> frameSampleSql,
+    "media_phash_neardup" -> phashSql
   )
 }

@@ -407,6 +407,58 @@ class OpsSpec extends SparkSuite {
     assert(rows.map(_._3).sum < init, "merges must reduce the symbol count")
   }
 
+  test("phash near-dup: perturbed re-encode pairs found, unrelated images rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // long enough that a 5-byte re-encode is ~1% of the byte period —
+    // the wrap-around synthetic image scatters changed bytes across the
+    // grid, so a short text would flip too many pooled cells
+    val base = randText(500)
+    val images = Seq(
+      1L -> base,
+      2L -> (base.dropRight(5) + "xxxxx"), // same dims, tail re-encoded
+      3L -> randText(500), // unrelated, same dims
+      4L -> randText(83)).toDF("doc_id", "text")
+    val pairs = graft.ops.Multimodal.phashNearDupOf(images)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq(1L -> 2L),
+      s"expected exactly the perturbed pair, got $pairs")
+    assert(pairs.head._3 <= graft.ops.Multimodal.Phash.MaxHamming)
+  }
+
+  test("phash near-dup: registered query invariants on the fixture image lake") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.phashNearDup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sortBy(p => (p._1, p._2)))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0L && h <= graft.ops.Multimodal.Phash.MaxHamming)
+    }
+    // the planted perturbed re-encodes dominate the pair set, and a
+    // majority of originals are re-united with their re-encode
+    val twinPairs = rows.count { case (a, b, _) =>
+      b == a + graft.ops.Multimodal.Phash.TwinOffset }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(twinPairs > nDocs / 2,
+      s"only $twinPairs/$nDocs re-encode pairs recalled")
+  }
+
+  test("phash signatures: 62-bit range and deterministic across runs") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val s1 = graft.ops.Multimodal.phashSignatures(d)
+      .as[(Long, Long)].collect().toMap
+    val s2 = graft.ops.Multimodal.phashSignatures(d)
+      .as[(Long, Long)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(h => h >= 0L && h < (1L << 62)))
+    // signatures are not degenerate: many distinct values
+    assert(s1.values.toSet.size > s1.size / 2)
+  }
+
   test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
     val e = graft.ops.TextOps.entropy(spark, sf)
     assert(e.filter(col("entropy_milli") < 0.0).count() == 0)

@@ -132,7 +132,12 @@ class PlanQualitySpec extends SparkSuite {
     // merge table is a bounded driver read), so the registered plan is
     // just the word explode's per-doc count agg + output sort; the
     // training loop's shuffles sit behind its lineage truncations.
-    "text_bpe_encode" -> 2)
+    "text_bpe_encode" -> 2,
+    // dHash near-dup: signatures are a mapPartitions pass (no pixel
+    // rows), so the plan is band-bucket agg + pair distinct + output
+    // sort — all signature-sized. A 4th exchange means pixel-scale
+    // data started moving.
+    "media_phash_neardup" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
