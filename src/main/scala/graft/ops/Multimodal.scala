@@ -268,8 +268,9 @@ object Multimodal {
   // recall trade the SimHash path documents).
   object Phash {
     val MaxHamming = 6L
-    /** Perturbed re-encode id offset (family convention: twins 1e6,
-      * excerpts 2e6). */
+    /** Perturbed re-encode id offset — disjoint from the corpus ids
+      * (offsets are per-query scoped: each registered query derives its
+      * own corpus, so this only needs to clear the raw doc_id range). */
     val TwinOffset = 3000000L
   }
 

@@ -191,6 +191,58 @@ class GraphOpsSpec extends SparkSuite {
       10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
 
+  test("k-truss: hand-computed graph — bridges drop, the triangle cluster survives") {
+    // K4 on {1,2,3,4} (each edge in 2 triangles), a bridge 4-5, and an
+    // isolated supported edge 10-11; every edge stated by two orders to
+    // clear MinSupport. 3-truss = the K4 edges with support 2.
+    val base = Seq(
+      1L -> 1L, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 3L -> 4L,
+      4L -> 2L, 4L -> 3L, 5L -> 2L, 5L -> 4L, 6L -> 3L, 6L -> 4L,
+      7L -> 4L, 7L -> 5L,
+      8L -> 10L, 8L -> 11L)
+    val membership =
+      (base ++ base.map { case (o, p) => (o + 100L, p) }).toDF("o", "p")
+    val got = GraphOps.ktrussOf(membership)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("k-truss: fixpoint equals a sequential reference peel on the fixture graph") {
+    val got = GraphOps.ktruss(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // sequential reference on the same support-filtered edge set
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().as[(Long, Long)].collect()
+    val support = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (x <- ps; y <- ps if x < y)
+        support((x, y)) = support.getOrElse((x, y), 0L) + 1L
+    }
+    // iterator first: Map.collect over pair-producing functions would
+    // rebuild a Map and collapse edges sharing an endpoint
+    var edges = support.iterator.collect {
+      case (e, w) if w >= GraphOps.Cores.MinSupport => e }.toSet
+    var changed = true
+    def sup(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+      es.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      es.iterator.map(e => e -> (adj(e._1) & adj(e._2)).size).toMap
+    }
+    while (changed) {
+      val s = sup(edges)
+      val keep = edges.filter(e => s(e) >= GraphOps.Truss.K - 2)
+      changed = keep != edges
+      edges = keep
+    }
+    val s = sup(edges)
+    val want = edges.toSeq.sorted.map(e => (e._1, e._2, s(e).toLong))
+    assert(got == want)
+  }
+
   test("core decomposition: estimates reach the exact peel fixpoint at fixture scale") {
     val got = GraphOps.kcore(spark, sf).as[(Long, Long)].collect().toMap
     assert(got.nonEmpty)

@@ -137,7 +137,14 @@ class PlanQualitySpec extends SparkSuite {
     // rows), so the plan is band-bucket agg + pair distinct + output
     // sort — all signature-sized. A 4th exchange means pixel-scale
     // data started moving.
-    "media_phash_neardup" -> 3)
+    "media_phash_neardup" -> 3,
+    // k-truss: the registered plan is the FINAL support pass over the
+    // checkpointed fixpoint edges — symmetric adjacency union (2
+    // branch exchanges), the two common-neighbor join keys, the
+    // support agg feed, and the output sort, all edge-table-sized. A
+    // broadcast variant measured slower (SCALE.md); partitioned joins
+    // are deliberate.
+    "graph_ktruss" -> 7)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
