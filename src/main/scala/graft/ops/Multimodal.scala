@@ -410,10 +410,155 @@ object Multimodal {
        |WHERE bit_count(xor(sa.phash, sb.phash)) <= ${Phash.MaxHamming}
        |ORDER BY a, b""".stripMargin
 
+  object Afp {
+    val Frames = 32
+    val MaxHamming = 6L
+    val TwinOffset = 3000000L
+  }
+
+  // ------------------------------------------------------------------
+  // Audio fingerprint near-dup: the WAV analog of the dHash pipeline.
+  // Acoustic fingerprinters (Shazam/Chromaprint family) band the signal
+  // and compare energy across adjacent frames; without FFT libs the
+  // two pure-JVM proxies are per-frame amplitude energy Σ|x| (loudness
+  // envelope) and first-difference energy Σ|xᵢ−xᵢ₋₁| (a high-pass
+  // filter — the standard no-FFT spectral-change proxy). 32 frames × 2
+  // staircase families (frame f vs f+1, cross-multiplied exact-integer
+  // compare, same discipline as dHash's cell compare) → a 62-bit
+  // signature, banded 4×16 and exact-hamming verified like every
+  // SimHash-family op here.
+  //
+  // Samples re-derive from text exactly as [[mediaTable]]'s audio arm
+  // encodes them ((byte−128)·256 PCM16, w·h samples with wrap), so the
+  // DuckDB oracle replays the identical integer pipeline end to end.
+  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val twin = d.select((col("doc_id") + Afp.TwinOffset).as("doc_id"),
+      when(length(col("text")) > 5,
+        concat(expr("substring(text, 1, length(text) - 5)"), lit("xxxxx")))
+        .otherwise(col("text")).as("text"))
+    audioNearDupOf(d.unionByName(twin))
+  }
+
+  /** Per-clip 62-bit energy-staircase fingerprints — one mapPartitions
+    * pass, 4×32 integer accumulators per clip, no per-sample rows. */
+  def audioSignatures(clips: DataFrame): DataFrame = {
+    import clips.sparkSession.implicits._
+    val F = Afp.Frames
+    clips.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tlen = text.length
+          val len = math.max(tlen, 1)
+          val w = tlen % 64 + 8
+          val h = tlen % 48 + 8
+          val n = w * h
+          val sAbs = new Array[Long](F); val cAbs = new Array[Long](F)
+          val sDif = new Array[Long](F); val cDif = new Array[Long](F)
+          var prev = 0L
+          var i = 0
+          while (i < n) {
+            val c = if (tlen == 0) 0 else text.charAt(i % len).toInt
+            val x = (c - 128L) * 256L
+            val k = (i.toLong * F / n).toInt
+            sAbs(k) += math.abs(x); cAbs(k) += 1
+            if (i >= 1) { sDif(k) += math.abs(x - prev); cDif(k) += 1 }
+            prev = x
+            i += 1
+          }
+          var sig = 0L
+          var f = 0
+          while (f < F - 1) {
+            if (sAbs(f) * cAbs(f + 1) > sAbs(f + 1) * cAbs(f)) sig |= 1L << f
+            if (sDif(f) * cDif(f + 1) > sDif(f + 1) * cDif(f)) sig |= 1L << (F - 1 + f)
+            f += 1
+          }
+          (id, sig)
+        }
+      }.toDF("doc_id", "afp")
+  }
+
+  /** Banded candidates + exact-hamming verify (the SimHash shape). */
+  def audioNearDupOf(clips: DataFrame): DataFrame = {
+    val sigs = audioSignatures(clips)
+    val banded = sigs.select(col("doc_id"), col("afp"),
+      expr("posexplode(transform(sequence(0, 3), " +
+        "i -> shiftrightunsigned(afp, i*16) % 65536))").as(Seq("band", "key")))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("afp")))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= DedupOps.MaxBucket)
+    buckets
+      .select(explode(col("ids")).as("x"), col("ids"))
+      .select(col("x"), explode(col("ids")).as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.afp ^ y.afp)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= Afp.MaxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Oracle: identical sample/frame/bit/band pipeline from the text
+    * bytes, exact integers throughout. */
+  val audioNearDupSql: String = {
+    val F = Afp.Frames
+    s"""WITH clips AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Afp.TwinOffset},
+       |    CASE WHEN length(text) > 5
+       |         THEN substring(text, 1, length(text) - 5) || 'xxxxx'
+       |         ELSE text END
+       |  FROM documents),
+       |dims AS (
+       |  SELECT doc_id, text, CAST(greatest(length(text), 1) AS BIGINT) AS len,
+       |    CAST((length(text) % 64 + 8) * (length(text) % 48 + 8) AS BIGINT) AS n
+       |  FROM clips),
+       |px AS (
+       |  SELECT doc_id, g.i AS i, g.i * $F // n AS f,
+       |    (ascii(substring(text, CAST(g.i % len AS INT) + 1, 1)) - 128) * 256 AS v,
+       |    CASE WHEN g.i >= 1 THEN
+       |      (ascii(substring(text, CAST((g.i - 1) % len AS INT) + 1, 1)) - 128) * 256
+       |    END AS vprev
+       |  FROM dims, UNNEST(generate_series(0, n - 1)) AS g(i)),
+       |frames AS (
+       |  SELECT doc_id, f,
+       |    SUM(abs(v)) AS sabs, count(*) AS cabs,
+       |    COALESCE(SUM(abs(v - vprev)), 0) AS sdif, count(vprev) AS cdif
+       |  FROM px GROUP BY 1, 2),
+       |steps AS (
+       |  SELECT doc_id, f, sabs, cabs, sdif, cdif,
+       |    lead(sabs) OVER w AS nsabs, lead(cabs) OVER w AS ncabs,
+       |    lead(sdif) OVER w AS nsdif, lead(cdif) OVER w AS ncdif
+       |  FROM frames
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+       |sigs AS (
+       |  SELECT doc_id, CAST(SUM(
+       |      CASE WHEN sabs * ncabs > nsabs * cabs
+       |           THEN (1::BIGINT << CAST(f AS INT)) ELSE 0 END
+       |    + CASE WHEN sdif * ncdif > nsdif * cdif
+       |           THEN (1::BIGINT << CAST(${F - 1} + f AS INT)) ELSE 0 END
+       |    ) AS BIGINT) AS afp
+       |  FROM steps WHERE f < ${F - 1} GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b AS band, (afp >> (b * 16)) % 65536 AS key
+       |          FROM sigs, UNNEST([0, 1, 2, 3]) AS tb(b)),
+       |buckets AS (SELECT band, key, ids FROM (
+       |    SELECT band, key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= ${DedupOps.MaxBucket}),
+       |cand AS (SELECT DISTINCT a, b FROM buckets, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b)
+       |SELECT a, b, CAST(bit_count(xor(sa.afp, sb.afp)) AS BIGINT) AS hamming
+       |FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b
+       |WHERE bit_count(xor(sa.afp, sb.afp)) <= ${Afp.MaxHamming}
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (extractFeatures _),
     "media_frame_sample" -> (sampleFrames _),
-    "media_phash_neardup" -> (phashNearDup _)
+    "media_phash_neardup" -> (phashNearDup _),
+    "media_audio_neardup" -> (audioNearDup _)
   )
 
   /** Oracle for the feature extractor. The builder's encode→decode paths
@@ -489,6 +634,7 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "media_features" -> featuresSql,
     "media_frame_sample" -> frameSampleSql,
-    "media_phash_neardup" -> phashSql
+    "media_phash_neardup" -> phashSql,
+    "media_audio_neardup" -> audioNearDupSql
   )
 }

@@ -553,12 +553,96 @@ object SimilarityOps {
        |FROM sel ORDER BY sel_rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // kNN graph: per-vector top-k neighbor list over the whole corpus —
+  // the substrate SemDeDup's cluster pruning, graph-based ANN indexes
+  // (HNSW/NSG build from exactly this), and label-propagation over
+  // embeddings all start from. The all-pairs form is O(n²); this one
+  // generates candidates from the SAME multi-table hyperplane LSH
+  // index the ANN path uses, so the only quadratic work is within a
+  // bucket — and buckets are capped ([[KnnMaxBucket]], the MaxBucket
+  // discipline every LSH family here follows) so a degenerate
+  // hyperplane draw degrades recall instead of exploding a task.
+  //
+  // Shape for 100 TB: one narrow bucketing pass (codegen FloatDot),
+  // one (table, bucket)-keyed aggregation, in-bucket pair explode off
+  // a bounded ids list, two key-bounded embedding joins for the exact
+  // cosine, one per-source rank window. Raising LshBits keeps bucket
+  // populations constant as the corpus grows — same dial as the
+  // near-dup families.
+  val KnnK = 4
+  val KnnMaxBucket = 512
+
+  /** Per-vector top-k neighbors among LSH-bucket candidates. */
+  def knnGraphOf(emb: DataFrame, bits: Int = LshBits,
+      tables: Int = LshTables, k: Int = KnnK): DataFrame = {
+    val buckets = lshIndex(emb, bits, tables)
+      .groupBy(col("table"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= KnnMaxBucket)
+    val pairs = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val ea = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+    pairs.join(ea, Seq("a")).join(eb, Seq("b"))
+      .select(col("a").as("vec_id"), col("b").as("nn_id"),
+        cosineFF(col("ea"), col("eb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nn_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphOf(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** Oracle: the identical index/bucket-cap/pair/cosine/rank pipeline —
+    * literal hyperplane weights make the candidate set reproducible. */
+  val knnGraphSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |/ (sqrt(list_reduce(list_transform($a,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+         | * sqrt(list_reduce(list_transform($b,
+         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+    val tables = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${lshBucketSql("embedding", LshBits, seed = t)} AS bucket FROM embeddings"
+    }.mkString("\nUNION ALL ")
+    s"""WITH idx AS ($tables),
+       |buckets AS (
+       |  SELECT tbl, bucket, list_sort(list(vec_id)) AS ids
+       |  FROM idx GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT * FROM buckets WHERE len(ids) > 1 AND len(ids) <= $KnnMaxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a, b
+       |  FROM capped, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b)
+       |  WHERE a <> b),
+       |scored AS (
+       |  SELECT p.a AS vec_id, p.b AS nn_id,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM pairs p JOIN embeddings ea ON ea.vec_id = p.a
+       |  JOIN embeddings eb ON eb.vec_id = p.b)
+       |SELECT vec_id, nn_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY rank <= $KnnK
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_sq" -> (annSq _),
     "sim_ann_pq" -> (annPq _),
-    "sim_mmr_select" -> (mmrSelect _)
+    "sim_mmr_select" -> (mmrSelect _),
+    "sim_knn_graph" -> (knnGraph _)
   )
 
   /** Full oracle for the LSH path: the literal hyperplane weights make
@@ -596,6 +680,7 @@ object SimilarityOps {
     "sim_ann_lsh" -> annLshSql,
     "sim_ann_sq" -> annSqSql,
     "sim_ann_pq" -> annPqSql,
-    "sim_mmr_select" -> mmrSelectSql
+    "sim_mmr_select" -> mmrSelectSql,
+    "sim_knn_graph" -> knnGraphSql
   )
 }

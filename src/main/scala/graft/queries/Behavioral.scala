@@ -183,13 +183,65 @@ object Behavioral {
        |       - GREATEST(0, MAX(diff)) AS BIGINT) AS n_matched
        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Markov transition matrix: for every ordered pair of consecutive
+  // events WITHIN a user's stream (ts order, event_id tiebreak), the
+  // transition count and its milli-probability among all transitions
+  // leaving the same source type — the page-flow / next-action model
+  // product analytics builds on top of the funnel family.
+  //
+  // Plan shape: ONE shuffle on user_id (the lag window), then an
+  // aggregation whose key space is |event_types|² — 25 rows here, and
+  // bounded by the vocabulary (not the corpus) at any scale, so the
+  // per-source totals window and the final sort run on a frame that
+  // fits in a single task no matter how many events feed it. The
+  // probability is exact integer milli-units (1000·n DIV n_from), so
+  // the cross-engine hash compare never touches a float.
+  def transitions(s: SparkSession, dir: String): DataFrame =
+    transitionsOf(Relational.events(s, dir))
+
+  /** Transition matrix over any frame with (user_id, event_type,
+    * event_id, _ms). */
+  def transitionsOf(ev: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("_ms"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_event"))
+    ev.select(col("user_id"), col("event_type"), col("event_id"), col("_ms"))
+      .withColumn("from_event", lag(col("event_type"), 1).over(wSeq))
+      .filter(col("from_event").isNotNull)
+      .groupBy(col("from_event"), col("event_type").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(wFrom))
+      .withColumn("p_milli", expr("1000 * n DIV n_from"))
+      .orderBy(col("from_event"), col("to_event"))
+  }
+
+  private def transitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |seq AS (
+      |  SELECT user_id, event_type AS to_event,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |      AS from_event
+      |  FROM e),
+      |t AS (
+      |  SELECT from_event, to_event, count(*) AS n
+      |  FROM seq WHERE from_event IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_event) AS BIGINT) AS n_from,
+      |  CAST(1000 * n // SUM(n) OVER (PARTITION BY from_event) AS BIGINT)
+      |    AS p_milli
+      |FROM t ORDER BY from_event, to_event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_funnel" -> (windowFunnel _),
-    "events_sequence_count" -> (sequenceCount _)
+    "events_sequence_count" -> (sequenceCount _),
+    "events_transitions" -> (transitions _)
   )
 
   val oracle: Map[String, String] = Map(
     "events_window_funnel" -> windowFunnelSql,
-    "events_sequence_count" -> sequenceCountSql
+    "events_sequence_count" -> sequenceCountSql,
+    "events_transitions" -> transitionsSql
   )
 }

@@ -82,6 +82,46 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("transitions: hand-computed matrix, order and tie discipline") {
+    val events = ev(
+      // user 1 stream (ms order): view -> click -> view -> purchase
+      (1L, "view", 1L, 0L), (1L, "click", 2L, 10L),
+      (1L, "view", 3L, 20L), (1L, "purchase", 4L, 30L),
+      // user 2: ms tie broken by event_id: click(5) then view(6)
+      (2L, "click", 5L, 100L), (2L, "view", 6L, 100L),
+      // user 3: single event -> contributes no transition
+      (3L, "purchase", 7L, 0L))
+    val got = Behavioral.transitionsOf(events)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // user 1 contributes view→click, click→view, view→purchase;
+    // user 2 contributes click→view (the event_id tiebreak at ms=100);
+    // user 3 contributes nothing
+    assert(got == Seq(
+      ("click", "view", 2L, 2L, 1000L),
+      ("view", "click", 1L, 2L, 500L),
+      ("view", "purchase", 1L, 2L, 500L)))
+  }
+
+  test("transitions: fixture matrix tiles the event stream exactly") {
+    val rows = Behavioral.transitions(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r._1, r._2)) == rows.map(r => (r._1, r._2)).sorted)
+    // sum of n over the matrix = n_events - n_users_with_events (each
+    // user's stream of k events yields k-1 transitions)
+    val ev = graft.queries.Relational.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    // n_from tiles per source; p_milli is the exact integer quotient
+    rows.groupBy(_._1).foreach { case (from, g) =>
+      assert(g.map(_._3).sum == g.head._4, s"n_from tiling broken at $from")
+    }
+    rows.foreach { case (_, _, n, nFrom, p) =>
+      assert(p == 1000 * n / nFrom)
+    }
+  }
+
   test("windowFunnel: registered query is a valid level histogram on the fixture") {
     val rows = Behavioral.windowFunnel(spark, sf)
       .as[(Long, Long, Option[Long])].collect().toSeq

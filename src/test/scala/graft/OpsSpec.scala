@@ -91,6 +91,43 @@ class OpsSpec extends SparkSuite {
       s"LSH recall too low: $overlap")
   }
 
+  test("kNN graph: scaled twins are each other's top-1 neighbor") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twins = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 1.001 AS FLOAT))").as("embedding"))
+    val g = SimilarityOps.knnGraphOf(emb.select("vec_id", "embedding").unionByName(twins))
+    val n = emb.count()
+    // positive scaling preserves every hyperplane sign, so each twin
+    // shares all 8 buckets with its original; cos == 1 up to fp noise
+    // beats every other candidate
+    val top1 = g.filter(col("rank") === 1)
+    assert(top1.filter(col("nn_id") === col("vec_id") + 1000000L ||
+      col("nn_id") === col("vec_id") - 1000000L).count() == 2 * n)
+    assert(top1.filter(col("cos") < 0.9999).count() == 0)
+  }
+
+  test("kNN graph: registered query invariants and brute-force agreement") {
+    val g = SimilarityOps.knnGraph(spark, sf)
+    assert(g.filter(col("vec_id") === col("nn_id")).count() == 0, "self loop")
+    // dense ranks from 1, cos non-increasing within each source
+    val bad = g.groupBy("vec_id").agg(
+        countDistinct("rank").as("n"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .filter(col("n") =!= col("c") || col("mx") =!= col("c") ||
+        col("mx") > SimilarityOps.KnnK)
+    assert(bad.count() == 0)
+    // the graph's edges for the ANN probes mostly land inside the
+    // brute-force top-10 (graph ranks exact cosine over the same LSH
+    // candidate sets the ANN-recall test measures at >40%)
+    val probes = g.filter(col("vec_id") < SimilarityOps.ProbeIds)
+      .select(col("vec_id").as("q_id"), col("nn_id").as("c_id"))
+    val bf = SimilarityOps.annBruteForce(spark, sf).select("q_id", "c_id")
+    val nEdges = probes.count()
+    assert(nEdges > 0)
+    val overlap = probes.intersect(bf).count()
+    assert(overlap.toDouble / nEdges >= 0.5,
+      s"kNN-graph/brute-force overlap too low: $overlap/$nEdges")
+  }
+
   test("SQ ANN: 8-bit codes preserve the exact inner-product ranking almost perfectly") {
     import org.apache.spark.sql.functions.expr
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -456,6 +493,52 @@ class OpsSpec extends SparkSuite {
     assert(s1 == s2)
     assert(s1.values.forall(h => h >= 0L && h < (1L << 62)))
     // signatures are not degenerate: many distinct values
+    assert(s1.values.toSet.size > s1.size / 2)
+  }
+
+  test("audio near-dup: perturbed re-encode pairs found, unrelated clips rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randText(500)
+    val clips = Seq(
+      1L -> base,
+      2L -> (base.dropRight(5) + "xxxxx"), // same length => same sample count
+      3L -> randText(500), // unrelated, same dims
+      4L -> randText(83)).toDF("doc_id", "text")
+    val pairs = graft.ops.Multimodal.audioNearDupOf(clips)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq(1L -> 2L),
+      s"expected exactly the perturbed pair, got $pairs")
+    assert(pairs.head._3 <= graft.ops.Multimodal.Afp.MaxHamming)
+  }
+
+  test("audio near-dup: registered query invariants on the fixture audio lake") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.audioNearDup(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sortBy(p => (p._1, p._2)))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0L && h <= graft.ops.Multimodal.Afp.MaxHamming)
+    }
+    val twinPairs = rows.count { case (a, b, _) =>
+      b == a + graft.ops.Multimodal.Afp.TwinOffset }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(twinPairs > nDocs / 2,
+      s"only $twinPairs/$nDocs re-encode pairs recalled")
+  }
+
+  test("audio signatures: 62-bit range, deterministic, non-degenerate") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val s1 = graft.ops.Multimodal.audioSignatures(d)
+      .as[(Long, Long)].collect().toMap
+    val s2 = graft.ops.Multimodal.audioSignatures(d)
+      .as[(Long, Long)].collect().toMap
+    assert(s1 == s2)
+    assert(s1.values.forall(h => h >= 0L && h < (1L << 62)))
     assert(s1.values.toSet.size > s1.size / 2)
   }
 
