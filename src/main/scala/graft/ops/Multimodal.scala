@@ -554,11 +554,151 @@ object Multimodal {
        |ORDER BY a, b""".stripMargin
   }
 
+  object Vfp {
+    val FrameSize = 32
+    val NumPerms = 16
+    val BandRows = 2 // => 8 bands: high recall at moderate Jaccard
+    val BandMult = 1000003L
+    val MinJaccardMilli = 500L
+    val TwinOffset = 3000000L
+  }
+
+  // ------------------------------------------------------------------
+  // Video near-dup: the third leg of the multimodal trio. A video is
+  // its SET of frame fingerprints (order-free, so trims/appends — the
+  // classic re-upload edits — stay similar), compared by Jaccard: the
+  // shape video-dedup systems use (frame-hash bag + set resemblance)
+  // and exactly the MinHash discipline the text family already ships,
+  // applied to frames instead of shingles. Pipeline: non-overlapping
+  // 32-byte frames → per-frame PolyHash → per-video 16-perm MinHash
+  // signature (one map-side-combined agg) → 8×2 banding under the
+  // MaxBucket cap → exact set-Jaccard verify on candidates only
+  // (integer milli-units, ≥ [[Vfp.MinJaccardMilli]]).
+  //
+  // 100 TB shape: the frame explode is linear in corpus bytes with a
+  // map-side-combined 16-column min agg straight back to one row per
+  // video; everything downstream is signature-sized. Band/row counts
+  // trade recall against candidate volume exactly as in the text LSH.
+  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // perturbed twin: one appended trailer frame (same leading frames)
+    val twin = d.select((col("doc_id") + Vfp.TwinOffset).as("doc_id"),
+      concat(col("text"), lit("x" * Vfp.FrameSize)).as("text"))
+    videoNearDupOf(d.unionByName(twin))
+  }
+
+  /** Distinct frame hashes per video: (doc_id, H) rows; videos shorter
+    * than one frame contribute nothing (no frames => no identity). */
+  def videoFrameHashes(videos: DataFrame): DataFrame = {
+    val fs = Vfp.FrameSize
+    videos
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN length(text) >= $fs THEN
+           |  array_distinct(transform(sequence(0, CAST(length(text) / $fs AS INT) - 1),
+           |                 i -> substring(text, i * $fs + 1, $fs)))
+           |ELSE array() END""".stripMargin)).as("frame"))
+      .select(col("doc_id"),
+        graft.functions.PolyHash.polyHash(col("frame"), 31, DedupOps.HashMod).as("H"))
+      .distinct()
+  }
+
+  /** Banded MinHash candidates + exact set-Jaccard verify. */
+  def videoNearDupOf(videos: DataFrame): DataFrame = {
+    val frames = videoFrameHashes(videos).localCheckpoint() // feeds sigs AND verify
+    val perms = DedupOps.permAB.take(Vfp.NumPerms)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("H") + lit(b)) % lit(DedupOps.HashMod)).as(s"m$i")
+    }
+    val sigs = frames.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val nBands = Vfp.NumPerms / Vfp.BandRows
+    val bandCols = (0 until nBands).map { bnd =>
+      val key = (0 until Vfp.BandRows).foldLeft(lit(bnd.toLong): org.apache.spark.sql.Column) {
+        (acc, r) => (acc * lit(Vfp.BandMult) + col(s"m${bnd * Vfp.BandRows + r}")) % lit(DedupOps.HashMod)
+      }
+      struct(lit(bnd).as("band"), key.as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val buckets = banded.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= DedupOps.MaxBucket)
+    val cand = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val sets = frames.groupBy(col("doc_id"))
+      .agg(collect_set(col("H")).as("hs"))
+    val sa = sets.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sets.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("n_shared", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .withColumn("j_milli",
+        expr("1000 * n_shared DIV (size(hsa) + size(hsb) - n_shared)"))
+      .filter(col("j_milli") >= Vfp.MinJaccardMilli)
+      .select(col("a"), col("b"), col("n_shared"), col("j_milli"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Oracle: identical frame/hash/minhash/band/Jaccard pipeline. */
+  val videoNearDupSql: String = {
+    val fs = Vfp.FrameSize
+    val mod = DedupOps.HashMod
+    def fold(column: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($column, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(acc, x) -> (acc * 31 + x) % $mod)"
+    val perms = DedupOps.permAB.take(Vfp.NumPerms)
+    val minCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * H + $b) % $mod) AS m$i"
+    }.mkString(",\n    ")
+    val nBands = Vfp.NumPerms / Vfp.BandRows
+    val bandRows = (0 until nBands).map { bnd =>
+      val key = (0 until Vfp.BandRows).foldLeft(bnd.toString) { (acc, r) =>
+        s"(($acc) * ${Vfp.BandMult} + m${bnd * Vfp.BandRows + r}) % $mod"
+      }
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH vids AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${Vfp.TwinOffset}, text || repeat('x', $fs) FROM documents),
+       |frames AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${fold(s"substring(text, CAST(g.i * $fs AS INT) + 1, $fs)")} AS H
+       |  FROM vids, UNNEST(generate_series(0, length(text) // $fs - 1)) AS g(i)),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM frames GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |buckets AS (SELECT band, key, ids FROM (
+       |    SELECT band, key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= ${DedupOps.MaxBucket}),
+       |cand AS (SELECT DISTINCT a, b
+       |         FROM buckets, UNNEST(ids) AS ta(a), UNNEST(ids) AS tb(b) WHERE a < b),
+       |sets AS (SELECT doc_id, list(DISTINCT H) AS hs FROM frames GROUP BY doc_id),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_shared,
+       |    CAST(1000 * len(list_intersect(sa.hs, sb.hs))
+       |         // (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS BIGINT)
+       |      AS j_milli
+       |  FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b)
+       |SELECT a, b, n_shared, j_milli FROM scored
+       |WHERE j_milli >= ${Vfp.MinJaccardMilli}
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (extractFeatures _),
     "media_frame_sample" -> (sampleFrames _),
     "media_phash_neardup" -> (phashNearDup _),
-    "media_audio_neardup" -> (audioNearDup _)
+    "media_audio_neardup" -> (audioNearDup _),
+    "media_video_neardup" -> (videoNearDup _)
   )
 
   /** Oracle for the feature extractor. The builder's encode→decode paths
@@ -635,6 +775,7 @@ object Multimodal {
     "media_features" -> featuresSql,
     "media_frame_sample" -> frameSampleSql,
     "media_phash_neardup" -> phashSql,
-    "media_audio_neardup" -> audioNearDupSql
+    "media_audio_neardup" -> audioNearDupSql,
+    "media_video_neardup" -> videoNearDupSql
   )
 }

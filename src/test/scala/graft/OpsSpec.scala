@@ -542,6 +542,45 @@ class OpsSpec extends SparkSuite {
     assert(s1.values.toSet.size > s1.size / 2)
   }
 
+  test("video near-dup: trims/appends found, reordering tolerated, unrelated rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val fs = graft.ops.Multimodal.Vfp.FrameSize
+    val frames = (1 to 10).map(_ => randText(fs))
+    val vids = Seq(
+      1L -> frames.mkString,                       // 10 frames
+      2L -> (frames.mkString + randText(fs)),      // appended trailer: J=10/11
+      3L -> frames.take(8).mkString,               // truncated: J=8/10
+      4L -> (frames.reverse.mkString),             // reordered: SAME frame set, J=1
+      5L -> randText(10 * fs)).toDF("doc_id", "text") // unrelated
+    val pairs = graft.ops.Multimodal.videoNearDupOf(vids)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains(1L -> 2L) && found.contains(1L -> 3L) &&
+      found.contains(1L -> 4L), s"missing expected near-dups in $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"unrelated video paired: $pairs")
+    val j = pairs.map(p => (p._1, p._2) -> p._4).toMap
+    assert(j(1L -> 4L) == 1000L, "reordered copy must be set-identical")
+    assert(j(1L -> 2L) == 1000L * 10 / 11 && j(1L -> 3L) == 800L)
+  }
+
+  test("video near-dup: registered query recalls the appended-trailer twins") {
+    import spark.implicits._
+    val rows = graft.ops.Multimodal.videoNearDup(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sortBy(p => (p._1, p._2)))
+    rows.foreach { case (a, b, _, jm) =>
+      assert(a < b && jm >= graft.ops.Multimodal.Vfp.MinJaccardMilli && jm <= 1000L)
+    }
+    val twinPairs = rows.count { case (a, b, _, _) =>
+      b == a + graft.ops.Multimodal.Vfp.TwinOffset }
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(twinPairs > nDocs / 2,
+      s"only $twinPairs/$nDocs trailer twins recalled")
+  }
+
   test("token entropy: nonnegative, bounded by ln(n_distinct), zero iff uniform-1") {
     val e = graft.ops.TextOps.entropy(spark, sf)
     assert(e.filter(col("entropy_milli") < 0.0).count() == 0)
