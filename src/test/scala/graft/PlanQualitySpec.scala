@@ -144,7 +144,30 @@ class PlanQualitySpec extends SparkSuite {
     // support agg feed, and the output sort, all edge-table-sized. A
     // broadcast variant measured slower (SCALE.md); partitioned joins
     // are deliberate.
-    "graph_ktruss" -> 7)
+    "graph_ktruss" -> 7,
+    // Transition matrix: ONE user_id exchange (the lag window), then
+    // the (from,to) count agg, the per-source totals window, and the
+    // output sort — the last three on a vocabulary²-bounded frame. A
+    // 5th exchange means the event stream is moving more than once.
+    "events_transitions" -> 4,
+    // Hybrid RRF: the BM25 arm's tf/df aggs (3) + the 20-row-a-side
+    // full-outer fusion SMJ (2); the dense arm's probe cross and the
+    // BM25 stats joins are broadcasts, and both top-K pools are
+    // TakeOrdered, never a global sort.
+    "search_hybrid_rrf" -> 5,
+    // kNN graph: bucket agg, candidate-pair distinct, per-source rank
+    // window, output sort; the two embedding lookups broadcast at spec
+    // sf. All shuffles are bucket/pair-sized, never corpus².
+    "sim_knn_graph" -> 4,
+    // Audio fingerprint: signatures are a mapPartitions pass (no
+    // sample rows), so the plan is band-bucket agg + pair distinct +
+    // output sort — the dHash shape.
+    "media_audio_neardup" -> 3,
+    // Video frame-set MinHash: frame-hash distinct, 16-perm sig agg,
+    // band-bucket agg, pair distinct, per-video set agg, output sort —
+    // frame rows collapse immediately; everything after shuffle 1 is
+    // signature-/pair-sized.
+    "media_video_neardup" -> 6)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
