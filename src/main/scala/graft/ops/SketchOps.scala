@@ -183,13 +183,116 @@ object SketchOps {
        |ORDER BY grp""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // KMV set-operation estimation (Beyer et al., SIGMOD'07 §4): the
+  // distinct-key overlap between two tables' join columns, estimated
+  // from their k-min sketches alone — what a distributed planner uses
+  // to size runtime filters and pick join sides WITHOUT scanning
+  // either table twice. Combined sketch K_∪ = k smallest of K_A ∪ K_B;
+  // ρ = |{h ∈ K_∪ : h ∈ K_A ∧ h ∈ K_B}| / k estimates the Jaccard, and
+  // est_∩ = ρ · est_∪. When the union has fewer than k distinct hashes
+  // the sketch IS the union and every estimate collapses to exact.
+  // All integer arithmetic (the estimator divisions are DIV), so the
+  // oracle recomputes cell-exactly. Exact counts ride along to surface
+  // the error. Arms: the 1995 vs 1996 order-customer cohorts — a real
+  // partial overlap on the fixture (Jaccard ≈ 0.64 at sf0.01), the
+  // year-over-year repeat-audience question.
+  //
+  // Shape for 100 TB: each sketch is ONE map-side-combined aggregate
+  // (k-long buffer); the fusion is a 1-row × 1-row broadcast cross.
+  // The exact arms (for the error report) are the only corpus-scale
+  // joins and would be dropped in production use.
+  def kmvJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    def cohort(year: Int): DataFrame =
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(
+          col("o_custkey").as("k"),
+          graft.functions.PolyHash
+            .polyHash(col("o_custkey").cast("string"), 31, KmvMod).as("ph"))
+        .withColumn("hv", expr(kmvMixSql("ph")))
+    val ca = cohort(1995)
+    val ob = cohort(1996)
+    val a = ca.agg(
+      graft.functions.KMinHashes.kMinHashes(col("hv"), KmvK).as("ka"),
+      countDistinct(col("k")).as("exact_a"))
+    val b = ob.agg(
+      graft.functions.KMinHashes.kMinHashes(col("hv"), KmvK).as("kb"),
+      countDistinct(col("k")).as("exact_b"))
+    val inter = ca.select(col("k")).distinct()
+      .join(ob.select(col("k")).distinct(), Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(inter)) // 1-row frames
+      .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $KmvK)"))
+      .withColumn("n_u", size(col("ku")).cast("long"))
+      .withColumn("rho_num", expr(
+        "CAST(size(filter(ku, h -> array_contains(ka, h) AND array_contains(kb, h))) AS BIGINT)"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN n_u < $KmvK THEN n_u " +
+          s"ELSE ${(KmvK - 1).toLong * KmvMod}L div element_at(ku, $KmvK) END"))
+      .withColumn("est_inter", expr(
+        s"CASE WHEN n_u < $KmvK THEN rho_num ELSE rho_num * est_union div $KmvK END"))
+      .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+      .select(
+        col("est_union"), col("est_inter"),
+        expr("1000 * rho_num DIV n_u").as("est_jaccard_milli"),
+        col("exact_union"), col("exact_inter"),
+        expr("1000 * exact_inter DIV exact_union").as("exact_jaccard_milli"))
+  }
+
+  val kmvJoinEstimateSql: String = {
+    def fold(column: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(CAST($column AS VARCHAR), ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $KmvMod)"
+    s"""WITH ca AS (SELECT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+       |cb AS (SELECT o_custkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+       |ha AS (SELECT DISTINCT ${kmvMixSql(fold("o_custkey"))} AS hv FROM ca),
+       |hb AS (SELECT DISTINCT ${kmvMixSql(fold("o_custkey"))} AS hv FROM cb),
+       |ka AS (SELECT hv FROM ha ORDER BY hv LIMIT $KmvK),
+       |kb AS (SELECT hv FROM hb ORDER BY hv LIMIT $KmvK),
+       |ku AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+       |       ORDER BY hv LIMIT $KmvK),
+       |u AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(hv) AS kth,
+       |        CAST((SELECT count(*) FROM ku
+       |              WHERE hv IN (SELECT hv FROM ka)
+       |                AND hv IN (SELECT hv FROM kb)) AS BIGINT) AS rho_num
+       |      FROM ku),
+       |ex AS (SELECT
+       |        (SELECT count(DISTINCT o_custkey) FROM ca) AS exact_a,
+       |        (SELECT count(DISTINCT o_custkey) FROM cb) AS exact_b,
+       |        (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM ca
+       |                               WHERE o_custkey IN (SELECT o_custkey FROM cb)))
+       |          AS exact_inter),
+       |est AS (SELECT
+       |        CASE WHEN n_u < $KmvK THEN n_u
+       |             ELSE ${(KmvK - 1).toLong * KmvMod} // kth END AS est_union,
+       |        rho_num, n_u FROM u)
+       |SELECT CAST(est_union AS BIGINT) AS est_union,
+       |  CAST(CASE WHEN n_u < $KmvK THEN rho_num
+       |       ELSE rho_num * est_union // $KmvK END AS BIGINT) AS est_inter,
+       |  CAST(1000 * rho_num // n_u AS BIGINT) AS est_jaccard_milli,
+       |  CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+       |  CAST(exact_inter AS BIGINT) AS exact_inter,
+       |  CAST(1000 * exact_inter // (exact_a + exact_b - exact_inter) AS BIGINT)
+       |    AS exact_jaccard_milli
+       |FROM est, ex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _),
-    "sketch_kmv_distinct" -> (kmvDistinct _)
+    "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_join_estimate" -> (kmvJoinEstimate _)
   )
 
   val oracle: Map[String, String] = Map(
     "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql,
-    "sketch_kmv_distinct" -> kmvDistinctSql
+    "sketch_kmv_distinct" -> kmvDistinctSql,
+    "sketch_join_estimate" -> kmvJoinEstimateSql
   )
 }

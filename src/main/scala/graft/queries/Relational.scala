@@ -1222,7 +1222,51 @@ object Relational {
       |  CAST(max(EXTRACT(hour FROM ts)) AS BIGINT) AS max_hour
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q48: ranking-statistics window functions — ntile / percent_rank /
+  // cume_dist, the distribution-rank family the surface did not yet
+  // exercise. The ORDER BY is a total order (price, orderkey,
+  // linenumber), so every rank statistic is deterministic; percent_rank
+  // and cume_dist are single correctly-rounded IEEE divisions of exact
+  // integers, hence bit-identical cross-engine. Decile rollup keeps the
+  // output vocabulary-sized: the one corpus-scale shuffle is the flag
+  // partition window; the decile agg reuses it (same leading key).
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("tile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("l_returnflag"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).cast("double").as("lo"),
+        max(col("l_extendedprice")).cast("double").as("hi"),
+        min(col("pr")).as("pr_lo"),
+        max(col("cd")).as("cd_hi"))
+      .orderBy(col("l_returnflag"), col("tile"))
+  }
+
+  private val q48Sql =
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ntile(10) OVER w AS tile,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |               ORDER BY l_extendedprice, l_orderkey, l_linenumber))
+      |SELECT l_returnflag, CAST(tile AS BIGINT) AS tile,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+      |  min(pr) AS pr_lo, max(cd) AS cd_hi
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_window_stats" -> (q48 _),
     "q47_ntz_native" -> (q47 _),
     "q46_json_typed" -> (q46 _),
     "q45_interval_overlap" -> (q45 _),
@@ -1273,6 +1317,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q48_window_stats" -> q48Sql,
     "q47_ntz_native" -> q47Sql,
     "q46_json_typed" -> q46Sql,
     "q45_interval_overlap" -> q45Sql,

@@ -919,6 +919,31 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("KMV join estimate: exact arms correct, estimates within sketch error bounds") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.SketchOps.kmvJoinEstimate(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (estU, estI, estJ) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (exU, exI, exJ) = (row.getLong(3), row.getLong(4), row.getLong(5))
+    // exact arms agree with a direct computation
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    def cohort(y: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val a = cohort(1995).collect().map(_.getLong(0)).toSet
+    val b = cohort(1996).collect().map(_.getLong(0)).toSet
+    assert(exU == (a ++ b).size && exI == (a & b).size)
+    assert(exJ == 1000L * exI / exU)
+    // sketch estimates: k=64 => relative std ~1/sqrt(63) ~ 12.6%; allow 4 sigma
+    assert(math.abs(estU - exU) <= exU / 2, s"est_union $estU vs exact $exU")
+    assert(estI >= 0 && math.abs(estI - exI) <= exI,
+      s"est_inter $estI vs exact $exI")
+    // Jaccard estimator rho is a hypergeometric mean-J statistic; same band
+    assert(math.abs(estJ - exJ) <= 500L, s"est_jaccard $estJ vs exact $exJ")
+  }
+
   test("winnow: shared-substring guarantee, sorted positions, exact fold arithmetic") {
     import spark.implicits._
     val shared = "the quick brown fox jumps" // 25 chars >= k+w-1 = 23

@@ -94,6 +94,38 @@ class RelationalSpec extends SparkSuite {
     assert(flagged.toDouble / rows.length < 0.3)
   }
 
+  test("q48 window stats: deciles tile each flag, rank statistics bounded and terminal") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Relational.q48(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFlag = rows.groupBy(_.getString(0))
+    val flagCounts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byFlag.foreach { case (flag, g) =>
+      val tiles = g.map(_.getLong(1)).sorted
+      assert(tiles.toSeq == (1L to 10L), s"$flag deciles not 1..10: ${tiles.toSeq}")
+      // deciles tile the partition exactly
+      assert(g.map(_.getLong(2)).sum == flagCounts(flag))
+      // ntile balance: sizes differ by at most 1
+      assert(g.map(_.getLong(2)).max - g.map(_.getLong(2)).min <= 1)
+      // price ranges are non-overlapping and ordered across deciles
+      val ordered = g.sortBy(_.getLong(1))
+      ordered.foreach(r => assert(r.getDouble(3) <= r.getDouble(4)))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3))
+        case _ =>
+      }
+      // percent_rank starts at 0 in decile 1; cume_dist ends at exactly 1
+      assert(ordered.head.getDouble(5) == 0.0)
+      assert(ordered.last.getDouble(6) == 1.0)
+      g.foreach { r =>
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+        assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+      }
+    }
+  }
+
   test("q41 full outer: both exclusive sides exist and totals reconcile") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.Relational.q41(spark, sf)
