@@ -531,6 +531,59 @@ object GraphOps {
       .orderBy(col("a"), col("b"))
   }
 
+  // ------------------------------------------------------------------
+  // BFS distances — the remaining classic graph kernel: hop distance
+  // from a deterministic source (the smallest node in the supported
+  // co-occurrence graph) to every reachable node, bounded at
+  // [[Bfs.MaxRounds]] hops. Bounded-depth BFS is the building block of
+  // ego-network features, spreading-activation relevance, and the
+  // "within k hops of a seed set" filters lakehouse graph extensions
+  // ship; the bound is part of the CONTRACT (both engines stop at the
+  // same depth), not a correctness cap — which is what makes a
+  // fixed-unroll oracle exact.
+  //
+  // Plan shape: edges partitioned by src ONCE and reused every round
+  // (the kcore discipline); the frontier is broadcast (node-bounded,
+  // shrinks after the first hops), the visited set accumulates behind
+  // per-round lineage truncation, and a round is one broadcast-join +
+  // distinct + anti-join — no corpus-scale shuffle after setup. At a
+  // frontier too large to broadcast the same join degrades to the
+  // partitioned form, still one exchange per round.
+  object Bfs {
+    val MaxRounds = 8
+  }
+
+  def bfs(s: SparkSession, dir: String): DataFrame =
+    bfsOf(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  def bfsOf(membership: DataFrame, maxRounds: Int = Bfs.MaxRounds): DataFrame = {
+    val spark = membership.sparkSession
+    import spark.implicits._
+    val und = Lineage.truncate(supportedEdges(membership))
+    val edges = Lineage.truncate(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    // every edge has a < b, so min(a) is the smallest non-isolated node
+    val src0 = und.agg(min(col("a"))).head.getLong(0)
+    var dist = Lineage.truncate(Seq((src0, 0L)).toDF("n", "d"))
+    var frontier = dist.select(col("n"))
+    var r = 0
+    while (r < maxRounds && frontier.limit(1).count() > 0) {
+      val nxt = Lineage.truncate(
+        edges.join(broadcast(frontier.withColumnRenamed("n", "src")), Seq("src"))
+          .select(col("dst").as("n")).distinct()
+          .join(dist.select(col("n")), Seq("n"), "left_anti")
+          .withColumn("d", lit(r + 1L)))
+      frontier = nxt.select(col("n"))
+      dist = Lineage.truncate(dist.unionByName(nxt))
+      r += 1
+    }
+    dist.select(col("n").as("part"), col("d").cast("long").as("dist"))
+      .orderBy(col("part"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -538,7 +591,8 @@ object GraphOps {
     "graph_triangles" -> (triangles _),
     "graph_butterflies" -> (butterflies _),
     "graph_kcore" -> (kcore _),
-    "graph_ktruss" -> (ktruss _)
+    "graph_ktruss" -> (ktruss _),
+    "graph_bfs" -> (bfs _)
   )
 
   /** DuckDB oracle: re-runs the whole MinHash pipeline (shared CTE chain
@@ -724,6 +778,37 @@ object GraphOps {
        |ORDER BY e.a, e.b""".stripMargin
   }
 
+  /** Oracle: the frontier recurrence unrolled as [[Bfs.MaxRounds]]
+    * materialized CTE rounds — identical graph, source, and depth
+    * bound, so the result is exact whether or not BFS has converged
+    * by the bound. */
+  val bfsSql: String = {
+    val rounds = (1 to Bfs.MaxRounds).map { i =>
+      val pf = s"f${i - 1}"
+      val pd = s"d${i - 1}"
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS n
+         |  FROM edges e JOIN $pf f ON f.n = e.src
+         |  WHERE e.dst NOT IN (SELECT n FROM $pd)),
+         |d$i AS MATERIALIZED (
+         |  SELECT n, d FROM $pd UNION ALL SELECT n, $i AS d FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= ${Cores.MinSupport}),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |d0 AS MATERIALIZED (SELECT (SELECT min(a) FROM und) AS n, 0 AS d),
+       |f0 AS MATERIALIZED (SELECT n FROM d0),
+       |$rounds
+       |SELECT n AS part, CAST(d AS BIGINT) AS dist
+       |FROM d${Bfs.MaxRounds} ORDER BY part""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> dedupClustersSql,
     // identical output contract to dedup_clusters — the star-contraction
@@ -733,6 +818,7 @@ object GraphOps {
     "graph_triangles" -> trianglesSql,
     "graph_butterflies" -> butterfliesSql,
     "graph_kcore" -> kcoreSql,
-    "graph_ktruss" -> ktrussSql
+    "graph_ktruss" -> ktrussSql,
+    "graph_bfs" -> bfsSql
   )
 }

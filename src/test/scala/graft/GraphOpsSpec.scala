@@ -279,4 +279,54 @@ class GraphOpsSpec extends SparkSuite {
     assert(got == core.toMap,
       "h-index fixpoint must equal the exact sequential peel")
   }
+
+  test("bfs: hand-computed path graph — depth bound cuts, disconnected excluded") {
+    // path 1-2-...-12 (each edge stated by two orders to clear
+    // MinSupport) + a disconnected supported edge 20-21. Source is the
+    // smallest node (1); MaxRounds=8 reaches nodes 1..9 at dist 0..8;
+    // 10..12 are beyond the bound and 20/21 unreachable — all excluded.
+    val base = (1L to 11L).flatMap { i =>
+      Seq((100L + i) -> i, (100L + i) -> (i + 1)) } ++
+      Seq(300L -> 20L, 300L -> 21L)
+    val membership =
+      (base ++ base.map { case (o, p) => (o + 1000L, p) }).toDF("o", "p")
+    val got = GraphOps.bfsOf(membership).as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 9L).map(n => n -> (n - 1L)))
+  }
+
+  test("bfs: fixture distances are a valid BFS layering from the min node") {
+    val rows = GraphOps.bfs(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    val dist = rows.toMap
+    assert(rows.count(_._2 == 0L) == 1 && dist(rows.map(_._1).min) == 0L,
+      "exactly the smallest reachable node is at distance 0")
+    assert(rows.forall(r => r._2 >= 0L && r._2 <= GraphOps.Bfs.MaxRounds))
+    // recompute the supported edge set; check the BFS layering property
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("a"), col("b")).as[(Long, Long)].collect()
+    edges.foreach { case (a, b) =>
+      (dist.get(a), dist.get(b)) match {
+        case (Some(da), Some(db)) =>
+          assert(math.abs(da - db) <= 1, s"edge ($a,$b) spans levels $da,$db")
+        case (Some(da), None) => assert(da == GraphOps.Bfs.MaxRounds,
+          s"node $b unreached but neighbor $a at $da < bound")
+        case (None, Some(db)) => assert(db == GraphOps.Bfs.MaxRounds,
+          s"node $a unreached but neighbor $b at $db < bound")
+        case _ => // both outside the reached set (other component)
+      }
+    }
+    // every non-source node has a parent one level up
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.filter(_._2 > 0).foreach { case (n, d) =>
+      assert(adj(n).exists(m => dist.get(m).contains(d - 1)),
+        s"node $n at $d has no neighbor at ${d - 1}")
+    }
+  }
 }
