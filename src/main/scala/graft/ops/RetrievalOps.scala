@@ -119,11 +119,71 @@ object RetrievalOps {
        |ORDER BY fused_rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Hard-negative mining (the DPR/contrastive-training recipe): for
+  // each query, the candidates ranked JUST BELOW the presumed
+  // positives are the training negatives that actually move a
+  // retriever — random negatives are too easy, and near-duplicates of
+  // the query (cos ≥ [[HardNegDupCos]]) are poisoned labels and are
+  // excluded BEFORE ranking so they never waste a negative slot.
+  // Per probe: rank the corpus by exact cosine (near-dups dropped),
+  // keep ranks ([[HardNegK]], [[HardNegK]]+[[HardNegM]]].
+  //
+  // Shape for 100 TB: identical to the brute-force ANN arm — one
+  // corpus scan against broadcast probes with a per-probe rank window;
+  // swap in the LSH candidate set for the scan and nothing downstream
+  // changes. The dup threshold is a plain column predicate, pushed
+  // into the same pass.
+  val HardNegK = 4
+  val HardNegM = 8
+  val HardNegDupCos = 0.98
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val probes = broadcast(emb.filter(col("vec_id") < SimilarityOps.ProbeIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(probes) // bounded probe set: structural
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        SimilarityOps.cosineFF(col("q_emb"), col("c_emb")).as("cos"))
+      .filter(col("cos") < HardNegDupCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") > HardNegK && col("rank") <= HardNegK + HardNegM)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rank").cast("long").as("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < ${SimilarityOps.ProbeIds}),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS c_id,
+       |    list_reduce(list_transform(list_zip(q_emb, c.embedding),
+       |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_transform(q_emb,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       |     * sqrt(list_reduce(list_transform(c.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))) AS cos
+       |  FROM embeddings c, probes WHERE c.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM scored WHERE cos < $HardNegDupCos)
+       |SELECT q_id, c_id, cos, rank FROM ranked
+       |WHERE rank > $HardNegK AND rank <= ${HardNegK + HardNegM}
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "search_hybrid_rrf" -> (hybridRrf _)
+    "search_hybrid_rrf" -> (hybridRrf _),
+    "sample_hard_negatives" -> (hardNegatives _)
   )
 
   val oracle: Map[String, String] = Map(
-    "search_hybrid_rrf" -> hybridRrfSql
+    "search_hybrid_rrf" -> hybridRrfSql,
+    "sample_hard_negatives" -> hardNegativesSql
   )
 }

@@ -233,15 +233,80 @@ object Behavioral {
       |    AS p_milli
       |FROM t ORDER BY from_event, to_event""".stripMargin
 
+  // ------------------------------------------------------------------
+  // retention: ClickHouse's retention(cond1, …, condN) aggregate — per
+  // user, flag r1 = cond1 fired, and r_i (i>1) = cond1 AND cond_i
+  // (note: NOT sequential — each later condition pairs with the FIRST,
+  // which is exactly ClickHouse's documented semantics), rolled up to
+  // cohort counts. Conditions here: signed up; viewed within 7 days of
+  // first signup; purchased within 30 days of first signup — the
+  // product-retention readout the events table exists for.
+  //
+  // Plan shape: like the funnel, whole-partition min/max windows over
+  // ONE user_id exchange, then a global 1-row rollup. Exact epoch-ms
+  // integer comparisons throughout.
+  val RetentionViewMs: Long = 7L * 86400000L
+  val RetentionBuyMs: Long = 30L * 86400000L
+
+  def retention(s: SparkSession, dir: String): DataFrame =
+    retentionOf(Relational.events(s, dir))
+
+  def retentionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("_ms"))).over(w))
+      .withColumn("r1", max(when(col("event_type") === "signup", 1L)
+        .otherwise(0L)).over(w))
+      .withColumn("r2", max(when(col("event_type") === "view" &&
+        col("_ms") >= col("t0") &&
+        col("_ms") <= col("t0") + RetentionViewMs, 1L).otherwise(0L)).over(w))
+      .withColumn("r3", max(when(col("event_type") === "purchase" &&
+        col("_ms") >= col("t0") &&
+        col("_ms") <= col("t0") + RetentionBuyMs, 1L).otherwise(0L)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("r1")).as("u1"), max(col("r2")).as("u2"), max(col("r3")).as("u3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("u1")).as("signed_up"),
+        sum(col("u1") * col("u2")).as("retained_view_7d"),
+        sum(col("u1") * col("u3")).as("retained_buy_30d"))
+  }
+
+  private def retentionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |p AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN ms END)
+       |      OVER (PARTITION BY user_id) AS t0,
+       |    event_type, ms
+       |  FROM e),
+       |u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS u1,
+       |    max(CASE WHEN event_type = 'view' AND ms >= t0
+       |             AND ms <= t0 + $RetentionViewMs THEN 1 ELSE 0 END) AS u2,
+       |    max(CASE WHEN event_type = 'purchase' AND ms >= t0
+       |             AND ms <= t0 + $RetentionBuyMs THEN 1 ELSE 0 END) AS u3
+       |  FROM p GROUP BY user_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  CAST(sum(u1) AS BIGINT) AS signed_up,
+       |  CAST(sum(u1 * u2) AS BIGINT) AS retained_view_7d,
+       |  CAST(sum(u1 * u3) AS BIGINT) AS retained_buy_30d
+       |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window_funnel" -> (windowFunnel _),
     "events_sequence_count" -> (sequenceCount _),
-    "events_transitions" -> (transitions _)
+    "events_transitions" -> (transitions _),
+    "events_retention" -> (retention _)
   )
 
   val oracle: Map[String, String] = Map(
     "events_window_funnel" -> windowFunnelSql,
     "events_sequence_count" -> sequenceCountSql,
-    "events_transitions" -> transitionsSql
+    "events_transitions" -> transitionsSql,
+    "events_retention" -> retentionSql
   )
 }

@@ -122,6 +122,32 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("retention: hand-computed cohorts, first-signup anchoring, CH pairing semantics") {
+    val D = 86400000L
+    val events = ev(
+      // user 1: signup, view day 2, purchase day 10 -> all three flags
+      (1L, "signup", 1L, 0L), (1L, "view", 2L, 2 * D), (1L, "purchase", 3L, 10 * D),
+      // user 2: signup, view day 8 (outside 7d), purchase day 40 (outside 30d)
+      (2L, "signup", 4L, 0L), (2L, "view", 5L, 8 * D), (2L, "purchase", 6L, 40 * D),
+      // user 3: view+purchase but never signed up -> only counted in n_users
+      (3L, "view", 7L, 0L), (3L, "purchase", 8L, D),
+      // user 4: TWO signups; the view is within 7d of the FIRST -> retained
+      (4L, "signup", 9L, 0L), (4L, "signup", 10L, 20 * D), (4L, "view", 11L, 6 * D),
+      // user 5: view BEFORE the signup -> not retained (ms >= t0 required)
+      (5L, "view", 12L, 0L), (5L, "signup", 13L, D))
+    val got = Behavioral.retentionOf(events)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 4L, 2L, 1L)))
+  }
+
+  test("retention: fixture cohorts are monotone and bounded") {
+    val Seq((n, s1, r7, r30)) = Behavioral.retention(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(n > 0 && s1 <= n && r7 <= s1 && r30 <= s1,
+      s"retention counts not nested: $n, $s1, $r7, $r30")
+    assert(s1 > 0, "fixture has signups")
+  }
+
   test("windowFunnel: registered query is a valid level histogram on the fixture") {
     val rows = Behavioral.windowFunnel(spark, sf)
       .as[(Long, Long, Option[Long])].collect().toSeq

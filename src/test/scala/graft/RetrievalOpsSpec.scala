@@ -26,6 +26,31 @@ class RetrievalOpsSpec extends SparkSuite {
     assert(rows == rows.sortBy(r => (-r._4, r._1)))
   }
 
+  test("hardNegatives: ranks continue the positive band, near-dups excluded, planted dup never mined") {
+    val g = RetrievalOps.hardNegatives(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._4).sorted
+      assert(ranks == (RetrievalOps.HardNegK + 1L to
+        RetrievalOps.HardNegK + RetrievalOps.HardNegM), s"probe $q ranks: $ranks")
+      rows.foreach(r => assert(r._3 < RetrievalOps.HardNegDupCos))
+    }
+    // plant a near-duplicate of probe 0 (scaled copy, cos ~ 1): it must
+    // never appear among the mined negatives for that probe
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 1.001 AS FLOAT))").as("embedding"))
+    val dir2 = java.nio.file.Files.createTempDirectory("hardneg").toString
+    emb.select("vec_id", "embedding").unionByName(dup)
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val g2 = RetrievalOps.hardNegatives(spark, dir2)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(!g2.exists(r => r._1 == 0L && r._2 == 999999L),
+      "planted near-duplicate was mined as a hard negative")
+  }
+
   test("hybridRrf: arm ranks agree with the standalone arm pipelines") {
     val fused = RetrievalOps.hybridRrf(spark, sf)
       .as[(Long, Option[Long], Option[Long], Long, Long)].collect().toSeq
