@@ -160,6 +160,62 @@ object StreamOps {
       }
   }
 
+  /** Per-user carry-over state for the streaming transition fold. */
+  case class LastEvent(user_id: Long, ms: Long, event_id: Long,
+      event_type: String)
+
+  /** One observed consecutive-event transition. */
+  case class Transition(user_id: Long, from_event: String, to_event: String,
+      ms: Long)
+
+  /** The batch Markov-transition operator ([[graft.queries.Behavioral
+    * .transitionsOf]]) folded incrementally: per user, keep only the
+    * LAST event seen (constant state per user — the lag window's
+    * streaming twin), emit one Transition row per consecutive pair as
+    * it completes. Downstream, a foreachBatch rollup or the memory sink
+    * aggregates (from, to) counts; the parity spec proves the
+    * accumulated counts equal the batch lag-window query row for row
+    * when the stream arrives in event-time order. Idle users are
+    * evicted on event-time timeout (bounded state, the funnel's
+    * discipline) — a returning user simply starts a fresh chain, so an
+    * eviction can only LOSE the one bridging transition, never invent
+    * one. */
+  def transitionsStream(
+      events: Dataset[Event],
+      retention: java.time.Duration = java.time.Duration.ofDays(45)): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val retMs = retention.toMillis
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // in-batch fold in event-time order regardless of delivery
+            // order inside the micro-batch
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Transition]
+            evs.foreach { e =>
+              val m = e.ts.getTime
+              last.foreach { l =>
+                out += Transition(uid, l.event_type, e.event_type, m)
+              }
+              last = Some(LastEvent(uid, m, e.event_id, e.event_type))
+            }
+            last.foreach(state.update)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: impressions ⋈ clicks by user within
     * [0, 10 min] AFTER the impression — the streaming analog of the batch
     * range join (Relational.q21). Both sides carry watermarks and the

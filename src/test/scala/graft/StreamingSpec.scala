@@ -401,6 +401,72 @@ class StreamingSpec extends SparkSuite {
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
 
+  test("streaming transitions equal the batch lag-window matrix on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.Relational.events(spark, sf)
+    val ordered = ev
+      .select(col("event_id"), col("_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("_ms"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.sql(
+      "SELECT from_event, to_event, count(*) AS n FROM trans GROUP BY 1, 2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val want = graft.queries.Behavioral.transitionsOf(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"streaming/batch transition divergence: extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+
+  test("streaming transitions: an evicted user starts a fresh chain, never a phantom pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 3600000L // 1 h
+    // a base comfortably above the initial watermark (0): a ts at epoch 0
+    // is "late" against the starting watermark and silently dropped
+    val B = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val in = MemoryStream[Event]
+    val q = StreamOps.transitionsStream(in.toDS(),
+        retention = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("transev").outputMode("append").start()
+    // batch 1: user 7 emits view then click (one transition)
+    in.addData(Event(1L, new Timestamp(B), 7L, "view", 0.0),
+      Event(2L, new Timestamp(B + 1000L), 7L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: another user far in the future advances the watermark past
+    // user 7's retention horizon
+    in.addData(Event(3L, new Timestamp(B + 10L * D), 8L, "view", 0.0))
+    q.processAllAvailable()
+    // batch 3: a further batch WITHOUT user-7 data fires the timeout
+    // (timed-out groups are only evicted when invoked with no new data)
+    in.addData(Event(6L, new Timestamp(B + 10L * D + 500L), 8L, "click", 0.0))
+    q.processAllAvailable()
+    // batch 4: user 7 returns — the bridging click->purchase pair must NOT
+    // appear (state was dropped); only later in-episode pairs may
+    in.addData(Event(4L, new Timestamp(B + 10L * D + 1000L), 7L, "purchase", 0.0),
+      Event(5L, new Timestamp(B + 10L * D + 2000L), 7L, "error", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, from_event, to_event FROM transev")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    assert(rows.contains((7L, "view", "click")))
+    assert(!rows.contains((7L, "click", "purchase")),
+      "phantom transition across an eviction")
+    assert(rows.contains((7L, "purchase", "error")), "fresh episode must chain")
+  }
+
   test("streaming funnel: evicted user re-anchors as a fresh episode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
