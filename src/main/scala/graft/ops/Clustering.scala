@@ -251,7 +251,7 @@ object Clustering {
     * — the exact casts, folds, and op order of [[assign]], so the argmin
     * (and its (dist, cluster) tie-break) matches Spark bit-for-bit. */
   def assignSql(name: String, src: String, cent: String): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, p.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -274,15 +274,20 @@ object Clustering {
     * oracle derives it from the data too). */
   val FinalCent: String = s"cent$Iters"
   def trainingCtes(kSql: String): String = {
+    // AS MATERIALIZED is load-bearing (the kcore-oracle lesson): DuckDB
+    // inlines plain CTEs, and each cent_n is referenced twice (by
+    // asg_{n+1} and cent_{n+1}), so an inlined Iters-round chain
+    // expands 2^Iters-fold — measured 144 s / ~100 GiB (and flaky OOM)
+    // on dedup_semantic's doubled corpus at Iters=5 before the hint.
     def upd(n: Int): String =
-      s"""sum$n AS (
+      s"""sum$n AS MATERIALIZED (
          |  SELECT cluster, i,
          |    SUM(CAST(round(CAST(x AS DOUBLE) * ${Quantum.toLong}) AS BIGINT)) AS s2,
          |    COUNT(*) AS n
          |  FROM (SELECT cluster, UNNEST(embedding) AS x,
          |          UNNEST(range(0, len(embedding))) AS i FROM asg$n)
          |  GROUP BY 1, 2),
-         |cent$n AS (
+         |cent$n AS MATERIALIZED (
          |  SELECT p.cluster, coalesce(nc.c, p.c) AS c
          |  FROM ${if (n == 1) "cent0" else s"cent${n - 1}"} p
          |  LEFT JOIN (SELECT cluster, list(CAST(s2 AS DOUBLE) / ${Quantum.toLong} / n ORDER BY i) AS c
@@ -294,13 +299,13 @@ object Clustering {
     // id-hashes — the same ordering init uses, so init ⊂ sample), the
     // SQL twin of the driver-side training loop. Corpora ≤ SampleCap
     // rows train on everything, so the oracle scales are unchanged.
-    s"""samp AS (
+    s"""samp AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM (
        |    SELECT vec_id, embedding, row_number() OVER (
        |        ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id
        |      ) AS rnk
        |    FROM embeddings) WHERE rnk <= $SampleCap),
-       |cent0 AS (
+       |cent0 AS MATERIALIZED (
        |  SELECT cluster, c FROM (
        |    SELECT row_number() OVER (
        |        ORDER BY (vec_id * ${Sampling.HashA} + ${Sampling.HashB}) % ${Sampling.Mod}, vec_id

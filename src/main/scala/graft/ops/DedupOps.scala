@@ -572,7 +572,7 @@ object DedupOps {
     def dotSql(a: String, b: String): String =
       s"""list_reduce(list_transform(list_zip($a, $b),
          |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
-    s"""WITH RECURSIVE eb AS (
+    s"""WITH RECURSIVE eb AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL SELECT vec_id + 1000000,
        |    list_transform(embedding, x -> CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT))
@@ -580,12 +580,12 @@ object DedupOps {
        |${Clustering.kpCte("eb")},
        |${Clustering.trainingCtes("(SELECT k FROM kp)")},
        |${Clustering.assignSql("sasg", "eb", Clustering.FinalCent)},
-       |nasg AS (
+       |nasg AS MATERIALIZED (
        |  SELECT vec_id, embedding, cluster,
        |    sqrt(list_reduce(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)) AS nrm
        |  FROM sasg),
-       |cells AS (SELECT cluster, count(*) AS cn FROM nasg GROUP BY 1),
+       |cells AS MATERIALIZED (SELECT cluster, count(*) AS cn FROM nasg GROUP BY 1),
        |direct AS (
        |  SELECT l.vec_id AS a, r.vec_id AS b
        |  FROM nasg l JOIN nasg r
@@ -593,7 +593,7 @@ object DedupOps {
        |  JOIN cells c ON c.cluster = l.cluster
        |  WHERE c.cn <= $MaxCell
        |    AND ${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= 0.99),
-       |bigb AS (
+       |bigb AS MATERIALIZED (
        |  SELECT n.vec_id, n.embedding, n.nrm, n.cluster,
        |    ${SimilarityOps.lshBucketSql("n.embedding", 12)} AS bucket
        |  FROM nasg n JOIN cells c USING (cluster) WHERE c.cn > $MaxCell),
@@ -607,8 +607,8 @@ object DedupOps {
        |    ON l.cluster = r.cluster AND l.bucket = r.bucket AND l.vec_id < r.vec_id
        |  JOIN okb o ON o.cluster = l.cluster AND o.bucket = l.bucket
        |  WHERE ${dotSql("l.embedding", "r.embedding")} / (l.nrm * r.nrm) >= 0.99),
-       |dup AS (SELECT a, b FROM direct UNION ALL SELECT a, b FROM fb),
-       |edges AS (SELECT a AS src, b AS dst FROM dup
+       |dup AS MATERIALIZED (SELECT a, b FROM direct UNION ALL SELECT a, b FROM fb),
+       |edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM dup
        |          UNION ALL SELECT b AS src, a AS dst FROM dup),
        |walk(node, label) AS (
        |  SELECT src, src FROM edges
