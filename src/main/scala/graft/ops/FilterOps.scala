@@ -778,6 +778,105 @@ object FilterOps {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Line-level boilerplate dedup (the CCNet / RefinedWeb pass): a line
+  // that recurs across many documents of the SAME source (site headers,
+  // nav menus, cookie banners) is boilerplate and is dropped from every
+  // document; each doc is then rebuilt from its surviving lines. This
+  // is a corpus REWRITE, not a metric — the output is the cleaned
+  // document (here: its exact token count + content hash, so the
+  // rewrite is byte-auditable cross-engine).
+  //
+  // The fixture corpus has no newlines, so a "line" is a fixed
+  // LineTokens-token segment — the real implementation splits on '\n';
+  // fixed segmentation additionally means only boundary-aligned
+  // boilerplate is caught (a deliberate, documented simplification; the
+  // injected header/promo lines below are aligned the way real site
+  // chrome is line-aligned). Boilerplate is synthesized from the data
+  // itself: every doc gets a per-source 10-token header, every third
+  // doc a per-source promo line, so line document-frequency within a
+  // source is the discovering signal, exactly as in CCNet.
+  //
+  // Shape: one narrow segmentation pass → distinct (source, line-hash,
+  // doc) → line df by map-side-combined count keyed on (source, hash) —
+  // vocabulary-sized, never corpus-sized — joined back on the same key,
+  // then one per-doc rollup that rebuilds the kept text in line order.
+  // No pair joins anywhere; a corpus-wide boilerplate line costs
+  // O(docs containing it). At 100 TB the (source, hash) df table is the
+  // only global state and sources partition it naturally.
+  val LineTokens = 10
+  val MinLineDf = 3L
+
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val header = concat_ws(" ", lit("site"), col("source"),
+      lit("navigation menu copyright"), col("source"), lit("all rights reserved contact"))
+    val promo = concat_ws(" ", lit("subscribe to"), col("source"),
+      lit("newsletter for weekly updates and free offers"))
+    val injected = d.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat_ws(" ", header, promo, col("text")))
+        .otherwise(concat_ws(" ", header, col("text"))))
+    val lines = injected
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"transform(sequence(0, (size(_t) - 1) DIV $LineTokens), " +
+          s"i -> concat_ws(' ', slice(_t, i * $LineTokens + 1, $LineTokens)))"))
+        .as(Seq("line_idx", "line")))
+      .withColumn("h", graft.functions.PolyHash.polyHash(col("line"), 31, HashMod))
+      .localCheckpoint() // one segmentation pass feeds both the df count and the rollup
+    val lineDf = lines.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("line_df"))
+    lines.join(lineDf, Seq("source", "h"))
+      .withColumn("kept", col("line_df") < MinLineDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("kept"),
+          size(split(col("line"), "\\s+")).cast("long"))), lit(0L)).as("kept_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN struct(line_idx, line) END)), p -> p.line)"))
+          .as("_cleaned"))
+      .withColumn("cleaned_hash",
+        graft.functions.PolyHash.polyHash(col("_cleaned"), 31, HashMod))
+      .drop("_cleaned")
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH injected AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN hdr || ' ' || promo || ' ' || text
+       |         ELSE hdr || ' ' || text END AS text
+       |  FROM (SELECT doc_id, source, text,
+       |          'site ' || source || ' navigation menu copyright ' || source ||
+       |            ' all rights reserved contact' AS hdr,
+       |          'subscribe to ' || source ||
+       |            ' newsletter for weekly updates and free offers' AS promo
+       |        FROM documents)),
+       |lines AS (
+       |  SELECT doc_id, source, i AS line_idx,
+       |    array_to_string(list_slice(t, i * $LineTokens + 1, i * $LineTokens + $LineTokens), ' ') AS line
+       |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |        FROM injected),
+       |    UNNEST(generate_series(0, (len(t) - 1) // $LineTokens)) AS g(i)),
+       |keyed AS (SELECT doc_id, source, line_idx, line,
+       |            ${polyHashSql("line", 31, HashMod)} AS h FROM lines),
+       |ldf AS (SELECT source, h, count(DISTINCT doc_id) AS line_df
+       |        FROM keyed GROUP BY 1, 2),
+       |marked AS (
+       |  SELECT k.doc_id, k.line_idx, k.line, l.line_df < $MinLineDf AS kept
+       |  FROM keyed k JOIN ldf l ON l.source = k.source AND l.h = k.h)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(coalesce(sum(CASE WHEN kept
+       |    THEN len(regexp_split_to_array(line, '\\s+')) END), 0) AS BIGINT) AS kept_tokens,
+       |  ${polyHashSql(
+             s"coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE kept), '')",
+             31, HashMod)} AS cleaned_hash
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_refinery" -> (refinery _),
     "filter_domain_mix" -> (domainMix _),
@@ -786,7 +885,8 @@ object FilterOps {
     "filter_quality_by_lang" -> (qualityByLang _),
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
-    "dedup_passage_overlap" -> (passageOverlap _)
+    "dedup_passage_overlap" -> (passageOverlap _),
+    "filter_line_dedup" -> (lineDedup _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -797,6 +897,7 @@ object FilterOps {
     "filter_quality_by_lang" -> qualityByLangSql,
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,
-    "dedup_passage_overlap" -> passageOverlapSql
+    "dedup_passage_overlap" -> passageOverlapSql,
+    "filter_line_dedup" -> lineDedupSql
   )
 }

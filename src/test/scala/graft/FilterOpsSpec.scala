@@ -231,6 +231,34 @@ class FilterOpsSpec extends SparkSuite {
     assert(m(1) == ((2L, 30L, 100L, 133L, 0L, 0L, true)))
   }
 
+  test("line dedup: injected per-source boilerplate is discovered and stripped exactly") {
+    val out = FilterOps.lineDedup(spark, sf).cache()
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val total = d.count()
+    assert(out.count() == total)
+    // every doc loses at least its header; every third doc also the promo
+    assert(out.filter(col("doc_id") % 3 === 0 && col("n_dropped") < 2).count() == 0)
+    assert(out.filter(col("n_dropped") < 1).count() == 0)
+    // a doc that lost ONLY the injected lines rebuilds to exactly its own
+    // normalized text — token count and content hash both match, so the
+    // rewrite is byte-exact, not just statistically plausible
+    val toks = graft.ops.TextOps.tokens(col("text"))
+    val ref = d.select(col("doc_id"),
+      size(toks).cast("long").as("own_tokens"),
+      graft.functions.PolyHash.polyHash(concat_ws(" ", toks), 31, DedupOps.HashMod)
+        .as("own_hash"),
+      when(col("doc_id") % 3 === 0, 2L).otherwise(1L).as("injected"))
+    val j = out.join(ref, Seq("doc_id")).cache()
+    val onlyInjected = j.filter(col("n_dropped") === col("injected"))
+    assert(onlyInjected.count() >= total * 9 / 10,
+      "most docs drop exactly the injected boilerplate")
+    assert(onlyInjected.filter(col("kept_tokens") =!= col("own_tokens") ||
+      col("cleaned_hash") =!= col("own_hash")).count() == 0)
+    // extra (naturally-repeated) drops only ever shrink the doc
+    assert(j.filter(col("kept_tokens") > col("own_tokens")).count() == 0)
+    j.unpersist(); out.unpersist()
+  }
+
   test("repetition rules: registered query is total over the corpus and ordered") {
     val out = FilterOps.repetitionRules(spark, sf).cache()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
