@@ -814,7 +814,103 @@ object DedupOps {
        |FROM toks t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // All-pairs sparse cosine similarity (the Bayardo/DISCO "similarity
+  // self-join"): every document pair whose tf-idf trigram-shingle
+  // vectors have cosine ≥ AllPairsTholdMilli/1000, over the full
+  // corpus — no probe set. This is the weighted complement of the
+  // set-based near-dup families: MinHash/Jaccard see *which* shingles
+  // are shared, the sparse cosine also weighs *how often* and *how
+  // informative* (idf) each shared shingle is.
+  //
+  // The pair generation IS the sparse-matrix self-multiply: explode to
+  // (doc, shingle-hash, weight) postings, equi-join postings on the
+  // hash, and the per-pair SUM of weight products is the exact dot
+  // product — candidates and numerators come out of the same join, so
+  // generation is lossless (cosine > 0 requires ≥ 1 shared shingle).
+  // Shingles with document frequency > AllPairsDfCap are dropped from
+  // the vector space on BOTH engines (stop-gram removal, the same skew
+  // cap as MaxBucket/StopGramCap): at 100 TB the posting-list self-join
+  // is bounded at Σ df² ≤ DfCap · |postings|, linear in corpus with a
+  // constant-bounded hot key. The threshold test is exact integer
+  // arithmetic throughout: weights are tf · idf_milli (BIGINT), and
+  // cosine ≥ t is evaluated as dot²·10⁶ ≥ t²·‖a‖²·‖b‖² in 128-bit
+  // (Spark DECIMAL(38,0) / DuckDB HUGEINT) — no sqrt, no doubles, no
+  // cross-engine rounding surface.
+  val AllPairsTholdMilli = 800L
+  val AllPairsDfCap = 64L
+
+  def allPairsSparse(s: SparkSession, dir: String): DataFrame =
+    allPairsSparseOf(corpus(s, dir))
+
+  /** The similarity self-join over any (doc_id, text) corpus — the
+    * registered query binds it to the twinned fixture corpus. */
+  def allPairsSparseOf(base: DataFrame): DataFrame = {
+    // (doc, shingle-hash, tf): raw trigram occurrences (NOT distinct —
+    // tf is the point), composed from per-token polynomial hashes like
+    // [[shingles]].
+    val grams = base.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .withColumn("_th", transform(col("_t"),
+        tok => graft.functions.PolyHash.polyHash(tok, 31, HashMod)))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 2), " +
+          s"i -> ((_th[i-1] * 131 + _th[i]) % $HashMod * 131 + _th[i+1]) % $HashMod)")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the df aggregate AND the weighted postings
+    val dfTbl = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= AllPairsDfCap)
+    val n = base.agg(count(lit(1)).as("n"))
+    val w = grams.join(dfTbl, Seq("h"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * expr("CAST(round(1000 * ln((n + 1) / (df + 1))) AS BIGINT)"))
+      .select(col("doc_id"), col("h"), col("w"))
+      .localCheckpoint() // feeds the norms AND both sides of the self-join
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("l").join(w.as("r"),
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(sum(col("l.w") * col("r.w")).as("dot"))
+    val t2 = AllPairsTholdMilli * AllPairsTholdMilli
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), Seq("b"))
+      .filter(col("dot").cast("decimal(38,0)") * col("dot") * lit(1000000L) >=
+        lit(t2) * col("na2").cast("decimal(38,0)") * col("nb2"))
+      .select(col("a"), col("b"), col("dot"), col("na2"), col("nb2"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val allPairsSparseSql: String = {
+    val t2 = AllPairsTholdMilli * AllPairsTholdMilli
+    s"""$twinBaseSql,
+       |tkh AS (
+       |  SELECT doc_id, list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |  FROM base),
+       |grams AS (
+       |  SELECT doc_id, ((hs[i] * 131 + hs[i+1]) % $HashMod * 131 + hs[i+2]) % $HashMod AS h,
+       |    count(*) AS tf
+       |  FROM tkh, UNNEST(generate_series(1, len(hs) - 2)) AS g(i)
+       |  GROUP BY 1, 2),
+       |dfc AS (SELECT h, count(*) AS df FROM grams GROUP BY 1 HAVING count(*) <= $AllPairsDfCap),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |w AS (
+       |  SELECT doc_id, h, tf * CAST(round(1000 * ln((n + 1) / (df + 1))) AS BIGINT) AS w
+       |  FROM grams JOIN dfc USING (h), nn),
+       |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, CAST(sum(l.w * r.w) AS BIGINT) AS dot
+       |  FROM w l JOIN w r ON l.h = r.h AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, dot, na.n2 AS na2, nb.n2 AS nb2
+       |FROM dots JOIN norms na ON na.doc_id = a JOIN norms nb ON nb.doc_id = b
+       |WHERE CAST(dot AS HUGEINT) * dot * 1000000 >= $t2 * CAST(na.n2 AS HUGEINT) * nb.n2
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_allpairs_sparse" -> (allPairsSparse _),
     "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact_substr" -> (exactSubstrSpans _),
     "dedup_exact" -> (exactDedup _),
@@ -985,6 +1081,7 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_allpairs_sparse" -> allPairsSparseSql,
     "dedup_winnow_spans" -> winnowSpansSql,
     "dedup_exact_substr" -> exactSubstrSql,
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),

@@ -54,6 +54,41 @@ class OpsSpec extends SparkSuite {
     assert(explodedK.count() == 8 && explodedK.filter(col("band_key").isNull).count() == 0)
   }
 
+  test("all-pairs sparse cosine: identical docs hit exactly, shared-but-dissimilar docs are cut") {
+    import spark.implicits._
+    val d = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon", // identical to 1
+      3L -> "zeta eta theta iota kappa",      // disjoint from everything
+      4L -> "alpha beta gamma zeta eta theta" // shares ONE trigram with 1 -> candidate, sub-threshold
+    ).toDF("doc_id", "text")
+    val got = DedupOps.allPairsSparseOf(d).collect()
+    assert(got.length == 1, s"only the identical pair passes, got ${got.toSeq}")
+    val r = got(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // identical vectors: dot == |a|^2 == |b|^2 exactly (cosine 1 in integers)
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(3) == r.getLong(4))
+  }
+
+  test("all-pairs sparse cosine: fixture invariants — twin recall and exact threshold algebra") {
+    val out = DedupOps.allPairsSparse(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)), "pairs are canonical a < b")
+    // every emitted pair satisfies the 128-bit threshold inequality it claims
+    val t2 = BigInt(DedupOps.AllPairsTholdMilli) * BigInt(DedupOps.AllPairsTholdMilli)
+    assert(rows.forall { r =>
+      val dot = BigInt(r.getLong(2)); val na2 = BigInt(r.getLong(3)); val nb2 = BigInt(r.getLong(4))
+      dot * dot * 1000000 >= t2 * na2 * nb2 && dot > 0 && na2 > 0 && nb2 > 0
+    })
+    // a twin differs by one trailing token: its tf-idf trigram vector is
+    // nearly its original's, so the self-join must recover (id, id+1e6)
+    // for nearly every doc long enough to shingle
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val twins = rows.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(twins >= total * 9 / 10, s"twin recall too low: $twins of $total")
+    out.unpersist()
+  }
+
   test("simhash near-dup finds twins with tiny hamming distance") {
     val pairs = DedupOps.simhashNearDup(spark, sf)
     assert(pairs.count() > 0)
