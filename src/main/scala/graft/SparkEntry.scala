@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, DedupOps, FilterOps, GraphOps, Layout, Multimodal, RetrievalOps, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
+import graft.ops.{Clustering, DedupOps, FilterOps, GraphOps, Layout, LinkageOps, Multimodal, RetrievalOps, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
 import graft.queries.{Behavioral, ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +16,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries ++
       VectorAgg.queries ++ Sampling.queries ++ Clustering.queries ++
       GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries ++
-      Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries
+      Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries ++
+      LinkageOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       SimilarityOps.oracle ++ Multimodal.oracle ++ ChainQueries.oracle ++
       VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle ++
       GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle ++
-      Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle
+      Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle ++
+      LinkageOps.oracle
 }

@@ -89,6 +89,25 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("fuzzy linkage: every typo probe resolves to its original's name at distance 1") {
+    val out = graft.ops.LinkageOps.fuzzyMatch(spark, sf).cache()
+    val master = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), lower(col("p_name")).as("orig_name"))
+    val nProbes = master.filter(col("p_partkey") % 10 === 0).count()
+    assert(out.count() == nProbes, "every probe must find a match (its original is in-block)")
+    // the original is always a candidate at edit distance exactly 1, so the
+    // best match can never be worse
+    assert(out.filter(col("dist") > 1L).count() == 0)
+    // ground truth: for dist-1 matches the matched NAME is the original's
+    // (the matched partkey may be a smaller key sharing that exact name —
+    // correct under the deterministic (dist, key) tie-break)
+    val j = out.join(master.withColumnRenamed("p_partkey", "orig_key"),
+      col("probe_id") === col("orig_key") + 1000000L)
+    assert(j.filter(col("dist") === 1L && col("matched_name") =!= col("orig_name")).count() == 0)
+    assert(out.filter(col("n_candidates") < 1L).count() == 0)
+    out.unpersist()
+  }
+
   test("simhash near-dup finds twins with tiny hamming distance") {
     val pairs = DedupOps.simhashNearDup(spark, sf)
     assert(pairs.count() > 0)
