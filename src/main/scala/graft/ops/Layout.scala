@@ -294,13 +294,88 @@ object Layout {
        |FROM z CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Dynamic partition pruning: the RUNTIME half of the skipping story.
+  // Z-order/bucketing decide skipping at write time from static
+  // min-max stats; DPP skips partitions whose membership is only
+  // knowable at run time — here the qualifying months come out of an
+  // AGGREGATE over orders (urgent-order share above a threshold), so
+  // no static rule can push the filter to the fact scan. Spark plants
+  // a dynamicpruning subquery into the partitioned scan: the dim side
+  // is computed first (reusing its broadcast), and only fact
+  // partitions whose ship_month survives are read at all.
+  //
+  // The fact table is written PARTITIONED BY ship_month (hive-style
+  // directory layout, ~80 partitions on the fixture) into a scratch
+  // dir each run — at 100 TB this is the date-partitioned fact every
+  // warehouse already has, and the pruned scan reads the qualifying
+  // ~1/3 of it. DppSpec asserts the executed plan carries a
+  // dynamicpruning partition filter AND that the scan touches fewer
+  // partitions than exist; the registered query's output is the
+  // pruned join's aggregate, hash-matched against DuckDB running the
+  // whole thing over the raw parquet.
+  val DppUrgentPctThreshold = 21L
+
+  /** The runtime dim: months whose urgent-order share exceeds the
+    * threshold — aggregate-derived, so only DPP can prune with it. */
+  def dppMonths(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+      // INT month key: the partitioned fact's ship_month reads back as
+      // int (hive partition inference), and a cast-free join key keeps
+      // the DPP rule's view of the partition column trivial
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"))
+      .filter(col("n_urgent") * 100 > col("n_orders") * DppUrgentPctThreshold)
+
+  /** Writes the ship_month-partitioned fact copy and returns the joined,
+    * pruned aggregate plus the partitioned path (for the spec). */
+  def dppJoin(s: SparkSession, dir: String): (DataFrame, String) = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dpp").resolve("lineitem_by_month").toString
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    val fact = s.read.parquet(path)
+    val D = "decimal(18,2)"
+    val out = fact
+      .join(dppMonths(s, dir).select(col("m").as("ship_month")), Seq("ship_month"))
+      .groupBy(col("ship_month").cast("long").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("revenue"))
+      .orderBy(col("month"))
+    (out, path)
+  }
+
+  def layoutDpp(s: SparkSession, dir: String): DataFrame = dppJoin(s, dir)._1
+
+  val layoutDppSql: String =
+    s"""WITH dim AS (
+       |  SELECT m FROM (
+       |    SELECT year(o_orderdate) * 100 + month(o_orderdate) AS m,
+       |      count(*) AS n_orders,
+       |      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+       |    FROM orders GROUP BY 1)
+       |  WHERE n_urgent * 100 > n_orders * $DppUrgentPctThreshold)
+       |SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS month,
+       |  count(*) AS n_rows,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN dim ON year(l_shipdate) * 100 + month(l_shipdate) = m
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_dpp" -> (layoutDpp _),
     "layout_zorder" -> (layoutZorder _),
     "layout_zorder3" -> (layoutZorder3 _),
     "layout_hilbert" -> (layoutHilbert _)
   )
 
   val oracle: Map[String, String] = Map(
+    "layout_dpp" -> layoutDppSql,
     "layout_zorder" -> layoutZorderSql,
     "layout_zorder3" -> layoutZorder3Sql,
     "layout_hilbert" -> layoutHilbertSql

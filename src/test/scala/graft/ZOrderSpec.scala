@@ -202,6 +202,45 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("dynamic partition pruning: scan carries a DPP filter, reads only qualifying partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(nodes)) ++ inner ++
+        p.subqueries.flatMap(nodes)
+    }
+    val (out, path) = Layout.dppJoin(spark, sf)
+    val rows = out.collect()
+    // the partitioned fact scan must carry a dynamicpruning partition filter
+    val scan = nodes(out.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec
+          if f.metadata.get("PartitionFilters").exists(_.contains("dynamicpruning")) => f
+    }
+    assert(scan.nonEmpty, "no FileSourceScanExec with a dynamicpruning partition filter")
+    // pruning is real: qualifying months are a strict subset of partitions
+    val totalParts = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("ship_month="))
+    assert(rows.length > 0 && rows.length < totalParts,
+      s"${rows.length} qualifying months of $totalParts partitions — no pruning headroom")
+    // semantic parity with the plain unpartitioned join
+    val D = "decimal(18,2)"
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      .join(Layout.dppMonths(spark, sf).select(col("m").as("ship_month")), Seq("ship_month"))
+      .groupBy(col("ship_month").cast("long").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("revenue"))
+      .orderBy(col("month")).collect()
+    assert(rows.toSeq == want.toSeq)
+  }
+
   test("hilbert: d2xy/xy2d roundtrip and curve adjacency (neighbors differ by 1 step)") {
     import graft.functions.Hilbert
     // full-curve anchors: the curve starts at the origin
