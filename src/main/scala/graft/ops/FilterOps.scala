@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -779,6 +779,137 @@ object FilterOps {
   }
 
   // ------------------------------------------------------------------
+  // Trained quality classifier (the fastText-classifier step of a
+  // pretraining pipeline, distilled): a linear model over the SAME
+  // seven quality metrics the rule cascade thresholds, trained by
+  // full-batch least-squares gradient descent to imitate the cascade's
+  // keep/drop verdict. This is the classic rules → learned-classifier
+  // distillation (C4's heuristics became fastText quality scores);
+  // unlike the cascade it emits a graded score_milli, not a verdict.
+  //
+  // Everything is exact integer arithmetic so training REPLAYS
+  // bit-for-bit in the DuckDB oracle: features are min-max normalized
+  // to [0, 1000] milli (corpus min/max from one aggregate), weights
+  // live in milli, the logit is a sign-aware integer division (Spark
+  // DIV truncates toward zero, DuckDB // floors — divide magnitudes
+  // and negate, the sample_temperature idiom), and each GD step is
+  //   w_j ← w_j − idiv(LrMilli · Σ_i err_i·x_ij, 10⁶·n).
+  //
+  // Shape at 100 TB: one metrics pass (the quality cascade's own
+  // shuffles), then each GD iteration is ONE map-side-combined
+  // aggregate producing 8 numbers — the driver state is the 8-weight
+  // vector, nothing data-sized (the same bounded-driver-state pattern
+  // as sampled-Lloyd k-means). Full-batch GD costs Iters corpus
+  // passes; at real scale you'd mini-batch the same update rule, the
+  // aggregate shape is unchanged.
+  val ClfIters = 16
+  val ClfLrMilli = 200L
+  val ClfFeatures: Seq[String] = Seq("n_tokens", "mean_tok_len_milli",
+    "symbol_ratio_milli", "alpha_frac_milli", "n_stop_distinct",
+    "top_token_frac_milli", "top_bigram_frac_milli")
+
+  /** Sign-aware integer division as a Column: truncate-toward-zero on
+    * BOTH engines. Implemented as double divide + long cast on
+    * magnitudes, exact here because every operand stays far below 2^53
+    * (|z_raw| ≤ Σ|w|·1000 ≲ 10⁸) and a non-divisible integer quotient
+    * sits ≥ 1/|b| away from the next integer — orders of magnitude
+    * beyond the division's rounding error. DuckDB's `//` floors, hence
+    * the negate-magnitudes mirror (the sample_temperature idiom). */
+  private def idiv(a: Column, b: Column): Column =
+    when(a >= 0, a.cast("long").divide(b).cast("long"))
+      .otherwise(-((-a).cast("long").divide(b).cast("long")))
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val m = qualityMetricsFrom(docs(s, dir))
+    val mm = m.agg(
+      ClfFeatures.flatMap(f =>
+        Seq(min(col(f)).as(s"_lo_$f"), max(col(f)).as(s"_hi_$f"))).head,
+      ClfFeatures.flatMap(f =>
+        Seq(min(col(f)).as(s"_lo_$f"), max(col(f)).as(s"_hi_$f"))).tail: _*)
+    val x = m.crossJoin(broadcast(mm))
+      .select(
+        col("doc_id") +:
+          when(col("keep"), 1000L).otherwise(0L).as("y") +:
+          ClfFeatures.zipWithIndex.map { case (f, j) =>
+            ((col(f) - col(s"_lo_$f")) * 1000L /
+              greatest(col(s"_hi_$f") - col(s"_lo_$f"), lit(1L))).cast("long").as(s"x${j + 1}")
+          }: _*)
+      .localCheckpoint() // every GD iteration and the final scoring reuse it
+    var w = Array.fill(ClfFeatures.size + 1)(0L) // w(0) = bias (x0 = 1000)
+    def zRaw: Column =
+      (1 to ClfFeatures.size).map(j => lit(w(j)) * col(s"x$j"))
+        .foldLeft(lit(w(0)) * lit(1000L): Column)(_ + _)
+    val n = x.count()
+    for (_ <- 1 to ClfIters) {
+      val err = idiv(zRaw, lit(1000L)) - col("y")
+      val gradCols = (0 to ClfFeatures.size).map { j =>
+        val xj = if (j == 0) lit(1000L) else col(s"x$j")
+        sum(err * xj).as(s"g$j")
+      }
+      val g = x.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+      w = w.indices.map { j =>
+        val gRaw = g.getLong(j)
+        val step = // idiv(LrMilli * gRaw, 1e6 * n), sign-aware, driver-side
+          if (gRaw >= 0) ClfLrMilli * gRaw / (1000000L * n)
+          else -(ClfLrMilli * -gRaw / (1000000L * n))
+        w(j) - step
+      }.toArray
+    }
+    x.select(col("doc_id"), idiv(zRaw, lit(1000L)).as("score_milli"),
+        (idiv(zRaw, lit(1000L)) >= 500L).as("predicted"),
+        (col("y") === 1000L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the identical training loop unrolled as materialized CTEs
+    * (the kcore/kmeans pattern) over a LONG-form feature table; j = 0
+    * is the bias with x = 1000. */
+  val qualityClassifierSql: String = {
+    val nf = ClfFeatures.size
+    def idivSql(a: String, b: String): String =
+      s"CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END"
+    val loHi = ClfFeatures.map(f => s"min($f) AS lo_$f, max($f) AS hi_$f").mkString(", ")
+    val xCols = ClfFeatures.zipWithIndex.map { case (f, j) =>
+      s"($f - lo_$f) * 1000 // greatest(hi_$f - lo_$f, 1) AS x${j + 1}"
+    }.mkString(",\n    ")
+    val unions = (1 to nf).map(j => s"SELECT doc_id, y, $j AS j, x$j AS xv FROM xw")
+      .mkString("\n  UNION ALL ")
+    def iter(t: Int): String = {
+      val prev = if (t == 1) "w0" else s"w${t - 1}"
+      s"""z$t AS MATERIALIZED (
+         |  SELECT xl.doc_id, xl.y,
+         |    ${idivSql("sum(w.w * xl.xv)", "1000")} AS z
+         |  FROM xl JOIN $prev w USING (j) GROUP BY 1, 2),
+         |g$t AS MATERIALIZED (
+         |  SELECT xl.j, sum((z.z - z.y) * xl.xv) AS graw
+         |  FROM z$t z JOIN xl USING (doc_id) GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.j, w.w - ${idivSql(s"$ClfLrMilli * g.graw", "1000000 * nn.n")} AS w
+         |  FROM $prev w JOIN g$t g USING (j), nn)""".stripMargin
+    }
+    s"""WITH ${qualityCtes("documents")},
+       |v AS (SELECT m.*, ($ruleFailsSql) = 0 AS keep FROM m),
+       |mm AS (SELECT $loHi FROM v),
+       |xw AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN keep THEN 1000 ELSE 0 END AS y,
+       |    $xCols
+       |  FROM v CROSS JOIN mm),
+       |xl AS MATERIALIZED (
+       |  SELECT doc_id, y, 0 AS j, 1000 AS xv FROM xw
+       |  UNION ALL $unions),
+       |nn AS (SELECT count(*) AS n FROM xw),
+       |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w
+       |       FROM UNNEST(generate_series(0, $nf)) AS u(j)),
+       |${(1 to ClfIters).map(iter).mkString(",\n")}
+       |SELECT xl.doc_id,
+       |  CAST(${idivSql("sum(w.w * xl.xv)", "1000")} AS BIGINT) AS score_milli,
+       |  ${idivSql("sum(w.w * xl.xv)", "1000")} >= 500 AS predicted,
+       |  max(xl.y) = 1000 AS label
+       |FROM xl JOIN w$ClfIters w USING (j)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Line-level boilerplate dedup (the CCNet / RefinedWeb pass): a line
   // that recurs across many documents of the SAME source (site headers,
   // nav menus, cookie banners) is boilerplate and is dropped from every
@@ -886,7 +1017,8 @@ object FilterOps {
     "dedup_contamination" -> (contamination _),
     "dedup_bloom_probe" -> (bloomProbe _),
     "dedup_passage_overlap" -> (passageOverlap _),
-    "filter_line_dedup" -> (lineDedup _)
+    "filter_line_dedup" -> (lineDedup _),
+    "filter_quality_classifier" -> (qualityClassifier _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -898,6 +1030,7 @@ object FilterOps {
     "dedup_contamination" -> contaminationSql,
     "dedup_bloom_probe" -> bloomProbeSql,
     "dedup_passage_overlap" -> passageOverlapSql,
-    "filter_line_dedup" -> lineDedupSql
+    "filter_line_dedup" -> lineDedupSql,
+    "filter_quality_classifier" -> qualityClassifierSql
   )
 }

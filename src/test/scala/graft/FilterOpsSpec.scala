@@ -259,6 +259,29 @@ class FilterOpsSpec extends SparkSuite {
     j.unpersist(); out.unpersist()
   }
 
+  test("quality classifier: distills the cascade well above the majority baseline, deterministically") {
+    val out = FilterOps.qualityClassifier(spark, sf).cache()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == total)
+    // labels are exactly the cascade's verdicts
+    val verdicts = FilterOps.qualityFilters(spark, sf).select(col("doc_id"), col("keep"))
+    assert(out.join(verdicts, Seq("doc_id"))
+      .filter(col("label") =!= col("keep")).count() == 0)
+    // predicted <=> score >= 500, by construction
+    assert(out.filter(col("predicted") =!= (col("score_milli") >= 500L)).count() == 0)
+    // the linear model must beat always-guessing the majority class
+    val correct = out.filter(col("predicted") === col("label")).count()
+    val majority = out.groupBy(col("label")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(correct > majority,
+      s"classifier ($correct/$total) must beat the majority baseline ($majority/$total)")
+    assert(correct * 100 >= total * 75, s"accuracy floor: $correct/$total < 75%")
+    // integer GD is deterministic: a second training run is bit-identical
+    val again = FilterOps.qualityClassifier(spark, sf)
+    assert(out.collect().toSeq == again.collect().toSeq)
+    out.unpersist()
+  }
+
   test("repetition rules: registered query is total over the corpus and ordered") {
     val out = FilterOps.repetitionRules(spark, sf).cache()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
