@@ -296,7 +296,64 @@ object Behavioral {
        |  CAST(sum(u1 * u3) AS BIGINT) AS retained_buy_30d
        |FROM u""".stripMargin
 
+  // ------------------------------------------------------------------
+  // SCD Type-2 dimension build: compress each user's event-type stream
+  // into VERSIONED validity intervals — the slowly-changing-dimension
+  // shape every warehouse keeps for point-in-time joins (version n is
+  // valid over [valid_from, valid_to), the last version is open/current;
+  // the as-of join q22 is the read side of exactly this artifact).
+  //
+  // Plan shape: ONE user_id exchange total. Run boundaries come from a
+  // lag window, and instead of a (user, version) groupBy (which would
+  // re-shuffle on a different key) the run aggregates are recovered
+  // from the boundary rows alone: a run's length is the row-number gap
+  // to the next boundary, its valid_to the next boundary's timestamp —
+  // all windows partition by user_id, so the filter in between
+  // preserves the single exchange. At 100 TB this is the difference
+  // between one shuffle of the event log and three.
+  def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Of(Relational.events(s, dir))
+
+  def scd2Of(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val runs = ev.select(col("user_id"), col("event_id"), col("event_type"), col("_ms"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("event_type"))
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("_rn"))
+    runs
+      .withColumn("version", row_number().over(wf).cast("long"))
+      .withColumn("valid_to_ms", lead(col("_ms"), 1).over(wf))
+      .withColumn("n_events",
+        (coalesce(lead(col("_rn"), 1).over(wf), col("_n") + 1) - col("_rn")).cast("long"))
+      .select(col("user_id"), col("version"), col("event_type").as("attr"),
+        col("_ms").as("valid_from_ms"), col("valid_to_ms"), col("n_events"),
+        col("valid_to_ms").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private def scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |r AS (
+      |  SELECT user_id, event_type, ms,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n,
+      |    lag(event_type) OVER w AS prev
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |f AS (SELECT * FROM r WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, CAST(row_number() OVER wf AS BIGINT) AS version,
+      |  event_type AS attr, ms AS valid_from_ms,
+      |  lead(ms) OVER wf AS valid_to_ms,
+      |  CAST(coalesce(lead(rn) OVER wf, n + 1) - rn AS BIGINT) AS n_events,
+      |  lead(ms) OVER wf IS NULL AS is_current
+      |FROM f WINDOW wf AS (PARTITION BY user_id ORDER BY rn)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd2" -> (scd2 _),
     "events_window_funnel" -> (windowFunnel _),
     "events_sequence_count" -> (sequenceCount _),
     "events_transitions" -> (transitions _),
@@ -304,6 +361,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_scd2" -> scd2Sql,
     "events_window_funnel" -> windowFunnelSql,
     "events_sequence_count" -> sequenceCountSql,
     "events_transitions" -> transitionsSql,

@@ -12,6 +12,45 @@ class BehavioralSpec extends SparkSuite {
   private def ev(rows: (Long, String, Long, Long)*) =
     rows.toDF("user_id", "event_type", "event_id", "_ms")
 
+  test("scd2: hand-computed versions — runs compress, intervals chain, last is open") {
+    val events = ev(
+      // user 1: A A B A -> three versions (A×2, B×1, A×1)
+      (1L, "A", 1L, 10L), (1L, "A", 2L, 20L), (1L, "B", 3L, 30L), (1L, "A", 4L, 40L),
+      // user 2: single event -> one open version
+      (2L, "C", 5L, 100L))
+    val got = Behavioral.scd2Of(events)
+      .as[(Long, Long, String, Long, Option[Long], Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "A", 10L, Some(30L), 2L, false),
+      (1L, 2L, "B", 30L, Some(40L), 1L, false),
+      (1L, 3L, "A", 40L, None, 1L, true),
+      (2L, 1L, "C", 100L, None, 1L, true)))
+  }
+
+  test("scd2: fixture invariants — versions tile the log, intervals chain, one open per user") {
+    val out = Behavioral.scd2(spark, sf).cache()
+    val ev = graft.queries.Relational.events(spark, sf)
+    // per-user event counts are exactly tiled by the versions
+    val tiles = out.groupBy(col("user_id")).agg(sum(col("n_events")).as("n"))
+      .join(ev.groupBy(col("user_id")).agg(count(lit(1)).as("want")), Seq("user_id"))
+    assert(tiles.filter(col("n") =!= col("want")).count() == 0)
+    // exactly one open (current) version per user
+    val opens = out.filter(col("is_current")).groupBy(col("user_id")).count()
+    assert(opens.filter(col("count") =!= 1L).count() == 0)
+    assert(opens.count() == ev.select(col("user_id")).distinct().count())
+    // intervals chain: valid_to equals the NEXT version's valid_from
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val chained = out.withColumn("_next_from", lead(col("valid_from_ms"), 1).over(w))
+    assert(chained.filter(coalesce(col("valid_to_ms"), lit(-1L)) =!=
+      coalesce(col("_next_from"), lit(-1L))).count() == 0)
+    // adjacent versions always change the attribute
+    val adj = out.withColumn("_next_attr", lead(col("attr"), 1).over(w))
+    assert(adj.filter(col("_next_attr").isNotNull &&
+      col("_next_attr") === col("attr")).count() == 0)
+    out.unpersist()
+  }
+
   test("windowFunnel: hand-computed levels, window and order boundaries") {
     val events = ev(
       // user 1: clean 3-step chain inside the window -> level 3, delay 200
