@@ -167,7 +167,33 @@ class PlanQualitySpec extends SparkSuite {
     // band-bucket agg, pair distinct, per-video set agg, output sort —
     // frame rows collapse immediately; everything after shuffle 1 is
     // signature-/pair-sized.
-    "media_video_neardup" -> 6)
+    "media_video_neardup" -> 6,
+    // Line dedup (post-checkpoint): the distinct feed for line df, the
+    // (source, hash) df agg, the per-doc rebuild rollup, output sort;
+    // the df table joins back as a broadcast at spec sf. A 5th
+    // exchange means the segmentation pass stopped being reused.
+    "filter_line_dedup" -> 4,
+    // Sparse all-pairs (post-checkpoint): norms agg, the posting
+    // self-join's pair agg (+ its feed), output sort; the dot/norm
+    // joins broadcast at spec sf. The weighted-postings checkpoint
+    // keeps the gram explode out of this plan entirely.
+    "sim_allpairs_sparse" -> 4,
+    // Blocked fuzzy linkage: block-size agg, the per-probe rank/count
+    // windows (one probe_id exchange), output sort; the blocked join
+    // and size filter broadcast at spec sf.
+    "match_fuzzy_blocked" -> 3,
+    // Classifier scoring plan: output sort ONLY — features are
+    // checkpointed once and the 16 training aggregates live behind
+    // that truncation (driver state is 8 weights). A 2nd exchange
+    // means scoring re-derived the metrics pipeline.
+    "filter_quality_classifier" -> 1,
+    // SCD2: ONE user_id exchange feeds every window (run boundaries,
+    // version numbering, interval chaining) + the output sort. A 3rd
+    // exchange means a (user, version) re-shuffle crept back in.
+    "events_scd2" -> 2,
+    // DPP join: dim agg, final month agg, output sort; the fact-dim
+    // join is the reused broadcast the pruning subquery hangs off.
+    "layout_dpp" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
