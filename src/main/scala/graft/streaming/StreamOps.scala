@@ -216,6 +216,70 @@ object StreamOps {
       }
   }
 
+  /** Per-user open SCD2 version carried between micro-batches. */
+  case class Scd2State(user_id: Long, version: Long, attr: String,
+      valid_from_ms: Long, n_events: Long)
+
+  /** One finalized SCD2 dimension row (closed by an attribute change,
+    * or the open version finalized at eviction). */
+  case class Scd2Row(user_id: Long, version: Long, attr: String,
+      valid_from_ms: Long, valid_to_ms: Option[Long], n_events: Long,
+      is_current: Boolean)
+
+  /** Streaming SCD Type-2 build ([[graft.queries.Behavioral.scd2Of]]'s
+    * incremental twin): per user, the OPEN version is the only state
+    * (constant per user); an attribute change CLOSES it — one emitted
+    * dimension row with valid_to = the new version's valid_from — and
+    * opens the next. Idle users are finalized on event-time timeout:
+    * the open version is emitted with valid_to = null / is_current =
+    * true and the state dropped, so eviction COMPLETES the dimension
+    * instead of losing it. For a stream delivered in event-time order
+    * the closed rows are row-for-row the batch operator's non-current
+    * rows (the parity spec), and a finalized+returned user restarts at
+    * version 1 — the episode semantics the funnel/transitions twins
+    * pin. */
+  def scd2Stream(
+      events: Dataset[Event],
+      retention: java.time.Duration = java.time.Duration.ofDays(45)): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    val retMs = retention.toMillis
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val fin = state.getOption.map(s => Scd2Row(uid, s.version, s.attr,
+              s.valid_from_ms, None, s.n_events, is_current = true))
+            state.remove()
+            fin.iterator
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[Scd2Row]
+            evs.foreach { e =>
+              val m = e.ts.getTime
+              st = st match {
+                case None =>
+                  Some(Scd2State(uid, 1L, e.event_type, m, 1L))
+                case Some(s) if s.attr == e.event_type =>
+                  Some(s.copy(n_events = s.n_events + 1))
+                case Some(s) =>
+                  out += Scd2Row(uid, s.version, s.attr, s.valid_from_ms,
+                    Some(m), s.n_events, is_current = false)
+                  Some(Scd2State(uid, s.version + 1, e.event_type, m, 1L))
+              }
+            }
+            st.foreach(state.update)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: impressions ⋈ clicks by user within
     * [0, 10 min] AFTER the impression — the streaming analog of the batch
     * range join (Relational.q21). Both sides carry watermarks and the

@@ -430,6 +430,79 @@ class StreamingSpec extends SparkSuite {
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
 
+  test("streaming scd2: closed versions equal the batch dimension on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.Relational.events(spark, sf)
+    val ordered = ev
+      .select(col("event_id"), col("_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("_ms"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.scd2Stream(in.toDS())
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.sql(
+      "SELECT user_id, version, attr, valid_from_ms, valid_to_ms, n_events FROM scd2s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    q.stop()
+    // nothing timed out inside the fixture's span, so the stream emitted
+    // exactly the CLOSED versions; the batch non-current rows must match
+    val want = graft.queries.Behavioral.scd2(spark, sf)
+      .filter(!col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == want,
+      s"streaming/batch scd2 divergence: extra=${(got -- want).take(3)} " +
+        s"missing=${(want -- got).take(3)}")
+  }
+
+  test("streaming scd2: eviction finalizes the open version; a returning user restarts at v1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 3600000L // 1 h
+    val B = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val in = MemoryStream[Event]
+    val q = StreamOps.scd2Stream(in.toDS(),
+        retention = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("scd2ev").outputMode("append").start()
+    // batch 1: user 7 opens version 1 (A×2) then version 2 (B) — v1 closes
+    in.addData(Event(1L, new Timestamp(B), 7L, "A", 0.0),
+      Event(2L, new Timestamp(B + 1000L), 7L, "A", 0.0),
+      Event(3L, new Timestamp(B + 2000L), 7L, "B", 0.0))
+    q.processAllAvailable()
+    // batches 2-3: another user far ahead advances the watermark, then an
+    // empty-for-7 batch fires the timeout -> v2 finalized as current
+    in.addData(Event(4L, new Timestamp(B + 10L * D), 8L, "X", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(5L, new Timestamp(B + 10L * D + 500L), 8L, "X", 0.0))
+    q.processAllAvailable()
+    // batch 4: user 7 returns -> fresh episode, version numbering restarts
+    in.addData(Event(6L, new Timestamp(B + 10L * D + 1000L), 7L, "C", 0.0),
+      Event(7L, new Timestamp(B + 10L * D + 2000L), 7L, "D", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, version, attr, valid_to_ms, n_events, is_current FROM scd2ev WHERE user_id = 7")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), Option(r.get(3)), r.getLong(4),
+        r.getBoolean(5))).toSet
+    q.stop()
+    // v1 closed by the A->B change with 2 events
+    assert(rows.contains((1L, "A", Some(B + 2000L), 2L, false)))
+    // v2 finalized OPEN by the eviction (valid_to null, is_current true)
+    assert(rows.contains((2L, "B", None, 1L, true)))
+    // the returning user's C run is a fresh v1, closed by the C->D change
+    assert(rows.contains((1L, "C", Some(B + 10L * D + 2000L), 1L, false)))
+  }
+
   test("streaming transitions: an evicted user starts a fresh chain, never a phantom pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
