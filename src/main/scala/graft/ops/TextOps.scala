@@ -392,6 +392,87 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Kneser-Ney bigram scoring: the add-one model above upgraded to the
+  // smoothing real LM-based quality scorers use. Interpolated KN with
+  // absolute discount d = 3/4 (exact rational):
+  //   p(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/B
+  // where N1+(w1·) = distinct successors of w1, N1+(·w2) = distinct
+  // predecessors of w2 (the "novel continuation" count that is KN's
+  // insight — 'francisco' is frequent but follows only 'san', so its
+  // unigram back-off mass is tiny), and B = distinct bigram types.
+  // Over a common denominator 4·c1·B the probability is one exact
+  // integer ratio, quantized to micro-units; only the final ln is
+  // transcendental and it uses the proven round(1000·ln(·)) idiom.
+  // Every scored bigram is in the training corpus (model = corpus), so
+  // c12 ≥ 1 and the discount never truncates. Shape: the model tables
+  // are all vocabulary-sized aggregates joined back as broadcasts —
+  // the same one-explode plan as the add-one perplexity.
+  val KnDiscNum = 3L // d = KnDiscNum / KnDiscDen = 0.75
+  val KnDiscDen = 4L
+
+  def knPerplexity(s: SparkSession, dir: String): DataFrame =
+    knPerplexityOf(docs(s, dir))
+
+  def knPerplexityOf(d: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val docBigrams = d.select(col("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 2) // no bigram below 2 tokens (ANSI-safe)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // feeds the model aggregates AND the scoring join
+    val bi = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // four model tables derive from it
+    val c1 = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val fwd = bi.groupBy(col("w1")).agg(count(lit(1)).as("n1fwd"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1cont"))
+    val bt = bi.agg(count(lit(1)).as("btypes"))
+    val model = bi
+      .join(broadcast(c1), Seq("w1")).join(broadcast(fwd), Seq("w1"))
+      .join(broadcast(cont), Seq("w2")).crossJoin(broadcast(bt))
+      // exact integral DIV: the numerator can pass 2^53 at sf0.1, so a
+      // double divide + cast would lose the last bits the oracle keeps
+      .select(col("w1"), col("w2"), expr(
+        s"(greatest($KnDiscDen * c12 - $KnDiscNum, 0) * btypes" +
+          s" + $KnDiscNum * n1fwd * n1cont) * 1000000" +
+          s" DIV ($KnDiscDen * c1 * btypes)").as("p_micro"))
+    docBigrams
+      .join(broadcast(model), Seq("w1", "w2"))
+      .select(col("doc_id"),
+        expr("CAST(round(1000 * ln(p_micro / 1000000)) AS BIGINT)").as("logp_milli"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_milli")).as("sum_logp_milli"))
+      .withColumn("avg_logp_milli",
+        col("sum_logp_milli").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knPerplexitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |docbi AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+       |fwd AS (SELECT w1, count(*) AS n1fwd FROM bi GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS n1cont FROM bi GROUP BY 1),
+       |bt AS (SELECT count(*) AS btypes FROM bi),
+       |model AS MATERIALIZED (
+       |  SELECT w1, w2,
+       |    (greatest($KnDiscDen * c12 - $KnDiscNum, 0) * btypes
+       |      + $KnDiscNum * n1fwd * n1cont) * 1000000
+       |      // ($KnDiscDen * c1 * btypes) AS p_micro
+       |  FROM bi JOIN c1 USING (w1) JOIN fwd USING (w1) JOIN cont USING (w2), bt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(CAST(round(1000 * ln(p_micro / 1000000)) AS BIGINT)) AS BIGINT) AS sum_logp_milli,
+       |  CAST(CAST(sum(CAST(round(1000 * ln(p_micro / 1000000)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS avg_logp_milli
+       |FROM docbi JOIN model USING (w1, w2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val perplexitySql: String =
     """WITH t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -862,6 +943,7 @@ object TextOps {
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
     "text_perplexity" -> (perplexity _),
+    "text_kneser_ney" -> (knPerplexity _),
     "text_vocabulary" -> (vocabulary _),
     "text_bigrams" -> (bigrams _),
     "text_tfidf" -> (tfidf _),
@@ -881,6 +963,7 @@ object TextOps {
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,
     "text_perplexity" -> perplexitySql,
+    "text_kneser_ney" -> knPerplexitySql,
     "text_bigrams" -> bigramsSql,
     "text_tfidf" -> tfidfSql,
     "text_token_counts" -> tokenCountsSql,

@@ -89,6 +89,51 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("kneser-ney: matches an independent reference model; exact normalization over the vocab") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "san francisco the cat sat here",
+      2L -> "san francisco the dog ran there",
+      3L -> "the cat saw the dog by here",
+      4L -> "san francisco the cat and the dog")
+    // independent Scala reference of the exact integer model
+    val docsT = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val allBi = docsT.flatMap { case (id, t) => t.zip(t.tail).map(p => (id, p)) }
+    val c12 = allBi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val fwd = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val cont = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val b = c12.size.toLong
+    def pMicro(w1: String, w2: String): Long =
+      ((math.max(4 * c12((w1, w2)) - 3, 0) * b + 3 * fwd(w1) * cont(w2)) * 1000000L /
+        (4 * c1(w1) * b))
+    val want = docsT.map { case (id, t) =>
+      val lps = t.zip(t.tail).map { case (w1, w2) =>
+        math.round(1000 * StrictMath.log(pMicro(w1, w2) / 1000000.0))
+      }
+      (id, lps.size.toLong, lps.sum)
+    }.sortBy(_._1)
+    val got = TextOps.knPerplexityOf(corpus.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logp_milli"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // the KN identity: over the FULL vocabulary (observed + backed-off
+    // continuations) each context's probabilities sum to EXACTLY 1 —
+    // verified in BigInt rationals, no floats anywhere
+    val vocabAfter = cont.keySet
+    for (w1 <- c1.keys) {
+      val num = vocabAfter.toSeq.map { w2 =>
+        val discounted =
+          if (c12.contains((w1, w2))) BigInt(4 * c12((w1, w2)) - 3) * b else BigInt(0)
+        discounted + BigInt(3) * fwd(w1) * cont(w2)
+      }.sum
+      assert(num == BigInt(4) * c1(w1) * b, s"context '$w1' mass != 1")
+    }
+    // the continuation insight: 'francisco' is frequent (3×) but ONLY
+    // ever follows 'san' -> its continuation count is minimal
+    assert(cont("francisco") == 1L && c1("san") == 3L)
+  }
+
   test("fuzzy linkage: every typo probe resolves to its original's name at distance 1") {
     val out = graft.ops.LinkageOps.fuzzyMatch(spark, sf).cache()
     val master = spark.read.parquet(s"$sf/part.parquet")
