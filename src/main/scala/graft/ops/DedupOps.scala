@@ -909,7 +909,66 @@ object DedupOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Cross-source overlap matrix (corpus governance): for every pair of
+  // sources, the shared-trigram count and set-Jaccard — "which crawls
+  // duplicate each other", the dataset-level question dedup answers at
+  // the document level. The key move for scale: the corpus collapses
+  // to DISTINCT (source, shingle-hash) FIRST, so everything after is
+  // bounded by |sources| × |shingle vocabulary|, never corpus size —
+  // and each hash's posting list holds at most |sources| rows, so the
+  // pair self-join needs no skew cap at all (C(20,2) = 190 pairs per
+  // hash worst-case on the fixture; C(|sources|,2) generally). One
+  // distinct shuffle + one hash-keyed join + a pair-keyed count.
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(docs(s, dir))
+
+  def sourceOverlapOf(d: DataFrame): DataFrame = {
+    val base = d.select(col("source"), col("text"))
+    val grams = base.select(col("source"), TextOps.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .withColumn("_th", transform(col("_t"),
+        tok => graft.functions.PolyHash.polyHash(tok, 31, HashMod)))
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(_t) - 2), " +
+          s"i -> ((_th[i-1] * 131 + _th[i]) % $HashMod * 131 + _th[i+1]) % $HashMod))")).as("h"))
+      .distinct() // (source, h): the source-level shingle set
+      .localCheckpoint() // feeds per-source sizes AND the pair join
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    grams.as("l").join(grams.as("r"),
+        col("l.h") === col("r.h") && col("l.source") < col("r.source"))
+      .groupBy(col("l.source").as("s1"), col("r.source").as("s2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .withColumn("jaccard_milli",
+        expr("inter * 1000 DIV (n1 + n2 - inter)"))
+      .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+        col("jaccard_milli"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH tkh AS (
+       |  SELECT source, list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |    tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT source,
+       |    ((hs[i] * 131 + hs[i+1]) % $HashMod * 131 + hs[i+2]) % $HashMod AS h
+       |  FROM tkh, UNNEST(generate_series(1, len(hs) - 2)) AS g(i)),
+       |sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+       |pairs AS (
+       |  SELECT l.source AS s1, r.source AS s2, count(*) AS inter
+       |  FROM grams l JOIN grams r ON l.h = r.h AND l.source < r.source
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, inter, a.n AS n1, b.n AS n2,
+       |  inter * 1000 // (a.n + b.n - inter) AS jaccard_milli
+       |FROM pairs JOIN sizes a ON a.source = s1 JOIN sizes b ON b.source = s2
+       |ORDER BY s1, s2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> (sourceOverlap _),
     "sim_allpairs_sparse" -> (allPairsSparse _),
     "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact_substr" -> (exactSubstrSpans _),
@@ -1081,6 +1140,7 @@ object DedupOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "dedup_source_overlap" -> sourceOverlapSql,
     "sim_allpairs_sparse" -> allPairsSparseSql,
     "dedup_winnow_spans" -> winnowSpansSql,
     "dedup_exact_substr" -> exactSubstrSql,

@@ -89,6 +89,39 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("source overlap: hand corpus — identical sources saturate, disjoint pairs at zero") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", "w1 w2 w3 w4 w5"),        // a and b share EVERYTHING
+      ("b", "w1 w2 w3 w4 w5"),
+      ("c", "x1 x2 x3 x4 x5"),        // c shares nothing with a/b
+      ("d", "w1 w2 w3 y1 y2 y3 y4")   // d shares exactly ONE trigram with a/b
+    ).toDF("source", "text")
+    val got = DedupOps.sourceOverlapOf(d)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._6)).toMap
+    assert(got(("a", "b")) == ((3L, 1000L)), "identical sources: full overlap, jaccard 1000")
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")),
+      "disjoint sources produce no pair row")
+    assert(got(("a", "d")) == ((1L, 1000L / 7)), "one shared trigram of 3 vs 5")
+  }
+
+  test("source overlap: fixture matrix invariants") {
+    val out = DedupOps.sourceOverlap(spark, sf).cache()
+    val rows = out.collect()
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().count()
+    // the small-vocab fixture guarantees every source pair shares SOME trigram
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall { r =>
+      val (inter, n1, n2, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      inter >= 1 && inter <= math.min(n1, n2) &&
+        j == inter * 1000 / (n1 + n2 - inter) && j >= 0 && j <= 1000
+    })
+    out.unpersist()
+  }
+
   test("kneser-ney: matches an independent reference model; exact normalization over the vocab") {
     import spark.implicits._
     val corpus = Seq(
