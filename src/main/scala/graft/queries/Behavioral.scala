@@ -352,7 +352,73 @@ object Behavioral {
       |FROM f WINDOW wf AS (PARTITION BY user_id ORDER BY rn)
       |ORDER BY user_id, version""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Multi-touch attribution: every purchase distributes 1000
+  // milli-credits linearly across the SAME user's view/click touches
+  // inside the 24 h window before it — the marketing-analytics
+  // allocation a product warehouse runs next to the funnel. Exact
+  // integer split: each touch gets 1000 DIV n and the remainder goes
+  // to the most recent touch (the deterministic "last touch closes"
+  // convention), so every attributed conversion's credits sum to
+  // exactly 1000 cross-engine. Purchases with no in-window touch are
+  // unattributed and carry no row (reported implicitly by the funnel).
+  //
+  // Shape: the purchase↔touch pairing is a user_id equi-join with a
+  // time-range predicate (the q45 interval-join discipline: per-user
+  // event counts bound the pair fan-out; at 100 TB you'd add coarse
+  // time-bucket keys the same way q45 does), then per-purchase count/
+  // rank windows and a (user, touch_type) rollup.
+  val AttributionWindowMs: Long = FunnelWindowMs
+
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    attributionOf(Relational.events(s, dir))
+
+  def attributionOf(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("_ms").as("p_ms"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("_ms").as("t_ms"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ms") <= col("p_ms") &&
+        col("t_ms") > col("p_ms") - AttributionWindowMs)
+    val wc = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_ms").desc, col("t_id").desc)
+    joined
+      .withColumn("_n", count(lit(1)).over(wc))
+      .withColumn("_rk", row_number().over(wr))
+      .withColumn("credit_milli",
+        expr("1000 DIV _n") + when(col("_rk") === 1, expr("1000 % _n")).otherwise(0L))
+      .groupBy(col("user_id"), col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_conversions"),
+        sum(col("credit_milli")).as("credit_milli_total"))
+      .orderBy(col("user_id"), col("touch_type"))
+  }
+
+  private def attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |p AS (SELECT user_id, event_id AS p_id, ms AS p_ms FROM e
+       |      WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type, ms AS t_ms
+       |      FROM e WHERE event_type IN ('view', 'click')),
+       |j AS (
+       |  SELECT p.user_id, p_id, touch_type, t_id, t_ms,
+       |    count(*) OVER (PARTITION BY p_id) AS n,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY t_ms DESC, t_id DESC) AS rk
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND t_ms <= p_ms AND t_ms > p_ms - $AttributionWindowMs)
+       |SELECT user_id, touch_type,
+       |  count(*) AS n_touches,
+       |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_conversions,
+       |  CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END) AS BIGINT)
+       |    AS credit_milli_total
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (attribution _),
     "events_scd2" -> (scd2 _),
     "events_window_funnel" -> (windowFunnel _),
     "events_sequence_count" -> (sequenceCount _),
@@ -361,6 +427,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_attribution" -> attributionSql,
     "events_scd2" -> scd2Sql,
     "events_window_funnel" -> windowFunnelSql,
     "events_sequence_count" -> sequenceCountSql,

@@ -51,6 +51,45 @@ class BehavioralSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("attribution: hand-computed linear split, remainder to last touch, window bound") {
+    val W = Behavioral.AttributionWindowMs
+    val events = ev(
+      // user 1: 3 touches -> 333 each, remainder +1 to the most recent (click)
+      (1L, "view", 1L, 0L), (1L, "view", 2L, 50L), (1L, "click", 3L, 100L),
+      (1L, "purchase", 4L, 200L),
+      // user 2: the only touch is outside the window -> unattributed
+      (2L, "view", 5L, 0L), (2L, "purchase", 6L, W + 1000L),
+      // user 3: purchase with no touches at all -> no rows
+      (3L, "purchase", 7L, 0L),
+      // user 4: one view feeding TWO purchases -> credited 1000 by each
+      (4L, "view", 8L, 0L), (4L, "purchase", 9L, 100L), (4L, "purchase", 10L, 150L))
+    val got = Behavioral.attributionOf(events)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (1L, "click") -> ((1L, 1L, 334L)),
+      (1L, "view") -> ((2L, 1L, 666L)),
+      (4L, "view") -> ((2L, 2L, 2000L))))
+  }
+
+  test("attribution: fixture credits tile exactly 1000 per attributed conversion") {
+    val out = Behavioral.attribution(spark, sf).cache()
+    val evf = graft.queries.Relational.events(spark, sf)
+    val purchases = evf.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("_ms").as("p_ms"))
+    val touches = evf.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("_ms").as("t_ms"))
+    val attributed = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ms") <= col("p_ms") &&
+        col("t_ms") > col("p_ms") - Behavioral.AttributionWindowMs)
+      .select(col("p_id")).distinct().count()
+    val totalCredit = out.agg(sum(col("credit_milli_total"))).collect()(0).getLong(0)
+    assert(totalCredit == 1000L * attributed,
+      s"credits ($totalCredit) must tile 1000 x $attributed conversions")
+    assert(out.filter(col("n_touches") < col("n_conversions")).count() == 0)
+    out.unpersist()
+  }
+
   test("windowFunnel: hand-computed levels, window and order boundaries") {
     val events = ev(
       // user 1: clean 3-step chain inside the window -> level 3, delay 200
