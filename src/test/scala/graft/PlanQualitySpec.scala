@@ -193,7 +193,16 @@ class PlanQualitySpec extends SparkSuite {
     "events_scd2" -> 2,
     // DPP join: dim agg, final month agg, output sort; the fact-dim
     // join is the reused broadcast the pruning subquery hangs off.
-    "layout_dpp" -> 3)
+    "layout_dpp" -> 3,
+    // Source overlap (post-checkpoint): the pair count agg (+ feed),
+    // the per-source size agg, output sort; the size joins and the
+    // posting self-join broadcast at spec sf. The distinct shuffle is
+    // behind the (source, h) checkpoint.
+    "dedup_source_overlap" -> 4,
+    // Attribution: the per-purchase count/rank windows (one p_id
+    // exchange), the (user, touch_type) rollup, output sort; the
+    // purchase-touch pairing broadcasts at spec sf.
+    "events_attribution" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
