@@ -284,13 +284,108 @@ object SketchOps {
        |FROM est, ex""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // HyperLogLog distinct sketch (Flajolet et al.): the register-based
+  // cardinality estimator, next to KMV as the second classic family.
+  // hv = the same scattered hash as KMV; register j = hv mod 64, rank
+  // ρ = leading zeros of the 24-bit payload + 1, register value M_j =
+  // max ρ. The whole estimator is EXACT INTEGER: the harmonic sum
+  // Σ 2^−M_j is kept scaled by 2^25 (every term a nonnegative shift,
+  // since ρ ≤ 25), so E_milli = α_milli·m²·2^25 DIV S_scaled has no
+  // float anywhere; the small-range branch is linear counting with the
+  // house round(1000·ln(·)) quantization. Registers merge by MAX —
+  // the sketch is one map-side-combined (group, register) aggregate,
+  // 64 rows per group, mergeable across any partitioning; at 100 TB
+  // that is the entire shuffle.
+  val HllM = 64
+  val HllWBits = 24 // payload bit width: (KmvMod-1)/64 < 2^24
+  val HllAlphaMilli = 709L // α_64 quantized to milli
+
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    hllDistinctOf(s.read.parquet(s"$dir/orders.parquet"))
+
+  def hllDistinctOf(orders: DataFrame): DataFrame = {
+    val scale = HllWBits + 1 // ρ ∈ [1, 25] -> exponent 25-ρ ∈ [0, 24]
+    val hashed = orders.select(
+        col("o_orderpriority").as("grp"),
+        graft.functions.PolyHash
+          .polyHash(col("o_custkey").cast("string"), 31, KmvMod).as("ph"),
+        col("o_custkey"))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+    val regs = hashed
+      .withColumn("j", col("hv") % HllM)
+      .withColumn("rho", expr(
+        s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
+          s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m"))
+    val exact = hashed.groupBy(col("grp"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - m)")).as("s_hit"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_scaled", col("s_hit") + col("n_zero") * (1L << scale))
+      .withColumn("est_raw_milli", expr(s"$numer DIV s_scaled"))
+      // linear counting below 2.5·m (the standard small-range switch)
+      .withColumn("est_milli", expr(
+        s"CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0 " +
+          s"THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT) " +
+          "ELSE est_raw_milli END"))
+      .join(exact, Seq("grp"))
+      .select(col("grp"), col("n_hit"), col("n_zero"), col("s_scaled"),
+        col("est_milli"), col("exact_distinct"))
+      .orderBy(col("grp"))
+  }
+
+  val hllDistinctSql: String = {
+    val scale = HllWBits + 1
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    s"""WITH hp AS (
+       |  SELECT o_orderpriority AS grp, o_custkey,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(o_custkey AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM orders),
+       |h AS (SELECT grp, o_custkey, ${kmvMixSql("ph")} AS hv FROM hp),
+       |r AS (
+       |  SELECT grp, hv % $HllM AS j,
+       |    max(CASE WHEN hv // $HllM = 0 THEN $scale
+       |             ELSE $scale - length(bin(hv // $HllM)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (($scale - m))) AS BIGINT) AS s_hit
+       |  FROM r GROUP BY 1),
+       |ex AS (SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+       |       FROM h GROUP BY 1),
+       |e AS (
+       |  SELECT grp, n_hit, $HllM - n_hit AS n_zero,
+       |    s_hit + ($HllM - n_hit) * CAST(${1L << scale} AS BIGINT) AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT grp, n_hit, n_zero, s_scaled,
+       |    $numer // s_scaled AS est_raw_milli
+       |  FROM e)
+       |SELECT grp, n_hit, n_zero, s_scaled,
+       |  CAST(CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0
+       |    THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT)
+       |    ELSE est_raw_milli END AS BIGINT) AS est_milli,
+       |  exact_distinct
+       |FROM est JOIN ex USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_join_estimate" -> (kmvJoinEstimate _)
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_join_estimate" -> kmvJoinEstimateSql

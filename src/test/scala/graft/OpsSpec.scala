@@ -726,6 +726,30 @@ class OpsSpec extends SparkSuite {
     assert(allDistinct.count() == 0)
   }
 
+  test("hll distinct: register algebra, accuracy band, duplicate invariance") {
+    import graft.ops.SketchOps
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val out = SketchOps.hllDistinctOf(orders).cache()
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val scaleTop = 1L << (SketchOps.HllWBits + 1)
+    assert(rows.forall { r =>
+      val (hit, zero, sScaled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      hit + zero == SketchOps.HllM &&
+        sScaled >= hit && sScaled <= SketchOps.HllM * scaleTop
+    })
+    // HLL at m=64 has ~13% standard error; 50% is a loose, stable band
+    assert(rows.forall { r =>
+      val (est, exact) = (r.getLong(4), r.getLong(5) * 1000L)
+      math.abs(est - exact) * 2 <= exact
+    }, s"estimate outside the 50% band: ${rows.toSeq}")
+    // a SKETCH property: duplicated input leaves the registers (and so
+    // the estimate) bit-identical — max is idempotent under multiplicity
+    val doubled = SketchOps.hllDistinctOf(orders.unionByName(orders)).collect()
+    assert(doubled.toSeq == rows.toSeq)
+    out.unpersist()
+  }
+
   test("count-min sketch never undercounts and stays below the corpus total") {
     val est = graft.ops.SketchOps.cmsHeavyHitters(spark, sf)
     assert(est.count() == graft.ops.SketchOps.CmsProbeK)

@@ -202,7 +202,12 @@ class PlanQualitySpec extends SparkSuite {
     // Attribution: the per-purchase count/rank windows (one p_id
     // exchange), the (user, touch_type) rollup, output sort; the
     // purchase-touch pairing broadcasts at spec sf.
-    "events_attribution" -> 3)
+    "events_attribution" -> 3,
+    // HLL: the (group, register) max agg, the per-group register
+    // rollup, the exact-distinct arm's two aggs, output sort; the
+    // exact join broadcasts. All shuffles are register- or
+    // group-sized except the first.
+    "sketch_hll_distinct" -> 5)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
