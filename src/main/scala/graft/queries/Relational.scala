@@ -1228,18 +1228,64 @@ object Relational {
   // exercise. The ORDER BY is a total order (price, orderkey,
   // linenumber), so every rank statistic is deterministic; percent_rank
   // and cume_dist are single correctly-rounded IEEE divisions of exact
-  // integers, hence bit-identical cross-engine. Decile rollup keeps the
-  // output vocabulary-sized: the one corpus-scale shuffle is the flag
-  // partition window; the decile agg reuses it (same leading key).
+  // integers, hence bit-identical cross-engine.
+  //
+  // SCALE SHAPE (r9 verdict item 1): a naive
+  // `Window.partitionBy(l_returnflag)` has THREE distinct partition
+  // values, so at 100× each WindowExec task sorts a third of the table.
+  // Instead this is the two-phase distributed rank (the
+  // Sampling.scala:217 prefix-sum idiom applied to ranking): shard the
+  // order space by a fixed price grid — shard(x) <= shard(y) whenever
+  // x sorts before y, so per-shard row_numbers plus a broadcast
+  // cumulative shard-offset table compose to the EXACT global rank.
+  // ntile / percent_rank / cume_dist are then closed-form functions of
+  // (rank, n): the order key is unique, so rank == row_number,
+  // percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and ntile's
+  // first (n mod k) buckets take ceil(n/k) rows. No window partition
+  // ever holds more than one (flag, price-grid-cell) slice; the oracle
+  // runs the plain window functions, proving the derivation bit-exact.
+  private val Q48ShardWidth = 512.0 // price units per rank shard
+
   def q48(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    t(s, dir, "lineitem")
+    val base = t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("tile", ntile(10).over(w).cast("long"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+      .withColumn("_shard", floor(col("l_extendedprice") / lit(Q48ShardWidth)))
+    // Phase 1: rank within each (flag, grid-cell) shard — bounded tasks.
+    val wIn = Window.partitionBy(col("l_returnflag"), col("_shard"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val inShard = base.withColumn("_rn_in", row_number().over(wIn).cast("long"))
+    // Phase 2: cumulative offsets over the tiny (flag, shard) count
+    // table — shard-count-sized, never row-sized — plus the per-flag
+    // total, broadcast back.
+    val wSh = Window.partitionBy(col("l_returnflag")).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = base.groupBy(col("l_returnflag"), col("_shard"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum(col("_cnt")).over(wSh), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("l_returnflag"), col("_shard"), col("_offset"), col("_n"))
+    inShard
+      .join(broadcast(offsets), Seq("l_returnflag", "_shard"))
+      .withColumn("_rank", col("_offset") + col("_rn_in"))
+      // ntile(10) closed form: rem = n mod 10 leading buckets hold
+      // qsz+1 = n DIV 10 + 1 rows each; the cut point is rem*(qsz+1).
+      .withColumn("_qsz", expr("_n DIV 10"))
+      .withColumn("_rem", col("_n") % 10)
+      .withColumn("_cut", col("_rem") * (col("_qsz") + lit(1L)))
+      .withColumn("tile",
+        when(col("_rank") <= col("_cut"),
+          expr("(_rank - 1) DIV (_qsz + 1) + 1")
+        ).otherwise(
+          // reachable only when _qsz >= 1 (rank > cut = n when qsz = 0);
+          // the greatest() keeps the dead branch ANSI-safe
+          expr("_rem + (_rank - _cut - 1) DIV greatest(_qsz, 1L) + 1")
+        ).cast("long"))
+      .withColumn("pr",
+        when(col("_n") === 1, lit(0.0))
+          .otherwise((col("_rank") - 1).cast("double") / (col("_n") - 1).cast("double")))
+      .withColumn("cd", col("_rank").cast("double") / col("_n").cast("double"))
       .groupBy(col("l_returnflag"), col("tile"))
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice")).cast("double").as("lo"),

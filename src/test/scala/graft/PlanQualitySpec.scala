@@ -207,7 +207,15 @@ class PlanQualitySpec extends SparkSuite {
     // rollup, the exact-distinct arm's two aggs, output sort; the
     // exact join broadcasts. All shuffles are register- or
     // group-sized except the first.
-    "sketch_hll_distinct" -> 5)
+    "sketch_hll_distinct" -> 5,
+    // q48 two-phase distributed rank (r9 verdict item 1): the
+    // (flag, price-grid-cell) window exchange + the same-key count agg,
+    // the flag-keyed offset window over the SHARD-COUNT-sized table,
+    // the (flag, tile) rollup, and the output sort; offsets join back
+    // as a broadcast. A naive Window.partitionBy(l_returnflag) plans
+    // 3 shuffles — this pin failing at 3 means the scale-killer
+    // single-task sort came back.
+    "q48_window_stats" -> 5)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
