@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.ops.Windows.KeepConstPartitionKeysRule)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -139,6 +141,9 @@ object Bench {
       s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
+    // every timed rep has consumed its result — drop the bounded scratch
+    // artifacts (they are overwrite-reused across reps, not leaked)
+    graft.etl.Scratch.cleanAll(spark)
     spark.stop()
   }
 }

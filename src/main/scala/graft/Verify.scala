@@ -56,6 +56,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.ops.Windows.KeepConstPartitionKeysRule)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -100,6 +102,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // all results are materialized (written above) — scratch artifacts
+    // (incremental MinHash index, DPP fact copy) are safe to drop
+    graft.etl.Scratch.cleanAll(spark)
     spark.stop()
   }
 }

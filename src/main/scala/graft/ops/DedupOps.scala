@@ -322,17 +322,18 @@ object DedupOps {
       .select(col("a"), col("b"))
 
   /** Registered-query form of the incremental path: index the raw
-    * corpus into a fresh temp dir, then dedup the twin batch against
-    * the saved index — end-to-end through the persisted artifact, so
-    * the driver's DuckDB compare gates the whole incremental flow (the
-    * oracle is the batch pipeline sliced to twin-involved pairs, which
-    * the incremental result must equal exactly). Writes a small temp
-    * index per invocation, like chain_ingest_1k's warehouse write. */
+    * corpus into the configurable [[graft.etl.Scratch]] root (fixed
+    * path, overwrite — cluster-shared when `spark.graft.scratchDir`
+    * points at shared storage, never a driver-local temp dir), then
+    * dedup the twin batch against the saved index — end-to-end through
+    * the persisted artifact, so the driver's DuckDB compare gates the
+    * whole incremental flow (the oracle is the batch pipeline sliced
+    * to twin-involved pairs, which the incremental result must equal
+    * exactly). */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val base = docs(s, dir)
     val twins = corpus(s, dir).filter(col("doc_id") >= 1000000L)
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_minhash_idx").resolve("bands").toString
+    val idx = graft.etl.Scratch.path(s, "minhash_idx/bands")
     buildMinhashIndex(base, idx)
     minhashDedupIncremental(s, twins, idx, base).orderBy(col("a"), col("b"))
   }

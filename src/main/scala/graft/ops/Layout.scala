@@ -330,10 +330,12 @@ object Layout {
       .filter(col("n_urgent") * 100 > col("n_orders") * DppUrgentPctThreshold)
 
   /** Writes the ship_month-partitioned fact copy and returns the joined,
-    * pruned aggregate plus the partitioned path (for the spec). */
+    * pruned aggregate plus the partitioned path (for the spec). The copy
+    * lands at a FIXED path under the configurable [[graft.etl.Scratch]]
+    * root with overwrite, so repeated bench reps reuse one copy's disk
+    * instead of leaking a fresh driver-local temp dir each run. */
   def dppJoin(s: SparkSession, dir: String): (DataFrame, String) = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_dpp").resolve("lineitem_by_month").toString
+    val path = graft.etl.Scratch.path(s, "dpp/lineitem_by_month")
     s.read.parquet(s"$dir/lineitem.parquet")
       .withColumn("ship_month",
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))

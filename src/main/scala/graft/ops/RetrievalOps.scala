@@ -53,7 +53,7 @@ object RetrievalOps {
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     // sparse arm: the registered BM25 pipeline (already a bounded
     // 20-row total order); the rank window runs on that bounded frame
-    val wS = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+    val wS = Windows.boundedGlobal(col("bm25_micro").desc, col("doc_id"))
     val sparse = TextOps.bm25TopK(s, dir)
       .select(col("doc_id"), row_number().over(wS).cast("long").as("rank_sparse"))
 
@@ -62,7 +62,7 @@ object RetrievalOps {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
     val probe = broadcast(
       emb.filter(col("vec_id") === RrfProbeId).select(col("embedding").as("q")))
-    val wD = Window.orderBy(col("cos").desc, col("doc_id"))
+    val wD = Windows.boundedGlobal(col("cos").desc, col("doc_id"))
     val dense = emb.filter(col("vec_id") =!= RrfProbeId)
       .crossJoin(probe) // 1-row probe: structural
       .select(col("vec_id").as("doc_id"),
@@ -71,7 +71,7 @@ object RetrievalOps {
       .select(col("doc_id"), row_number().over(wD).cast("long").as("rank_dense"))
 
     // fusion: two ≤20-row frames
-    val wF = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
+    val wF = Windows.boundedGlobal(col("rrf_micro").desc, col("doc_id"))
     sparse.join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_micro",
         rrfContrib(col("rank_sparse")) + rrfContrib(col("rank_dense")))

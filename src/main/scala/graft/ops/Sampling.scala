@@ -217,7 +217,7 @@ object Sampling {
     val wIn = Window.partitionBy(col("_shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inShard = perDoc.withColumn("_cum_in", sum(col("n_tokens")).over(wIn))
-    val wSh = Window.orderBy(col("_shard"))
+    val wSh = Windows.boundedGlobal(col("_shard"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val shardOffsets = perDoc.groupBy(col("_shard"))
       .agg(sum(col("n_tokens")).as("_tot"))

@@ -12,6 +12,8 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.optimizer.excludedRules",
+      graft.ops.Windows.KeepConstPartitionKeysRule)
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"

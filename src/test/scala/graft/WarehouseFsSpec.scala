@@ -104,4 +104,27 @@ class WarehouseFsSpec extends SparkSuite {
     // only happens when the exists() probe resolves through graftfs:)
     assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
   }
+
+  test("registered diagnostics' scratch artifacts route through a non-file: scheme") {
+    registerScheme()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wfs_scratch").toString
+    // default-root run first: the value baseline the scheme run must equal
+    val expected = graft.ops.DedupOps.incrementalDedup(spark, sf)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set(graft.etl.Scratch.ConfKey, s"graftfs:$tmp/scratch")
+    try {
+      val got = graft.ops.DedupOps.incrementalDedup(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected)
+      // the index physically landed under the scheme root (a java.io.File
+      // binding would have dropped it somewhere relative-local instead)
+      assert(new java.io.File(s"$tmp/scratch/minhash_idx/bands").isDirectory)
+      // a second invocation overwrites the SAME fixed path — bounded
+      // disk, unlike the old fresh-createTempDirectory-per-run leak
+      assert(graft.ops.DedupOps.incrementalDedup(spark, sf)
+        .collect().map(_.toSeq).toSet == expected)
+      graft.etl.Scratch.cleanAll(spark)
+      assert(!new java.io.File(s"$tmp/scratch").exists())
+    } finally spark.conf.unset(graft.etl.Scratch.ConfKey)
+  }
 }
