@@ -94,8 +94,12 @@ object Ingest {
       c.clickhouse.foreach { case (host, port) =>
         etl.Load.tables(spark, c.from, c.to, c.endpoint).foreach {
           case (name, (df, _, _)) =>
+            // the canonical schema (FixedString widths + nullability)
+            // types the wire blocks so they match the bootstrap DDL —
+            // the flatten casts drop metadata and widen nullability
             sources.ChTcpLoad.insert(df, host, port, s"ethereum.$name",
-              compress = c.clickhouseLz4)
+              compress = c.clickhouseLz4,
+              canonical = Some(types.Schemas.tableSchema(name)))
         }
       }
     }

@@ -950,6 +950,12 @@ object FilterOps {
         .otherwise(concat_ws(" ", header, col("text"))))
     val lines = injected
       .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("_t"))
+      // zero-token guard: on an empty doc Spark's (size-1) DIV 10
+      // truncates -1 to 0 and would emit one empty segment where the
+      // oracle's floor division emits none — unreachable behind the
+      // injected header (>= 10 tokens), but the filter keeps the
+      // operator oracle-exact on raw corpora without it
+      .filter(size(col("_t")) >= 1)
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"transform(sequence(0, (size(_t) - 1) DIV $LineTokens), " +
           s"i -> concat_ws(' ', slice(_t, i * $LineTokens + 1, $LineTokens)))"))

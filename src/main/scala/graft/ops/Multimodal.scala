@@ -442,7 +442,18 @@ object Multimodal {
   }
 
   /** Per-clip 62-bit energy-staircase fingerprints — one mapPartitions
-    * pass, 4×32 integer accumulators per clip, no per-sample rows. */
+    * pass, 4×32 integer accumulators per clip, no per-sample rows.
+    *
+    * ASCII-ONLY sampling contract (same convention as the phash arm):
+    * the synthetic "waveform" samples `text` via JVM `charAt` — UTF-16
+    * code units — while the DuckDB oracle samples via
+    * `ascii(substring(...))` — Unicode code points. The two agree
+    * exactly on ASCII text (one code unit == one code point == one
+    * byte value), which the fixture corpus guarantees; a non-ASCII
+    * corpus would diverge on any astral/combining character. If the
+    * fixture ever gains non-ASCII text, normalize both sides to a
+    * shared iteration (e.g. code-point stepping here, or byte stepping
+    * via getBytes(UTF_8) and octet_length in the oracle). */
   def audioSignatures(clips: DataFrame): DataFrame = {
     import clips.sparkSession.implicits._
     val F = Afp.Frames

@@ -77,6 +77,17 @@ object NativeCodec {
   case object KU256Bin extends Kind  // CH UInt256     <-> BinaryType 32B big-endian
   case object KBool extends Kind     // CH Bool        <-> BooleanType
   case object KArrBytes extends Kind // CH Array(String) <-> ArrayType(BinaryType)
+  // FixedString(n): raw n bytes per row on the wire, NO length prefix —
+  // the reference DDL's hash/address types (main.rs:66-160). The writer
+  // REQUIRES every value to be exactly n bytes (fail fast beats silent
+  // pad/truncate on a 32-byte hash).
+  case class KFixed(n: Int) extends Kind    // CH FixedString(n)        <-> BinaryType (exact n)
+  case class KArrFixed(n: Int) extends Kind // CH Array(FixedString(n)) <-> ArrayType(BinaryType)
+
+  private def isArrayKind(k: Kind): Boolean = k match {
+    case KArrBytes | KArrFixed(_) => true
+    case _ => false
+  }
 
   case class ChCol(name: String, kind: Kind, nullable: Boolean) {
     def chType: String = {
@@ -86,21 +97,32 @@ object NativeCodec {
         case KU256Dec | KU256Bin => "UInt256"
         case KBool => "Bool"
         case KArrBytes => "Array(String)"
+        case KFixed(n) => s"FixedString($n)"
+        case KArrFixed(n) => s"Array(FixedString($n))"
       }
-      if (nullable && kind != KArrBytes) s"Nullable($base)" else base
+      if (nullable && !isArrayKind(kind)) s"Nullable($base)" else base
     }
   }
+
+  /** Field-metadata width marker (graft.types.Schemas.FixedWidthKey):
+    * binary columns carrying it map to FixedString(n) instead of the
+    * variable-length String wire type. */
+  private def fixedWidthOf(f: StructField): Option[Int] =
+    if (f.metadata.contains(graft.types.Schemas.FixedWidthKey))
+      Some(f.metadata.getLong(graft.types.Schemas.FixedWidthKey).toInt)
+    else None
 
   def specFor(schema: StructType): IndexedSeq[ChCol] =
     schema.fields.toIndexedSeq.map { f =>
       val kind = f.dataType match {
         case BinaryType if U256BinaryCols(f.name) => KU256Bin
-        case BinaryType => KBytes
+        case BinaryType => fixedWidthOf(f).map(KFixed.apply).getOrElse(KBytes)
         case StringType => KText
         case LongType => KU64
         case d: DecimalType if d.precision == 38 && d.scale == 0 => KU256Dec
         case BooleanType => KBool
-        case ArrayType(BinaryType, _) => KArrBytes
+        case ArrayType(BinaryType, _) =>
+          fixedWidthOf(f).map(KArrFixed.apply).getOrElse(KArrBytes)
         case other => throw new IllegalArgumentException(
           s"chnative: unsupported Spark type ${other.catalogString} for column ${f.name}")
       }
@@ -118,10 +140,15 @@ object NativeCodec {
       case "UInt256" => if (U256BinaryCols(name)) KU256Bin else KU256Dec
       case "Bool" | "UInt8" => KBool
       case "Array(String)" => KArrBytes
+      case FixedStringRe(n) => KFixed(n.toInt)
+      case ArrFixedStringRe(n) => KArrFixed(n.toInt)
       case other => throw new IllegalArgumentException(s"chnative: unsupported ClickHouse type $other")
     }
     ChCol(name, kind, nullable)
   }
+
+  private val FixedStringRe = """FixedString\((\d+)\)""".r
+  private val ArrFixedStringRe = """Array\(FixedString\((\d+)\)\)""".r
 
   /** Lossless default Spark field for a bare (schema-less) read: String
     * and UInt256 both land as binary (UInt256 as the canonical 32-byte
@@ -136,6 +163,8 @@ object NativeCodec {
       case "UInt64" => LongType
       case "Bool" | "UInt8" => BooleanType
       case "Array(String)" => ArrayType(BinaryType, containsNull = false)
+      case FixedStringRe(_) => BinaryType
+      case ArrFixedStringRe(_) => ArrayType(BinaryType, containsNull = false)
       case other => throw new IllegalArgumentException(s"chnative: unsupported ClickHouse type $other")
     }
     StructField(name, dt, nullable)
@@ -232,7 +261,7 @@ object NativeCodec {
       val col = spec(c)
       writeString(out, col.name.getBytes("UTF-8"))
       writeString(out, col.chType.getBytes("UTF-8"))
-      if (col.nullable && col.kind != KArrBytes) {
+      if (col.nullable && !isArrayKind(col.kind)) {
         var r = 0
         while (r < rows.length) {
           out.writeByte(if (rows(r).isNullAt(c)) 1 else 0)
@@ -279,6 +308,18 @@ object NativeCodec {
             out.writeByte(if (!rows(r).isNullAt(c) && rows(r).getBoolean(c)) 1 else 0)
             r += 1
           }
+        case KFixed(n) =>
+          var r = 0
+          while (r < rows.length) {
+            if (rows(r).isNullAt(c)) out.write(new Array[Byte](n))
+            else {
+              val b = rows(r).getBinary(c)
+              require(b.length == n,
+                s"chnative: FixedString($n) column ${col.name} got ${b.length}-byte value")
+              out.write(b)
+            }
+            r += 1
+          }
         case KArrBytes =>
           // offsets pass: cumulative element-count end offsets, UInt64 LE
           var total = 0L
@@ -298,6 +339,32 @@ object NativeCodec {
                 // null elements encode as empty bytes, like null scalars —
                 // getBinary on a null slot would NPE inside writeString
                 writeString(out, if (arr.isNullAt(i)) EmptyBytes else arr.getBinary(i))
+                i += 1
+              }
+            }
+            r += 1
+          }
+        case KArrFixed(n) =>
+          var total = 0L
+          var r = 0
+          while (r < rows.length) {
+            total += (if (rows(r).isNullAt(c)) 0 else rows(r).getArray(c).numElements())
+            writeLongLE(out, total)
+            r += 1
+          }
+          r = 0
+          while (r < rows.length) {
+            if (!rows(r).isNullAt(c)) {
+              val arr = rows(r).getArray(c)
+              var i = 0
+              while (i < arr.numElements()) {
+                if (arr.isNullAt(i)) out.write(new Array[Byte](n))
+                else {
+                  val b = arr.getBinary(i)
+                  require(b.length == n,
+                    s"chnative: Array(FixedString($n)) column ${col.name} got ${b.length}-byte element")
+                  out.write(b)
+                }
                 i += 1
               }
             }
@@ -340,13 +407,16 @@ object NativeCodec {
       val tpe = new String(readString(in), "UTF-8")
       val col = parseChType(name, tpe)
       val nulls: Array[Boolean] =
-        if (col.nullable && col.kind != KArrBytes) Array.fill(nRows)(in.readByte() == 1)
+        if (col.nullable && !isArrayKind(col.kind)) Array.fill(nRows)(in.readByte() == 1)
         else null
       val out = new Array[AnyRef](nRows)
       col.kind match {
         case KBytes | KText =>
           var r = 0
           while (r < nRows) { out(r) = readString(in); r += 1 }
+        case KFixed(n) =>
+          var r = 0
+          while (r < nRows) { out(r) = readBytes(in, n); r += 1 }
         case KU64 =>
           var r = 0
           while (r < nRows) { out(r) = java.lang.Long.valueOf(readLongLE(in)); r += 1 }
@@ -356,14 +426,18 @@ object NativeCodec {
         case KBool =>
           var r = 0
           while (r < nRows) { out(r) = java.lang.Boolean.valueOf(in.readByte() != 0); r += 1 }
-        case KArrBytes =>
+        case KArrBytes | KArrFixed(_) =>
           val offsets = new Array[Long](nRows)
           var r = 0
           while (r < nRows) { offsets(r) = readLongLE(in); r += 1 }
           val totalElems = if (nRows == 0) 0 else offsets(nRows - 1).toInt
           val elems = new Array[Array[Byte]](totalElems)
+          val readElem: () => Array[Byte] = col.kind match {
+            case KArrFixed(n) => () => readBytes(in, n)
+            case _ => () => readString(in)
+          }
           var i = 0
-          while (i < totalElems) { elems(i) = readString(in); i += 1 }
+          while (i < totalElems) { elems(i) = readElem(); i += 1 }
           r = 0
           var prev = 0L
           while (r < nRows) {

@@ -265,12 +265,13 @@ class ChTcpClient(
   * warehouse uses so the two layers can never drift. Engine and ORDER
   * BY keys mirror the reference exactly (blocks: (hash, number),
   * transactions: hash, events: (transactionHash, logIndex), withdraws:
-  * (blockHash, index)); column types are the ones our wire blocks
-  * actually carry ([[NativeCodec.ChCol.chType]]: String/UInt64/UInt256/
-  * Bool/Array(String)/Nullable) — the reference DDL declares
-  * FixedString(n) for hashes/addresses (main.rs:66-160), but its own
-  * klickhouse rows serialize them as `Bytes` → String and rely on the
-  * server coercing; our blocks declare the honest wire type instead.
+  * (blockHash, index)). Hash/address columns declare the reference's
+  * FixedString(32/20/8) widths (main.rs:66-160) — the widths ride the
+  * Spark schemas as field metadata (graft.types.Schemas.FixedWidthKey)
+  * and the wire blocks encode those columns as raw fixed-width
+  * payloads, so DDL and payload can never disagree; withdraws.blockHash
+  * stays a plain String on purpose (main.rs:149 declares it String,
+  * unlike every other table — quirk preserved).
   */
 object ChDdl {
   def createDatabaseSql: String = "CREATE DATABASE IF NOT EXISTS ethereum"
@@ -303,11 +304,23 @@ object ChDdl {
   * flushes per 1000-block range; a row cap is the equivalent bound for
   * arbitrary frames). */
 object ChTcpLoad {
+  /** `canonical`: optional authoritative schema (graft.types.Schemas.*)
+    * whose FixedString-width metadata and nullability type the wire
+    * blocks, matching the bootstrap DDL exactly — the flatten layer's
+    * select/cast chain drops field metadata and widens nullability, so
+    * encoding from the frame's own schema would send
+    * Nullable(String) where the server declares FixedString(32).
+    * Columns are matched positionally (names must agree). */
   def insert(df: DataFrame, host: String, port: Int, table: String,
       blockRows: Int = NativeCodec.DefaultBlockRows,
       database: String = "default", user: String = "default",
-      password: String = "", compress: Boolean = false): Unit = {
-    val spec = NativeCodec.specFor(df.schema)
+      password: String = "", compress: Boolean = false,
+      canonical: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    canonical.foreach { c =>
+      require(c.fieldNames.toSeq == df.schema.fieldNames.toSeq,
+        s"canonical schema column mismatch: ${c.fieldNames.toSeq} vs ${df.schema.fieldNames.toSeq}")
+    }
+    val spec = NativeCodec.specFor(canonical.getOrElse(df.schema))
     df.queryExecution.toRdd.foreachPartition { it: Iterator[InternalRow] =>
       if (it.hasNext) {
         val client = new ChTcpClient(host, port, database, user, password, compress)

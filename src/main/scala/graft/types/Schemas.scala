@@ -24,26 +24,55 @@ object Schemas {
   /** DecimalType used for UInt256 columns whose real-world values fit. */
   val U256Decimal: DecimalType = DecimalType(38, 0)
 
+  /** Field-metadata key carrying a ClickHouse FixedString(N) width.
+    * The reference DDL types hashes/addresses as FixedString(32/20/8)
+    * (main.rs:66-160); the width rides the Spark schema so the Native
+    * codec/DDL emit `FixedString(N)` and fixed-width payloads for
+    * exactly these columns, while arbitrary binary frames keep the
+    * variable-length `String` wire type. */
+  val FixedWidthKey = "chFixedWidth"
+
+  private def fixedMeta(n: Int): Metadata =
+    new MetadataBuilder().putLong(FixedWidthKey, n.toLong).build()
+
+  /** FixedString(n) column (32 = hash, 20 = address, 8 = block nonce). */
+  private def fixed(name: String, n: Int, nullable: Boolean = false): StructField =
+    StructField(name, BinaryType, nullable, fixedMeta(n))
+
+  /** Array(FixedString(n)) column (events.topics, main.rs:137). */
+  private def fixedArr(name: String, n: Int): StructField =
+    StructField(name, ArrayType(BinaryType, containsNull = false),
+      nullable = false, fixedMeta(n))
+
+  /** Canonical schema by chain-table name. */
+  def tableSchema(table: String): StructType = table match {
+    case "blocks" => blocks
+    case "transactions" => transactions
+    case "events" => events
+    case "withdraws" => withdraws
+    case other => throw new IllegalArgumentException(s"unknown chain table '$other'")
+  }
+
   // ---- blocks (reference: main.rs:64-88) ----
   val blocks: StructType = StructType(Seq(
-    StructField("hash", BinaryType, nullable = false),
+    fixed("hash", 32),
     StructField("number", LongType, nullable = false),
-    StructField("parentHash", BinaryType, nullable = false),
+    fixed("parentHash", 32),
     StructField("uncles", ArrayType(BinaryType, containsNull = false), nullable = false),
-    StructField("sha3Uncles", BinaryType, nullable = false),
+    fixed("sha3Uncles", 32),
     StructField("totalDifficulty", BinaryType, nullable = false), // u256, can exceed 38 digits
-    StructField("miner", BinaryType, nullable = false),
+    fixed("miner", 20),
     StructField("difficulty", BinaryType, nullable = false),      // u256, can exceed 38 digits
-    StructField("nonce", BinaryType, nullable = false),
-    StructField("mixHash", BinaryType, nullable = false),
+    fixed("nonce", 8),
+    fixed("mixHash", 32),
     StructField("baseFeePerGas", U256Decimal, nullable = true),
     StructField("gasLimit", U256Decimal, nullable = false),
     StructField("gasUsed", U256Decimal, nullable = false),
-    StructField("stateRoot", BinaryType, nullable = false),
-    StructField("transactionsRoot", BinaryType, nullable = false),
-    StructField("receiptsRoot", BinaryType, nullable = false),
+    fixed("stateRoot", 32),
+    fixed("transactionsRoot", 32),
+    fixed("receiptsRoot", 32),
     StructField("logsBloom", BinaryType, nullable = false),
-    StructField("withdrawlsRoot", BinaryType, nullable = true),   // sic — typo kept (main.rs:83)
+    fixed("withdrawlsRoot", 32, nullable = true),   // sic — typo kept (main.rs:83)
     StructField("extraData", BinaryType, nullable = false),
     StructField("timestamp", U256Decimal, nullable = false),
     StructField("size", U256Decimal, nullable = false)
@@ -51,15 +80,15 @@ object Schemas {
 
   // ---- transactions (reference: main.rs:93-123; body+receipt merged) ----
   val transactions: StructType = StructType(Seq(
-    StructField("hash", BinaryType, nullable = false),
-    StructField("blockHash", BinaryType, nullable = false),
+    fixed("hash", 32),
+    fixed("blockHash", 32),
     StructField("blockNumber", LongType, nullable = false),
     StructField("blockTimestamp", U256Decimal, nullable = false),
     StructField("transactionIndex", LongType, nullable = false),
     StructField("chainId", U256Decimal, nullable = true),
     StructField("type", LongType, nullable = true),
-    StructField("from", BinaryType, nullable = false),
-    StructField("to", BinaryType, nullable = true),
+    fixed("from", 20),
+    fixed("to", 20, nullable = true),
     StructField("value", BinaryType, nullable = false),           // u256 canonical binary
     StructField("nonce", U256Decimal, nullable = false),
     StructField("input", BinaryType, nullable = false),
@@ -71,26 +100,26 @@ object Schemas {
     StructField("s", BinaryType, nullable = false),
     StructField("v", LongType, nullable = false),
     StructField("accessList", StringType, nullable = true),       // JSON text (main.rs:114)
-    StructField("contractAddress", BinaryType, nullable = true),
+    fixed("contractAddress", 20, nullable = true),
     StructField("cumulativeGasUsed", U256Decimal, nullable = false),
     StructField("effectiveGasPrice", U256Decimal, nullable = true),
     StructField("gasUsed", U256Decimal, nullable = false),
     StructField("logsBloom", BinaryType, nullable = false),
-    StructField("root", BinaryType, nullable = true),             // pre-EIP-658 only
+    fixed("root", 32, nullable = true),             // pre-EIP-658 only
     StructField("status", LongType, nullable = true)              // post-EIP-658 only
   ))
 
   // ---- events (reference: main.rs:128-140) ----
   val events: StructType = StructType(Seq(
-    StructField("address", BinaryType, nullable = false),
-    StructField("blockHash", BinaryType, nullable = false),
+    fixed("address", 20),
+    fixed("blockHash", 32),
     StructField("blockNumber", LongType, nullable = false),
     StructField("blockTimestamp", U256Decimal, nullable = false),
-    StructField("transactionHash", BinaryType, nullable = false),
+    fixed("transactionHash", 32),
     StructField("transactionIndex", LongType, nullable = false),
     StructField("logIndex", U256Decimal, nullable = false),
     StructField("removed", BooleanType, nullable = false),
-    StructField("topics", ArrayType(BinaryType, containsNull = false), nullable = false),
+    fixedArr("topics", 32),
     StructField("data", BinaryType, nullable = false)
   ))
 
@@ -101,7 +130,9 @@ object Schemas {
     StructField("blockTimestamp", U256Decimal, nullable = false),
     StructField("index", LongType, nullable = false),
     StructField("validatorIndex", LongType, nullable = false),
-    StructField("address", BinaryType, nullable = false),
+    // blockHash deliberately NOT fixed-width: the reference declares it
+    // a plain String here, unlike every other table (main.rs:149 quirk)
+    fixed("address", 20),
     StructField("amount", U256Decimal, nullable = false)
   ))
 

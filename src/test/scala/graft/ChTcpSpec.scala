@@ -259,4 +259,60 @@ class ChTcpSpec extends SparkSuite {
       assert(spark.read.parquet(s"$wh/wh/blocks").count() == 100)
     } finally stub.close()
   }
+
+  test("DDL carries the reference FixedString widths and the wire blocks match them byte-exact") {
+    import graft.sources.ChDdl
+    // DDL widths mirror main.rs:66-160 column for column
+    val blocksDdl = ChDdl.createTableSql("blocks")
+    assert(blocksDdl.contains("`hash` FixedString(32)"))
+    assert(blocksDdl.contains("`miner` FixedString(20)"))
+    assert(blocksDdl.contains("`nonce` FixedString(8)"))
+    assert(blocksDdl.contains("`withdrawlsRoot` Nullable(FixedString(32))"))
+    assert(blocksDdl.contains("`logsBloom` String"))
+    val txDdl = ChDdl.createTableSql("transactions")
+    assert(txDdl.contains("`from` FixedString(20)"))
+    assert(txDdl.contains("`to` Nullable(FixedString(20))"))
+    assert(txDdl.contains("`root` Nullable(FixedString(32))"))
+    assert(txDdl.contains("`value` UInt256"), "u256 columns stay UInt256, never FixedString")
+    val evDdl = ChDdl.createTableSql("events")
+    assert(evDdl.contains("`address` FixedString(20)"))
+    assert(evDdl.contains("`topics` Array(FixedString(32))"))
+    val wDdl = ChDdl.createTableSql("withdraws")
+    assert(wDdl.contains("`address` FixedString(20)"))
+    assert(wDdl.contains("`blockHash` String"),
+      "main.rs:149 quirk preserved: withdraws.blockHash is a plain String")
+
+    // stub-server round-trip: a Schemas-typed blocks frame inserts over
+    // TCP with fixed-width payloads; 32/20/8-byte values arrive byte-exact
+    val stub = new ChTcpStubServer(compress = false)
+    try {
+      val blocks = Flatten.blockRows(ChainFixture.blocks(spark, 0L, 9L))
+      // the canonical schema types the wire, exactly as Ingest's
+      // --clickhouse path passes it through ChTcpLoad's `canonical`
+      val spec = NativeCodec.specFor(graft.types.Schemas.blocks)
+      val expected = blocks
+        .select(hex(col("hash")), hex(col("miner")), hex(col("nonce"))).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      val client = new ChTcpClient("127.0.0.1", stub.port)
+      try {
+        val rows = blocks.queryExecution.toRdd.map(_.copy()).collect().toIndexedSeq
+        client.insertNative("ethereum.blocks", spec, Iterator(rows))
+      } finally client.close()
+      val received = stub.received.toArray(Array.empty[NativeCodec.Block])
+      assert(received.nonEmpty)
+      val blk = received.head
+      def colOf(n: String) = blk.cols(blk.cols.indexWhere(_.name == n))
+      assert(colOf("hash").chType == "FixedString(32)",
+        "the stub re-parsed the wire type — the header really said FixedString")
+      assert(colOf("nonce").chType == "FixedString(8)")
+      def hx(c: String, r: Int) = {
+        val i = blk.cols.indexWhere(_.name == c)
+        blk.data(i)(r).asInstanceOf[Array[Byte]].map(x => f"$x%02X").mkString
+      }
+      val got = (0 until blk.rows)
+        .map(r => (hx("hash", r), hx("miner", r), hx("nonce", r))).sortBy(_._1)
+      assert(got == expected)
+      assert(got.forall { case (h, m, n) => h.length == 64 && m.length == 40 && n.length == 16 })
+    } finally stub.close()
+  }
 }

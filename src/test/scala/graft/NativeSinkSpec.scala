@@ -343,4 +343,84 @@ class NativeSinkSpec extends SparkSuite {
     assert(ClickHouseNativeLz4Sink.read(spark, path, Schemas.transactions).count()
       == total - deleted)
   }
+
+  test("golden bytes: FixedString is raw width bytes with no length prefix; Nullable zero-fills") {
+    def meta(n: Int) = new MetadataBuilder().putLong(Schemas.FixedWidthKey, n.toLong).build()
+    val schema = StructType(Seq(
+      StructField("a", BinaryType, nullable = false, meta(3)),
+      StructField("b", BinaryType, nullable = true, meta(2))))
+    val spec = NativeCodec.specFor(schema)
+    assert(spec.map(_.chType) == Seq("FixedString(3)", "Nullable(FixedString(2))"))
+    val rows = Seq(
+      new GenericInternalRow(Array[Any](Array[Byte](1, 2, 3), Array[Byte](9, 8))),
+      new GenericInternalRow(Array[Any](Array[Byte](4, 5, 6), null)))
+    val got = encode(spec, rows)
+    val expected = Array.concat(
+      Array[Byte](2, 2), // 2 columns, 2 rows
+      Array[Byte](1) ++ "a".getBytes("UTF-8"),
+      Array[Byte](14) ++ "FixedString(3)".getBytes("UTF-8"),
+      Array[Byte](1, 2, 3), // raw 3 bytes, NO varuint length prefix
+      Array[Byte](4, 5, 6),
+      Array[Byte](1) ++ "b".getBytes("UTF-8"),
+      Array[Byte](24) ++ "Nullable(FixedString(2))".getBytes("UTF-8"),
+      Array[Byte](0, 1), // null map: row 0 present, row 1 NULL
+      Array[Byte](9, 8),
+      Array[Byte](0, 0)) // null slot zero-fills its fixed width
+    assert(got.toSeq == expected.toSeq,
+      s"FixedString block bytes diverge:\n got ${got.map("%02x".format(_)).mkString(" ")}\n " +
+        s"exp ${expected.map("%02x".format(_)).mkString(" ")}")
+    // decode round-trip: raw widths come back byte-exact, null stays null
+    val blk = NativeCodec.readBlock(
+      new DataInputStream(new ByteArrayInputStream(got))).get
+    assert(blk.cols.map(_.chType) == spec.map(_.chType))
+    assert(blk.data(0)(0).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+    assert(blk.data(1)(0).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](9, 8))
+    assert(blk.data(1)(1) == null)
+  }
+
+  test("FixedString writer fails fast on a width mismatch instead of padding or truncating") {
+    def meta(n: Int) = new MetadataBuilder().putLong(Schemas.FixedWidthKey, n.toLong).build()
+    val schema = StructType(Seq(
+      StructField("h", BinaryType, nullable = false, meta(3))))
+    val spec = NativeCodec.specFor(schema)
+    val short = Seq(new GenericInternalRow(Array[Any](Array[Byte](1, 2))))
+    val e = intercept[IllegalArgumentException](encode(spec, short))
+    assert(e.getMessage.contains("FixedString(3)") && e.getMessage.contains("2-byte"))
+  }
+
+  test("chain schemas round-trip 32/20/8-byte values byte-exact through FixedString columns") {
+    // the canonical blocks schema carries the reference widths
+    // (main.rs:66-88) as field metadata — encode a fixture frame under
+    // the CANONICAL spec (the flatten casts drop metadata and widen
+    // nullability, so the frame's own schema would type these Nullable
+    // String; the DDL-parity path always encodes from Schemas.*)
+    val blocks = Flatten.blockRows(ChainFixture.blocks(spark, 0L, 4L))
+    val spec = NativeCodec.specFor(Schemas.blocks)
+    def tpe(n: String) = spec.find(_.name == n).get.chType
+    assert(tpe("hash") == "FixedString(32)")
+    assert(tpe("miner") == "FixedString(20)")
+    assert(tpe("nonce") == "FixedString(8)")
+    assert(tpe("withdrawlsRoot") == "Nullable(FixedString(32))")
+    assert(tpe("logsBloom") == "String", "non-fixed binary stays variable-length")
+    val rows = blocks.queryExecution.toRdd.map(_.copy()).collect().toIndexedSeq
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      NativeCodec.writeBlock(out, spec, rows)
+      out.flush(); bos.toByteArray
+    }
+    val blk = NativeCodec.readBlock(
+      new DataInputStream(new ByteArrayInputStream(bytes))).get
+    val expected = blocks
+      .select(hex(col("hash")), hex(col("miner")), hex(col("nonce"))).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    def hx(c: String, r: Int) = {
+      val i = blk.cols.indexWhere(_.name == c)
+      blk.data(i)(r).asInstanceOf[Array[Byte]].map(x => f"$x%02X").mkString
+    }
+    val got = (0 until blk.rows)
+      .map(r => (hx("hash", r), hx("miner", r), hx("nonce", r))).sortBy(_._1)
+    assert(got == expected)
+    assert(got.forall { case (h, m, n) => h.length == 64 && m.length == 40 && n.length == 16 })
+  }
 }
