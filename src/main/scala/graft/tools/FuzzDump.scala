@@ -241,6 +241,117 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
+  // ---- set-op / grouping-set / full-outer grammar ---------------------
+  // (VERDICT r9 item 6) rollup/cube super-aggregates with their NULL-key
+  // rows, INTERSECT/EXCEPT [ALL] multiset semantics, and FULL OUTER
+  // joins with one-sided keys — the q10/q11/q14/q32/q33/q41 shape
+  // classes, previously only spot-checked by the curated suite. Same
+  // exactness conventions: NULLS FIRST on every nullable sort key
+  // (rollup/cube super-rows), BIGINT counts, COALESCE'd outer keys.
+
+  private def groupingSpec(i: Int, rng: Random): Spec = {
+    val (fCol, fSql) = filters(rng)
+    val keys = rng.shuffle(Seq(
+      (col("l_returnflag"), "l_returnflag", "l_returnflag"),
+      (col("l_linestatus"), "l_linestatus", "l_linestatus"),
+      (year(col("l_shipdate")).cast("long").as("ship_year"),
+        "CAST(year(l_shipdate) AS BIGINT)", "ship_year"),
+      ((col("l_orderkey") % 5).as("k5"), "l_orderkey % 5", "k5"))).take(2)
+    val cube = rng.nextBoolean()
+    val as = Seq[(Column, String)](
+      (count(lit(1)).as("n"), "count(*) AS n"),
+      (sum(col("l_quantity").cast(D)).cast("double").as("qty"),
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty"),
+      (grouping_id().cast("long").as("gid"),
+        s"CAST(GROUPING(${keys.map(_._2).mkString(", ")}) AS BIGINT) AS gid"))
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val filtered = li.filter(fCol)
+      val grouped =
+        if (cube) filtered.cube(keys.map(_._1): _*)
+        else filtered.rollup(keys.map(_._1): _*)
+      grouped.agg(as.head._1, as.tail.map(_._1): _*)
+        .orderBy(col("gid") +: keys.map(k => col(k._3).asc_nulls_first): _*)
+    }
+    val mode = if (cube) "CUBE" else "ROLLUP"
+    val sql =
+      s"""SELECT ${keys.map(k => s"${k._2} AS ${k._3}").mkString(", ")},
+         |  ${as.map(_._2).mkString(",\n  ")}
+         |FROM lineitem WHERE $fSql
+         |GROUP BY $mode (${keys.map(_._2).mkString(", ")})
+         |ORDER BY gid, ${keys.map(k => s"${k._3} NULLS FIRST").mkString(", ")}""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  private def setopSpec(i: Int, rng: Random): Spec = {
+    val (fa, faSql) = filters(rng)
+    val (fb, fbSql) = filters(rng)
+    // (operator, Spark combiner, SQL keyword) — ALL variants keep
+    // multiset multiplicity, plain variants deduplicate first
+    val ops: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+      ("INTERSECT ALL", _ intersectAll _),
+      ("EXCEPT ALL", _ exceptAll _),
+      ("INTERSECT", _ intersect _),
+      ("EXCEPT", _ except _))
+    val (kw, combine) = ops(rng.nextInt(ops.size))
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val a = li.filter(fa).select(col("l_orderkey"))
+      val b = li.filter(fb).select(col("l_orderkey"))
+      combine(a, b)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }
+    val sql =
+      s"""WITH a AS (SELECT l_orderkey FROM lineitem WHERE $faSql),
+         |     b AS (SELECT l_orderkey FROM lineitem WHERE $fbSql)
+         |SELECT l_orderkey, count(*) AS n
+         |FROM (SELECT * FROM a $kw SELECT * FROM b)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  private def fullOuterSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    // year-keyed aggregates filtered to OVERLAPPING BUT DISTINCT year
+    // ranges, so the full outer join is guaranteed rows that exist on
+    // only one side (the null-key class q41 exercises)
+    val cut = 1994 + rng.nextInt(3)
+    val (fCol, fSql) = filters(rng)
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val l = li.filter(fCol && year(col("l_shipdate")) >= cut)
+        .groupBy(year(col("l_shipdate")).cast("long").as("ly"))
+        .agg(count(lit(1)).as("n_ship"))
+      val o = li.sparkSession.read.parquet(s"$sfDir/orders.parquet")
+        .filter(year(col("o_orderdate")) <= cut + 1)
+        .groupBy(year(col("o_orderdate")).cast("long").as("oy"))
+        .agg(count(lit(1)).as("n_ord"))
+      l.join(o, col("ly") === col("oy"), "full_outer")
+        .select(coalesce(col("ly"), col("oy")).as("y"),
+          coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+          coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+          when(col("ly").isNull, "order_only")
+            .when(col("oy").isNull, "ship_only")
+            .otherwise("both").as("side"))
+        .orderBy(col("y"))
+    }
+    val sql =
+      s"""WITH l AS (SELECT CAST(year(l_shipdate) AS BIGINT) AS ly, count(*) AS n_ship
+         |           FROM lineitem WHERE ($fSql) AND year(l_shipdate) >= $cut GROUP BY 1),
+         |     o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS oy, count(*) AS n_ord
+         |           FROM orders WHERE year(o_orderdate) <= ${cut + 1} GROUP BY 1)
+         |SELECT COALESCE(ly, oy) AS y,
+         |  COALESCE(n_ship, 0) AS n_ship,
+         |  COALESCE(n_ord, 0) AS n_ord,
+         |  CASE WHEN ly IS NULL THEN 'order_only'
+         |       WHEN oy IS NULL THEN 'ship_only'
+         |       ELSE 'both' END AS side
+         |FROM l FULL OUTER JOIN o ON ly = oy
+         |ORDER BY 1""".stripMargin
+    Spec(name, df, sql)
+  }
+
   def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01"): Spec = {
     val rng = new Random(seed + i)
     // burn one draw before the shape selector: java.util.Random's FIRST
@@ -249,10 +360,18 @@ object FuzzDump {
     // need an LCG step to reach the top bits nextInt(4) samples)
     rng.nextLong()
     // every ~4th spec draws from the events grammar, ~1/5 of the rest
-    // from the window grammar, the remainder from the relational
+    // from the window grammar, ~1/4 of the rest from the set-op/
+    // grouping-set/full-outer trio, the remainder from the relational
     // (lineitem/orders) grammar
     if (rng.nextInt(4) == 1) return eventSpec(i, rng, sfDir)
     if (rng.nextInt(5) == 2) return windowSpec(i, rng)
+    if (rng.nextInt(4) == 3) {
+      return rng.nextInt(3) match {
+        case 0 => groupingSpec(i, rng)
+        case 1 => setopSpec(i, rng)
+        case _ => fullOuterSpec(i, rng, sfDir)
+      }
+    }
     val (fCol, fSql) = filters(rng)
     val joinShape = rng.nextInt(3) == 0 // every ~3rd spec joins orders
     val keys = if (joinShape) groupKeys(rng) ++ orderKeys(rng) else groupKeys(rng)

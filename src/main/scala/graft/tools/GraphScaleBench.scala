@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Scale-up measurement for the graph kernels (VERDICT r9 item 7): the
+  * dedup family has a measured 1×/5×/10× curve (DedupScaleBench); this
+  * gives triangles / k-core / k-truss / BFS the same evidence, recording
+  * wall time AND total shuffle-write bytes per run so the O(E^1.5)
+  * wedge-stream claim and the zero-exchange k-core rounds have a curve
+  * instead of a single-sf anecdote.
+  *
+  * Blow-up: replica k offsets both sides of the (o, p) membership table
+  * by k·10⁷ — replicas are VERTEX-DISJOINT copies of the original
+  * co-occurrence graph, so nodes, edges, triangles, core sizes and BFS
+  * reach all scale exactly ×factor while degree distribution (the skew
+  * that drives the wedge cost) is invariant. Sub-linear or super-linear
+  * wall-time growth is then attributable to the ALGORITHM, not to a
+  * changing graph shape.
+  *
+  * Usage: runMain graft.tools.GraphScaleBench [sfDir] [factors...]
+  * (defaults: sf0.1, factors 1 5 10)
+  */
+object GraphScaleBench {
+
+  /** Total shuffle bytes written across completed stages — listener
+    * events are async, so snapshot AFTER a short settle. */
+  private class ShuffleMeter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def blowUp(membership: DataFrame, factor: Int): DataFrame =
+    if (factor <= 1) membership
+    else membership
+      .crossJoin(membership.sparkSession.range(0, factor).select(col("id").as("_rep")))
+      .select(
+        (col("o") + col("_rep") * 10000000L).as("o"),
+        (col("p") + col("_rep") * 10000000L).as("p"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    def measured(label: String, factor: Int)(f: => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val df = f
+      val rows = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let async stage-completion events drain
+      val gb = meter.bytes.getAndSet(0L) / 1e9
+      println(f"GRAPHSCALE $label%-10s factor=$factor%2d rows=$rows%8d " +
+        f"time=$secs%7.2fs shuffle=$gb%7.3f GB")
+    }
+
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+
+    for (factor <- factors) {
+      // materialize the blown-up membership once per factor so each
+      // kernel pays the same (excluded) input cost
+      val m = blowUp(base, factor)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      m.count()
+      Thread.sleep(1500)
+      meter.bytes.set(0L) // exclude the blow-up's own shuffle
+      measured("triangles", factor)(GraphOps.trianglesOf(m))
+      measured("kcore", factor)(GraphOps.coreDecompositionOf(m))
+      measured("ktruss", factor)(GraphOps.ktrussOf(m))
+      measured("bfs", factor)(GraphOps.bfsOf(m))
+      m.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+}
