@@ -102,11 +102,190 @@ object LinkageOps {
        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist, p_partkey) = 1
        |ORDER BY probe_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Fellegi-Sunter probabilistic linkage with UNSUPERVISED EM-trained
+  // match/non-match weights (Fellegi & Sunter 1969; the Splink/dedupe
+  // production shape): candidate pairs from the SAME blocking scheme as
+  // [[fuzzyMatch]] are reduced to binary comparison vectors
+  // (γ_name = edit distance ≤ 2, γ_brand / γ_type / γ_size =
+  // agreement), and a 2-class mixture is fit by EM — no labels
+  // anywhere; the match class emerges because true pairs agree on
+  // everything and block-mates agree at base rates.
+  //
+  // Everything is exact MILLI-integer arithmetic so training replays
+  // bit-for-bit in the DuckDB oracle (the quality-classifier GD idiom):
+  // probabilities live in [1, 999] milli, the per-pair posterior is
+  //   w = 1000·p·Π_f t_f DIV (p·Π_f t_f + (1000−p)·Π_f s_f)
+  // with t_f = m_f if γ_f else 1000−m_f (s_f likewise from u_f) — all
+  // operands ≤ 10¹⁸, all nonnegative, so truncating DIV equals flooring
+  // `//`. Each M-step re-quantizes to milli, which also kills any
+  // float-drift channel between engines.
+  //
+  // Shape at 100 TB: the blocked pair table (the only corpus-scale
+  // join, MaxBlock-capped like fuzzyMatch) is materialized ONCE; each
+  // EM round is one map-side-combined aggregate producing 10 numbers,
+  // and the driver state is the 9-parameter vector — the same
+  // bounded-driver-state loop as the trained quality classifier.
+  val FsIters = 8
+  val FsInitP = 100L // prior match prevalence, milli
+  val FsInitM = 900L // P(agree | match) init
+  val FsInitU = 100L // P(agree | non-match) init
+  private val FsFields = Seq("g1", "g2", "g3", "g4")
+
+  /** Blocked candidate pairs with binary comparison vectors. The dirty
+    * side reuses [[fuzzyMatch]]'s corruption (one substituted character
+    * in the last name token) but carries the original's brand/type/size
+    * — the attributes a re-keyed delivery usually preserves. */
+  def fsPairs(s: SparkSession, dir: String): DataFrame = {
+    val master = s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), lower(col("p_name")).as("name"),
+        col("p_brand"), col("p_type"), col("p_size"))
+    val probes = master.filter(col("p_partkey") % 10 === 0)
+      .select((col("p_partkey") + 1000000L).as("probe_id"),
+        expr("concat(array_join(slice(split(name, ' '), 1, size(split(name, ' ')) - 1), ' '), " +
+          "' ', substring(element_at(split(name, ' '), -1), 1, 1), 'q', " +
+          "substring(element_at(split(name, ' '), -1), 3))").as("probe_name"),
+        col("p_brand").as("probe_brand"), col("p_type").as("probe_type"),
+        col("p_size").as("probe_size"))
+      .withColumn("block", blockKey("probe_name"))
+    val blocked = master.withColumn("block", blockKey("name"))
+    val okBlocks = blocked.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBlock).select(col("block"))
+    probes
+      .join(blocked.join(okBlocks, Seq("block")), Seq("block"))
+      .select(col("probe_id"), col("p_partkey"),
+        when(levenshtein(col("probe_name"), col("name")) <= MaxEditDist, 1L)
+          .otherwise(0L).as("g1"),
+        when(col("probe_brand") === col("p_brand"), 1L).otherwise(0L).as("g2"),
+        when(col("probe_type") === col("p_type"), 1L).otherwise(0L).as("g3"),
+        when(col("probe_size") === col("p_size"), 1L).otherwise(0L).as("g4"))
+  }
+
+  private def clamp(v: Long): Long = math.max(1L, math.min(999L, v))
+
+  def fsEm(s: SparkSession, dir: String): DataFrame = {
+    // Every EM round + final scoring reuse the pair table; mid-loop loss
+    // is unrecoverable once lineage is cut, so route through the
+    // fault-model-aware primitive (reliable checkpoint when configured).
+    val pairs = Lineage.truncate(fsPairs(s, dir))
+    var p = FsInitP
+    var m = Array.fill(FsFields.size)(FsInitM)
+    var u = Array.fill(FsFields.size)(FsInitU)
+    // True integer DIV (not Column.divide, whose double quotient loses
+    // exactness above 2^53 — numerators here reach ~10^18). Operands
+    // are nonnegative, so Spark's truncating DIV equals DuckDB's
+    // flooring //; parameters embed as BIGINT literals per round.
+    def wCol: Column = {
+      val tProd = FsFields.zipWithIndex
+        .map { case (g, j) => s"(CASE WHEN $g = 1 THEN ${m(j)}L ELSE ${1000L - m(j)}L END)" }
+        .mkString(" * ")
+      val sProd = FsFields.zipWithIndex
+        .map { case (g, j) => s"(CASE WHEN $g = 1 THEN ${u(j)}L ELSE ${1000L - u(j)}L END)" }
+        .mkString(" * ")
+      expr(s"((${p}L * $tProd) * 1000L) DIV (${p}L * $tProd + ${1000L - p}L * $sProd)")
+    }
+    val n = pairs.count()
+    for (_ <- 1 to FsIters) {
+      val aggCols =
+        sum(wCol).as("sw") +:
+          FsFields.map(g => sum(wCol * col(g)).as(s"swg_$g")) ++:
+          FsFields.map(g => sum((lit(1000L) - wCol) * col(g)).as(s"scg_$g"))
+      val r = pairs.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+      val sw = r.getLong(0)
+      p = clamp(sw / n)
+      m = FsFields.indices.map(j => clamp(1000L * r.getLong(1 + j) / math.max(sw, 1L))).toArray
+      u = FsFields.indices.map(j =>
+        clamp(1000L * r.getLong(1 + FsFields.size + j) / math.max(1000L * n - sw, 1L))).toArray
+    }
+    pairs
+      .withColumn("w_milli", wCol)
+      .withColumn("is_match", col("w_milli") >= 500L)
+      .orderBy(col("probe_id"), col("p_partkey"))
+  }
+
+  /** Oracle: the identical EM loop unrolled as materialized CTEs (the
+    * trained-classifier pattern) — pairs once, then per round one
+    * posterior CTE from the previous round's scalar parameter row and
+    * one aggregate CTE producing the next parameter row. */
+  val fsEmSql: String = {
+    def wSql(paramsAlias: String): String = {
+      val t = FsFields.zipWithIndex.map { case (g, j) =>
+        s"(CASE WHEN $g = 1 THEN $paramsAlias.m${j + 1} ELSE 1000 - $paramsAlias.m${j + 1} END)"
+      }.mkString(" * ")
+      val sTerm = FsFields.zipWithIndex.map { case (g, j) =>
+        s"(CASE WHEN $g = 1 THEN $paramsAlias.u${j + 1} ELSE 1000 - $paramsAlias.u${j + 1} END)"
+      }.mkString(" * ")
+      s"(($paramsAlias.p * $t) * 1000) // ($paramsAlias.p * $t + (1000 - $paramsAlias.p) * $sTerm)"
+    }
+    // every parameter is CAST back to BIGINT: DuckDB sums BIGINT into
+    // HUGEINT, which would otherwise propagate int128 into the next
+    // round's products and land in pandas as float64 (dtype drift)
+    def clampSql(v: String): String = s"CAST(greatest(least($v, 999), 1) AS BIGINT)"
+    val iters = (1 to FsIters).map { r =>
+      val prev = s"p${r - 1}"
+      val mCols = FsFields.zipWithIndex.map { case (g, j) =>
+        s"${clampSql(s"1000 * sum(w * $g) // greatest(sum(w), 1)")} AS m${j + 1}"
+      }.mkString(",\n    ")
+      val uCols = FsFields.zipWithIndex.map { case (g, j) =>
+        s"${clampSql(s"1000 * sum((1000 - w) * $g) // greatest(sum(1000 - w), 1)")} AS u${j + 1}"
+      }.mkString(",\n    ")
+      s"""e$r AS MATERIALIZED (
+         |  SELECT pairs.*, ${wSql(prev)} AS w FROM pairs, $prev),
+         |p$r AS MATERIALIZED (
+         |  SELECT ${clampSql("sum(w) // (SELECT count(*) FROM pairs)")} AS p,
+         |    $mCols,
+         |    $uCols
+         |  FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    // BIGINT init literals: int32 products would overflow at 999^5
+    val initM = FsFields.indices
+      .map(j => s"CAST($FsInitM AS BIGINT) AS m${j + 1}").mkString(", ")
+    val initU = FsFields.indices
+      .map(j => s"CAST($FsInitU AS BIGINT) AS u${j + 1}").mkString(", ")
+    s"""WITH master AS (
+       |  SELECT p_partkey, lower(p_name) AS name, p_brand, p_type, p_size FROM part),
+       |probes AS (
+       |  SELECT p_partkey + 1000000 AS probe_id,
+       |    array_to_string(list_slice(t, 1, len(t) - 1), ' ') || ' ' ||
+       |      substring(t[-1], 1, 1) || 'q' || substring(t[-1], 3) AS probe_name,
+       |    p_brand AS probe_brand, p_type AS probe_type, p_size AS probe_size
+       |  FROM (SELECT p_partkey, p_brand, p_type, p_size, string_split(name, ' ') AS t
+       |        FROM master)
+       |  WHERE p_partkey % 10 = 0),
+       |pb AS (
+       |  SELECT probes.*,
+       |    string_split(probe_name, ' ')[1] || '|' ||
+       |      substring(string_split(probe_name, ' ')[-1], 1, 1) AS block
+       |  FROM probes),
+       |mb AS (
+       |  SELECT master.*,
+       |    string_split(name, ' ')[1] || '|' ||
+       |      substring(string_split(name, ' ')[-1], 1, 1) AS block
+       |  FROM master),
+       |ok AS (SELECT block FROM mb GROUP BY 1 HAVING count(*) <= $MaxBlock),
+       |pairs AS MATERIALIZED (
+       |  SELECT probe_id, p_partkey,
+       |    CAST(CASE WHEN levenshtein(probe_name, name) <= $MaxEditDist THEN 1 ELSE 0 END AS BIGINT) AS g1,
+       |    CAST(CASE WHEN probe_brand = p_brand THEN 1 ELSE 0 END AS BIGINT) AS g2,
+       |    CAST(CASE WHEN probe_type = p_type THEN 1 ELSE 0 END AS BIGINT) AS g3,
+       |    CAST(CASE WHEN probe_size = p_size THEN 1 ELSE 0 END AS BIGINT) AS g4
+       |  FROM pb JOIN mb USING (block) JOIN ok USING (block)),
+       |p0 AS (SELECT CAST($FsInitP AS BIGINT) AS p, $initM, $initU),
+       |$iters
+       |SELECT probe_id, p_partkey, g1, g2, g3, g4,
+       |  CAST(${wSql(s"p$FsIters")} AS BIGINT) AS w_milli,
+       |  ${wSql(s"p$FsIters")} >= 500 AS is_match
+       |FROM pairs, p$FsIters
+       |ORDER BY probe_id, p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "match_fuzzy_blocked" -> (fuzzyMatch _)
+    "match_fuzzy_blocked" -> (fuzzyMatch _),
+    "match_fs_em" -> (fsEm _)
   )
 
   val oracle: Map[String, String] = Map(
-    "match_fuzzy_blocked" -> fuzzyMatchSql
+    "match_fuzzy_blocked" -> fuzzyMatchSql,
+    "match_fs_em" -> fsEmSql
   )
 }

@@ -160,6 +160,84 @@ object StreamOps {
       }
   }
 
+  /** One buffered touch inside the attribution window. */
+  case class TouchEv(ms: Long, t_id: Long, touch_type: String)
+
+  /** Per-user rolling touch window for the streaming attribution fold. */
+  case class TouchWindow(user_id: Long, touches: Seq[TouchEv])
+
+  /** One attributed credit: purchase `p_id` paid `credit_milli` to
+    * touch `t_id`. Per purchase the credits sum to exactly 1000. */
+  case class AttCredit(user_id: Long, p_id: Long, t_id: Long,
+      touch_type: String, credit_milli: Long)
+
+  /** The batch multi-touch attribution operator
+    * ([[graft.queries.Behavioral.attributionOf]]) folded incrementally:
+    * per user, keep ONLY the touches inside the trailing 24 h window
+    * (state is bounded by per-user touch rate × window, the interval-
+    * join discipline turned into an eviction rule); on each purchase,
+    * split 1000 milli-credits over the buffered in-window touches with
+    * the same integer rule (1000 DIV n each, remainder to the most
+    * recent touch) and emit the per-touch credit rows. For a stream
+    * delivered in event-time order the emitted rows aggregate to the
+    * batch query row for row (the parity spec proves it on the real
+    * fixture). Same-millisecond ties fold touches BEFORE purchases —
+    * the batch predicate `t_ms <= p_ms` counts an equal-timestamp
+    * touch, so the fold must see it first regardless of event_id
+    * order. Idle users are evicted on event-time timeout; a purchase
+    * after eviction simply sees an empty window (unattributed), which
+    * is also what the batch query reports for a user idle longer than
+    * the window. */
+  def attributionStream(
+      events: Dataset[Event],
+      windowMs: Long = graft.queries.Behavioral.AttributionWindowMs,
+      retention: java.time.Duration = java.time.Duration.ofDays(45)): Dataset[AttCredit] = {
+    import events.sparkSession.implicits._
+    val retMs = retention.toMillis
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchWindow, AttCredit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[TouchWindow]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var buf = state.getOption.map(_.touches.toVector).getOrElse(Vector.empty)
+            val out = Vector.newBuilder[AttCredit]
+            val evs = batch.toSeq
+            // touches fold before purchases at equal ms (see scaladoc)
+            evs.sortBy(e => (e.ts.getTime,
+              if (e.event_type == "purchase") 1 else 0, e.event_id)).foreach { e =>
+              val m = e.ts.getTime
+              e.event_type match {
+                case "view" | "click" =>
+                  buf = (buf :+ TouchEv(m, e.event_id, e.event_type))
+                    .filter(_.ms > m - windowMs)
+                case "purchase" =>
+                  val inWin = buf.filter(t => t.ms <= m && t.ms > m - windowMs)
+                  if (inWin.nonEmpty) {
+                    val n = inWin.size.toLong
+                    // most recent touch (ms desc, id desc) takes the remainder
+                    val ranked = inWin.sortBy(t => (-t.ms, -t.t_id))
+                    ranked.zipWithIndex.foreach { case (t, i) =>
+                      out += AttCredit(uid, e.event_id, t.t_id, t.touch_type,
+                        1000L / n + (if (i == 0) 1000L % n else 0L))
+                    }
+                  }
+                case _ => ()
+              }
+            }
+            state.update(TouchWindow(uid, buf))
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user carry-over state for the streaming transition fold. */
   case class LastEvent(user_id: Long, ms: Long, event_id: Long,
       event_type: String)

@@ -186,6 +186,30 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("Fellegi-Sunter EM learns to separate true pairs from block-mates without labels") {
+    val out = graft.ops.LinkageOps.fsEm(spark, sf).cache()
+    // the true pair (probe vs its own original) agrees on every field:
+    // name within edit distance (g1) and preserved brand/type/size
+    val truePairs = out.filter(col("probe_id") === col("p_partkey") + 1000000L).cache()
+    val nProbes = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_partkey") % 10 === 0).count()
+    assert(truePairs.count() == nProbes,
+      "every probe's original must survive blocking as a candidate pair")
+    assert(truePairs.filter(!col("is_match")).count() == 0,
+      "EM must classify every all-agree true pair as a match")
+    // unsupervised separation: a pair agreeing on nothing must score as
+    // a clear non-match (posterior below the decision boundary)
+    val disagree = out.filter(col("g1") + col("g2") + col("g3") + col("g4") === 0L)
+    assert(disagree.count() > 0, "blocks must contain non-matching candidates")
+    assert(disagree.filter(col("is_match")).count() == 0,
+      "EM must not attribute all-disagree pairs to the match class")
+    // the fitted posterior must actually separate the classes, not sit
+    // at the 500 boundary: check a wide margin on both sides
+    assert(truePairs.agg(min(col("w_milli"))).head.getLong(0) >= 900L)
+    assert(disagree.agg(max(col("w_milli"))).head.getLong(0) <= 100L)
+    truePairs.unpersist(); out.unpersist()
+  }
+
   test("simhash near-dup finds twins with tiny hamming distance") {
     val pairs = DedupOps.simhashNearDup(spark, sf)
     assert(pairs.count() > 0)

@@ -182,6 +182,12 @@ class PlanQualitySpec extends SparkSuite {
     // windows (one probe_id exchange), output sort; the blocked join
     // and size filter broadcast at spec sf.
     "match_fuzzy_blocked" -> 3,
+    // Fellegi-Sunter EM scoring plan (post-checkpoint): output sort
+    // ONLY — the blocked pair table is checkpointed once and the 8
+    // EM-round aggregates live behind that truncation (driver state is
+    // the 9-parameter milli vector). A 2nd exchange means scoring
+    // re-derived the blocking pipeline.
+    "match_fs_em" -> 1,
     // Classifier scoring plan: output sort ONLY — features are
     // checkpointed once and the 16 training aggregates live behind
     // that truncation (driver state is 8 weights). A 2nd exchange

@@ -570,4 +570,46 @@ class StreamingSpec extends SparkSuite {
     assert(rows == Seq((1L, day1), (2L, day3)),
       "expected the old episode's level-1 row, then a re-anchored level-2 row")
   }
+
+  test("streaming attribution credits equal the batch multi-touch query on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.Relational.events(spark, sf)
+    val ordered = ev
+      .select(col("event_id"), col("_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("_ms"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.attributionStream(in.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    ordered.grouped(math.max(1, ordered.length / 3 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // aggregate the emitted per-touch credits to the batch query's grain
+    val got = spark.sql(
+      """SELECT user_id, touch_type, count(*) AS n_touches,
+        |  count(DISTINCT p_id) AS n_conversions,
+        |  sum(credit_milli) AS credit_milli_total
+        |FROM attr GROUP BY 1, 2""".stripMargin)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // per-purchase credits must sum to exactly 1000
+    val perPurchase = spark.sql(
+      "SELECT p_id, sum(credit_milli) AS s FROM attr GROUP BY 1")
+      .collect().map(_.getLong(1)).toSet
+    q.stop()
+    assert(perPurchase == Set(1000L), s"credit split must be exact: $perPurchase")
+    val want = graft.queries.Behavioral.attributionOf(ev)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == want,
+      s"streaming/batch attribution divergence: extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
 }
