@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, DedupOps, FilterOps, GraphOps, Layout, LinkageOps, Multimodal, RetrievalOps, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
+import graft.ops.{Clustering, Coreset, DedupOps, FilterOps, GraphOps, IncrementalMv, Layout, LinkageOps, Multimodal, PcaOps, RetrievalOps, Sampling, SimilarityOps, SketchOps, TextOps, VectorAgg}
 import graft.queries.{Behavioral, ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +17,8 @@ object SparkEntry {
       VectorAgg.queries ++ Sampling.queries ++ Clustering.queries ++
       GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries ++
       Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries ++
-      LinkageOps.queries
+      LinkageOps.queries ++ PcaOps.queries ++ Coreset.queries ++
+      IncrementalMv.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle ++
       GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle ++
       Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle ++
-      LinkageOps.oracle
+      LinkageOps.oracle ++ PcaOps.oracle ++ Coreset.oracle ++
+      IncrementalMv.oracle
 }

@@ -217,9 +217,17 @@ object GraphOps {
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
     val closure = ori.select(col("src").as("v"), col("dst").as("w"))
+    // Above the broadcast cap the closure probe must shuffle — but it
+    // must NOT sort: a sort-merge join would sort the O(E^1.5) wedge
+    // stream, which dominates the whole kernel at scale. The
+    // shuffle-hash hint builds the hash table on the (edge-sized)
+    // closure side and STREAMS the wedges through it (A/B measured in
+    // SCALE.md's blow-up table). Per-partition build is
+    // |E|/shuffle-partitions edges; the 100 TB knob is partition
+    // count, same as any hash join.
     val closureSide =
       if (ori.count() <= Triangles.BroadcastEdgeCap) broadcast(closure)
-      else closure
+      else closure.hint("shuffle_hash")
     val tri = wedges.join(closureSide, Seq("v", "w"))
     // Single pass over the matched wedges: explode the three corners
     // in-line (a 3-branch union would recompute the whole join per
@@ -584,7 +592,104 @@ object GraphOps {
       .orderBy(col("part"))
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic random walks — the node2vec/DeepWalk sampling step
+  // (Perozzi et al. 2014, Grover & Leskovec 2016) that turns a graph
+  // into skip-gram training sequences. The "randomness" is a hash coin:
+  // at step t, walk w moves to the neighbor whose 0-based rank equals
+  // `poly_hash("<w>:<t>") mod degree(node)` — fully reproducible across
+  // engines, partitionings and reruns, which is what makes the walk
+  // table regenerable (and oracle-checkable) instead of stored state.
+  //
+  // 100 TB shape: the adjacency (with per-source neighbor rank and
+  // degree, one window pass keyed on src) is built ONCE and truncated;
+  // each step is one equi-join of the current frontier against it on
+  // the node key — Steps shuffles total, each frontier-sized (the seed
+  // set, typically ~1% of nodes), never edge-scale. The hash-rank
+  // predicate evaluates inside the join via codegen PolyHash; no
+  // neighbor list is ever collected or exploded per walk.
+  object Walks {
+    val Steps = 6
+    /** Seed selection: nodes ≡ 0 (mod SeedMod) — ~1% of parts. */
+    val SeedMod = 97L
+    val HashBase = 31L
+  }
+
+  /** Hash-deterministic walks over the co-occurrence graph: one row per
+    * (walk, step) with the node occupied, step 0 = the seed. */
+  def randomWalks(s: SparkSession, dir: String): DataFrame =
+    randomWalksOf(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  def randomWalksOf(membership: DataFrame): DataFrame = {
+    val und = Lineage.truncate(supportedEdges(membership))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val adj = Lineage.truncate(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .select(col("src"), col("dst"),
+          (row_number().over(w.orderBy(col("dst"))) - 1).cast("long").as("rk"),
+          count(lit(1)).over(w).as("deg")))
+    val seeds = adj.select(col("src")).distinct()
+      .filter(col("src") % Walks.SeedMod === 0)
+      .select(col("src").as("walk_id"), lit(0L).as("step"), col("src").as("node"))
+    var cur = seeds
+    var acc = seeds
+    for (t <- 1 to Walks.Steps) {
+      val coin = graft.functions.PolyHash.polyHash(
+        concat_ws(":", col("walk_id"), lit(t)), Walks.HashBase, DedupOps.HashMod)
+      val next = cur.select(col("walk_id"), col("node"))
+        .join(adj, col("node") === col("src"))
+        .filter(col("rk") === coin % col("deg"))
+        .select(col("walk_id"), lit(t.toLong).as("step"), col("dst").as("node"))
+      cur = next
+      acc = acc.unionByName(next)
+    }
+    acc.orderBy(col("walk_id"), col("step"))
+  }
+
+  /** Oracle: same adjacency ranks (SQL window), same polynomial hash
+    * coin, Steps chained CTE joins. */
+  val randomWalksSql: String = {
+    def coin(t: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(CAST(w.walk_id AS VARCHAR) || ':$t', ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(acc, x) -> (acc * ${Walks.HashBase} + x) % ${DedupOps.HashMod})"
+    val steps = (1 to Walks.Steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.walk_id, a.dst AS node
+         |  FROM w${t - 1} w JOIN adj a
+         |    ON a.src = w.node AND a.rk = ${coin(t)} % a.deg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= ${Cores.MinSupport}),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rk,
+       |    count(*) OVER (PARTITION BY src) AS deg
+       |  FROM edges),
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS walk_id, src AS node FROM edges
+       |  WHERE src % ${Walks.SeedMod} = 0),
+       |$steps
+       |SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+       |  SELECT walk_id, 0 AS step, node FROM w0
+       |${(1 to Walks.Steps).map(t =>
+           s"  UNION ALL SELECT walk_id, $t, node FROM w$t").mkString("\n")}
+       |)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_walks" -> (randomWalks _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_split_leakage" -> (splitLeakage _),
@@ -819,6 +924,7 @@ object GraphOps {
     "graph_butterflies" -> butterfliesSql,
     "graph_kcore" -> kcoreSql,
     "graph_ktruss" -> ktrussSql,
-    "graph_bfs" -> bfsSql
+    "graph_bfs" -> bfsSql,
+    "graph_walks" -> randomWalksSql
   )
 }

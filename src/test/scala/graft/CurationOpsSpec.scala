@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Coreset, GraphOps, IncrementalMv, PcaOps}
+
+/** Semantic checks for the round-10 curation operators — the oracle
+  * proves bit-equality with DuckDB; these prove the MATH does what the
+  * operator's name claims. */
+class CurationOpsSpec extends SparkSuite {
+
+  test("pca: fitted components are near-orthogonal and pc1 carries at least pc2's variance") {
+    val mdl = PcaOps.fit(spark, sf)
+    val d12 = (0 until PcaOps.Dim).map(i => mdl.v1(i) * mdl.v2(i)).sum
+    val n1 = mdl.v1.map(x => x * x).sum
+    val n2 = mdl.v2.map(x => x * x).sum
+    // cos^2(v1, v2) < 1% — the integer-division orthogonalization can
+    // leave sub-milli residue, never more
+    assert(d12 * d12 * 100 < n1 * n2,
+      s"components not orthogonal: cos^2 = ${BigDecimal(d12 * d12) / BigDecimal(n1 * n2)}")
+    // renormalization contract: max|v_i| = 1024 for the dominant iterate
+    assert(mdl.v1.map(_.abs).max == PcaOps.Quantum)
+    val rows = PcaOps.pcaProject(spark, sf).collect()
+    assert(rows.length == 500)
+    // the dominant component explains at least as much (centered,
+    // integer-scaled) variance as the runner-up
+    val var1 = rows.map(r => BigInt(r.getLong(2)).pow(2)).sum
+    val var2 = rows.map(r => BigInt(r.getLong(3)).pow(2)).sum
+    assert(var1 >= var2, s"pc1 variance $var1 < pc2 variance $var2")
+  }
+
+  test("kcenter: radii are non-increasing, centers distinct, seed is the min vec_id") {
+    val rows = Coreset.kcenter(spark, sf).collect()
+    assert(rows.length == Coreset.K)
+    assert(rows.map(_.getLong(0)).toSeq == (0L until Coreset.K.toLong))
+    assert(rows.map(_.getLong(1)).distinct.length == Coreset.K, "centers must be distinct")
+    val minId = spark.read.parquet(s"$sf/embeddings.parquet")
+      .agg(min(col("vec_id"))).head.getLong(0)
+    assert(rows(0).getLong(1) == minId && rows(0).getLong(2) == 0L)
+    // greedy k-center: each selection distance is the current coverage
+    // radius — monotonically non-increasing after the seed
+    val radii = rows.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii must not increase: ${radii.mkString(",")}")
+    assert(radii.head > 0L)
+  }
+
+  test("walks: every walk completes all steps and every hop follows a real edge") {
+    val membership = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val walks = GraphOps.randomWalksOf(membership).cache()
+    val perWalk = walks.groupBy(col("walk_id")).agg(count(lit(1)).as("n"))
+    assert(perWalk.filter(col("n") =!= (GraphOps.Walks.Steps + 1L)).count() == 0,
+      "undirected graph: no walk can dead-end")
+    assert(perWalk.count() > 0, "fixture must yield at least one seed")
+    // each consecutive hop must be an adjacency edge
+    val li = membership.select(col("o"), col("p")).distinct()
+    val und = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2L)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val hops = walks.as("s").join(walks.as("t"),
+        col("s.walk_id") === col("t.walk_id") &&
+          col("s.step") + 1 === col("t.step"))
+      .select(col("s.node").as("src"), col("t.node").as("dst"))
+    assert(hops.join(edges, Seq("src", "dst"), "left_anti").count() == 0,
+      "every hop must traverse an existing edge")
+    // hash-deterministic: a second build is row-identical
+    val again = GraphOps.randomWalksOf(membership)
+    assert(walks.exceptAll(again).count() == 0 && again.exceptAll(walks).count() == 0)
+    walks.unpersist()
+  }
+
+  test("incremental MV refresh equals the one-shot full recompute and is idempotent") {
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy(col("ship_month"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qty_cents"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    val got = IncrementalMv.incrementalRefresh(spark, sf).cache()
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0,
+      "merge(base, delta) must equal the full recompute")
+    // months strictly before the cutoff exist in the refreshed MV (the
+    // merge only rewrote delta-touched partitions; history remains)
+    assert(got.filter(col("ship_month") < 199706L).count() > 0)
+    val again = IncrementalMv.incrementalRefresh(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0,
+      "refresh must be idempotent run-to-run")
+    got.unpersist()
+  }
+}
