@@ -486,7 +486,7 @@ object GraphOps {
   }
 
   /** Support-filtered co-occurrence edges — shared by kcore/ktruss. */
-  private def supportedEdges(membership: DataFrame): DataFrame = {
+  private[graft] def supportedEdges(membership: DataFrame): DataFrame = {
     val li = membership.select(col("o"), col("p")).distinct()
     li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))

@@ -81,6 +81,84 @@ object IncrementalMv {
       .orderBy(col("ship_month"), col("l_returnflag"))
   }
 
+  // ------------------------------------------------------------------
+  // Incremental maintenance of a JOIN view — the other half of IVM
+  // (Blakeley et al. 1986's counting algebra, the dbt/Materialize
+  // production shape). For V = L ⋈ O with independent per-side deltas,
+  //   ΔV = ΔL⋈O_old ∪ L_old⋈ΔO ∪ ΔL⋈ΔO
+  // and the old-side scans are NOT corpus scans: each is pre-restricted
+  // by a semi-join on the delta's join keys (the delta is the small
+  // side, so at 100 TB both semi-joins broadcast and the refresh reads
+  // only key-matching old rows — the IVM analogue of DPP). The merged
+  // partials land in the stored MV by dynamic partition overwrite,
+  // touching only delta-affected months, exactly like the aggregate MV
+  // above. The DuckDB oracle is the one-shot full join recompute, so
+  // the hash match is the join-delta algebra theorem checked per run.
+  private def joinPartials(orders: DataFrame, line: DataFrame): DataFrame =
+    line.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      .groupBy(col("ship_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+
+  def joinRefresh(s: SparkSession, dir: String): DataFrame = {
+    val mvPath = graft.etl.Scratch.path(s, "mv/join_revenue_by_month_priority")
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val line = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    // independent per-side delta predicates: each side's late arrivals
+    val oOld = orders.filter(col("o_orderdate") < lit(Cutoff))
+    val oNew = orders.filter(col("o_orderdate") >= lit(Cutoff))
+    val lOld = line.filter(col("l_shipdate") < lit(Cutoff))
+    val lNew = line.filter(col("l_shipdate") >= lit(Cutoff))
+    // 1. the pre-existing MV: old⋈old partials (exists at 100 TB)
+    joinPartials(oOld, lOld)
+      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    // 2. the three delta terms; old sides semi-join-restricted to the
+    //    delta's keys so no term rescans unmatched history
+    val oTouched = oOld.join(
+      lNew.select(col("l_orderkey").as("o_orderkey")).distinct(),
+      Seq("o_orderkey"), "left_semi")
+    val lTouched = lOld.join(
+      oNew.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_semi")
+    val delta = joinPartials(oTouched, lNew)
+      .unionByName(joinPartials(oNew, lTouched))
+      .unionByName(joinPartials(oNew, lNew))
+      .groupBy(col("ship_month"), col("o_orderpriority"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("price_cents")).as("price_cents"))
+    val touched = delta.select(col("ship_month")).distinct()
+    val stored = s.read.parquet(mvPath)
+      .join(touched, Seq("ship_month"), "left_semi")
+    Lineage.truncate(stored.unionByName(delta)
+      .groupBy(col("ship_month"), col("o_orderpriority"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("price_cents")).as("price_cents")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ship_month")
+      .parquet(mvPath)
+    s.read.parquet(mvPath)
+      .select(col("ship_month").cast("long").as("ship_month"),
+        col("o_orderpriority"), col("n_rows"), col("price_cents"))
+      .orderBy(col("ship_month"), col("o_orderpriority"))
+  }
+
+  /** Oracle: the one-shot full join recompute the three-term delta path
+    * must equal. */
+  val joinRefreshSql: String =
+    s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+       |  o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2
+       |ORDER BY ship_month, o_orderpriority""".stripMargin
+
   /** Oracle: the one-shot full recompute the incremental path must
     * equal. */
   val incrementalRefreshSql: String =
@@ -94,10 +172,12 @@ object IncrementalMv {
        |ORDER BY ship_month, l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mv_incremental_refresh" -> (incrementalRefresh _)
+    "mv_incremental_refresh" -> (incrementalRefresh _),
+    "mv_join_refresh" -> (joinRefresh _)
   )
 
   val oracle: Map[String, String] = Map(
-    "mv_incremental_refresh" -> incrementalRefreshSql
+    "mv_incremental_refresh" -> incrementalRefreshSql,
+    "mv_join_refresh" -> joinRefreshSql
   )
 }

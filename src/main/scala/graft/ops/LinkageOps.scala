@@ -14,18 +14,29 @@ import org.apache.spark.sql.functions._
   * Shape: a cheap deterministic blocking key (here: first name token +
   * first character of the last token — the parts of the name a data
   *-entry typo is least likely to corrupt) partitions both sides; the
-  * edit-distance verify runs only within blocks. At 100 TB the blocked
-  * equi-join is the only shuffle, keyed on the blocking key; blocks
-  * larger than [[MaxBlock]] masters are dropped entirely (the same
-  * skew-cap discipline as the LSH families' MaxBucket — a degenerate
-  * key like a one-word name category would otherwise go quadratic),
-  * and the per-probe best match is a bounded rank window inside each
-  * probe's candidate set, never a global sort.
+  * edit-distance verify runs only within blocks.
+  *
+  * Blocking is HIERARCHICAL (two-level): level-0 blocks whose master
+  * count outgrows [[MaxBlock]] are not dropped but REFINED by a
+  * preserved structured attribute (brand) — block sizes scale with the
+  * corpus while the key vocabulary does not, so at 10× the data a flat
+  * cap-and-drop silently degenerates to ZERO candidates (the round-10
+  * sf0.1 bench caught exactly that: all 48 name blocks held 278-655
+  * masters against a 256 cap). Refinement keeps recall while bounding
+  * the join; blocks still over the cap after refinement are degenerate
+  * and dropped (the honest residual cap, same discipline as the LSH
+  * families' MaxBucket). The oversized-block set is master-derived,
+  * tiny (≤ the level-0 key vocabulary), and broadcast to both sides.
+  * At 100 TB the blocked equi-join is the only shuffle, keyed on the
+  * refined blocking key, and the per-probe best match is a bounded
+  * rank window inside each probe's candidate set, never a global sort.
   *
   * The dirty side is synthesized from the master itself: every 10th
   * part re-enters with one substituted character in its last name
-  * token (probe_id = p_partkey + 1e6), so ground truth exists — the
-  * probe's original is at edit distance 1 in the same block.
+  * token (probe_id = p_partkey + 1e6) while the structured attributes
+  * (brand/type/size) ride along uncorrupted — the usual re-keyed-
+  * delivery failure mode — so ground truth exists: the probe's
+  * original is at edit distance 1 in the same (refined) block.
   * Levenshtein is unit-cost on both engines, so the whole operator is
   * exact-integer and hash-matches its DuckDB oracle.
   */
@@ -34,29 +45,57 @@ object LinkageOps {
   val MaxEditDist = 2L
   val MaxBlock = 256L
 
-  /** name column -> blocking key: first token | first char of last token. */
+  /** name column -> level-0 blocking key: first token | first char of
+    * last token. */
   private def blockKey(name: String): Column =
     concat_ws("|",
       expr(s"element_at(split($name, ' '), 1)"),
       expr(s"substring(element_at(split($name, ' '), -1), 1, 1)"))
 
-  def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+  /** Two-level hierarchical blocking. Inputs carry a `b0` level-0 key;
+    * master blocks over `maxBlock` refine to `b0#brand` on BOTH sides
+    * (brand survives the corruption model), then the residual cap drops
+    * still-degenerate refined blocks from the master side. Returns
+    * (master, probes) each keyed by `block`, master side cap-filtered. */
+  private[ops] def refineBlocks(m0: DataFrame, p0: DataFrame,
+      mBrand: Column, pBrand: Column, maxBlock: Long): (DataFrame, DataFrame) = {
+    // one corpus-scale stats pass, truncated — the oversized set feeds
+    // THREE subtrees (master tag, probe tag, residual-cap recount);
+    // without truncation each re-runs the b0 aggregate
+    val over = Lineage.truncate(
+      m0.groupBy(col("b0")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") > maxBlock).select(col("b0"), lit(1L).as("_ov")))
+    def tag(df: DataFrame, brand: Column): DataFrame =
+      df.join(broadcast(over), Seq("b0"), "left")
+        .withColumn("block",
+          when(col("_ov").isNotNull, concat(col("b0"), lit("#"), brand))
+            .otherwise(col("b0")))
+        .drop("_ov", "b0")
+    val mB = tag(m0, mBrand)
+    val ok = mB.groupBy(col("block")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock).select(col("block"))
+    (mB.join(ok, Seq("block")), tag(p0, pBrand))
+  }
+
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatchAt(s, dir, MaxBlock)
+
+  private[graft] def fuzzyMatchAt(s: SparkSession, dir: String,
+      maxBlock: Long): DataFrame = {
     val master = s.read.parquet(s"$dir/part.parquet")
-      .select(col("p_partkey"), lower(col("p_name")).as("name"))
-    // dirty delivery: one substituted character in the last token
+      .select(col("p_partkey"), lower(col("p_name")).as("name"), col("p_brand"))
+    // dirty delivery: one substituted character in the last name token;
+    // brand rides along uncorrupted (refinement attribute)
     val probes = master.filter(col("p_partkey") % 10 === 0)
       .select((col("p_partkey") + 1000000L).as("probe_id"),
         expr("concat(array_join(slice(split(name, ' '), 1, size(split(name, ' ')) - 1), ' '), " +
           "' ', substring(element_at(split(name, ' '), -1), 1, 1), 'q', " +
-          "substring(element_at(split(name, ' '), -1), 3))").as("probe_name"))
-      .withColumn("block", blockKey("probe_name"))
-    val blocked = master.withColumn("block", blockKey("name"))
-    // skew cap: a blocking key carrying more than MaxBlock master rows
-    // is degenerate and dropped from candidate generation entirely
-    val blockSizes = blocked.groupBy(col("block")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBlock)
-    val candidates = probes
-      .join(blocked.join(blockSizes.select(col("block")), Seq("block")), Seq("block"))
+          "substring(element_at(split(name, ' '), -1), 3))").as("probe_name"),
+        col("p_brand").as("probe_brand"))
+      .withColumn("b0", blockKey("probe_name"))
+    val m0 = master.withColumn("b0", blockKey("name"))
+    val (mB, pB) = refineBlocks(m0, probes, col("p_brand"), col("probe_brand"), maxBlock)
+    val candidates = pB.join(mB, Seq("block"))
       .withColumn("dist", levenshtein(col("probe_name"), col("name")).cast("long"))
       .filter(col("dist") <= MaxEditDist)
     val w = Window.partitionBy(col("probe_id"))
@@ -73,28 +112,40 @@ object LinkageOps {
 
   val fuzzyMatchSql: String =
     s"""WITH master AS (
-       |  SELECT p_partkey, lower(p_name) AS name FROM part),
+       |  SELECT p_partkey, lower(p_name) AS name, p_brand FROM part),
        |probes AS (
        |  SELECT p_partkey + 1000000 AS probe_id,
        |    array_to_string(list_slice(t, 1, len(t) - 1), ' ') || ' ' ||
-       |      substring(t[-1], 1, 1) || 'q' || substring(t[-1], 3) AS probe_name
-       |  FROM (SELECT p_partkey, string_split(name, ' ') AS t FROM master)
+       |      substring(t[-1], 1, 1) || 'q' || substring(t[-1], 3) AS probe_name,
+       |    p_brand AS probe_brand
+       |  FROM (SELECT p_partkey, p_brand, string_split(name, ' ') AS t FROM master)
        |  WHERE p_partkey % 10 = 0),
-       |pb AS (
-       |  SELECT probe_id, probe_name,
+       |pb0 AS (
+       |  SELECT probe_id, probe_name, probe_brand,
        |    string_split(probe_name, ' ')[1] || '|' ||
-       |      substring(string_split(probe_name, ' ')[-1], 1, 1) AS block
+       |      substring(string_split(probe_name, ' ')[-1], 1, 1) AS b0
        |  FROM probes),
+       |mb0 AS (
+       |  SELECT p_partkey, name, p_brand,
+       |    string_split(name, ' ')[1] || '|' ||
+       |      substring(string_split(name, ' ')[-1], 1, 1) AS b0
+       |  FROM master),
+       |ov AS (SELECT b0 FROM mb0 GROUP BY 1 HAVING count(*) > $MaxBlock),
        |mb AS (
        |  SELECT p_partkey, name,
-       |    string_split(name, ' ')[1] || '|' ||
-       |      substring(string_split(name, ' ')[-1], 1, 1) AS block
-       |  FROM master),
+       |    CASE WHEN ov.b0 IS NOT NULL THEN mb0.b0 || '#' || p_brand
+       |         ELSE mb0.b0 END AS block
+       |  FROM mb0 LEFT JOIN ov ON mb0.b0 = ov.b0),
+       |pbr AS (
+       |  SELECT probe_id, probe_name,
+       |    CASE WHEN ov.b0 IS NOT NULL THEN pb0.b0 || '#' || probe_brand
+       |         ELSE pb0.b0 END AS block
+       |  FROM pb0 LEFT JOIN ov ON pb0.b0 = ov.b0),
        |ok AS (SELECT block FROM mb GROUP BY 1 HAVING count(*) <= $MaxBlock),
        |cand AS (
        |  SELECT probe_id, probe_name, p_partkey, name,
        |    CAST(levenshtein(probe_name, name) AS BIGINT) AS dist
-       |  FROM pb JOIN mb USING (block) JOIN ok USING (block)
+       |  FROM pbr JOIN mb USING (block) JOIN ok USING (block)
        |  WHERE levenshtein(probe_name, name) <= $MaxEditDist)
        |SELECT probe_id, probe_name, p_partkey AS matched_part, name AS matched_name,
        |  dist, CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT) AS n_candidates
@@ -105,9 +156,9 @@ object LinkageOps {
   // ------------------------------------------------------------------
   // Fellegi-Sunter probabilistic linkage with UNSUPERVISED EM-trained
   // match/non-match weights (Fellegi & Sunter 1969; the Splink/dedupe
-  // production shape): candidate pairs from the SAME blocking scheme as
-  // [[fuzzyMatch]] are reduced to binary comparison vectors
-  // (γ_name = edit distance ≤ 2, γ_brand / γ_type / γ_size =
+  // production shape): candidate pairs from the SAME hierarchical
+  // blocking scheme as [[fuzzyMatch]] are reduced to binary comparison
+  // vectors (γ_name = edit distance ≤ 2, γ_brand / γ_type / γ_size =
   // agreement), and a 2-class mixture is fit by EM — no labels
   // anywhere; the match class emerges because true pairs agree on
   // everything and block-mates agree at base rates.
@@ -122,10 +173,11 @@ object LinkageOps {
   // float-drift channel between engines.
   //
   // Shape at 100 TB: the blocked pair table (the only corpus-scale
-  // join, MaxBlock-capped like fuzzyMatch) is materialized ONCE; each
-  // EM round is one map-side-combined aggregate producing 10 numbers,
-  // and the driver state is the 9-parameter vector — the same
-  // bounded-driver-state loop as the trained quality classifier.
+  // join, hierarchically refined + capped like fuzzyMatch) is
+  // materialized ONCE; each EM round is one map-side-combined aggregate
+  // producing 10 numbers, and the driver state is the 9-parameter
+  // vector — the same bounded-driver-state loop as the trained quality
+  // classifier.
   val FsIters = 8
   val FsInitP = 100L // prior match prevalence, milli
   val FsInitM = 900L // P(agree | match) init
@@ -136,7 +188,11 @@ object LinkageOps {
     * side reuses [[fuzzyMatch]]'s corruption (one substituted character
     * in the last name token) but carries the original's brand/type/size
     * — the attributes a re-keyed delivery usually preserves. */
-  def fsPairs(s: SparkSession, dir: String): DataFrame = {
+  def fsPairs(s: SparkSession, dir: String): DataFrame =
+    fsPairsAt(s, dir, MaxBlock)
+
+  private[graft] def fsPairsAt(s: SparkSession, dir: String,
+      maxBlock: Long): DataFrame = {
     val master = s.read.parquet(s"$dir/part.parquet")
       .select(col("p_partkey"), lower(col("p_name")).as("name"),
         col("p_brand"), col("p_type"), col("p_size"))
@@ -147,12 +203,10 @@ object LinkageOps {
           "substring(element_at(split(name, ' '), -1), 3))").as("probe_name"),
         col("p_brand").as("probe_brand"), col("p_type").as("probe_type"),
         col("p_size").as("probe_size"))
-      .withColumn("block", blockKey("probe_name"))
-    val blocked = master.withColumn("block", blockKey("name"))
-    val okBlocks = blocked.groupBy(col("block")).agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= MaxBlock).select(col("block"))
-    probes
-      .join(blocked.join(okBlocks, Seq("block")), Seq("block"))
+      .withColumn("b0", blockKey("probe_name"))
+    val m0 = master.withColumn("b0", blockKey("name"))
+    val (mB, pB) = refineBlocks(m0, probes, col("p_brand"), col("probe_brand"), maxBlock)
+    pB.join(mB, Seq("block"))
       .select(col("probe_id"), col("p_partkey"),
         when(levenshtein(col("probe_name"), col("name")) <= MaxEditDist, 1L)
           .otherwise(0L).as("g1"),
@@ -185,7 +239,10 @@ object LinkageOps {
       expr(s"((${p}L * $tProd) * 1000L) DIV (${p}L * $tProd + ${1000L - p}L * $sProd)")
     }
     val n = pairs.count()
-    for (_ <- 1 to FsIters) {
+    // n == 0 (every block degenerate even after refinement) leaves the
+    // init parameters in place and an empty scored frame — a sum over
+    // zero rows is NULL, which must never reach getLong
+    if (n > 0) for (_ <- 1 to FsIters) {
       val aggCols =
         sum(wCol).as("sw") +:
           FsFields.map(g => sum(wCol * col(g)).as(s"swg_$g")) ++:
@@ -252,16 +309,27 @@ object LinkageOps {
        |  FROM (SELECT p_partkey, p_brand, p_type, p_size, string_split(name, ' ') AS t
        |        FROM master)
        |  WHERE p_partkey % 10 = 0),
-       |pb AS (
+       |pb0 AS (
        |  SELECT probes.*,
        |    string_split(probe_name, ' ')[1] || '|' ||
-       |      substring(string_split(probe_name, ' ')[-1], 1, 1) AS block
+       |      substring(string_split(probe_name, ' ')[-1], 1, 1) AS b0
        |  FROM probes),
-       |mb AS (
+       |mb0 AS (
        |  SELECT master.*,
        |    string_split(name, ' ')[1] || '|' ||
-       |      substring(string_split(name, ' ')[-1], 1, 1) AS block
+       |      substring(string_split(name, ' ')[-1], 1, 1) AS b0
        |  FROM master),
+       |ov AS (SELECT b0 FROM mb0 GROUP BY 1 HAVING count(*) > $MaxBlock),
+       |mb AS (
+       |  SELECT p_partkey, name, p_brand, p_type, p_size,
+       |    CASE WHEN ov.b0 IS NOT NULL THEN mb0.b0 || '#' || p_brand
+       |         ELSE mb0.b0 END AS block
+       |  FROM mb0 LEFT JOIN ov ON mb0.b0 = ov.b0),
+       |pbr AS (
+       |  SELECT probe_id, probe_name, probe_brand, probe_type, probe_size,
+       |    CASE WHEN ov.b0 IS NOT NULL THEN pb0.b0 || '#' || probe_brand
+       |         ELSE pb0.b0 END AS block
+       |  FROM pb0 LEFT JOIN ov ON pb0.b0 = ov.b0),
        |ok AS (SELECT block FROM mb GROUP BY 1 HAVING count(*) <= $MaxBlock),
        |pairs AS MATERIALIZED (
        |  SELECT probe_id, p_partkey,
@@ -269,7 +337,7 @@ object LinkageOps {
        |    CAST(CASE WHEN probe_brand = p_brand THEN 1 ELSE 0 END AS BIGINT) AS g2,
        |    CAST(CASE WHEN probe_type = p_type THEN 1 ELSE 0 END AS BIGINT) AS g3,
        |    CAST(CASE WHEN probe_size = p_size THEN 1 ELSE 0 END AS BIGINT) AS g4
-       |  FROM pb JOIN mb USING (block) JOIN ok USING (block)),
+       |  FROM pbr JOIN mb USING (block) JOIN ok USING (block)),
        |p0 AS (SELECT CAST($FsInitP AS BIGINT) AS p, $initM, $initU),
        |$iters
        |SELECT probe_id, p_partkey, g1, g2, g3, g4,

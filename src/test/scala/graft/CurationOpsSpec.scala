@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Coreset, GraphOps, IncrementalMv, PcaOps}
+import graft.ops.{AnfOps, Coreset, GraphOps, IncrementalMv, PcaOps, PreferenceOps}
 
 /** Semantic checks for the round-10 curation operators — the oracle
   * proves bit-equality with DuckDB; these prove the MATH does what the
@@ -71,6 +71,68 @@ class CurationOpsSpec extends SparkSuite {
     val again = GraphOps.randomWalksOf(membership)
     assert(walks.exceptAll(again).count() == 0 && again.exceptAll(walks).count() == 0)
     walks.unpersist()
+  }
+
+  test("hyperanf: register evolution tracks the real neighborhood function") {
+    val membership = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val rows = AnfOps.anfOf(membership).collect()
+    assert(rows.length == AnfOps.AnfRounds + 1)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to AnfOps.AnfRounds.toLong))
+    val nNodes = rows(0).getLong(1)
+    assert(rows.forall(_.getLong(1) == nNodes), "node count is radius-invariant")
+    // radius 0: every ball is {v}; the m=16 small-range estimator reads
+    // 16·ln(16/15) ≈ 1.040 per node — a CONSTANT, so the sum is exact
+    assert(rows(0).getLong(2) == nNodes * AnfOps.AnfM *
+      Math.round(1000.0 * math.log(16.0 / 15)),
+      "radius-0 estimate must be the closed-form single-element value")
+    // ball union only raises registers: the estimate never shrinks
+    val ests = rows.map(_.getLong(2))
+    assert(ests.zip(ests.tail).forall { case (a, b) => b >= a },
+      s"neighborhood function must be monotone: ${ests.mkString(",")}")
+    // radius 1 ground truth: N(1) = V + 2E exactly; the sketch must land
+    // within a factor of 2 (m=16 → ~26% std error; a payload-width or
+    // register-merge bug misses by orders of magnitude)
+    val und = GraphOps.supportedEdges(membership)
+    val exact1 = (nNodes + 2 * und.count()) * 1000L
+    assert(ests(1) > exact1 / 2 && ests(1) < exact1 * 2,
+      s"radius-1 estimate ${ests(1)} vs exact $exact1")
+  }
+
+  test("bradley-terry: strengths are normalized and order by evidence") {
+    val rows = PreferenceOps.bradleyTerry(spark, sf).collect()
+    assert(rows.length > 1)
+    val k = rows.length.toLong
+    val total = rows.map(_.getLong(3)).sum
+    // floor-renormalization: sum in (k·1e6 − k, k·1e6]
+    assert(total <= k * PreferenceOps.BtUnit && total > k * (PreferenceOps.BtUnit - 1),
+      s"strengths must renormalize to ~k·1e6, got $total for k=$k")
+    // output is sorted by strength; the top item must not have a worse
+    // raw win-rate than the bottom item (BT strengths track evidence)
+    val top = rows.head; val bot = rows.last
+    assert(top.getLong(3) >= bot.getLong(3))
+    assert(top.getLong(1) * bot.getLong(2) >= bot.getLong(1) * top.getLong(2),
+      "top-strength item must have at least the bottom item's win-rate")
+  }
+
+  test("join-view delta refresh equals the one-shot full join recompute") {
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy(col("ship_month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    val got = IncrementalMv.joinRefresh(spark, sf).cache()
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0,
+      "three-term join delta must equal the full recompute")
+    // both delta-straddling populations exist in the fixture, so all
+    // three delta terms carried rows (old⋈new, new⋈old, new⋈new)
+    assert(got.filter(col("ship_month") < 199706L).count() > 0)
+    assert(got.filter(col("ship_month") >= 199706L).count() > 0)
+    got.unpersist()
   }
 
   test("incremental MV refresh equals the one-shot full recompute and is idempotent") {

@@ -186,6 +186,23 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("hierarchical blocking: oversized level-0 blocks refine by brand instead of dropping") {
+    // cap 4 forces refinement of most level-0 name blocks at spec sf —
+    // the same pressure sf0.1 puts on the default 256 cap (where flat
+    // cap-and-drop degenerated to zero candidates, round-10 bench)
+    val pairs = graft.ops.LinkageOps.fsPairsAt(spark, sf, 4L).cache()
+    val nProbes = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_partkey") % 10 === 0).count()
+    // recall: brand survives the corruption model, so every probe's
+    // original stays in the refined block
+    assert(pairs.filter(col("probe_id") === col("p_partkey") + 1000000L).count() == nProbes,
+      "every true pair must survive blocking refinement")
+    // bound: refined blocks hold <= cap masters, so no probe fans out wider
+    assert(pairs.groupBy(col("probe_id")).count()
+      .agg(max(col("count"))).head.getLong(0) <= 4L)
+    pairs.unpersist()
+  }
+
   test("Fellegi-Sunter EM learns to separate true pairs from block-mates without labels") {
     val out = graft.ops.LinkageOps.fsEm(spark, sf).cache()
     // the true pair (probe vs its own original) agrees on every field:

@@ -178,10 +178,14 @@ class PlanQualitySpec extends SparkSuite {
     // joins broadcast at spec sf. The weighted-postings checkpoint
     // keeps the gram explode out of this plan entirely.
     "sim_allpairs_sparse" -> 4,
-    // Blocked fuzzy linkage: block-size agg, the per-probe rank/count
-    // windows (one probe_id exchange), output sort; the blocked join
-    // and size filter broadcast at spec sf.
-    "match_fuzzy_blocked" -> 3,
+    // Hierarchically-blocked fuzzy linkage (post-stats-checkpoint):
+    // the refined-block residual-cap agg, the corpus×corpus candidates
+    // SMJ on the refined key (2 — the honest big-big shape; blocks are
+    // cap-bounded so neither side skews), the per-probe rank/count
+    // windows (one probe_id exchange), output sort. The oversized-set
+    // stats agg runs ONCE behind a truncation and feeds all three
+    // subtrees — a 6th exchange means it is being recomputed.
+    "match_fuzzy_blocked" -> 5,
     // Fellegi-Sunter EM scoring plan (post-checkpoint): output sort
     // ONLY — the blocked pair table is checkpointed once and the 8
     // EM-round aggregates live behind that truncation (driver state is
@@ -214,6 +218,23 @@ class PlanQualitySpec extends SparkSuite {
     // exact join broadcasts. All shuffles are register- or
     // group-sized except the first.
     "sketch_hll_distinct" -> 5,
+    // HyperANF final radius: R rounds live behind per-round
+    // truncations; the visible plan is the last round's edge⋈register
+    // propagation agg + the estimate rollups unioned per radius (each
+    // radius frame is 1 row post-truncation) + output sort. Register
+    // state travels as ONE 16-long array column per node — a blow-up
+    // past this pin means registers started exploding to rows.
+    "graph_anf" -> 5,
+    // Join-MV delta refresh: the refreshed MV read back + output sort
+    // only — the three delta terms and the dynamic-overwrite merge run
+    // at WRITE time behind the scratch materialization; the scoring
+    // read must not re-derive them.
+    "mv_join_refresh" -> 1,
+    // Bradley-Terry: the (order, brand) totals agg feeds the bounded
+    // per-order pair self-join (broadcast at spec sf), the win-matrix
+    // agg collapses to items² before collect; final output is the
+    // 25-row driver frame joined/sorted — one visible exchange.
+    "rank_bradley_terry" -> 1,
     // q48 two-phase distributed rank (r9 verdict item 1): the
     // (flag, price-grid-cell) window exchange + the same-key count agg,
     // the flag-keyed offset window over the SHARD-COUNT-sized table,
