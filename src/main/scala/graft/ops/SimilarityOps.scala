@@ -636,13 +636,108 @@ object SimilarityOps {
        |ORDER BY vec_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Semi-supervised label spreading over the kNN graph (Zhu &
+  // Ghahramani 2002's label propagation, hard-assignment variant) — the
+  // curation move that stretches a small budget of trusted labels
+  // (human ratings, audited cluster tags) across an unlabeled corpus:
+  // seeds keep their label; each round every still-unlabeled vector
+  // takes the MAJORITY label among its already-labeled kNN out-
+  // neighbors (ties to the smallest label — deterministic), recording
+  // the round it was reached.
+  //
+  // The propagated target is the deterministic k-means CELL id
+  // ([[Clustering.assign]]) — a geometry-consistent partition, so the
+  // ride-along agreement column actually measures semi-supervised
+  // recovery. (The fixture's `label` column is geometrically RANDOM:
+  // measured top-4-cosine same-label rate ≈ 10% = chance, so spreading
+  // it would measure nothing — the first cut of this operator did
+  // exactly that and its agreement landed BELOW chance.)
+  //
+  // 100 TB shape: the kNN edge list (LSH-bucketed, cap-bounded — see
+  // [[knnGraphOf]]) is built once and truncated; each round is one
+  // frontier-restricted join + a (vec, label)-keyed count + a bounded
+  // rank window — the label-propagation exchange budget, never
+  // corpus². Labeled state grows monotonically and rounds are bounded.
+  val SpreadSeedMod = 5L
+  val SpreadRounds = 3
+
+  def labelSpread(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val edges = Lineage.truncate(
+      knnGraphOf(emb).select(col("vec_id"), col("nn_id")))
+    val centroids = Clustering.trainCentroids(s, dir)
+    val all = Lineage.truncate(
+      Clustering.assign(emb.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("cluster").cast("long").as("true_label")))
+    var labeled = Lineage.truncate(
+      all.filter(col("vec_id") % SpreadSeedMod === 0)
+        .select(col("vec_id"), col("true_label").as("label"),
+          lit(0L).as("src_round")))
+    for (t <- 1 to SpreadRounds) {
+      val votes = edges
+        .join(labeled.select(col("vec_id").as("nn_id"), col("label")), Seq("nn_id"))
+        .join(labeled.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy(col("vec_id"), col("label")).agg(count(lit(1)).as("nv"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("nv").desc, col("label"))
+      val newly = votes.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("vec_id"), col("label"), lit(t.toLong).as("src_round"))
+      labeled = Lineage.truncate(labeled.unionByName(newly))
+    }
+    labeled.join(all, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("spread_label"), col("src_round"),
+        col("true_label"), (col("label") === col("true_label")).as("agree"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: the k-means training/assignment CTEs ([[Clustering]]'s
+    * composable chain) + the kNN pipeline as a subquery CTE + the
+    * spreading rounds unrolled with the same majority/tie-break
+    * semantics. */
+  val labelSpreadSql: String = {
+    val rounds = (1 to SpreadRounds).map { t =>
+      s"""c$t AS MATERIALIZED (
+         |  SELECT e.vec_id, l.label, count(*) AS nv
+         |  FROM knn e JOIN l${t - 1} l ON l.vec_id = e.nn_id
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM l${t - 1})
+         |  GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (
+         |  SELECT * FROM l${t - 1}
+         |  UNION ALL
+         |  SELECT vec_id, label, CAST($t AS BIGINT) AS src_round FROM (
+         |    SELECT vec_id, label,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY nv DESC, label) AS rk
+         |    FROM c$t)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Clustering.kpCte("embeddings")},
+       |${Clustering.trainingCtes("(SELECT k FROM kp)")},
+       |${Clustering.assignSql("cellasg", "embeddings", Clustering.FinalCent)},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, CAST(cluster AS BIGINT) AS true_label FROM cellasg),
+       |knn AS MATERIALIZED (
+       |  SELECT vec_id, nn_id FROM (
+       |$knnGraphSql
+       |)),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id, true_label AS label, CAST(0 AS BIGINT) AS src_round
+       |  FROM cells WHERE vec_id % $SpreadSeedMod = 0),
+       |$rounds
+       |SELECT l.vec_id, l.label AS spread_label, l.src_round,
+       |  c.true_label, l.label = c.true_label AS agree
+       |FROM l$SpreadRounds l JOIN cells c USING (vec_id)
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_brute_force" -> (annBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_sq" -> (annSq _),
     "sim_ann_pq" -> (annPq _),
     "sim_mmr_select" -> (mmrSelect _),
-    "sim_knn_graph" -> (knnGraph _)
+    "sim_knn_graph" -> (knnGraph _),
+    "sim_label_spread" -> (labelSpread _)
   )
 
   /** Full oracle for the LSH path: the literal hyperplane weights make
@@ -681,6 +776,7 @@ object SimilarityOps {
     "sim_ann_sq" -> annSqSql,
     "sim_ann_pq" -> annPqSql,
     "sim_mmr_select" -> mmrSelectSql,
-    "sim_knn_graph" -> knnGraphSql
+    "sim_knn_graph" -> knnGraphSql,
+    "sim_label_spread" -> labelSpreadSql
   )
 }

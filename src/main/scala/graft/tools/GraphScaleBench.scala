@@ -50,7 +50,12 @@ object GraphScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // the 100 TB knob under test: per-partition hash-table/sort size
+      // scales with |E|/partitions, so the blow-up factors need a
+      // matching partition override to measure the ALGORITHM rather
+      // than single-JVM memory pressure (A/B recorded in SCALE.md)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

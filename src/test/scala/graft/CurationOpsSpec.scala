@@ -135,6 +135,97 @@ class CurationOpsSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("personalized pagerank: restart floor holds, mass is conserved and seed-local") {
+    val membership = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val mass = graft.ops.PprOps.pprOf(membership).cache()
+    val seeds = mass.filter(col("part") % graft.ops.PprOps.PprSeedMod === 0)
+    assert(seeds.count() > 0)
+    // every seed re-injects alpha-restart mass in the LAST round, so no
+    // seed can sit below it
+    val restart = graft.ops.PprOps.PprAlphaMilli * graft.ops.PprOps.PprUnit / 1000L
+    assert(seeds.agg(min(col("mass_micro"))).head.getLong(0) >= restart)
+    // flooring only ever LOSES mass: the grand total is bounded by what
+    // was ever injected (initial unit + R restarts per seed, geometric
+    // decay ignored = a loose upper bound), and stays positive
+    val nSeeds = seeds.count()
+    val total = mass.agg(sum(col("mass_micro"))).head.getLong(0)
+    assert(total > 0 &&
+      total <= nSeeds * (graft.ops.PprOps.PprUnit +
+        graft.ops.PprOps.PprRounds.toLong * restart))
+    // locality: mass reaches exactly the <= R-hop ball around the seeds
+    // (sparse representation never invents far-away rows)
+    val und = graft.ops.GraphOps.supportedEdges(membership)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))).cache()
+    var reach = seeds.select(col("part").as("n")).distinct()
+    for (_ <- 1 to graft.ops.PprOps.PprRounds)
+      reach = reach.unionByName(
+        edges.join(reach.withColumnRenamed("n", "src"), Seq("src"))
+          .select(col("dst").as("n"))).distinct().localCheckpoint()
+    assert(mass.select(col("part").as("n")).join(reach, Seq("n"), "left_anti").count() == 0,
+      "mass must stay inside the R-hop seed ball")
+    edges.unpersist(); mass.unpersist()
+  }
+
+  test("label spreading: seeds keep labels, coverage grows, majority vote recovers structure") {
+    val out = graft.ops.SimilarityOps.labelSpread(spark, sf).cache()
+    assert(out.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count() == 0, "one label per vector")
+    val seeds = out.filter(col("src_round") === 0L)
+    assert(seeds.count() > 0)
+    assert(seeds.filter(!col("agree")).count() == 0,
+      "seeds must keep their own (true) label")
+    val spreadRows = out.filter(col("src_round") > 0L)
+    val nSpread = spreadRows.count()
+    assert(nSpread > 0, "propagation must label non-seed vectors")
+    // kNN majority over the k-means cell partition must beat the 1/k
+    // random-guess floor decisively: ≥ 5σ above the binomial chance
+    // mean (structure-free propagation sits at chance; measured ~11σ
+    // at spec sf, ~2.5x chance)
+    val k = out.select(col("true_label")).distinct().count()
+    val agree = spreadRows.filter(col("agree")).count()
+    val p = 1.0 / k
+    val bound = nSpread * p + 5.0 * math.sqrt(nSpread * p * (1 - p))
+    assert(agree >= bound,
+      s"non-seed agreement $agree/$nSpread below chance+5σ=$bound (k=$k)")
+    out.unpersist()
+  }
+
+  test("unigram tokenizer: piece bounds hold, dominant words collapse, runs deterministic") {
+    import spark.implicits._
+    // hand corpus: "abab" is overwhelmingly frequent, so the unigram
+    // model must learn it (or "ab") as a piece and segment the word
+    // into ONE piece — 4 single chars would cost ~2x more nats
+    val tiny = Seq((1L, "abab abab abab abab xyz"), (2L, "abab qq"))
+      .toDF("doc_id", "text")
+    val enc = graft.ops.UnigramLm.unigramEncodeFrom(tiny).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(2L)._1 == 2L) // two vocab-covered words
+    // "abab" -> 1 piece, "qq" <= 2 pieces
+    assert(enc(2L)._2 <= 3L, s"dominant word must compress: ${enc(2L)}")
+    // fixture invariants: every word yields >= 1 and <= len pieces
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.ops.UnigramLm.unigramEncodeFrom(docs).cache()
+    val chars = docs
+      .select(col("doc_id"), explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= graft.ops.UnigramLm.MaxWord)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).cast("long").as("nc"))
+    val j = out.join(chars, Seq("doc_id")).cache()
+    assert(j.filter(col("n_words") =!= col("nw")).count() == 0,
+      "every length-bounded word is covered (fixture vocab fits the cap)")
+    assert(j.filter(col("n_unigram_tokens") < col("n_words") ||
+      col("n_unigram_tokens") > col("nc")).count() == 0,
+      "per-doc tokens must lie in [n_words, n_chars]")
+    // the trained model must actually compress (multi-char pieces used)
+    val sums = j.agg(sum(col("n_unigram_tokens")), sum(col("nc"))).head
+    assert(sums.getLong(0) < sums.getLong(1), "no compression happened")
+    val again = graft.ops.UnigramLm.unigramEncodeFrom(docs)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    j.unpersist(); out.unpersist()
+  }
+
   test("incremental MV refresh equals the one-shot full recompute and is idempotent") {
     val full = spark.read.parquet(s"$sf/lineitem.parquet")
       .withColumn("ship_month",

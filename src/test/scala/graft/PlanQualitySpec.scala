@@ -235,6 +235,20 @@ class PlanQualitySpec extends SparkSuite {
     // agg collapses to items² before collect; final output is the
     // 25-row driver frame joined/sorted — one visible exchange.
     "rank_bradley_terry" -> 1,
+    // Personalized PageRank: every push round lives behind a
+    // truncation; the visible plan is the last round's mass aggregate
+    // + output sort... which AQE folds into ONE exchange at spec sf.
+    // Growth means rounds stopped truncating.
+    "graph_ppr" -> 1,
+    // Label spreading: the kNN edges, the cell assignment and every
+    // voting round are truncated; the visible plan is the final
+    // labeled⋈cells broadcast + output sort.
+    "sim_label_spread" -> 1,
+    // Unigram tokenizer encode: the word-vocab aggregate feeds a
+    // bounded driver train; the visible plan is the corpus word
+    // explode joined broadcast to the seg table + per-doc agg +
+    // output sort (2). A 3rd exchange means the seg join shuffled.
+    "text_unigram_encode" -> 2,
     // q48 two-phase distributed rank (r9 verdict item 1): the
     // (flag, price-grid-cell) window exchange + the same-key count agg,
     // the flag-keyed offset window over the SHARD-COUNT-sized table,

@@ -222,9 +222,13 @@ class ZOrderSpec extends SparkSuite {
           if f.metadata.get("PartitionFilters").exists(_.contains("dynamicpruning")) => f
     }
     assert(scan.nonEmpty, "no FileSourceScanExec with a dynamicpruning partition filter")
-    // pruning is real: qualifying months are a strict subset of partitions
-    val totalParts = new java.io.File(path).listFiles()
-      .count(_.getName.startsWith("ship_month="))
+    // pruning is real: qualifying months are a strict subset of
+    // partitions. The fact copy lives under the Scratch root, which is
+    // a Hadoop-FS path (possibly non-local scheme) — list it through
+    // the FileSystem API, not java.io.File.
+    val (fs, hp) = graft.etl.WarehouseFs.resolve(spark, path)
+    val totalParts = fs.listStatus(hp)
+      .count(_.getPath.getName.startsWith("ship_month="))
     assert(rows.length > 0 && rows.length < totalParts,
       s"${rows.length} qualifying months of $totalParts partitions — no pruning headroom")
     // semantic parity with the plain unpartitioned join
