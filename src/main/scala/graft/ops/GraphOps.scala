@@ -225,6 +225,14 @@ object GraphOps {
     // SCALE.md's blow-up table). Per-partition build is
     // |E|/shuffle-partitions edges; the 100 TB knob is partition
     // count, same as any hash join.
+    // NOTE a measured dead end (round 10): explicitly co-repartitioning
+    // both join sides by (v, w) with a wedge-count-derived partition
+    // count LOOKED like the right in-operator fix for the factor-10
+    // superlinearity, but benched WORSE than the plain hint (200 s at
+    // 32 session partitions, 700 s at 128, vs 183/90.5 s hint-only) —
+    // the inserted exchanges don't compose with AQE's planning of the
+    // hinted join. The honest knob is the SESSION shuffle-partition
+    // count, exactly as on a real cluster (A/B in SCALE.md round 10).
     val closureSide =
       if (ori.count() <= Triangles.BroadcastEdgeCap) broadcast(closure)
       else closure.hint("shuffle_hash")
