@@ -145,7 +145,7 @@ object DedupOps {
     * polynomial combine as the exploded form (a null signature nulls
     * every band key element-wise, preserving the short-doc bucket
     * quirk and its MaxBucket cap). */
-  private def bandStructsFromSig(sig: Column): Seq[Column] = {
+  private[graft] def bandStructsFromSig(sig: Column): Seq[Column] = {
     val nBands = NumPerms / BandRows
     (0 until nBands).map { b =>
       val key = (0 until BandRows).foldLeft(lit(b.toLong): Column) { (acc, r) =>
@@ -170,7 +170,7 @@ object DedupOps {
 
   /** Bucket grouping + capped pair expansion shared by the fast and
     * exploded-form candidate paths. */
-  private def pairsFromBuckets(keys: DataFrame): DataFrame = {
+  private[graft] def pairsFromBuckets(keys: DataFrame): DataFrame = {
     val buckets = keys
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -235,6 +235,45 @@ object DedupOps {
     * is a checkpoint of the tokenized corpus, standard practice). */
   def minhashDedup(s: SparkSession, dir: String): DataFrame =
     dupPairs(s, dir).orderBy(col("a"), col("b"))
+
+  // ------------------------------------------------------------------
+  // One-Permutation-Hashing variant ([[graft.functions.OphMinHashSig]]):
+  // the same banding, bucket cap and exact-verify tail over signatures
+  // whose inner loop is one mod+div+compare per shingle instead of
+  // NumPerms affine evaluations — the Li/Owen/Zhang 2012 estimator with
+  // Shrivastava-Li rotation densification. Same LSH guarantee (slot
+  // collision ≈ Jaccard), measurably cheaper signature pass (A/B in
+  // SCALE.md round 10 via tools.SigBench), and the exact-verify tail
+  // makes the OUTPUT semantics identical in kind: candidate recall may
+  // differ per band draw, but every emitted pair is exact-Jaccard ≥ 0.5.
+  val OphBins: Int = NumPerms // same width -> banding arithmetic reused
+
+  def ophSignatureArray(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      graft.functions.OphMinHashSig(
+        TextOps.tokens(col("text")), 31L, HashMod, 131L, OphBins).as("sig"))
+
+  def ophBandKeys(d: DataFrame): DataFrame =
+    ophSignatureArray(d)
+      .select(col("doc_id"), explode(array(bandStructsFromSig(col("sig")): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+
+  def ophCandidates(d: DataFrame): DataFrame = pairsFromBuckets(ophBandKeys(d))
+
+  def ophDedup(s: SparkSession, dir: String): DataFrame =
+    ophDedupFrom(corpus(s, dir)).orderBy(col("a"), col("b"))
+
+  def ophDedupFrom(base: DataFrame): DataFrame = {
+    val cand = ophCandidates(base).localCheckpoint()
+    val inCand = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id")))
+      .distinct()
+    // persist: jaccard's per-side set joins consume sh twice (same
+    // reason as dupPairsFrom)
+    val sh = shingles(base.join(inCand, Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccard(cand, sh).filter(col("jaccard") >= 0.5)
+  }
 
   /** Unordered dup pairs (a < b, jaccard ≥ 0.5) — the edge set for
     * cluster resolution ([[GraphOps.dedupClusters]]), which doesn't need
@@ -975,6 +1014,7 @@ object DedupOps {
     "dedup_exact_substr" -> (exactSubstrSpans _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
+    "dedup_minhash_oph" -> (ophDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashNearDup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -1053,6 +1093,54 @@ object DedupOps {
   val minhashLshSql: String =
     "WITH " + dupPairCtes +
       "\nSELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b"
+
+  /** Full-pipeline oracle for the OPH variant: same shingles, ONE hash
+    * split into (bin, payload), per-bin minima, the identical rotation
+    * densification (k-th borrow offset by k·denseC), then the same band
+    * folds / bucket cap / exact verify as the classic pipeline. */
+  val ophLshSql: String = {
+    val c = graft.functions.OphMinHashSig.denseC(HashMod, OphBins)
+    val rawCols = (0 until OphBins).map(j =>
+      s"min(CASE WHEN h % $OphBins = $j THEN h // $OphBins END) AS r$j")
+      .mkString(",\n    ")
+    val denseCols = (0 until OphBins).map { j =>
+      val terms = (0 until OphBins).map { k =>
+        val src = (j + k) % OphBins
+        if (k == 0) s"r$src" else s"r$src + ${k.toLong * c}"
+      }.mkString(", ")
+      s"coalesce($terms) AS m$j"
+    }.mkString(",\n    ")
+    val nBands = NumPerms / BandRows
+    val bandSelects = (0 until nBands).map { bnd =>
+      val key = (0 until BandRows).foldLeft(s"$bnd") { (acc, r) =>
+        s"(($acc) * $BandMult + m${bnd * BandRows + r}) % $HashMod"
+      }
+      s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $twinBaseBody,
+       |$shingleCtes,
+       |raw AS (SELECT doc_id,
+       |    $rawCols
+       |  FROM sh GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    $denseCols
+       |  FROM raw),
+       |bands AS ($bandSelects),
+       |buckets AS (SELECT band, band_key, ids FROM (
+       |    SELECT band, band_key, list_sort(list(DISTINCT doc_id)) AS ids
+       |    FROM bands GROUP BY 1, 2)
+       |  WHERE len(ids) > 1 AND len(ids) <= $MaxBucket),
+       |${pairsFromBuckets("buckets")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |itc AS (SELECT c.a, c.b, count(*) AS inter FROM cand c
+       |        JOIN sh sa ON sa.doc_id = c.a
+       |        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |        GROUP BY 1, 2),
+       |jac AS (SELECT a, b, inter,
+       |        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |        FROM itc JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+       |SELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+  }
 
   /** Oracle for [[incrementalDedup]]: the batch pipeline sliced to
     * twin-involved pairs — exactly what the index path must reproduce
@@ -1149,6 +1237,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_oph" -> ophLshSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_embedding_cosine" -> embeddingNearDupSql,

@@ -42,7 +42,7 @@ object SimilarityOps {
   /** splitmix64-style mixer: deterministic ±1 hyperplane weights derived
     * from (seed, bit, element) — same "no stored model" property as
     * hashing per row, but evaluated ONCE at plan time. */
-  private[ops] def mix(z0: Long): Long = {
+  private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

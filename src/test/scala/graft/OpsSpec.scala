@@ -227,6 +227,28 @@ class OpsSpec extends SparkSuite {
     truePairs.unpersist(); out.unpersist()
   }
 
+  test("OPH minhash: twins recalled, pairs exact-verified, densification deterministic") {
+    val base = DedupOps.withTwins(spark.read.parquet(s"$sf/documents.parquet"))
+    val pairs = graft.ops.DedupOps.ophDedupFrom(base).cache()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // twins share ~all shingles -> every densified slot collides with
+    // prob ~jaccard ~0.95; 8 bands of 4 rows catch them with prob ~1
+    assert(pairs.filter(col("b") === col("a") + 1000000L).count() >= (nDocs * 0.95).toLong)
+    // exact verify tail: nothing below the jaccard threshold leaks out
+    assert(pairs.filter(col("jaccard") < 0.5).count() == 0)
+    // deterministic: re-run is row-identical (the rotation borrow is a
+    // pure function of the bin occupancy pattern)
+    val again = graft.ops.DedupOps.ophDedupFrom(base)
+    assert(pairs.exceptAll(again).count() == 0 && again.exceptAll(pairs).count() == 0)
+    // null contract matches the classic expression: < 3 tokens -> null
+    import spark.implicits._
+    val shorty = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sigs = graft.ops.DedupOps.ophSignatureArray(shorty)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(sigs(1L) && !sigs(2L))
+    pairs.unpersist()
+  }
+
   test("simhash near-dup finds twins with tiny hamming distance") {
     val pairs = DedupOps.simhashNearDup(spark, sf)
     assert(pairs.count() > 0)

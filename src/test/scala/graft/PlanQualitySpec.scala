@@ -67,6 +67,7 @@ class PlanQualitySpec extends SparkSuite {
     "q30_topk_custom_operator" -> 2, // TopKPerGroupExec: shuffle on group + sort
     "dedup_exact" -> 2,
     "dedup_minhash_lsh" -> 3, // narrow MinHashSig candidates (-2) + array-intersect verify (-1) vs the exploded form's 6
+    "dedup_minhash_oph" -> 3, // same shape over OPH signatures (bucket agg, collision-set shingle distinct feed, output sort)
     "sim_ann_lsh" -> 3,
     "text_tfidf" -> 4,
     "chain_gas_by_range" -> 2,
