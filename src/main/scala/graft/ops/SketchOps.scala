@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketch summaries for corpus statistics — here the
@@ -301,8 +301,47 @@ object SketchOps {
   val HllWBits = 24 // payload bit width: (KmvMod-1)/64 < 2^24
   val HllAlphaMilli = 709L // α_64 quantized to milli
 
+  /** JVM twin of [[kmvMixSql]] — byte-identical integer algebra (the
+    * streaming HLL state fold needs the mix executor-side; the
+    * cross-implementation parity spec pins the two against each
+    * other through the full register pipeline). */
+  def kmvMixLong(x: Long): Long = {
+    def round(v: Long, a: Long, b: Long, c: Long): Long =
+      ((v * v) % KmvMod * a + v * b + c) % KmvMod
+    round(round(x, 776531401L, 15485863L, 32452843L),
+      413158511L, 452930477L, 715827883L)
+  }
+
   def hllDistinct(s: SparkSession, dir: String): DataFrame =
     hllDistinctOf(s.read.parquet(s"$dir/orders.parquet"))
+
+  /** The generalized register pipeline over any (grp, key) frame —
+    * key is string-hashed exactly like the orders op. */
+  def hllKeyed(df: DataFrame, grp: Column, key: Column): DataFrame = {
+    val scale = HllWBits + 1
+    val hashed = df.select(grp.as("grp"),
+        graft.functions.PolyHash.polyHash(key.cast("string"), 31, KmvMod).as("ph"),
+        key.as("_k"))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+    val regs = hashed
+      .withColumn("j", col("hv") % HllM)
+      .withColumn("rho", expr(
+        s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
+          s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m"))
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - m)")).as("s_hit"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_scaled", col("s_hit") + col("n_zero") * (1L << scale))
+      .withColumn("est_raw_milli", expr(s"$numer DIV s_scaled"))
+      .withColumn("est_milli", expr(
+        s"CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0 " +
+          s"THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT) " +
+          "ELSE est_raw_milli END"))
+      .select(col("grp"), col("n_hit"), col("n_zero"), col("s_scaled"), col("est_milli"))
+  }
 
   def hllDistinctOf(orders: DataFrame): DataFrame = {
     val scale = HllWBits + 1 // ρ ∈ [1, 25] -> exponent 25-ρ ∈ [0, 24]

@@ -403,6 +403,60 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming cardinality — the HLL sketch as keyed stream state (the
+    * twin of [[graft.ops.SketchOps.hllKeyed]]): per event_type the state
+    * is the 64 max-merged registers, CONSTANT-size however many distinct
+    * users pass — the whole point of sketched cardinality on an
+    * unbounded stream, where exact distinct-user state would grow
+    * without bound. Register updates are max-merges, so replayed or
+    * re-ordered events are absorbed idempotently, and the stream's final
+    * registers equal the batch pipeline's on the same rows
+    * (cross-implementation parity: this fold is JVM arithmetic
+    * ([[graft.ops.SketchOps.kmvMixLong]]), the batch side is the SQL
+    * expression chain — StreamingSpec pins them against each other).
+    * Emits one updated estimate row per (key, batch). */
+  case class HllEstimate(event_type: String, n_hit: Long, n_zero: Long,
+      s_scaled: Long, est_milli: Long)
+  case class HllRegs(m: Array[Long])
+
+  def hllDistinctStream(events: Dataset[Event]): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    import graft.ops.SketchOps.{HllAlphaMilli, HllM, HllWBits, KmvMod, kmvMixLong}
+    val scale = HllWBits + 1
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HllRegs, HllEstimate](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Event], state: GroupState[HllRegs]) =>
+          val regs = state.getOption.getOrElse(HllRegs(new Array[Long](HllM))).m
+          batch.foreach { e =>
+            val ph = graft.functions.PolyHash.fold(
+              org.apache.spark.unsafe.types.UTF8String.fromString(e.user_id.toString),
+              31L, KmvMod)
+            val hv = kmvMixLong(ph)
+            val j = (hv % HllM).toInt
+            val w = hv / HllM
+            val rho = if (w == 0) scale.toLong
+              else scale.toLong - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(HllRegs(regs))
+          var nHit = 0L; var sHit = 0L
+          var j = 0
+          while (j < HllM) {
+            if (regs(j) > 0) { nHit += 1; sHit += 1L << (scale - regs(j).toInt) }
+            j += 1
+          }
+          val nZero = HllM - nHit
+          val sScaled = sHit + nZero * (1L << scale)
+          val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+          val raw = numer / sScaled
+          val est = if (raw <= 2500L * HllM && nZero > 0)
+            HllM * Math.round(1000.0 * math.log(HllM.toDouble / nZero))
+          else raw
+          HllEstimate(key, nHit, nZero, sScaled, est)
+      }
+  }
+
   /** Incremental near-dup detection on a live document stream. Each
     * micro-batch runs the SAME batch MinHash pipeline: candidates are the
     * union of (1) the batch's own banded+bucket-capped self-pairs — so

@@ -176,6 +176,43 @@ class StreamingSpec extends SparkSuite {
     assert(n == 2, s"expected 2 sessions, got $n")
   }
 
+  test("streaming HLL cardinality: final registers equal the batch pipeline, batch-split-invariant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 60 events over 2 keys with repeated users; split across 3 batches
+    val evs = (0 until 60).map(i =>
+      Event(i.toLong, ts(i % 30), (i * 7 % 23).toLong,
+        if (i % 3 == 0) "click" else "view", 1.0))
+    def run(name: String, chunks: Seq[Seq[Event]]): Map[String, (Long, Long, Long, Long)] = {
+      val in = MemoryStream[Event]
+      val q = StreamOps.hllDistinctStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      val rows = spark.sql(
+        s"SELECT event_type, n_hit, n_zero, s_scaled, est_milli FROM $name")
+        .collect()
+      q.stop()
+      // last emission per key (the memory sink appends update rows in
+      // batch order; group and take the final state row)
+      rows.groupBy(_.getString(0)).map { case (k, rs) =>
+        val r = rs.last
+        k -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+    }
+    val a = run("hll3", Seq(evs.take(20), evs.slice(20, 45), evs.drop(45)))
+    val b = run("hll1", Seq(evs))
+    assert(a == b, "final sketch state must not depend on batch boundaries")
+    // cross-implementation parity: the batch SQL-expression pipeline over
+    // the same rows must produce the identical registers and estimate
+    val batchRows = graft.ops.SketchOps.hllKeyed(
+        evs.toDF(), col("event_type"), col("user_id"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(a == batchRows,
+      s"stream state $a must equal the batch register pipeline $batchRows")
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
