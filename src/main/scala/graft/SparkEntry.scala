@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AnfOps, Clustering, Coreset, DedupOps, FilterOps, GraphOps, IncrementalMv, Layout, LinkageOps, Multimodal, PcaOps, PprOps, PreferenceOps, RetrievalOps, Sampling, SimilarityOps, SketchOps, TextOps, UnigramLm, VectorAgg}
+import graft.ops.{AggStateMv, AnfOps, Clustering, Coreset, DedupOps, DomainReweight, FilterOps, GraphOps, IncrementalMv, Layout, LinkageOps, Multimodal, PcaOps, PprOps, PreferenceOps, RetrievalOps, RobustStats, Sampling, SimilarityOps, SketchOps, TextOps, UnigramLm, VectorAgg}
 import graft.queries.{Behavioral, ChainQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -18,7 +18,8 @@ object SparkEntry {
       GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries ++
       Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries ++
       LinkageOps.queries ++ PcaOps.queries ++ Coreset.queries ++
-      IncrementalMv.queries ++ AnfOps.queries ++ PreferenceOps.queries ++ PprOps.queries ++ UnigramLm.queries
+      IncrementalMv.queries ++ AnfOps.queries ++ PreferenceOps.queries ++ PprOps.queries ++ UnigramLm.queries ++
+      AggStateMv.queries ++ DomainReweight.queries ++ RobustStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle ++
       Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle ++
       LinkageOps.oracle ++ PcaOps.oracle ++ Coreset.oracle ++
-      IncrementalMv.oracle ++ AnfOps.oracle ++ PreferenceOps.oracle ++ PprOps.oracle ++ UnigramLm.oracle
+      IncrementalMv.oracle ++ AnfOps.oracle ++ PreferenceOps.oracle ++ PprOps.oracle ++ UnigramLm.oracle ++
+      AggStateMv.oracle ++ DomainReweight.oracle ++ RobustStats.oracle
 }

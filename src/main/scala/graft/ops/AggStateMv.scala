@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized view holding ALGEBRAIC aggregate STATES — the
+  * AggregatingMergeTree / `-State`/`-Merge` combinator semantics of the
+  * reference's storage engine (chainhouse delegates all rollups to
+  * ClickHouse, whose MV story for non-distributive aggregates is
+  * `AggregateFunction(uniq, …)` columns: partial states stored per
+  * part, merged at read). [[IncrementalMv]] covers the DISTRIBUTIVE
+  * half (counts/sums merge by +); this operator covers the algebraic
+  * half: a distinct-count sketch state (the exact-integer HLL of
+  * [[SketchOps]]) stored per partition and merged register-wise at
+  * query time.
+  *
+  * Why this is THE 100 TB MV shape: a `uniq` rollup cannot be
+  * maintained from per-month exact distinct counts (distinct does not
+  * add), but HLL registers merge by MAX — so the MV stores one
+  * 64-register state blob per (month, group) and any regrouping —
+  * across months, shards, or days — is a register-wise max plus integer
+  * estimation, never a rescan of history. The state table is
+  * month-partitioned under the cluster-portable [[graft.etl.Scratch]]
+  * root, exactly like the distributive MVs.
+  *
+  * The registered query materializes the per-month states, reads them
+  * back, and MERGES across months; the DuckDB oracle computes the same
+  * rollup DIRECTLY from the raw fact table (one global HLL per group,
+  * plus exact counts/sums). The hash match is therefore the
+  * mergeability theorem — merge(states per part) == state(union) —
+  * checked cell-exactly on every run, registers, estimator and all.
+  */
+object AggStateMv {
+
+  import SketchOps.{HllAlphaMilli, HllM, HllWBits, KmvMod, kmvMixSql}
+
+  private val scale = HllWBits + 1
+
+  /** Per-(month, group) aggregate states: count state, sum state
+    * (cent-exact), and the dense 64-register HLL state blob for
+    * distinct customers. One corpus pass; everything after is
+    * dimension-sized. */
+  private[graft] def states(orders: DataFrame): DataFrame = {
+    val hashed = orders
+      .withColumn("o_month",
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+      .select(col("o_month"), col("o_orderpriority").as("grp"),
+        col("o_totalprice"),
+        graft.functions.PolyHash
+          .polyHash(col("o_custkey").cast("string"), 31, KmvMod).as("ph"))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+    val regRows = hashed
+      .withColumn("j", col("hv") % HllM)
+      .withColumn("rho", expr(
+        s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
+          s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
+      .groupBy(col("o_month"), col("grp"), col("j"))
+      .agg(max(col("rho")).as("m"))
+    // densify to the 64-slot state blob (never-hit register = 0, which
+    // the estimator treats as 2^scale); the collect_list is bounded at
+    // HllM entries per group — state-blob-sized, not data-sized
+    val regState = regRows
+      .groupBy(col("o_month"), col("grp"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("m")))).as("mm"))
+      .select(col("o_month"), col("grp"), expr(
+        s"transform(sequence(0, ${HllM - 1}), " +
+          "j -> coalesce(element_at(mm, j), CAST(0 AS BIGINT)))").as("hll_regs"))
+    val sums = hashed
+      .groupBy(col("o_month"), col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+    sums.join(regState, Seq("o_month", "grp"))
+  }
+
+  /** Merge stored states across parts into the per-group rollup: counts
+    * and sums by +, HLL registers by MAX (via explode → max, linear in
+    * state rows however many parts exist), then the shared exact-integer
+    * estimator. */
+  def mergeStates(stored: DataFrame): DataFrame = {
+    val mergedRegs = stored
+      .select(col("grp"), posexplode(col("hll_regs")).as(Seq("j", "m")))
+      .groupBy(col("grp"), col("j")).agg(max(col("m")).as("m"))
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    val est = mergedRegs
+      .groupBy(col("grp"))
+      .agg(sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - m)")).as("s_scaled"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("est_raw_milli", expr(s"$numer DIV s_scaled"))
+      .withColumn("est_milli", expr(
+        s"CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0 " +
+          s"THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT) " +
+          "ELSE est_raw_milli END"))
+      .select(col("grp"), col("n_hit"), col("n_zero"), col("s_scaled"),
+        col("est_milli"))
+    stored.groupBy(col("grp"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("price_cents")).as("price_cents"))
+      .join(est, Seq("grp"))
+  }
+
+  def aggStateMv(s: SparkSession, dir: String): DataFrame = {
+    val mvPath = graft.etl.Scratch.path(s, "mv/uniq_state_by_month_priority")
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    // 1. materialize the state table, month-partitioned (at 100 TB this
+    //    is the MV that already exists; refresh would be per-month
+    //    dynamic overwrite exactly as in IncrementalMv)
+    states(orders)
+      .write.mode("overwrite").partitionBy("o_month").parquet(mvPath)
+    // 2. query time: read states back and -Merge across months
+    val merged = mergeStates(s.read.parquet(mvPath))
+    // 3. exact distinct rides along to surface the sketch error the
+    //    spec bounds (diagnostic arm; dropped in production use)
+    val exact = orders.groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    merged.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_rows"), col("price_cents"), col("n_hit"),
+        col("n_zero"), col("s_scaled"), col("est_milli"), col("exact_distinct"))
+      .orderBy(col("grp"))
+  }
+
+  /** Oracle: the DIRECT rollup over the raw fact table — global HLL per
+    * group (same hash, registers, integer estimator as
+    * [[SketchOps.hllDistinctSql]]) plus exact counts/sums. Equality with
+    * the state-merging path is the -State/-Merge correctness theorem. */
+  val aggStateMvSql: String = {
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    s"""WITH hp AS (
+       |  SELECT o_orderpriority AS grp, o_custkey, o_totalprice,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(o_custkey AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM orders),
+       |h AS (SELECT grp, o_custkey, o_totalprice, ${kmvMixSql("ph")} AS hv FROM hp),
+       |r AS (
+       |  SELECT grp, hv % $HllM AS j,
+       |    max(CASE WHEN hv // $HllM = 0 THEN $scale
+       |             ELSE $scale - length(bin(hv // $HllM)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (($scale - m))) AS BIGINT) AS s_hit
+       |  FROM r GROUP BY 1),
+       |sums AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+       |      AS price_cents,
+       |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+       |  FROM h GROUP BY 1),
+       |e AS (
+       |  SELECT grp, n_hit, $HllM - n_hit AS n_zero,
+       |    s_hit + ($HllM - n_hit) * CAST(${1L << scale} AS BIGINT) AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT grp, n_hit, n_zero, s_scaled,
+       |    $numer // s_scaled AS est_raw_milli
+       |  FROM e)
+       |SELECT grp, n_rows, price_cents, n_hit, n_zero, s_scaled,
+       |  CAST(CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0
+       |    THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT)
+       |    ELSE est_raw_milli END AS BIGINT) AS est_milli,
+       |  exact_distinct
+       |FROM est JOIN sums USING (grp)
+       |ORDER BY grp""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_agg_state" -> (aggStateMv _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mv_agg_state" -> aggStateMvSql
+  )
+}

@@ -457,6 +457,41 @@ object StreamOps {
       }
   }
 
+  /** Streaming count-min sketch — the frequency twin of
+    * [[hllDistinctStream]], mirroring [[graft.ops.SketchOps
+    * .cmsHeavyHitters]]'s counter grid as keyed stream state. State is
+    * keyed on the (depth, slot) CELL, not the depth row: 2048 keys of
+    * one long each, so updates partition across executors instead of
+    * funneling through 4 hot groups, and the total state is the same
+    * CONSTANT-size grid however many terms pass — the streaming
+    * heavy-hitters shape. Counter updates are associative sums, so
+    * batch boundaries cannot change the final grid, and the hashes are
+    * the JVM twins of the batch SQL expressions (PolyHash fold + the
+    * shared [[graft.ops.SketchOps.cmsAB]] affine rows) — StreamingSpec
+    * pins stream-final counters AND probe estimates against the batch
+    * pipeline on the same corpus. Emits one updated cell per batch. */
+  case class CmsCell(d: Int, slot: Long, c: Long)
+
+  def cmsStream(terms: Dataset[String]): Dataset[CmsCell] = {
+    import terms.sparkSession.implicits._
+    import graft.ops.SketchOps.{CmsMod, CmsWidth, cmsAB}
+    terms
+      .flatMap { t =>
+        val h = graft.functions.PolyHash.fold(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L, CmsMod)
+        cmsAB.zipWithIndex.map { case ((a, b), d) =>
+          (d, ((a * h + b) % CmsMod) % CmsWidth)
+        }
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), batch: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + batch.size
+          state.update(c)
+          CmsCell(key._1, key._2, c)
+      }
+  }
+
   /** Incremental near-dup detection on a live document stream. Each
     * micro-batch runs the SAME batch MinHash pipeline: candidates are the
     * union of (1) the batch's own banded+bucket-capped self-pairs — so

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AnfOps, Coreset, GraphOps, IncrementalMv, PcaOps, PreferenceOps}
+import graft.ops.{AggStateMv, AnfOps, Coreset, DomainReweight, GraphOps, IncrementalMv, PcaOps, PreferenceOps, RobustStats}
 
 /** Semantic checks for the round-10 curation operators — the oracle
   * proves bit-equality with DuckDB; these prove the MATH does what the
@@ -245,5 +245,94 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0,
       "refresh must be idempotent run-to-run")
     got.unpersist()
+  }
+
+  test("agg-state MV: merged HLL states equal the direct sketch, invariant to finer state partitioning") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val got = AggStateMv.aggStateMv(spark, sf).collect()
+    // merge(per-month states) must equal the INDEPENDENT direct register
+    // pipeline over the raw rows — the -State/-Merge theorem against a
+    // second implementation, not the op's own code path
+    val direct = graft.ops.SketchOps.hllDistinctOf(orders)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    got.foreach { r =>
+      val g = r.getString(0)
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) == direct(g),
+        s"group $g: merged state != direct sketch")
+    }
+    // counts/sums partials: the distributive arm must tile the fact table
+    assert(got.map(_.getLong(1)).sum == orders.count())
+    // merging FINER states (orderkey-parity split doubles the state rows
+    // per (month, grp)) must not change a single cell
+    val even = AggStateMv.states(orders.filter(col("o_orderkey") % 2 === 0))
+    val odd = AggStateMv.states(orders.filter(col("o_orderkey") % 2 === 1))
+    val merged = AggStateMv.mergeStates(even.unionByName(odd))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    got.foreach { r =>
+      val g = r.getString(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == merged(g),
+        s"group $g: split-merge differs from month-merge")
+    }
+  }
+
+  test("doremi: mixture is a smoothed distribution, monotone in excess loss") {
+    val rows = DomainReweight.doremiWeights(spark, sf).collect()
+    assert(rows.length >= 2, "fixture must have at least two domains")
+    val excess = rows.map(_.getLong(3))
+    val alpha = rows.map(_.getLong(4))
+    assert(excess.min == 0L, "the reference (lowest-NLL) domain has zero excess")
+    assert(excess.forall(_ >= 0L))
+    // ppm mixture: sums to 1e6 minus bounded DIV truncation, never over
+    val total = alpha.sum
+    assert(total <= 1000000L && total >= 990000L, s"alpha sum $total out of band")
+    // uniform smoothing floor: every domain keeps at least eps/k
+    assert(alpha.min >= DomainReweight.EpsPpm / rows.length,
+      s"smoothing floor violated: ${alpha.min}")
+    // multiplicative weights are monotone in excess (equal starts,
+    // monotone factor, monotone truncation)
+    val byExcess = rows.sortBy(r => (r.getLong(3), r.getString(0)))
+    byExcess.map(_.getLong(4)).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "alpha must be non-decreasing in excess")
+      case _ =>
+    }
+    // budget arithmetic: token_budget == total_tokens · alpha DIV 1e6
+    val totalTokens = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(5) == totalTokens * r.getLong(4) / 1000000L,
+        s"budget mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("outlier MAD: histogram medians match a brute-force sort, fence is the exact modified-z rule") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(((s.length + 1) / 2) - 1) // rank ceil(n/2), 1-based
+    }
+    val expect = d.groupBy(_._1).map { case (src, xs) =>
+      val vals = xs.map(_._2).toSeq
+      val med = lowerMedian(vals)
+      val devs = vals.map(v => (v - med).abs)
+      val mad = lowerMedian(devs)
+      val outliers = devs.count(dv => dv * 6745L > mad * 35000L)
+      src -> (vals.length.toLong, med, mad, outliers.toLong, devs.max)
+    }
+    val got = RobustStats.outlierMad(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == e,
+        s"source ${r.getString(0)}: got ${(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))} expected $e")
+    }
   }
 }

@@ -213,6 +213,46 @@ class StreamingSpec extends SparkSuite {
       s"stream state $a must equal the batch register pipeline $batchRows")
   }
 
+  test("streaming CMS grid equals the batch sketch probes, batch-split-invariant") {
+    import spark.implicits._
+    import graft.ops.SketchOps.{CmsMod, CmsWidth, cmsAB}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the SAME corpus terms the batch sketch counts, via the batch tokenizer
+    val terms = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    def run(name: String, chunks: Seq[Seq[String]]): Map[(Int, Long), Long] = {
+      val in = MemoryStream[String]
+      val q = StreamOps.cmsStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      val rows = spark.sql(s"SELECT d, slot, c FROM $name").collect()
+      q.stop()
+      rows.groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max } // counters only grow
+    }
+    val third = terms.length / 3
+    val a = run("cms3", Seq(terms.take(third),
+      terms.slice(third, 2 * third), terms.drop(2 * third)))
+    val b = run("cms1", Seq(terms))
+    assert(a == b, "final counter grid must not depend on batch boundaries")
+    // probe parity: min-over-rows estimates from the stream grid must
+    // equal the registered batch pipeline's cms_est for every probe term
+    val batch = graft.ops.SketchOps.cmsHeavyHitters(spark, dir).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val term = r.getString(0)
+      val h = graft.functions.PolyHash.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term), 31L, CmsMod)
+      val streamEst = cmsAB.zipWithIndex.map { case ((aa, bb), d) =>
+        a((d, ((aa * h + bb) % CmsMod) % CmsWidth))
+      }.min
+      assert(streamEst == r.getLong(2),
+        s"probe '$term': stream est $streamEst != batch est ${r.getLong(2)}")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
