@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
+  /** Tokenize-and-count once: the 3-narrow-column projection feeds the
+    * value histogram, the deviation join and the fence agg — without
+    * the checkpoint each consumer would re-split the corpus text. */
   private def lengths(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .localCheckpoint()
 
   /** Exact per-group lower median of `v` via the value histogram:
     * smallest value whose cumulative count reaches ceil(n/2). */

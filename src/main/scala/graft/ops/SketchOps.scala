@@ -416,7 +416,121 @@ object SketchOps {
        |ORDER BY grp""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Sliding-window distinct via mergeable HLL states — the window
+  // algebra that makes "distinct users, trailing 7 days, per day"
+  // affordable at 100 TB: exact sliding distinct needs every (day,
+  // user) pair in every window it touches, but HLL registers merge by
+  // MAX, so each day is sketched ONCE (64 registers) and every window
+  // is a register-wise max over ≤ 7 state rows — the corpus is never
+  // re-read per window. This is the uniqState + window-view pattern of
+  // the reference's storage engine, and the window-merge step costs
+  // days × 7 × 64 rows however large the corpus.
+  //
+  // The exact trailing-window distinct rides along as the diagnostic
+  // arm, computed from the DISTINCT (day, user) pairs (daily-active
+  // table, itself corpus-collapsed first) — dropped in production use.
+  val SlideDays = 7
+
+  def hllSliding(s: SparkSession, dir: String): DataFrame = {
+    val scale = HllWBits + 1
+    val ev = graft.queries.Relational.events(s, dir)
+      .select(expr("_ms DIV 86400000").as("day"),
+        graft.functions.PolyHash
+          .polyHash(col("user_id").cast("string"), 31, KmvMod).as("ph"),
+        col("user_id"))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+    val regs = ev
+      .withColumn("j", col("hv") % HllM)
+      .withColumn("rho", expr(
+        s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
+          s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m"))
+    // day spine: only days with events emit a window row
+    val days = regs.select(col("day")).distinct()
+    // each day's state contributes to the SlideDays windows it falls in
+    // (equi-join shape: explode the bounded offset range, then restrict
+    // to spine days — no range join, no per-window corpus scan)
+    val win = regs
+      .withColumn("tday", explode(expr(s"sequence(day, day + ${SlideDays - 1})")))
+      .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"))
+      .groupBy(col("tday"), col("j")).agg(max(col("m")).as("m"))
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    val est = win.groupBy(col("tday"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scale - m)")).as("s_hit"))
+      .withColumn("n_zero", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_scaled", col("s_hit") + col("n_zero") * (1L << scale))
+      .withColumn("est_raw_milli", expr(s"$numer DIV s_scaled"))
+      .withColumn("est_milli", expr(
+        s"CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0 " +
+          s"THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT) " +
+          "ELSE est_raw_milli END"))
+    // diagnostic arm: exact trailing distinct from the daily-active table
+    val du = ev.select(col("day"), col("user_id")).distinct()
+    val exact = du
+      .withColumn("tday", explode(expr(s"sequence(day, day + ${SlideDays - 1})")))
+      .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"))
+      .groupBy(col("tday"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"),
+        countDistinct(col("day")).as("n_days"))
+    est.join(exact, Seq("tday"))
+      .select(col("tday").as("day"), col("n_days"), col("n_hit"), col("n_zero"),
+        col("s_scaled"), col("est_milli"), col("exact_distinct"))
+      .orderBy(col("day"))
+  }
+
+  val hllSlidingSql: String = {
+    val scale = HllWBits + 1
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    s"""WITH hp AS (
+       |  SELECT CAST(epoch_ms(ts) AS BIGINT) // 86400000 AS day, user_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM events),
+       |h AS (SELECT day, user_id, ${kmvMixSql("ph")} AS hv FROM hp),
+       |r AS (
+       |  SELECT day, hv % $HllM AS j,
+       |    max(CASE WHEN hv // $HllM = 0 THEN $scale
+       |             ELSE $scale - length(bin(hv // $HllM)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day FROM r),
+       |win AS (
+       |  SELECT d.day AS day, r.j, max(r.m) AS m
+       |  FROM days d JOIN r ON r.day BETWEEN d.day - ${SlideDays - 1} AND d.day
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (($scale - m))) AS BIGINT) AS s_hit
+       |  FROM win GROUP BY 1),
+       |du AS (SELECT DISTINCT day, user_id FROM h),
+       |ex AS (
+       |  SELECT d.day AS day,
+       |    CAST(count(DISTINCT du.user_id) AS BIGINT) AS exact_distinct,
+       |    CAST(count(DISTINCT du.day) AS BIGINT) AS n_days
+       |  FROM days d JOIN du ON du.day BETWEEN d.day - ${SlideDays - 1} AND d.day
+       |  GROUP BY 1),
+       |e AS (
+       |  SELECT day, n_hit, $HllM - n_hit AS n_zero,
+       |    s_hit + ($HllM - n_hit) * CAST(${1L << scale} AS BIGINT) AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT day, n_hit, n_zero, s_scaled,
+       |    $numer // s_scaled AS est_raw_milli
+       |  FROM e)
+       |SELECT day, n_days, n_hit, n_zero, s_scaled,
+       |  CAST(CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0
+       |    THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT)
+       |    ELSE est_raw_milli END AS BIGINT) AS est_milli,
+       |  exact_distinct
+       |FROM est JOIN ex USING (day)
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_sliding" -> (hllSliding _),
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
@@ -424,6 +538,7 @@ object SketchOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,

@@ -417,7 +417,74 @@ object Behavioral {
        |    AS credit_milli_total
        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Hampel filter: rolling robust outlier detection on each user's
+  // event-value series — the time-series cleaning pass (sensor spikes,
+  // bot bursts, fat-finger purchases) that mean/stddev fences miss
+  // because the spike drags its own baseline. Per event, the ±3-row
+  // frame's median and MAD are computed INSIDE one window pass (the
+  // 7-element frame is collected per row and sorted as an array — no
+  // second shuffle, no self-join), and the event is flagged by the
+  // integer modified-z fence 6745·|x−med| > 35000·MAD (the same
+  // Iglewicz-Hoaglin rule as [[graft.ops.RobustStats]], degenerating
+  // to dev > 0 when MAD = 0). Values are cent-quantized with the
+  // proven round(value·100) convention, so the oracle replays the
+  // frame, medians and fence cell-exactly.
+  //
+  // Plan shape: ONE exchange on user_id (high-cardinality key), one
+  // WindowExec with a constant 7-row frame — per-row state is 7 longs
+  // however long the series, so the operator scales as a linear scan
+  // of each user's timeline at any corpus size.
+  val HampelHalf = 3
+
+  def hampel(s: SparkSession, dir: String): DataFrame =
+    hampelOf(Relational.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+
+  /** The filter over any (user_id, event_id, _ms, cents) frame —
+    * exposed so the spec can plant a hand-computed spike series. */
+  def hampelOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+      .rowsBetween(-HampelHalf, HampelHalf)
+    ev.withColumn("arr", collect_list(col("cents")).over(w))
+      .withColumn("med", expr(
+        "element_at(array_sort(arr), CAST((size(arr) + 1) DIV 2 AS INT))"))
+      .withColumn("dev", abs(col("cents") - col("med")))
+      .withColumn("mad", expr(
+        "element_at(array_sort(transform(arr, v -> abs(v - med))), " +
+          "CAST((size(arr) + 1) DIV 2 AS INT))"))
+      .filter(col("dev") * 6745L > col("mad") * 35000L)
+      .select(col("user_id"), col("event_id"), col("cents"), col("med"),
+        col("mad"), col("dev"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val hampelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |a AS (
+      |  SELECT user_id, event_id, cents,
+      |    list(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+      |  FROM e),
+      |m AS (
+      |  SELECT user_id, event_id, cents, arr,
+      |    list_sort(arr)[(len(arr) + 1) // 2] AS med
+      |  FROM a),
+      |d AS (
+      |  SELECT user_id, event_id, cents, med,
+      |    abs(cents - med) AS dev,
+      |    list_sort(list_transform(arr, v -> abs(v - med)))[(len(arr) + 1) // 2] AS mad
+      |  FROM m)
+      |SELECT user_id, event_id, cents, CAST(med AS BIGINT) AS med,
+      |  CAST(mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
+      |FROM d WHERE dev * 6745 > mad * 35000
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hampel" -> (hampel _),
     "events_attribution" -> (attribution _),
     "events_scd2" -> (scd2 _),
     "events_window_funnel" -> (windowFunnel _),
@@ -427,6 +494,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_hampel" -> hampelSql,
     "events_attribution" -> attributionSql,
     "events_scd2" -> scd2Sql,
     "events_window_funnel" -> windowFunnelSql,

@@ -239,4 +239,21 @@ class BehavioralSpec extends SparkSuite {
       delay.foreach(d => assert(d > 0L && d <= W))
     }
   }
+
+  test("hampel: a planted spike is flagged, its neighbors / constant / ramp series are not") {
+    // user 1: flat line with one spike; user 2: constant; user 3: ramp
+    val rows = (0 until 9).map(i =>
+        (1L, i.toLong, (i * 10).toLong, if (i == 4) 5000L else 100L)) ++
+      (0 until 9).map(i => (2L, (100 + i).toLong, (i * 10).toLong, 250L)) ++
+      (0 until 9).map(i => (3L, (200 + i).toLong, (i * 10).toLong, (100 * (i + 1)).toLong))
+    val got = Behavioral.hampelOf(
+        rows.toDF("user_id", "event_id", "_ms", "cents"))
+      .collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)),
+      s"exactly the spike must be flagged, got ${got.mkString(",")}")
+    // the spike row's frame: med = flat value, MAD = 0 -> dev > 0 fires
+    val r = got.head
+    assert(r.getLong(2) == 5000L && r.getLong(3) == 100L &&
+      r.getLong(4) == 0L && r.getLong(5) == 4900L)
+  }
 }

@@ -813,6 +813,26 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("hll sliding: every window's merged state equals the keyed sketch over the window's raw rows") {
+    import graft.ops.SketchOps
+    val out = SketchOps.hllSliding(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= SketchOps.SlideDays.toLong))
+    val ev = graft.queries.Relational.events(spark, sf)
+      .select(expr("_ms DIV 86400000").as("day"), col("user_id"))
+    // sliding-merge identity, checked against the PROVEN keyed pipeline
+    // run directly on each sample window's raw rows (first, middle, last)
+    Seq(out.head, out(out.length / 2), out.last).foreach { r =>
+      val d = r.getLong(0)
+      val windowRows = ev.filter(
+        col("day") >= d - (SketchOps.SlideDays - 1) && col("day") <= d)
+      val k = SketchOps.hllKeyed(windowRows, lit("w"), col("user_id")).collect()(0)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        (k.getLong(1), k.getLong(2), k.getLong(3), k.getLong(4)),
+        s"window day $d: merged state differs from the direct keyed sketch")
+    }
+  }
+
   test("count-min sketch never undercounts and stays below the corpus total") {
     val est = graft.ops.SketchOps.cmsHeavyHitters(spark, sf)
     assert(est.count() == graft.ops.SketchOps.CmsProbeK)
