@@ -529,7 +529,101 @@ object SketchOps {
        |ORDER BY day""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Mergeable quantile sketch via a log-spaced histogram — the fourth
+  // classic sketch family (frequencies: CMS; cardinality: KMV/HLL;
+  // quantiles: here), the engine-side analogue of ClickHouse's
+  // quantile* functions. The state is (group, bucket, count) where
+  // bucket = round(1000·ln(1+v)) DIV 100 — a CONSTANT-size grid
+  // (≤ ~180 buckets per group for any 64-bit value domain, each bucket
+  // spanning ~10.5% relative width) that merges by count addition
+  // across shards/days, so a 100 TB percentile never sorts anything:
+  // one map-side-combined aggregate builds the state, and any quantile
+  // is a cumulative walk over the tiny grid. The guarantee is a BUCKET
+  // (≤ e^0.1 − 1 ≈ 10.5% relative error at the edges); the exact
+  // quantile rides along from the value histogram (the quantileExact
+  // shape) so the oracle checks the containment invariant — the exact
+  // value's ln-bucket IS the sketch's bucket — cell-exactly per run.
+  val QWidthMilli = 100L
+  val QuantilesMilli: Seq[Long] = Seq(500L, 900L, 990L)
+
+  def quantileHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("lnm", expr("CAST(round(1000 * ln(1 + cents)) AS BIGINT)"))
+      .withColumn("bucket", expr(s"lnm DIV $QWidthMilli"))
+    val qArr = array(QuantilesMilli.map(lit(_)): _*)
+    // the sketch state: one map-side-combined agg, grid-sized output
+    val state = o.groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("bucket")) // grid-sized
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val fromSketch = cum
+      .withColumn("q_milli", explode(qArr))
+      .filter(col("cum") >= expr(s"(n * q_milli + 999) DIV 1000"))
+      .groupBy(col("grp"), col("q_milli")).agg(min(col("bucket")).as("bucket"))
+    // exact arm (diagnostic): value-histogram exact quantile
+    val vh = o.groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+    val vCum = vh
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("cents"))))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val exact = vCum
+      .withColumn("q_milli", explode(qArr))
+      .filter(col("cum") >= expr(s"(n * q_milli + 999) DIV 1000"))
+      .groupBy(col("grp"), col("q_milli")).agg(min(col("cents")).as("exact_cents"))
+    fromSketch.join(exact, Seq("grp", "q_milli"))
+      .select(col("grp"), col("q_milli"), col("bucket"),
+        (col("bucket") * QWidthMilli).as("edge_milli_ln"),
+        col("exact_cents"),
+        expr("CAST(round(1000 * ln(1 + exact_cents)) AS BIGINT)").as("exact_ln_milli"))
+      .orderBy(col("grp"), col("q_milli"))
+  }
+
+  val quantileHistSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |b AS (
+       |  SELECT grp, cents,
+       |    CAST(round(1000 * ln(1 + cents)) AS BIGINT) // $QWidthMilli AS bucket
+       |  FROM o),
+       |state AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |          FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, bucket,
+       |    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY grp) AS n
+       |  FROM state),
+       |qs AS (SELECT UNNEST([500, 900, 990]) AS q_milli),
+       |sk AS (
+       |  SELECT grp, q_milli, min(bucket) AS bucket
+       |  FROM cum, qs WHERE cum >= (n * q_milli + 999) // 1000
+       |  GROUP BY 1, 2),
+       |vh AS (SELECT grp, cents, count(*) AS c FROM o GROUP BY 1, 2),
+       |vcum AS (
+       |  SELECT grp, cents,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY cents) AS cum,
+       |    sum(c) OVER (PARTITION BY grp) AS n
+       |  FROM vh),
+       |ex AS (
+       |  SELECT grp, q_milli, min(cents) AS exact_cents
+       |  FROM vcum, qs WHERE cum >= (n * q_milli + 999) // 1000
+       |  GROUP BY 1, 2)
+       |SELECT sk.grp, CAST(sk.q_milli AS BIGINT) AS q_milli,
+       |  CAST(sk.bucket AS BIGINT) AS bucket,
+       |  CAST(sk.bucket * $QWidthMilli AS BIGINT) AS edge_milli_ln,
+       |  CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       |  CAST(round(1000 * ln(1 + ex.exact_cents)) AS BIGINT) AS exact_ln_milli
+       |FROM sk JOIN ex ON sk.grp = ex.grp AND sk.q_milli = ex.q_milli
+       |ORDER BY sk.grp, sk.q_milli""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile_hist" -> (quantileHist _),
     "sketch_hll_sliding" -> (hllSliding _),
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_cms_heavy_hitters" -> (cmsHeavyHitters _),
@@ -538,6 +632,7 @@ object SketchOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_quantile_hist" -> quantileHistSql,
     "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_cms_heavy_hitters" -> cmsHeavyHittersSql,

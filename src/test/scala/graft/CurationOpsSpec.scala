@@ -281,6 +281,42 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("agg-state refresh: idempotent re-run, touches only post-cutoff months beyond the stored build") {
+    val got = AggStateMv.aggStateRefresh(spark, sf).cache()
+    val again = AggStateMv.aggStateRefresh(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0,
+      "state refresh must be idempotent run-to-run")
+    // the delta can only ADD to pre-cutoff months' states, never lose:
+    // every month present pre-refresh is present after, and row counts
+    // tile the fact table
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(got.agg(sum(col("n_rows"))).head.getLong(0) == orders.count())
+    val monthsGot = got.select(col("o_month")).distinct().count()
+    val monthsRaw = orders
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("m"))
+      .distinct().count()
+    assert(monthsGot == monthsRaw, "every fact month must have a state row")
+    got.unpersist()
+  }
+
+  test("quantile sketch: exact quantile always lands inside the reported bucket, buckets monotone in q") {
+    import graft.ops.SketchOps
+    val rows = SketchOps.quantileHist(spark, sf).collect()
+    assert(rows.length == 15) // 5 groups x 3 quantiles
+    rows.foreach { r =>
+      val (bucket, edge, exactLn) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      // the containment guarantee: the sketch's answer is the bucket
+      // holding the true quantile — never off by one
+      assert(exactLn / SketchOps.QWidthMilli == bucket && edge == bucket * SketchOps.QWidthMilli,
+        s"row $r: exact quantile outside the sketch bucket")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byQ = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(byQ.zip(byQ.tail).forall { case (a, b) => a <= b },
+        "bucket must be non-decreasing in the quantile")
+    }
+  }
+
   test("doremi: mixture is a smoothed distribution, monotone in excess loss") {
     val rows = DomainReweight.doremiWeights(spark, sf).collect()
     assert(rows.length >= 2, "fixture must have at least two domains")
