@@ -110,8 +110,12 @@ object LinkageOps {
       .orderBy(col("probe_id"))
   }
 
-  val fuzzyMatchSql: String =
-    s"""WITH master AS (
+  /** The blocked-candidate CTE chain (master → probes → hierarchical
+    * blocks → edit-distance-filtered candidates), shared by the fuzzy
+    * match oracle and the golden-record oracle so the two stay one
+    * definition. */
+  private val candCtesSql: String =
+    s"""master AS (
        |  SELECT p_partkey, lower(p_name) AS name, p_brand FROM part),
        |probes AS (
        |  SELECT p_partkey + 1000000 AS probe_id,
@@ -146,7 +150,10 @@ object LinkageOps {
        |  SELECT probe_id, probe_name, p_partkey, name,
        |    CAST(levenshtein(probe_name, name) AS BIGINT) AS dist
        |  FROM pbr JOIN mb USING (block) JOIN ok USING (block)
-       |  WHERE levenshtein(probe_name, name) <= $MaxEditDist)
+       |  WHERE levenshtein(probe_name, name) <= $MaxEditDist)""".stripMargin
+
+  val fuzzyMatchSql: String =
+    s"""WITH $candCtesSql
        |SELECT probe_id, probe_name, p_partkey AS matched_part, name AS matched_name,
        |  dist, CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT) AS n_candidates
        |FROM cand
@@ -347,13 +354,79 @@ object LinkageOps {
        |ORDER BY probe_id, p_partkey""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Golden-record survivorship — the step AFTER matching in an MDM /
+  // entity-resolution pipeline: each matched cluster (master + the
+  // dirty re-entries linked to it) elects ONE canonical record by a
+  // deterministic survivorship rule (most-frequent value, ties broken
+  // lexicographically — the standard "majority then stable" election),
+  // with per-entity audit stats (member count, distinct variants,
+  // total edit distance absorbed). The plan is the blocked linkage
+  // plus two entity-keyed aggregates and one bounded rank window per
+  // entity — entity_id is master-key-grade cardinality, so everything
+  // after matching partitions as well as the match itself.
+  def goldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val matches = fuzzyMatch(s, dir)
+    val members = matches
+      .select(col("matched_part").as("entity_id"),
+        col("probe_name").as("name"), col("dist"))
+      .unionByName(matches
+        .select(col("matched_part").as("entity_id"),
+          col("matched_name").as("name"), lit(0L).as("dist"))
+        .distinct())
+    // survivorship: consensus-closest first (min edit distance to the
+    // cluster's match spine — the master sits at 0), then frequency,
+    // then a stable lexicographic tiebreak
+    val votes = members.groupBy(col("entity_id"), col("name"))
+      .agg(min(col("dist")).as("d"), count(lit(1)).as("v"))
+    val wElect = Window.partitionBy(col("entity_id"))
+      .orderBy(col("d"), col("v").desc, col("name"))
+    val canon = votes
+      .withColumn("_rk", row_number().over(wElect))
+      .filter(col("_rk") === 1)
+      .select(col("entity_id"), col("name").as("canonical_name"))
+    val stats = members.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col("name")).as("n_name_variants"),
+        sum(col("dist")).as("total_dist"))
+    canon.join(stats, Seq("entity_id"))
+      .orderBy(col("entity_id"))
+  }
+
+  val goldenRecordSql: String =
+    s"""WITH $candCtesSql,
+       |best AS (
+       |  SELECT probe_id, probe_name, p_partkey, name AS matched_name, dist
+       |  FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY dist, p_partkey) = 1),
+       |members AS (
+       |  SELECT p_partkey AS entity_id, probe_name AS name, dist FROM best
+       |  UNION ALL
+       |  SELECT DISTINCT p_partkey AS entity_id, matched_name AS name,
+       |    CAST(0 AS BIGINT) AS dist FROM best),
+       |votes AS (SELECT entity_id, name, min(dist) AS d, count(*) AS v
+       |          FROM members GROUP BY 1, 2),
+       |canon AS (
+       |  SELECT entity_id, name AS canonical_name FROM votes
+       |  QUALIFY row_number() OVER (PARTITION BY entity_id ORDER BY d, v DESC, name) = 1),
+       |stats AS (
+       |  SELECT entity_id, CAST(count(*) AS BIGINT) AS n_records,
+       |    CAST(count(DISTINCT name) AS BIGINT) AS n_name_variants,
+       |    CAST(sum(dist) AS BIGINT) AS total_dist
+       |  FROM members GROUP BY 1)
+       |SELECT entity_id, canonical_name, n_records, n_name_variants, total_dist
+       |FROM canon JOIN stats USING (entity_id)
+       |ORDER BY entity_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "match_fuzzy_blocked" -> (fuzzyMatch _),
-    "match_fs_em" -> (fsEm _)
+    "match_fs_em" -> (fsEm _),
+    "match_golden_record" -> (goldenRecord _)
   )
 
   val oracle: Map[String, String] = Map(
     "match_fuzzy_blocked" -> fuzzyMatchSql,
-    "match_fs_em" -> fsEmSql
+    "match_fs_em" -> fsEmSql,
+    "match_golden_record" -> goldenRecordSql
   )
 }

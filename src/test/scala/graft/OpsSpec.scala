@@ -186,6 +186,29 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("golden record: the consensus-closest member survives, audit stats tile the clusters") {
+    val matches = graft.ops.LinkageOps.fuzzyMatch(spark, sf).cache()
+    val out = graft.ops.LinkageOps.goldenRecord(spark, sf).cache()
+    assert(out.count() == matches.select(col("matched_part")).distinct().count(),
+      "one golden record per matched entity")
+    // the survivor is always the match spine's name (edit distance 0 to
+    // itself — probes sit at >= 1), never a corrupted variant
+    val bad = out.join(matches,
+        col("entity_id") === col("matched_part"))
+      .filter(col("canonical_name") =!= col("matched_name"))
+    assert(bad.count() == 0, "survivorship must elect the dist-0 master name")
+    // audit stats: members = probes + the master row, variants >= 2
+    // (every probe differs from its master), absorbed distance >= probes
+    val stats = out.agg(
+      sum(col("n_records")).as("members"),
+      min(col("n_name_variants")).as("minv"),
+      sum(col("total_dist")).as("dist")).head
+    assert(stats.getLong(0) == matches.count() + out.count())
+    assert(stats.getLong(1) >= 2L)
+    assert(stats.getLong(2) >= matches.count())
+    matches.unpersist(); out.unpersist()
+  }
+
   test("hierarchical blocking: oversized level-0 blocks refine by brand instead of dropping") {
     // cap 4 forces refinement of most level-0 name blocks at spec sf —
     // the same pressure sf0.1 puts on the default 256 cap (where flat
