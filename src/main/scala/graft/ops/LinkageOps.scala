@@ -366,7 +366,10 @@ object LinkageOps {
   // entity — entity_id is master-key-grade cardinality, so everything
   // after matching partitions as well as the match itself.
   def goldenRecord(s: SparkSession, dir: String): DataFrame = {
-    val matches = fuzzyMatch(s, dir)
+    // the match table feeds THREE subtrees (two member arms + stats);
+    // truncation materializes the (probe-count-sized) frame once so the
+    // whole blocked-linkage dag does not re-execute per consumer
+    val matches = Lineage.truncate(fuzzyMatch(s, dir))
     val members = matches
       .select(col("matched_part").as("entity_id"),
         col("probe_name").as("name"), col("dist"))

@@ -440,12 +440,15 @@ object SketchOps {
           .polyHash(col("user_id").cast("string"), 31, KmvMod).as("ph"),
         col("user_id"))
       .withColumn("hv", expr(kmvMixSql("ph")))
-    val regs = ev
+    // per-day states feed the spine AND the window merge: truncation
+    // materializes the (days × 64)-sized grid once so the corpus agg
+    // does not re-execute per consumer
+    val regs = graft.ops.Lineage.truncate(ev
       .withColumn("j", col("hv") % HllM)
       .withColumn("rho", expr(
         s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
           s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
-      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m"))
+      .groupBy(col("day"), col("j")).agg(max(col("rho")).as("m")))
     // day spine: only days with events emit a window row
     val days = regs.select(col("day")).distinct()
     // each day's state contributes to the SlideDays windows it falls in

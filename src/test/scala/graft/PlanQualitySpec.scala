@@ -112,6 +112,24 @@ class PlanQualitySpec extends SparkSuite {
     // either plan is a de-optimization and fails here.
     "events_window_funnel" -> 3,
     "events_sequence_count" -> 2,
+    // Hampel: ONE user_id exchange feeding the rolling-frame window
+    // (median/MAD are array ops inside it) + output sort. A third
+    // exchange means a self-join or per-user re-shuffle crept in.
+    "events_hampel" -> 2,
+    // Golden record: post-truncation plan over the checkpointed match
+    // table — election window + votes/stats aggs + canon⋈stats + output
+    // sort. The pin failing at ~25 means the truncation was dropped and
+    // the whole blocked-linkage dag re-executes per consumer.
+    "match_golden_record" -> 7,
+    // Quantile sketch: the two histogram aggs (grid + exact arm), their
+    // grid-sized cum windows, quantile-pick aggs, output sort; the
+    // sketch⋈exact join broadcasts. More means a corpus-scale sort.
+    "sketch_quantile_hist" -> 5,
+    // Sliding HLL: per-day state agg (truncated), window-merge agg,
+    // estimator agg, daily-active distinct + its window/exact aggs,
+    // output sort; spine joins broadcast. The pin guards the truncation
+    // and the equi-join (not range-join) window-merge shape.
+    "sketch_hll_sliding" -> 8,
     // Post-checkpoint graph plans: kcore's final estimate table is
     // lineage-truncated, so the registered plan is scan + output sort
     // only (the loop's per-round work is measured in SCALE.md, not
