@@ -432,7 +432,15 @@ object SketchOps {
   // table, itself corpus-collapsed first) — dropped in production use.
   val SlideDays = 7
 
-  def hllSliding(s: SparkSession, dir: String): DataFrame = {
+  def hllSliding(s: SparkSession, dir: String): DataFrame =
+    hllSlidingAt(s, dir, SlideDays, withExact = true)
+
+  /** Parameterized form: window width + optional exact arm (the scale
+    * bench measures sketch-only vs exact-only cost as the window
+    * widens — the sketch's window-merge work is 64 rows/day regardless
+    * of W's user volume, the exact arm's grows with W × daily actives). */
+  private[graft] def hllSlidingAt(s: SparkSession, dir: String,
+      slideDays: Int, withExact: Boolean): DataFrame = {
     val scale = HllWBits + 1
     val ev = graft.queries.Relational.events(s, dir)
       .select(expr("_ms DIV 86400000").as("day"),
@@ -455,7 +463,7 @@ object SketchOps {
     // (equi-join shape: explode the bounded offset range, then restrict
     // to spine days — no range join, no per-window corpus scan)
     val win = regs
-      .withColumn("tday", explode(expr(s"sequence(day, day + ${SlideDays - 1})")))
+      .withColumn("tday", explode(expr(s"sequence(day, day + ${slideDays - 1})")))
       .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"))
       .groupBy(col("tday"), col("j")).agg(max(col("m")).as("m"))
     val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
@@ -469,10 +477,13 @@ object SketchOps {
         s"CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0 " +
           s"THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT) " +
           "ELSE est_raw_milli END"))
+    if (!withExact)
+      return est.select(col("tday").as("day"), col("n_hit"), col("n_zero"),
+        col("s_scaled"), col("est_milli")).orderBy(col("day"))
     // diagnostic arm: exact trailing distinct from the daily-active table
     val du = ev.select(col("day"), col("user_id")).distinct()
     val exact = du
-      .withColumn("tday", explode(expr(s"sequence(day, day + ${SlideDays - 1})")))
+      .withColumn("tday", explode(expr(s"sequence(day, day + ${slideDays - 1})")))
       .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"))
       .groupBy(col("tday"))
       .agg(countDistinct(col("user_id")).as("exact_distinct"),
