@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -483,7 +483,95 @@ object Behavioral {
       |FROM d WHERE dev * 6745 > mad * 35000
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // A/B experiment readout: deterministic hash-coin assignment (the
+  // same affine-coin idiom as the sampling family — assignment is a
+  // pure function of user_id, reproducible everywhere, no stored
+  // randomization table) followed by the two standard test statistics:
+  // a two-proportion z on conversion and a Welch z on per-user spend.
+  // The corpus work is ONE user-level rollup (user_id-keyed agg) and
+  // one conditional aggregation to the 1-row arm summary — at 100 TB
+  // the readout moves each user's events once, like the funnel. The
+  // statistics are IEEE-double expressions over exact integer sums
+  // (users, conversions, cent totals, cent sums of squares), with the
+  // same parenthesization in both engines, so division and sqrt are
+  // correctly-rounded on identical inputs and the doubles hash-match.
+  val AbHashA = 1103515245L
+  val AbHashB = 12345L
+  val AbMod = 1000003L
+
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        // "converted" must not be degenerate: every fixture user has every
+        // event type, so "any purchase" is 100% in both arms (z denominator
+        // exactly 0). Mean purchases/user is ~13 at every sf, so the >= 14
+        // threshold splits the population at any scale.
+        when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
+          .otherwise(0L).as("converted"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("arm",
+        expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    def armAgg(a: Int, c: Column) = sum(when(col("arm") === a, c).otherwise(0L))
+    perUser.agg(
+        armAgg(0, lit(1L)).as("n_a"), armAgg(1, lit(1L)).as("n_b"),
+        armAgg(0, col("converted")).as("conv_a"), armAgg(1, col("converted")).as("conv_b"),
+        armAgg(0, col("cents")).as("s_a"), armAgg(1, col("cents")).as("s_b"),
+        armAgg(0, col("cents") * col("cents")).as("ss_a"),
+        armAgg(1, col("cents") * col("cents")).as("ss_b"))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr("CAST(conv_a AS DOUBLE) / n_a").as("rate_a"),
+        expr("CAST(conv_b AS DOUBLE) / n_b").as("rate_b"),
+        expr("""(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))""").as("z_conversion"),
+        expr("CAST(s_a AS DOUBLE) / n_a").as("mean_cents_a"),
+        expr("CAST(s_b AS DOUBLE) / n_b").as("mean_cents_b"),
+        expr("""(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+                     + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)""")
+          .as("z_mean_spend"))
+  }
+
+  val abTestSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+       |         THEN 1 ELSE 0 END AS converted,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |armed AS (
+       |  SELECT *, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM pu),
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+       |  FROM armed)
+       |SELECT n_a, n_b, conv_a, conv_b,
+       |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
+       |  CAST(conv_b AS DOUBLE) / n_b AS rate_b,
+       |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+       |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+       |         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z_conversion,
+       |  CAST(s_a AS DOUBLE) / n_a AS mean_cents_a,
+       |  CAST(s_b AS DOUBLE) / n_b AS mean_cents_b,
+       |  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |    / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+       |         + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)
+       |    AS z_mean_spend
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_test" -> (abTest _),
     "events_hampel" -> (hampel _),
     "events_attribution" -> (attribution _),
     "events_scd2" -> (scd2 _),
@@ -494,6 +582,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_ab_test" -> abTestSql,
     "events_hampel" -> hampelSql,
     "events_attribution" -> attributionSql,
     "events_scd2" -> scd2Sql,

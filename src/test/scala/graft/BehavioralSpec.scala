@@ -240,6 +240,27 @@ class BehavioralSpec extends SparkSuite {
     }
   }
 
+  test("ab test: deterministic balanced arms, finite null-effect statistics") {
+    val r = graft.queries.Behavioral.abTest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nA, nB) = (row.getLong(0), row.getLong(1))
+    assert(nA > 0 && nB > 0, "both arms populated")
+    // the affine coin splits ~50/50 at any population
+    assert(math.abs(nA - nB) * 5 <= nA + nB, s"arms unbalanced: $nA vs $nB")
+    // conversion must not be degenerate (the fence the fixture forced:
+    // every user has purchases, so the threshold form keeps rates inside
+    // (0, 1) and the z denominators away from 0)
+    val (rateA, rateB) = (row.getDouble(4), row.getDouble(5))
+    assert(rateA > 0 && rateA < 1 && rateB > 0 && rateB < 1)
+    Seq(6, 9).foreach { i =>
+      val z = row.getDouble(i)
+      assert(!z.isNaN && !z.isInfinite, s"statistic $i not finite: $z")
+    }
+    // A/A contract: assignment is a pure function — rerun is identical
+    assert(graft.queries.Behavioral.abTest(spark, sf).collect().head == row)
+  }
+
   test("hampel: a planted spike is flagged, its neighbors / constant / ramp series are not") {
     // user 1: flat line with one spike; user 2: constant; user 3: ramp
     val rows = (0 until 9).map(i =>
