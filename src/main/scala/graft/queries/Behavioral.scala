@@ -570,7 +570,120 @@ object Behavioral {
        |    AS z_mean_spend
        |FROM agg""".stripMargin
 
+  // ------------------------------------------------------------------
+  // CUPED variance reduction (Deng et al. 2013, the industry-standard
+  // pre-experiment covariate adjustment): adjusted metric
+  // y' = y − θ(x − x̄) with θ the pooled OLS slope of post-period spend
+  // on PRE-period spend. θ and every variance term derive from the six
+  // exact integer sums (n, Σx, Σy, Σx², Σy², Σxy — one user rollup +
+  // one conditional aggregation, same 100 TB shape as the A/B readout);
+  // the doubles are computed with identical parenthesization in both
+  // engines, and products that could overflow int64 (n·Σxy at corpus
+  // user counts) are cast to DOUBLE before multiplying on BOTH sides.
+  // Fixture honesty: this fixture's per-event values are i.i.d. and
+  // user activity is near-uniform, so the pre-period covariate is weak
+  // (ρ ≈ 0.07, measured) and the pooled in-sample reduction is small —
+  // but it is mathematically ≥ 0 for the OLS θ, which the spec pins;
+  // the operator's value is the exact, oracle-replayable machinery.
+  def abCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+      .select(col("user_id"), col("_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // deterministic period boundary: midpoint of the observed span
+    // (1-row agg, broadcast back)
+    val mid = ev.agg(expr("(min(_ms) + max(_ms)) DIV 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("_ms") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("_ms") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    def armAgg(a: Int, c: Column) = sum(when(col("arm") === a, c).otherwise(0L))
+    val sums = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      armAgg(0, lit(1L)).as("n_a"), armAgg(1, lit(1L)).as("n_b"),
+      armAgg(0, col("x")).as("sx_a"), armAgg(1, col("x")).as("sx_b"),
+      armAgg(0, col("y")).as("sy_a"), armAgg(1, col("y")).as("sy_b"),
+      armAgg(0, col("x") * col("x")).as("sxx_a"), armAgg(1, col("x") * col("x")).as("sxx_b"),
+      armAgg(0, col("y") * col("y")).as("syy_a"), armAgg(1, col("y") * col("y")).as("syy_b"),
+      armAgg(0, col("x") * col("y")).as("sxy_a"), armAgg(1, col("x") * col("y")).as("sxy_b"))
+    // shared double algebra: the SAME expression strings run through
+    // Spark's expr() here and verbatim inside the DuckDB oracle below —
+    // one definition of every double operation on both engines
+    sums.select(col("n_a"), col("n_b"),
+      expr(Cuped.theta).as("theta"),
+      expr(Cuped.zRaw).as("z_raw"),
+      expr(Cuped.zCuped).as("z_cuped"),
+      expr(Cuped.varRawPooled).as("var_raw_pooled"),
+      expr(Cuped.varAdjPooled).as("var_adj_pooled"))
+  }
+
+  /** The CUPED statistic algebra over the 18 exact sums, as engine-
+    * neutral SQL expression strings. */
+  private object Cuped {
+    private def varOf(syy: String, sy: String, n: String): String =
+      s"(CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * $sy / $n) / ($n - 1)"
+    private def covOf(sxy: String, sx: String, sy: String, n: String): String =
+      s"(CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * $sy / $n) / ($n - 1)"
+    val theta: String = "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+    private def meanAdj(sy: String, sx: String, n: String): String =
+      s"(CAST($sy AS DOUBLE) / $n - $theta * (CAST($sx AS DOUBLE) / $n - CAST(sx AS DOUBLE) / n))"
+    private def varAdj(p: String): String =
+      s"(${varOf(s"syy$p", s"sy$p", s"n$p")} - 2 * $theta * ${covOf(s"sxy$p", s"sx$p", s"sy$p", s"n$p")} " +
+        s"+ $theta * $theta * ${varOf(s"sxx$p", s"sx$p", s"n$p")})"
+    val zRaw: String = s"((CAST(sy_a AS DOUBLE) / n_a - CAST(sy_b AS DOUBLE) / n_b) / " +
+      s"sqrt(${varOf("syy_a", "sy_a", "n_a")} / n_a + ${varOf("syy_b", "sy_b", "n_b")} / n_b))"
+    val zCuped: String = s"((${meanAdj("sy_a", "sx_a", "n_a")} - ${meanAdj("sy_b", "sx_b", "n_b")}) / " +
+      s"sqrt(${varAdj("_a")} / n_a + ${varAdj("_b")} / n_b))"
+    val varRawPooled: String = varOf("syy", "sy", "n")
+    val varAdjPooled: String = varAdj("")
+  }
+
+  val abCupedSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+       |b AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM ev),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ms < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN ms >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev, b GROUP BY 1),
+       |armed AS (
+       |  SELECT *, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM pu),
+       |sums AS (
+       |  SELECT
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxy_b
+       |  FROM armed)
+       |SELECT n_a, n_b,
+       |  ${Cuped.theta} AS theta,
+       |  ${Cuped.zRaw} AS z_raw,
+       |  ${Cuped.zCuped} AS z_cuped,
+       |  ${Cuped.varRawPooled} AS var_raw_pooled,
+       |  ${Cuped.varAdjPooled} AS var_adj_pooled
+       |FROM sums""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_cuped" -> (abCuped _),
     "events_ab_test" -> (abTest _),
     "events_hampel" -> (hampel _),
     "events_attribution" -> (attribution _),
@@ -582,6 +695,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_ab_cuped" -> abCupedSql,
     "events_ab_test" -> abTestSql,
     "events_hampel" -> hampelSql,
     "events_attribution" -> attributionSql,

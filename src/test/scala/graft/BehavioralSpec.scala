@@ -261,6 +261,24 @@ class BehavioralSpec extends SparkSuite {
     assert(graft.queries.Behavioral.abTest(spark, sf).collect().head == row)
   }
 
+  test("cuped: pooled adjusted variance never exceeds raw, statistics finite, deterministic") {
+    val r = graft.queries.Behavioral.abCuped(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (varRaw, varAdj) = (row.getDouble(5), row.getDouble(6))
+    // the OLS theta minimizes in-sample pooled variance, so the adjusted
+    // pooled variance is mathematically <= raw (the fixture's covariate
+    // is weak — rho ~ 0.07 measured — so the margin is small but the
+    // inequality is exact)
+    assert(varAdj <= varRaw && varAdj > 0,
+      s"pooled CUPED variance $varAdj must be in (0, $varRaw]")
+    Seq(2, 3, 4).foreach { i =>
+      val v = row.getDouble(i)
+      assert(!v.isNaN && !v.isInfinite, s"statistic $i not finite")
+    }
+    assert(graft.queries.Behavioral.abCuped(spark, sf).collect().head == row)
+  }
+
   test("hampel: a planted spike is flagged, its neighbors / constant / ramp series are not") {
     // user 1: flat line with one spike; user 2: constant; user 3: ramp
     val rows = (0 until 9).map(i =>
