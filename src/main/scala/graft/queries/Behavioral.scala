@@ -682,7 +682,70 @@ object Behavioral {
        |  ${Cuped.varAdjPooled} AS var_adj_pooled
        |FROM sums""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Bot-cadence detection: users whose inter-event gaps are NEAR
+  // CONSTANT (coefficient of variation below 10%) are schedulers, not
+  // people — the standard behavioral-data hygiene pass before events
+  // feed training or analytics. Entirely integer: gaps are quantized
+  // to 10-second units (bounding every product under int64 at corpus
+  // event counts — DuckDB sums to HUGEINT, Spark must stay in long),
+  // and the CV fence is the square form
+  //   cv² ≤ 0.01  ⟺  1000·(n·Σg² − (Σg)²) DIV (Σg)² ≤ 10,
+  // nonnegative by Cauchy-Schwarz so DIV/// agree. Three synthetic
+  // bot users with an exact 10-minute cadence are planted (the same
+  // ground-truth-injection idiom as the linkage probes: the fixture's
+  // organic users have uniform-random gaps, cv² ≈ 1/3, so real bots
+  // would never appear) — the readout is the 20 most-regular users,
+  // where the plants MUST rank first with cv² = 0. One user_id window
+  // + one user-keyed aggregate: scan-shaped at any corpus size.
+  def botCadence(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("_ms"))
+    val bots = s.range(120).select(
+      (lit(900001L) + col("id") % 3).as("user_id"),
+      (lit(10000000L) + col("id")).as("event_id"),
+      (lit(1700000000000L) + expr("id DIV 3") * 600000L).as("_ms"))
+    ev.unionByName(bots)
+      .withColumn("g", expr("(_ms - lag(_ms) OVER " +
+        "(PARTITION BY user_id ORDER BY _ms, event_id)) DIV 10000"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("ss"))
+      .filter(col("n") >= 5 && col("s") > 0)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        expr("s DIV n").as("mean_gap_ds"),
+        expr("1000 * (n * ss - s * s) DIV (s * s)").as("cv2_milli"))
+      .withColumn("is_bot", (col("cv2_milli") <= 10L).cast("long"))
+      .orderBy(col("cv2_milli"), col("user_id"))
+      .limit(20)
+  }
+
+  val botCadenceSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |bots AS (
+      |  SELECT 900001 + (i % 3) AS user_id, 10000000 + i AS event_id,
+      |    1700000000000 + (i // 3) * 600000 AS ms
+      |  FROM (SELECT UNNEST(range(0, 120)) AS i)),
+      |a AS (SELECT * FROM ev UNION ALL SELECT * FROM bots),
+      |g AS (
+      |  SELECT user_id,
+      |    (ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)) // 10000 AS g
+      |  FROM a),
+      |st AS (
+      |  SELECT user_id, count(g) AS n, sum(g) AS s, sum(g * g) AS ss
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+      |f AS (SELECT * FROM st WHERE n >= 5 AND s > 0)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+      |  CAST(s // n AS BIGINT) AS mean_gap_ds,
+      |  CAST(1000 * (n * ss - s * s) // (s * s) AS BIGINT) AS cv2_milli,
+      |  CAST(CASE WHEN 1000 * (n * ss - s * s) // (s * s) <= 10
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+      |FROM f ORDER BY cv2_milli, user_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bot_cadence" -> (botCadence _),
     "events_ab_cuped" -> (abCuped _),
     "events_ab_test" -> (abTest _),
     "events_hampel" -> (hampel _),
@@ -695,6 +758,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_bot_cadence" -> botCadenceSql,
     "events_ab_cuped" -> abCupedSql,
     "events_ab_test" -> abTestSql,
     "events_hampel" -> hampelSql,

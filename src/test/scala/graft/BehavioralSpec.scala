@@ -279,6 +279,23 @@ class BehavioralSpec extends SparkSuite {
     assert(graft.queries.Behavioral.abCuped(spark, sf).collect().head == row)
   }
 
+  test("bot cadence: planted constant-cadence users rank first at cv2=0, organic users are never flagged") {
+    val rows = graft.queries.Behavioral.botCadence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (bots, organic) = rows.partition(_.getLong(0) >= 900001L)
+    assert(bots.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sorted.toSeq ==
+      Seq((900001L, 0L, 1L), (900002L, 0L, 1L), (900003L, 0L, 1L)),
+      "all three plants must surface at cv2 = 0, flagged")
+    // uniform-random organic gaps sit near cv2 ~ 1/3+; far above the fence
+    organic.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(3) > 100L,
+        s"organic user ${r.getLong(0)} must not be bot-flagged: $r")
+    }
+    // the readout is sorted most-regular first
+    val cvs = rows.map(_.getLong(3))
+    assert(cvs.zip(cvs.tail).forall { case (a, b) => a <= b })
+  }
+
   test("hampel: a planted spike is flagged, its neighbors / constant / ramp series are not") {
     // user 1: flat line with one spike; user 2: constant; user 3: ramp
     val rows = (0 until 9).map(i =>
