@@ -744,7 +744,72 @@ object Behavioral {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_bot
       |FROM f ORDER BY cv2_milli, user_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Point-in-time join — the feature-store leakage guard: each fact row
+  // (purchase) joins the dimension VERSION that was valid AT its
+  // timestamp, never a later one (training a model on the user's
+  // current segment instead of the as-of segment is the classic
+  // label-leakage bug). The dimension is the SCD2 version table built
+  // over the user's CONTEXT stream (every non-purchase event — reusing
+  // [[scd2Of]] verbatim, so dimension semantics have one definition);
+  // facts match on user_id + [valid_from, valid_to) containment, and
+  // purchases before a user's first context version surface as
+  // 'unknown' rather than silently dropping (the enrichment contract).
+  //
+  // Plan shape: both sides key on user_id — ONE exchange each, the
+  // interval predicate evaluates within each user's (small) version
+  // list, and the rollup reuses the fact-side key. No corpus-scale
+  // range join exists: at 100 TB the join is user-keyed equi + bounded
+  // per-user interval scan, exactly like the SCD2 build itself.
+  def pointInTimeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+    val dim = scd2Of(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("d_user"), col("version"), col("attr"),
+        col("valid_from_ms"), col("valid_to_ms"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    facts
+      .join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from_ms") <= col("_ms") &&
+          (col("valid_to_ms").isNull || col("_ms") < col("valid_to_ms")),
+        "left")
+      .groupBy(coalesce(col("attr"), lit("unknown")).as("as_of_attr"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents"))
+      .orderBy(col("as_of_attr"))
+  }
+
+  val pointInTimeJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |ctx AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |r AS (
+      |  SELECT user_id, event_type, ms,
+      |    row_number() OVER w AS rn,
+      |    lag(event_type) OVER w AS prev
+      |  FROM ctx WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |f AS (SELECT * FROM r WHERE prev IS NULL OR prev <> event_type),
+      |dim AS (
+      |  SELECT user_id AS d_user, event_type AS attr, ms AS valid_from_ms,
+      |    lead(ms) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to_ms
+      |  FROM f),
+      |facts AS (SELECT user_id, event_id, ms, cents FROM e
+      |          WHERE event_type = 'purchase')
+      |SELECT coalesce(attr, 'unknown') AS as_of_attr,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM facts LEFT JOIN dim
+      |  ON user_id = d_user AND valid_from_ms <= ms
+      |  AND (valid_to_ms IS NULL OR ms < valid_to_ms)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_point_in_time_join" -> (pointInTimeJoin _),
     "events_bot_cadence" -> (botCadence _),
     "events_ab_cuped" -> (abCuped _),
     "events_ab_test" -> (abTest _),
@@ -758,6 +823,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_point_in_time_join" -> pointInTimeJoinSql,
     "events_bot_cadence" -> botCadenceSql,
     "events_ab_cuped" -> abCupedSql,
     "events_ab_test" -> abTestSql,

@@ -279,6 +279,33 @@ class BehavioralSpec extends SparkSuite {
     assert(graft.queries.Behavioral.abCuped(spark, sf).collect().head == row)
   }
 
+  test("point-in-time join: attribution equals a brute-force as-of scan — no future version ever leaks") {
+    val evf = graft.queries.Relational.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // brute force: per user, context events sorted by (ms, id) open runs;
+    // a purchase's as-of attr is the LAST context run starting at/before
+    // its ms (strictly before the next run) — never a later version
+    val ctxRuns = evf.filter(_._3 != "purchase").groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val runs = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, e) =>
+        if (acc.nonEmpty && acc.last._1 == e._3) acc else acc :+ (e._3, e._4)
+      }
+      u -> runs
+    }
+    val expect = evf.filter(_._3 == "purchase").groupBy { p =>
+      ctxRuns.getOrElse(p._1, Vector.empty)
+        .takeWhile(_._2 <= p._4).lastOption.map(_._1).getOrElse("unknown")
+    }.map { case (attr, ps) =>
+      attr -> (ps.size.toLong, ps.map(_._1).distinct.size.toLong, ps.map(_._5).sum)
+    }
+    val got = graft.queries.Behavioral.pointInTimeJoin(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"PIT attribution mismatch:\n got=$got\n exp=$expect")
+  }
+
   test("bot cadence: planted constant-cadence users rank first at cv2=0, organic users are never flagged") {
     val rows = graft.queries.Behavioral.botCadence(spark, sf).collect()
     assert(rows.nonEmpty)
