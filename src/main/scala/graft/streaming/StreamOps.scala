@@ -492,6 +492,35 @@ object StreamOps {
       }
   }
 
+  /** Streaming quantile-histogram — the third sketch twin (frequencies:
+    * [[cmsStream]]; cardinality: [[hllDistinctStream]]; quantiles:
+    * here), mirroring [[graft.ops.SketchOps.quantileHist]]'s
+    * (group, ln-bucket, count) grid as keyed stream state. Counter
+    * updates are associative sums, so the final grid is independent of
+    * batch boundaries, and any quantile is a cumulative walk over the
+    * emitted cells — a live p99 without ever sorting the stream. The
+    * bucket map is the JVM twin of the batch SQL expression
+    * round(1000·ln(1+v)) DIV width (nonnegative domain, where HALF_UP
+    * and floor(x+0.5) agree); StreamingSpec pins stream-final cells AND
+    * the quantile picks against the batch pipeline on the same rows. */
+  case class QCell(grp: String, bucket: Long, c: Long)
+
+  def quantileHistStream(values: Dataset[(String, Long)]): Dataset[QCell] = {
+    import values.sparkSession.implicits._
+    import graft.ops.SketchOps.QWidthMilli
+    values
+      .map { case (g, v) =>
+        (g, Math.round(1000.0 * math.log(1.0 + v)) / QWidthMilli)
+      }
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, QCell](GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), batch: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + batch.size
+          state.update(c)
+          QCell(key._1, key._2, c)
+      }
+  }
+
   /** Incremental near-dup detection on a live document stream. Each
     * micro-batch runs the SAME batch MinHash pipeline: candidates are the
     * union of (1) the batch's own banded+bucket-capped self-pairs — so

@@ -253,6 +253,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming quantile grid equals the batch sketch and its quantile picks, batch-split-invariant") {
+    import spark.implicits._
+    import graft.ops.SketchOps.{QWidthMilli, QuantilesMilli}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val vals = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(String, Long)].collect().toSeq
+    def run(name: String, chunks: Seq[Seq[(String, Long)]]): Map[(String, Long), Long] = {
+      val in = MemoryStream[(String, Long)]
+      val q = StreamOps.quantileHistStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      val rows = spark.sql(s"SELECT grp, bucket, c FROM $name").collect()
+      q.stop()
+      rows.groupBy(r => (r.getString(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)).max }
+    }
+    val third = vals.length / 3
+    val a = run("qh3", Seq(vals.take(third), vals.slice(third, 2 * third), vals.drop(2 * third)))
+    val b = run("qh1", Seq(vals))
+    assert(a == b, "final grid must not depend on batch boundaries")
+    // grid parity vs the batch SQL-expression bucketing on the same rows
+    val batchGrid = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("grp"),
+        expr(s"CAST(round(1000 * ln(1 + CAST(round(o_totalprice * 100) AS BIGINT))) AS BIGINT) DIV $QWidthMilli").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == batchGrid, "stream cells must equal the batch expression grid")
+    // quantile picks from the stream grid must equal the registered op's
+    val picks = graft.ops.SketchOps.quantileHist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    picks.foreach { case ((grp, qMilli), expectBucket) =>
+      val cells = a.collect { case ((g, bkt), c) if g == grp => (bkt, c) }.toSeq.sortBy(_._1)
+      val n = cells.map(_._2).sum
+      val thr = (n * qMilli + 999) / 1000
+      val got = cells.scanLeft((Long.MinValue, 0L)) { case ((_, cum), (bkt, c)) => (bkt, cum + c) }
+        .find(_._2 >= thr).get._1
+      assert(got == expectBucket, s"($grp, $qMilli): stream pick $got != batch $expectBucket")
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
