@@ -808,7 +808,53 @@ object Behavioral {
       |  AND (valid_to_ms IS NULL OR ms < valid_to_ms)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Sample-ratio mismatch (SRM) guard — the experimentation-platform
+  // tripwire that catches broken randomization before anyone reads a
+  // lift number: per active day (and overall, via rollup), the daily
+  // active users per arm and the 1-df chi-square for the 50/50 design,
+  //   χ² = (n_a − n_b)² / (n_a + n_b),
+  // kept in exact integer micro-units (χ²·10⁶ DIV n) against the
+  // 3.841·10⁶ fence (95th percentile of χ²₁). The unit is the USER
+  // (daily-active distinct), not the event — event-weighted SRM would
+  // fire on benign per-user activity skew. Integer bound: the scaled
+  // numerator is 10⁶·(n_a−n_b)²; under real randomization the diff is
+  // √n-scale, so int64 holds past 10⁹ users — only an adversarially
+  // broken split (diff ~ n) could overflow, and THAT fires the fence
+  // at far smaller diffs first. One distinct + one rollup: scan-shaped.
+  def abSrm(s: SparkSession, dir: String): DataFrame = {
+    val du = Relational.events(s, dir)
+      .select(expr("_ms DIV 86400000").as("day"), col("user_id"))
+      .distinct()
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    du.rollup(col("day"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(coalesce(col("day"), lit(-1L)).as("day"), col("n_a"), col("n_b"),
+        expr("1000000 * (n_a - n_b) * (n_a - n_b) DIV (n_a + n_b)").as("chi2_micro"))
+      .withColumn("srm_flag", (col("chi2_micro") > 3841000L).cast("long"))
+      .orderBy(col("day"))
+  }
+
+  val abSrmSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id FROM events),
+       |armed AS (
+       |  SELECT day, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM du),
+       |g AS (
+       |  SELECT coalesce(day, -1) AS day,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM armed GROUP BY ROLLUP (day))
+       |SELECT day, n_a, n_b,
+       |  CAST(1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) AS BIGINT)
+       |    AS chi2_micro,
+       |  CAST(CASE WHEN 1000000 * (n_a - n_b) * (n_a - n_b) // (n_a + n_b) > 3841000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+       |FROM g ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ab_srm" -> (abSrm _),
     "events_point_in_time_join" -> (pointInTimeJoin _),
     "events_bot_cadence" -> (botCadence _),
     "events_ab_cuped" -> (abCuped _),
@@ -823,6 +869,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_ab_srm" -> abSrmSql,
     "events_point_in_time_join" -> pointInTimeJoinSql,
     "events_bot_cadence" -> botCadenceSql,
     "events_ab_cuped" -> abCupedSql,

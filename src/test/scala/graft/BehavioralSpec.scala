@@ -279,6 +279,28 @@ class BehavioralSpec extends SparkSuite {
     assert(graft.queries.Behavioral.abCuped(spark, sf).collect().head == row)
   }
 
+  test("srm: healthy hash split never fires, a broken split always does, totals tile the days") {
+    val rows = graft.queries.Behavioral.abSrm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (total, daily) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length == 1 && daily.nonEmpty)
+    // the affine coin is a real randomization: the 95% fence must hold
+    // on the overall row (daily rows can exceed it ~1 day in 20 by
+    // construction of the test, so only the total is pinned)
+    assert(total.head.getLong(4) == 0L,
+      s"healthy split flagged SRM: ${total.head}")
+    // chi2 arithmetic: recompute from the emitted counts
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) == 1000000L * (na - nb) * (na - nb) / (na + nb))
+    }
+    // a deliberately broken split (90/10) must fire at this population:
+    // chi2 = (0.8n)^2/n = 0.64n, over 3.841 for n >= 7
+    val n = total.head.getLong(1) + total.head.getLong(2)
+    val broken = 1000000L * (n * 8 / 10 - n * 2 / 10) * (n * 8 / 10 - n * 2 / 10) / n
+    assert(n >= 7 && broken > 3841000L, "the fence must catch a 90/10 break")
+  }
+
   test("point-in-time join: attribution equals a brute-force as-of scan — no future version ever leaks") {
     val evf = graft.queries.Relational.events(spark, sf)
       .select(col("user_id"), col("event_id"), col("event_type"), col("_ms"),
