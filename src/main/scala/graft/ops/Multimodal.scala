@@ -134,6 +134,150 @@ object Multimodal {
       (sampleRate, samples)
     }
 
+    // --- PNG (ISO/IEC 15948) — a real CONTAINER format, unlike the
+    // flat-header BMP/WAV: signature → length-typed CRC-checked chunk
+    // walk → concatenated-IDAT zlib inflate → per-scanline unfilter.
+    // 8-bit grayscale (color type 0), all five standard filters, zlib
+    // through java.util.zip (in the JDK — no external codec lib).
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def pngCrc(typ: Array[Byte], data: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(typ); c.update(data)
+      c.getValue.toInt
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encode grayscale pixels (0-255, row-major) as an 8-bit grayscale
+      * PNG. Scanline y carries filter type y % 5, so every image taller
+      * than 4 rows exercises ALL five standard filters — the decoder's
+      * unfilter paths are load-bearing on every payload, not dead code
+      * behind an all-None encoder. */
+    def encodePng(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+      require(gray.length == width * height, "pixel count != width*height")
+      // filtered scanlines: 1 filter byte + width bytes per row
+      val raw = new Array[Byte](height * (width + 1))
+      var y = 0
+      while (y < height) {
+        val f = y % 5
+        raw(y * (width + 1)) = f.toByte
+        var x = 0
+        while (x < width) {
+          val cur = gray(y * width + x)
+          val left = if (x > 0) gray(y * width + x - 1) else 0
+          val up = if (y > 0) gray((y - 1) * width + x) else 0
+          val ul = if (x > 0 && y > 0) gray((y - 1) * width + x - 1) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+          }
+          raw(y * (width + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) out.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val idat = out.toByteArray
+      val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(0.toByte) // bit depth 8, color type 0 (gray)
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+        .array()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+          .putInt(data.length).put(t).put(data).putInt(pngCrc(t, data)).array()
+      }
+      PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty)
+    }
+
+    /** Decode an 8-bit grayscale PNG to (width, height, pixels).
+      * Header-first and fail-loud: bad signature, truncated chunk, CRC
+      * mismatch, non-grayscale, short zlib stream or an undefined filter
+      * type each reject the payload instead of returning garbage. */
+    def decodePng(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(bytes.length >= 8 + 25 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+        "not a PNG")
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var pos = 8
+      var width = -1
+      var height = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(pos + 12 <= bytes.length, "truncated chunk header")
+        val len = buf.getInt(pos)
+        require(len >= 0 && pos + 12 + len <= bytes.length, "truncated chunk data")
+        val typ = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
+        val crc = buf.getInt(pos + 8 + len)
+        require(crc == pngCrc(java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 8), data),
+          s"CRC mismatch in $typ chunk")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, "bad IHDR length")
+            width = ByteBuffer.wrap(data).getInt(0)
+            height = ByteBuffer.wrap(data).getInt(4)
+            require(width > 0 && height > 0, "bad dimensions")
+            require(data(8) == 8 && data(9) == 0,
+              s"unsupported PNG: bit depth ${data(8)}, color type ${data(9)}")
+            require(data(10) == 0 && data(11) == 0 && data(12) == 0,
+              "unsupported compression/filter/interlace method")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks: CRC-checked above, then skipped
+        }
+        pos += 12 + len
+      }
+      require(width > 0, "missing IHDR")
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      val raw = new Array[Byte](height * (width + 1))
+      var got = 0
+      while (got < raw.length && !infl.finished())
+        got += infl.inflate(raw, got, raw.length - got)
+      infl.end()
+      require(got == raw.length, s"short pixel stream: $got of ${raw.length}")
+      val px = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val f = java.lang.Byte.toUnsignedInt(raw(y * (width + 1)))
+        var x = 0
+        while (x < width) {
+          val v = java.lang.Byte.toUnsignedInt(raw(y * (width + 1) + 1 + x))
+          val left = if (x > 0) px(y * width + x - 1) else 0
+          val up = if (y > 0) px((y - 1) * width + x) else 0
+          val ul = if (x > 0 && y > 0) px((y - 1) * width + x - 1) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, ul)
+            case other => throw new IllegalArgumentException(s"undefined filter type $other")
+          }
+          px(y * width + x) = (v + pred) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (width, height, px)
+    }
+
     /** Byte-stream fallback for formats needing external codec libs
       * (the synthetic "video" payloads): payload bytes as values. */
     def decodeRaw(payload: Array[Byte]): Array[Int] =
@@ -245,6 +389,65 @@ object Multimodal {
         md5(col("f.frame")).as("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
+
+  /** PNG container roundtrip over the corpus: every document's
+    * text-derived grayscale frame is ENCODED as a real 8-bit grayscale
+    * PNG (CRC'd chunks, zlib, all five scanline filters in rotation) and
+    * DECODED back inside the same task; the row's stats come from the
+    * DECODED pixels while the DuckDB oracle recomputes them analytically
+    * from `documents.text` — so the hash-match IS the proof that
+    * decode ∘ encode is the identity on every payload, and the in-task
+    * `require` pins it per-record for a loud local failure. Plan shape:
+    * one `mapPartitions` batch pass (the per-type codec dispatch idiom),
+    * no shuffle until the final ORDER BY of the id-keyed result. */
+  def pngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text, nChars) =>
+          val bytes0 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = if (bytes0.isEmpty) Array[Byte](0) else bytes0
+          val w = (nChars % 64 + 8).toInt
+          val h = (nChars % 48 + 8).toInt
+          val gray = Array.tabulate(w * h)(i =>
+            java.lang.Byte.toUnsignedInt(bytes(i % bytes.length)))
+          val png = MediaCodec.encodePng(w, h, gray)
+          val (dw, dh, px) = MediaCodec.decodePng(png)
+          require(dw == w && dh == h && java.util.Arrays.equals(px, gray),
+            s"png roundtrip broke for doc $id")
+          var sum = 0L
+          var hash = 0L
+          px.foreach { v => sum += v; hash = (hash * 31 + v) % DedupOps.HashMod }
+          (id, w.toLong, h.toLong, (w * h).toLong, sum, hash)
+        }
+      }
+      .toDF("media_id", "width", "height", "n_px", "px_sum", "px_hash")
+      .orderBy(col("media_id"))
+  }
+
+  /** Oracle: pixels re-derived straight from the ASCII text (the same
+    * tabulate rule as the builder), aggregated to the identical stats —
+    * matching px_sum and the order-sensitive px_hash proves the decoded
+    * pixel STREAM, not just its histogram. */
+  val pngRoundtripSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS len,
+       |    CAST(n_chars % 64 + 8 AS BIGINT) AS width,
+       |    CAST(n_chars % 48 + 8 AS BIGINT) AS height
+       |  FROM documents),
+       |px AS (
+       |  SELECT media_id, width, height, g.i AS i,
+       |    CAST(ascii(substring(text, CAST(g.i % len AS INT) + 1, 1)) AS BIGINT) AS v
+       |  FROM dims, UNNEST(generate_series(0, width * height - 1)) AS g(i))
+       |SELECT media_id, width, height,
+       |  CAST(width * height AS BIGINT) AS n_px,
+       |  CAST(sum(v) AS BIGINT) AS px_sum,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list(v ORDER BY i)),
+       |                   (a, x) -> (a * 31 + x) % ${DedupOps.HashMod}) AS BIGINT) AS px_hash
+       |FROM px GROUP BY 1, 2, 3
+       |ORDER BY media_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Perceptual near-dup over the image lake — dHash (difference hash),
@@ -706,6 +909,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (extractFeatures _),
+    "media_png_roundtrip" -> (pngRoundtrip _),
     "media_frame_sample" -> (sampleFrames _),
     "media_phash_neardup" -> (phashNearDup _),
     "media_audio_neardup" -> (audioNearDup _),
@@ -784,6 +988,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "media_features" -> featuresSql,
+    "media_png_roundtrip" -> pngRoundtripSql,
     "media_frame_sample" -> frameSampleSql,
     "media_phash_neardup" -> phashSql,
     "media_audio_neardup" -> audioNearDupSql,

@@ -32,10 +32,9 @@ object RobustStats {
     * value histogram, the deviation join and the fence agg — without
     * the checkpoint each consumer would re-split the corpus text. */
   private def lengths(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Lineage.truncate(s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-      .localCheckpoint()
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
 
   /** Exact per-group lower median of `v` via the value histogram:
     * smallest value whose cumulative count reaches ceil(n/2). */

@@ -439,8 +439,11 @@ object SketchOps {
     * bench measures sketch-only vs exact-only cost as the window
     * widens — the sketch's window-merge work is 64 rows/day regardless
     * of W's user volume, the exact arm's grows with W × daily actives). */
-  private[graft] def hllSlidingAt(s: SparkSession, dir: String,
-      slideDays: Int, withExact: Boolean): DataFrame = {
+  /** Shared construction for the sliding-HLL paths: the hashed event
+    * stream, the day spine, and the exploded register grid joined back
+    * to the spine (the window-merge exchange's actual input). */
+  private def slidingParts(s: SparkSession, dir: String,
+      slideDays: Int): (DataFrame, DataFrame, DataFrame) = {
     val scale = HllWBits + 1
     val ev = graft.queries.Relational.events(s, dir)
       .select(expr("_ms DIV 86400000").as("day"),
@@ -462,9 +465,26 @@ object SketchOps {
     // each day's state contributes to the SlideDays windows it falls in
     // (equi-join shape: explode the bounded offset range, then restrict
     // to spine days — no range join, no per-window corpus scan)
-    val win = regs
+    val exploded = regs
       .withColumn("tday", explode(expr(s"sequence(day, day + ${slideDays - 1})")))
       .join(broadcast(days.withColumnRenamed("day", "tday")), Seq("tday"))
+    (ev, days, exploded)
+  }
+
+  /** MEASURED register-row volume the sketch path pushes through its
+    * window-merge exchange at width `slideDays` — the scale bench's
+    * cost table must compare like-for-like with its measured exact-arm
+    * row count; the analytic nDays·64·W is only an upper bound (days
+    * hit fewer than 64 registers when daily actives are sparse). */
+  private[graft] def slidingRegRowCount(s: SparkSession, dir: String,
+      slideDays: Int): Long =
+    slidingParts(s, dir, slideDays)._3.count()
+
+  private[graft] def hllSlidingAt(s: SparkSession, dir: String,
+      slideDays: Int, withExact: Boolean): DataFrame = {
+    val scale = HllWBits + 1
+    val (ev, days, exploded) = slidingParts(s, dir, slideDays)
+    val win = exploded
       .groupBy(col("tday"), col("j")).agg(max(col("m")).as("m"))
     val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
     val est = win.groupBy(col("tday"))

@@ -493,9 +493,21 @@ object Behavioral {
   // one conditional aggregation to the 1-row arm summary — at 100 TB
   // the readout moves each user's events once, like the funnel. The
   // statistics are IEEE-double expressions over exact integer sums
-  // (users, conversions, cent totals, cent sums of squares), with the
+  // (users, conversions, cent totals, dollar sums of squares), with the
   // same parenthesization in both engines, so division and sqrt are
   // correctly-rounded on identical inputs and the doubles hash-match.
+  //
+  // Overflow discipline (the botCadence convention, applied here): the
+  // SQUARED spend term is quantized to whole dollars per user BEFORE
+  // squaring — lifetime cents squared crosses int64 at ~6e7 users at
+  // fixture-like spend, where Spark's non-ANSI long wraps silently
+  // while DuckDB widens to HUGEINT: the engines would diverge exactly
+  // at scale. In dollars the bound is N·D² < 2^63 — at a $30k lifetime
+  // cap that is ~1e10 users, comfortably past a 100 TB event corpus.
+  // Linear cent sums stay in cents (Σcents < 2^63 ⇔ corpus spend
+  // < $9.2e16 — safe), so the mean columns lose no precision; only the
+  // variance term runs on the dollar-quantized metric, and the Welch z
+  // is (correctly) the z of that dollar metric on BOTH engines.
   val AbHashA = 1103515245L
   val AbHashB = 12345L
   val AbMod = 1000003L
@@ -511,6 +523,7 @@ object Behavioral {
         when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
           .otherwise(0L).as("converted"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .withColumn("usd", expr("CAST(round(cents / 100.0) AS BIGINT)"))
       .withColumn("arm",
         expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
     def armAgg(a: Int, c: Column) = sum(when(col("arm") === a, c).otherwise(0L))
@@ -518,8 +531,9 @@ object Behavioral {
         armAgg(0, lit(1L)).as("n_a"), armAgg(1, lit(1L)).as("n_b"),
         armAgg(0, col("converted")).as("conv_a"), armAgg(1, col("converted")).as("conv_b"),
         armAgg(0, col("cents")).as("s_a"), armAgg(1, col("cents")).as("s_b"),
-        armAgg(0, col("cents") * col("cents")).as("ss_a"),
-        armAgg(1, col("cents") * col("cents")).as("ss_b"))
+        armAgg(0, col("usd")).as("sd_a"), armAgg(1, col("usd")).as("sd_b"),
+        armAgg(0, col("usd") * col("usd")).as("ss_a"),
+        armAgg(1, col("usd") * col("usd")).as("ss_b"))
       .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         expr("CAST(conv_a AS DOUBLE) / n_a").as("rate_a"),
         expr("CAST(conv_b AS DOUBLE) / n_b").as("rate_b"),
@@ -529,9 +543,9 @@ object Behavioral {
                      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))""").as("z_conversion"),
         expr("CAST(s_a AS DOUBLE) / n_a").as("mean_cents_a"),
         expr("CAST(s_b AS DOUBLE) / n_b").as("mean_cents_b"),
-        expr("""(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-                / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
-                     + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)""")
+        expr("""(CAST(sd_a AS DOUBLE) / n_a - CAST(sd_b AS DOUBLE) / n_b)
+                / sqrt(((CAST(ss_a AS DOUBLE) - CAST(sd_a AS DOUBLE) * sd_a / n_a) / (n_a - 1)) / n_a
+                     + ((CAST(ss_b AS DOUBLE) - CAST(sd_b AS DOUBLE) * sd_b / n_b) / (n_b - 1)) / n_b)""")
           .as("z_mean_spend"))
   }
 
@@ -542,8 +556,10 @@ object Behavioral {
        |         THEN 1 ELSE 0 END AS converted,
        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        |  FROM events GROUP BY 1),
+       |pud AS (
+       |  SELECT *, CAST(round(cents / 100.0) AS BIGINT) AS usd FROM pu),
        |armed AS (
-       |  SELECT *, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM pu),
+       |  SELECT *, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM pud),
        |agg AS (
        |  SELECT
        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -552,8 +568,10 @@ object Behavioral {
        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b,
        |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
        |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
-       |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
-       |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+       |    CAST(sum(CASE WHEN arm = 0 THEN usd ELSE 0 END) AS BIGINT) AS sd_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN usd ELSE 0 END) AS BIGINT) AS sd_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN usd * usd ELSE 0 END) AS BIGINT) AS ss_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN usd * usd ELSE 0 END) AS BIGINT) AS ss_b
        |  FROM armed)
        |SELECT n_a, n_b, conv_a, conv_b,
        |  CAST(conv_a AS DOUBLE) / n_a AS rate_a,
@@ -564,9 +582,9 @@ object Behavioral {
        |         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS z_conversion,
        |  CAST(s_a AS DOUBLE) / n_a AS mean_cents_a,
        |  CAST(s_b AS DOUBLE) / n_b AS mean_cents_b,
-       |  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-       |    / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
-       |         + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b)
+       |  (CAST(sd_a AS DOUBLE) / n_a - CAST(sd_b AS DOUBLE) / n_b)
+       |    / sqrt(((CAST(ss_a AS DOUBLE) - CAST(sd_a AS DOUBLE) * sd_a / n_a) / (n_a - 1)) / n_a
+       |         + ((CAST(ss_b AS DOUBLE) - CAST(sd_b AS DOUBLE) * sd_b / n_b) / (n_b - 1)) / n_b)
        |    AS z_mean_spend
        |FROM agg""".stripMargin
 
@@ -576,7 +594,9 @@ object Behavioral {
   // y' = y − θ(x − x̄) with θ the pooled OLS slope of post-period spend
   // on PRE-period spend. θ and every variance term derive from the six
   // exact integer sums (n, Σx, Σy, Σx², Σy², Σxy — one user rollup +
-  // one conditional aggregation, same 100 TB shape as the A/B readout);
+  // one conditional aggregation, same 100 TB shape as the A/B readout;
+  // x and y are DOLLAR-quantized per user before the second-moment
+  // sums, the same int64-overflow discipline as abTest/botCadence);
   // the doubles are computed with identical parenthesization in both
   // engines, and products that could overflow int64 (n·Σxy at corpus
   // user counts) are cast to DOUBLE before multiplying on BOTH sides.
@@ -595,8 +615,16 @@ object Behavioral {
     val perUser = ev.crossJoin(broadcast(mid))
       .groupBy(col("user_id"))
       .agg(
-        sum(when(col("_ms") < col("mid"), col("cents")).otherwise(0L)).as("x"),
-        sum(when(col("_ms") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+        sum(when(col("_ms") < col("mid"), col("cents")).otherwise(0L)).as("xc"),
+        sum(when(col("_ms") >= col("mid"), col("cents")).otherwise(0L)).as("yc"))
+      // Dollar-quantize the per-user covariate/metric BEFORE the
+      // second-moment sums (the abTest/botCadence overflow convention):
+      // Σx², Σy², Σxy must stay inside int64 at corpus user counts,
+      // which cents-squared does not (~6e7 users) and dollars-squared
+      // does (~1e10 at a $30k per-user lifetime).
+      .select(col("user_id"),
+        expr("CAST(round(xc / 100.0) AS BIGINT)").as("x"),
+        expr("CAST(round(yc / 100.0) AS BIGINT)").as("y"))
       .withColumn("arm",
         expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
     def armAgg(a: Int, c: Column) = sum(when(col("arm") === a, c).otherwise(0L))
@@ -648,11 +676,16 @@ object Behavioral {
        |  SELECT user_id, epoch_ms(ts) AS ms,
        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
        |b AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM ev),
+       |puc AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ms < mid THEN cents ELSE 0 END) AS BIGINT) AS xc,
+       |    CAST(sum(CASE WHEN ms >= mid THEN cents ELSE 0 END) AS BIGINT) AS yc
+       |  FROM ev, b GROUP BY 1),
        |pu AS (
        |  SELECT user_id,
-       |    CAST(sum(CASE WHEN ms < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
-       |    CAST(sum(CASE WHEN ms >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
-       |  FROM ev, b GROUP BY 1),
+       |    CAST(round(xc / 100.0) AS BIGINT) AS x,
+       |    CAST(round(yc / 100.0) AS BIGINT) AS y
+       |  FROM puc),
        |armed AS (
        |  SELECT *, (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm FROM pu),
        |sums AS (

@@ -47,8 +47,10 @@ object IncrementalBench {
           (col("doc_id") + k * 10000000L).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", s"$$1_$k").as("text"))
       }.reduce(_ unionByName _)
-    val basePath = java.nio.file.Files
-      .createTempDirectory("incr_bench").resolve("base").toString
+    // fixed overwrite-reused scratch names under the configurable root
+    // (the repo-wide Scratch policy: no driver-local temp dirs, no
+    // per-invocation leak)
+    val basePath = graft.etl.Scratch.path(spark, "incr_bench_base")
     baseBuilt.write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
     val all = DedupOps.corpus(spark, sfDir)
@@ -57,8 +59,7 @@ object IncrementalBench {
       .localCheckpoint()
     val baseAndDelta = base
       .unionByName(delta.select(col("doc_id"), col("text")))
-    val idx = java.nio.file.Files
-      .createTempDirectory("incr_bench").resolve("bands").toString
+    val idx = graft.etl.Scratch.path(spark, "incr_bench_bands")
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -86,6 +87,7 @@ object IncrementalBench {
     println(f"[incr] sf=$sfDir base=${base.count()} delta=${delta.count()} " +
       f"index_build=$tIndex%.2fs incremental=$tInc%.2fs ($nInc pairs) " +
       f"full_rerun=$tFull%.2fs ($nFull pairs) speedup=${tFull / tInc}%.2fx")
+    graft.etl.Scratch.cleanAll(spark)
     spark.stop()
   }
 }

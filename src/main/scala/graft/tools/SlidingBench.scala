@@ -53,11 +53,12 @@ object SlidingBench {
     Seq(7, 30, 90).foreach { w =>
       val (ts, _) = bestOf3(SketchOps.hllSlidingAt(spark, sfDir, w, withExact = false).count())
       val (te, _) = bestOf3(exactOnly(w).count())
-      // exploded row volumes each path pushes through its merge exchange
+      // exploded row volumes each path pushes through its merge exchange —
+      // BOTH measured (the analytic nDays·64·w overstates the sketch arm:
+      // sparse days hit fewer than 64 registers)
       val ev = graft.queries.Relational.events(spark, sfDir)
         .select(expr("_ms DIV 86400000").as("day"), col("user_id"))
-      val nDays = ev.select(col("day")).distinct().count()
-      val sketchRows = nDays * 64 * w // upper bound: states × window span
+      val sketchRows = SketchOps.slidingRegRowCount(spark, sfDir, w)
       val exactRows = ev.select(col("day"), col("user_id")).distinct().count() * w
       println(f"$w%4d $ts%9.2f $te%9.2f $sketchRows%12d $exactRows%11d")
     }

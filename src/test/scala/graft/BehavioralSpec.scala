@@ -329,6 +329,17 @@ class BehavioralSpec extends SparkSuite {
   }
 
   test("bot cadence: planted constant-cadence users rank first at cv2=0, organic users are never flagged") {
+    // The plants live at user_ids 900001-900003; the partition below and
+    // the query's ground-truth injection are only sound while the
+    // fixture's organic id space stays strictly below them. A fixture
+    // change that reaches 900001 must fail HERE, loudly, not silently
+    // merge plants with organic events (oracle would stay green since
+    // both engines plant identically — this assert is the only guard).
+    val maxOrganic = graft.queries.Relational.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("user_id"))).head.getLong(0)
+    assert(maxOrganic < 900001L,
+      s"fixture organic user_id space ($maxOrganic) collides with planted bot ids >= 900001")
     val rows = graft.queries.Behavioral.botCadence(spark, sf).collect()
     assert(rows.nonEmpty)
     val (bots, organic) = rows.partition(_.getLong(0) >= 900001L)
