@@ -30,6 +30,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The sweep deliberately unpersists consumed localCheckpoint blocks
+    // after every query (see timeOne), and each unpersist logs a WARN
+    // that the truncated lineage "cannot be recomputed" — true and
+    // intended (the result was already counted). Silence the rdd
+    // loggers so a REAL warning still stands out in the bench tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // warm the JVM/codegen once on the tiniest sf so per-query numbers
     // measure the query, not first-use classloading
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

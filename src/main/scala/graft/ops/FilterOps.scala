@@ -861,10 +861,10 @@ object FilterOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: the identical training loop unrolled as materialized CTEs
-    * (the kcore/kmeans pattern) over a LONG-form feature table; j = 0
-    * is the bias with x = 1000. */
-  val qualityClassifierSql: String = {
+  /** The classifier training loop's CTE chain + final per-doc SELECT as
+    * separate pieces, so the ECE oracle below composes the SAME trained
+    * model instead of duplicating the unroll. */
+  private val clfParts: (String, String) = {
     val nf = ClfFeatures.size
     def idivSql(a: String, b: String): String =
       s"CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END"
@@ -887,27 +887,93 @@ object FilterOps {
          |  SELECT w.j, w.w - ${idivSql(s"$ClfLrMilli * g.graw", "1000000 * nn.n")} AS w
          |  FROM $prev w JOIN g$t g USING (j), nn)""".stripMargin
     }
-    s"""WITH ${qualityCtes("documents")},
-       |v AS (SELECT m.*, ($ruleFailsSql) = 0 AS keep FROM m),
-       |mm AS (SELECT $loHi FROM v),
-       |xw AS MATERIALIZED (
-       |  SELECT doc_id, CASE WHEN keep THEN 1000 ELSE 0 END AS y,
-       |    $xCols
-       |  FROM v CROSS JOIN mm),
-       |xl AS MATERIALIZED (
-       |  SELECT doc_id, y, 0 AS j, 1000 AS xv FROM xw
-       |  UNION ALL $unions),
-       |nn AS (SELECT count(*) AS n FROM xw),
-       |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w
-       |       FROM UNNEST(generate_series(0, $nf)) AS u(j)),
-       |${(1 to ClfIters).map(iter).mkString(",\n")}
-       |SELECT xl.doc_id,
-       |  CAST(${idivSql("sum(w.w * xl.xv)", "1000")} AS BIGINT) AS score_milli,
-       |  ${idivSql("sum(w.w * xl.xv)", "1000")} >= 500 AS predicted,
-       |  max(xl.y) = 1000 AS label
-       |FROM xl JOIN w$ClfIters w USING (j)
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+    val ctes =
+      s"""${qualityCtes("documents")},
+         |v AS (SELECT m.*, ($ruleFailsSql) = 0 AS keep FROM m),
+         |mm AS (SELECT $loHi FROM v),
+         |xw AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN keep THEN 1000 ELSE 0 END AS y,
+         |    $xCols
+         |  FROM v CROSS JOIN mm),
+         |xl AS MATERIALIZED (
+         |  SELECT doc_id, y, 0 AS j, 1000 AS xv FROM xw
+         |  UNION ALL $unions),
+         |nn AS (SELECT count(*) AS n FROM xw),
+         |w0 AS (SELECT j, CAST(0 AS BIGINT) AS w
+         |       FROM UNNEST(generate_series(0, $nf)) AS u(j)),
+         |${(1 to ClfIters).map(iter).mkString(",\n")}""".stripMargin
+    val select =
+      s"""SELECT xl.doc_id,
+         |  CAST(${idivSql("sum(w.w * xl.xv)", "1000")} AS BIGINT) AS score_milli,
+         |  ${idivSql("sum(w.w * xl.xv)", "1000")} >= 500 AS predicted,
+         |  max(xl.y) = 1000 AS label
+         |FROM xl JOIN w$ClfIters w USING (j)
+         |GROUP BY 1""".stripMargin
+    (ctes, select)
   }
+
+  /** Oracle: the identical training loop unrolled as materialized CTEs
+    * (the kcore/kmeans pattern) over a LONG-form feature table; j = 0
+    * is the bias with x = 1000. */
+  val qualityClassifierSql: String =
+    s"""WITH ${clfParts._1}
+       |${clfParts._2} ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Calibration readout for the trained classifier (Expected Calibration
+  // Error, Naeini et al. 2015 / Guo et al. 2017): a score used as a
+  // KEEP-PROBABILITY threshold in a curation pipeline is only as good as
+  // its calibration — a model that says "0.9" should be right 90% of the
+  // time. Scores (clamped to [0, 1000] milli) are binned into 10
+  // equal-width confidence bins; each bin reports its mean stated
+  // confidence vs its observed keep rate, and the -1 summary row carries
+  // the n-weighted ECE (the SRM guard's tiling idiom). All integer
+  // arithmetic (nonnegative DIV), so the oracle replays training AND
+  // calibration bit-for-bit. Shape at 100 TB: the classifier's own
+  // passes plus ONE 10-row aggregate — nothing new moves.
+  val EceBins = 10L
+
+  def classifierEce(s: SparkSession, dir: String): DataFrame = {
+    val sc = qualityClassifier(s, dir)
+      .select(expr("least(greatest(score_milli, 0), 1000)").as("conf"), col("label"))
+    val bins = sc
+      .groupBy(expr(s"least(conf DIV 100, ${EceBins - 1})").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(conf) DIV count(1)").as("conf_milli"),
+        expr("1000 * sum(CASE WHEN label THEN 1 ELSE 0 END) DIV count(1)").as("acc_milli"))
+      .withColumn("gap_milli", abs(col("conf_milli") - col("acc_milli")))
+      .localCheckpoint() // 10-row frame feeds both the rows and the summary
+    val summary = bins.agg(
+      lit(-1L).as("bin"), sum(col("n_docs")).as("n_docs"),
+      lit(-1L).as("conf_milli"), lit(-1L).as("acc_milli"),
+      expr("sum(n_docs * gap_milli) DIV sum(n_docs)").as("gap_milli"))
+    bins.select(col("bin"), col("n_docs"), col("conf_milli"), col("acc_milli"), col("gap_milli"))
+      .unionByName(summary)
+      .orderBy(col("bin"))
+  }
+
+  val classifierEceSql: String =
+    s"""WITH ${clfParts._1},
+       |clf AS (${clfParts._2}),
+       |sc AS (SELECT least(greatest(score_milli, 0), 1000) AS conf, label FROM clf),
+       |b AS (
+       |  SELECT least(conf // 100, ${EceBins - 1}) AS bin,
+       |    count(*) AS n_docs,
+       |    sum(conf) // count(*) AS conf_milli,
+       |    1000 * sum(CASE WHEN label THEN 1 ELSE 0 END) // count(*) AS acc_milli
+       |  FROM sc GROUP BY 1),
+       |g AS (SELECT bin, n_docs, conf_milli, acc_milli,
+       |        abs(conf_milli - acc_milli) AS gap_milli FROM b)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(conf_milli AS BIGINT) AS conf_milli,
+       |  CAST(acc_milli AS BIGINT) AS acc_milli,
+       |  CAST(gap_milli AS BIGINT) AS gap_milli
+       |FROM g
+       |UNION ALL
+       |SELECT -1, CAST(sum(n_docs) AS BIGINT), -1, -1,
+       |  CAST(sum(n_docs * gap_milli) // sum(n_docs) AS BIGINT)
+       |FROM g
+       |ORDER BY bin""".stripMargin
 
   // ------------------------------------------------------------------
   // Line-level boilerplate dedup (the CCNet / RefinedWeb pass): a line
@@ -1024,7 +1090,8 @@ object FilterOps {
     "dedup_bloom_probe" -> (bloomProbe _),
     "dedup_passage_overlap" -> (passageOverlap _),
     "filter_line_dedup" -> (lineDedup _),
-    "filter_quality_classifier" -> (qualityClassifier _)
+    "filter_quality_classifier" -> (qualityClassifier _),
+    "filter_classifier_ece" -> (classifierEce _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1037,6 +1104,7 @@ object FilterOps {
     "dedup_bloom_probe" -> bloomProbeSql,
     "dedup_passage_overlap" -> passageOverlapSql,
     "filter_line_dedup" -> lineDedupSql,
-    "filter_quality_classifier" -> qualityClassifierSql
+    "filter_quality_classifier" -> qualityClassifierSql,
+    "filter_classifier_ece" -> classifierEceSql
   )
 }

@@ -369,8 +369,52 @@ object Layout {
        |FROM lineitem JOIN dim ON year(l_shipdate) * 100 + month(l_shipdate) = m
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bucket count for the registered co-located join: enough parallelism
+    * to matter, small enough that sf0.01 buckets aren't empty noise. On
+    * a real cluster this is sized to target-file-size × executor count. */
+  val JoinBuckets = 8
+
+  /** Registered CO-LOCATED JOIN: both fact tables are written
+    * hash-bucketed + sorted on their join key ([[bucketedWrite]], the
+    * pay-the-shuffle-once layout), then joined with a `merge` hint — the
+    * bucketed SMJ reads matching buckets pairwise with ZERO exchanges
+    * under the join (ZOrderSpec pins the plan; only the tiny rollup
+    * above it shuffles). At 100 TB this is THE lever for a recurring
+    * fact-fact join: the write-time shuffle is amortized over every
+    * subsequent join, and the join itself moves no rows across the
+    * network. The rollup result is what the DuckDB oracle replays —
+    * layout must never change answers, only cost. */
+  def layoutBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val liPath = graft.etl.Scratch.path(s, "bucketed_li")
+    val ordPath = graft.etl.Scratch.path(s, "bucketed_ord")
+    bucketedWrite(s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "graft_bucketed_li", liPath, "l_orderkey", JoinBuckets)
+    bucketedWrite(s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_bucketed_ord", ordPath, "o_orderkey", JoinBuckets)
+    s.table("graft_bucketed_li")
+      .join(s.table("graft_bucketed_ord").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val layoutBucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_dpp" -> (layoutDpp _),
+    "layout_bucketed_join" -> (layoutBucketedJoin _),
     "layout_zorder" -> (layoutZorder _),
     "layout_zorder3" -> (layoutZorder3 _),
     "layout_hilbert" -> (layoutHilbert _)
@@ -378,6 +422,7 @@ object Layout {
 
   val oracle: Map[String, String] = Map(
     "layout_dpp" -> layoutDppSql,
+    "layout_bucketed_join" -> layoutBucketedJoinSql,
     "layout_zorder" -> layoutZorderSql,
     "layout_zorder3" -> layoutZorder3Sql,
     "layout_hilbert" -> layoutHilbertSql

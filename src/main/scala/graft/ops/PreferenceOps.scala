@@ -138,11 +138,93 @@ object PreferenceOps {
        |ORDER BY strength_micro DESC, brand""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Cohen's kappa (Cohen 1960) between two deterministic "raters" over
+  // the SAME preference pairs — the inter-annotator-agreement QA gate a
+  // preference-data pipeline runs before trusting judgments enough to
+  // fit Bradley-Terry on them: agreement corrected for the agreement
+  // two raters would reach by chance given their marginal vote rates.
+  // Rater A prefers the brand with higher order-revenue (the BT
+  // signal); rater B the one with higher order-quantity. Pairs where
+  // either rater ties abstain (standard practice).
+  //
+  // Shape at 100 TB: ONE (order, brand) rollup carrying both metrics,
+  // one within-order pair fan-out bounded by C(brands-per-order, 2),
+  // then a single global aggregate to five integers. Exactness: po/pe
+  // in milli via nonnegative DIV; kappa's numerator can be NEGATIVE
+  // (worse-than-chance), so it uses the sign-aware divide-magnitudes
+  // idiom (Spark DIV truncates toward zero, DuckDB // floors).
+  def cohenKappa(s: SparkSession, dir: String): DataFrame = {
+    val t = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qunits"))
+      .join(broadcast(s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(sum(col("cents")).as("cents"), sum(col("qunits")).as("qunits"))
+    val rated = t.as("x").join(t.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.p_brand") < col("y.p_brand")) // canonical pair order
+      .filter(col("x.cents") =!= col("y.cents") &&
+        col("x.qunits") =!= col("y.qunits")) // both raters must vote
+      .select(
+        when(col("x.cents") > col("y.cents"), 1L).otherwise(2L).as("ra"),
+        when(col("x.qunits") > col("y.qunits"), 1L).otherwise(2L).as("rb"))
+    rated.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("ra") === 1L, 1L).otherwise(0L)).as("na1"),
+        sum(when(col("rb") === 1L, 1L).otherwise(0L)).as("nb1"))
+      .select(col("n").as("n_pairs"), col("agree").as("n_agree"),
+        expr("1000 * agree DIV n").as("po_milli"),
+        expr("1000 * (na1 * nb1 + (n - na1) * (n - nb1)) DIV (n * n)").as("pe_milli"),
+        expr("""CASE WHEN agree * n - (na1 * nb1 + (n - na1) * (n - nb1)) >= 0
+               |THEN 1000 * (agree * n - (na1 * nb1 + (n - na1) * (n - nb1)))
+               |     DIV (n * n - (na1 * nb1 + (n - na1) * (n - nb1)))
+               |ELSE -((1000 * ((na1 * nb1 + (n - na1) * (n - nb1)) - agree * n))
+               |     DIV (n * n - (na1 * nb1 + (n - na1) * (n - nb1))))
+               |END""".stripMargin.replace('\n', ' ')).as("kappa_milli"))
+  }
+
+  val cohenKappaSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, p_brand,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT) AS qunits
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |rated AS (
+      |  SELECT CASE WHEN x.cents > y.cents THEN 1 ELSE 2 END AS ra,
+      |         CASE WHEN x.qunits > y.qunits THEN 1 ELSE 2 END AS rb
+      |  FROM t x JOIN t y
+      |    ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+      |  WHERE x.cents <> y.cents AND x.qunits <> y.qunits),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |    CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na1,
+      |    CAST(sum(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb1
+      |  FROM rated)
+      |SELECT n AS n_pairs, agree AS n_agree,
+      |  CAST(1000 * agree // n AS BIGINT) AS po_milli,
+      |  CAST(1000 * (na1 * nb1 + (n - na1) * (n - nb1)) // (n * n) AS BIGINT) AS pe_milli,
+      |  CAST(CASE WHEN agree * n - (na1 * nb1 + (n - na1) * (n - nb1)) >= 0
+      |    THEN 1000 * (agree * n - (na1 * nb1 + (n - na1) * (n - nb1)))
+      |         // (n * n - (na1 * nb1 + (n - na1) * (n - nb1)))
+      |    ELSE -((1000 * ((na1 * nb1 + (n - na1) * (n - nb1)) - agree * n))
+      |         // (n * n - (na1 * nb1 + (n - na1) * (n - nb1))))
+      |  END AS BIGINT) AS kappa_milli
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rank_bradley_terry" -> (bradleyTerry _)
+    "rank_bradley_terry" -> (bradleyTerry _),
+    "rank_cohen_kappa" -> (cohenKappa _)
   )
 
   val oracle: Map[String, String] = Map(
-    "rank_bradley_terry" -> bradleyTerrySql
+    "rank_bradley_terry" -> bradleyTerrySql,
+    "rank_cohen_kappa" -> cohenKappaSql
   )
 }

@@ -294,6 +294,60 @@ object StreamOps {
       }
   }
 
+  /** One streaming as-of match: a purchase enriched with the user's
+    * latest click at or before it (None = no prior click yet). */
+  case class AsOfMatch(user_id: Long, purchase_id: Long,
+      last_click_id: Option[Long], last_click_ms: Option[Long])
+
+  /** Streaming AS-OF JOIN ([[graft.queries.Relational.q22]]'s
+    * incremental twin): per-user state is ONE row — the latest click
+    * seen — and each purchase is enriched as it arrives; same-ms ties
+    * order clicks before purchases, exactly q22's `_kind` contract. The
+    * batch operator needs the whole history in a running window; the
+    * stream holds constant state per user and emits matches online —
+    * the feature-store enrichment path at serving time. Idle users are
+    * evicted on event-time timeout (their state is only a cache of the
+    * last click; a match already emitted is never revised, and a
+    * returning user simply starts clickless — the episode semantics
+    * the funnel/transitions twins pin). */
+  def asofStream(
+      events: Dataset[Event],
+      retention: java.time.Duration = java.time.Duration.ofDays(45)): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    val retMs = retention.toMillis
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // event-time fold; clicks (kind 0) before purchases at the
+            // same ms so "at or before" includes the simultaneous click
+            def kind(e: Event): Int = if (e.event_type == "click") 0 else 1
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, kind(e), e.event_id))
+            var lastClick = state.getOption
+            val out = Seq.newBuilder[AsOfMatch]
+            evs.foreach { e =>
+              if (kind(e) == 0)
+                lastClick = Some(LastEvent(uid, e.ts.getTime, e.event_id, e.event_type))
+              else
+                out += AsOfMatch(uid, e.event_id,
+                  lastClick.map(_.event_id), lastClick.map(_.ms))
+            }
+            lastClick.foreach(state.update)
+            val maxTs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user open SCD2 version carried between micro-batches. */
   case class Scd2State(user_id: Long, version: Long, attr: String,
       valid_from_ms: Long, n_events: Long)

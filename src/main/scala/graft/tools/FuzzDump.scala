@@ -352,17 +352,182 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
-  def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01"): Spec = {
+  // ---- time-shape grammar (VERDICT r10 item 5) -------------------------
+  // RANGE window frames, interval-overlap joins and as-of joins — the
+  // q35/q45/q22 shape classes, previously only spot-checked by one
+  // curated query each. Same exactness conventions throughout: exact
+  // Decimal(18,2) money sums cast to DOUBLE at the edge, BIGINT counts,
+  // total-order result sorts, calendar-exact date arithmetic.
+
+  /** Randomized RANGE frame over events: trailing/leading value windows
+    * of varied widths and bound forms over both partition-key choices.
+    * RANGE (unlike ROWS) aggregates all PEERS of the current ordering
+    * value, so frame contents are order-independent and exact. */
+  private def rangeFrameSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    import org.apache.spark.sql.expressions.Window
+    val widthS = Seq(60L, 300L, 600L, 1800L, 3600L)(rng.nextInt(5))
+    val w = widthS * 1000L
+    // bound forms: trailing-inclusive, trailing-exclusive, leading
+    val (lo, hi, boundSql) = rng.nextInt(3) match {
+      case 0 => (-w, 0L, s"RANGE BETWEEN $w PRECEDING AND CURRENT ROW")
+      case 1 => (-w, -1L, s"RANGE BETWEEN $w PRECEDING AND 1 PRECEDING")
+      case _ => (0L, w, s"RANGE BETWEEN CURRENT ROW AND $w FOLLOWING")
+    }
+    val (pCol, pSql) = rng.shuffle(Seq[(Column, String)](
+      (col("user_id"), "user_id"),
+      (col("user_id") % 7, "user_id % 7"))).head
+    val (fCol, fSql) = eventFilters(rng)
+    val name = f"fuzz_$i%02d"
+    val over = s"OVER (PARTITION BY pk ORDER BY epoch_ms(ts) $boundSql)"
+    type WS = org.apache.spark.sql.expressions.WindowSpec
+    val fns: Seq[(WS => Column, String, String)] = {
+      val all = Seq[(WS => Column, String, String)](
+        ((wS: WS) => count(lit(1)).over(wS), "n_w", s"COUNT(*) $over AS n_w"),
+        ((wS: WS) => coalesce(sum(col("value").cast(D)).over(wS).cast("double"), lit(0.0)),
+          "sum_w", s"COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2))) $over AS DOUBLE), 0.0) AS sum_w"),
+        ((wS: WS) => coalesce(min(col("event_id")).over(wS), lit(-1L)),
+          "min_id_w", s"COALESCE(MIN(event_id) $over, -1) AS min_id_w"))
+      rng.shuffle(all).take(1 + rng.nextInt(2))
+    }
+    val df = (li: DataFrame) => {
+      val s = li.sparkSession
+      val ev = graft.queries.Relational.events(s, sfDir)
+        .withColumn("_t", timestamp_millis(col("_ms"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+      val wS = Window.partitionBy(col("pk")).orderBy(col("_ms")).rangeBetween(lo, hi)
+      val base = ev.filter(fCol).withColumn("pk", pCol)
+      fns.foldLeft(base) { case (d, (c, alias, _)) => d.withColumn(alias, c(wS)) }
+        .select(Seq(col("pk"), col("event_id"), col("_ms").as("ms")) ++ fns.map(f => col(f._2)): _*)
+        .orderBy(col("pk"), col("ms"), col("event_id"))
+    }
+    val sql =
+      s"""SELECT pk, event_id, epoch_ms(ts) AS ms,
+         |  ${fns.map(_._3).mkString(",\n  ")}
+         |FROM (SELECT *, $pSql AS pk FROM events WHERE $fSql)
+         |ORDER BY pk, ms, event_id""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  /** Randomized interval-overlap join (q45's shape): fact delivery
+    * windows of varied width against promo windows derived at varied
+    * calendar grains — the broadcast-nested-loop range join with a
+    * bounded dim side, never a shuffled fact. */
+  private def intervalOverlapSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    val d1 = Seq(7, 14, 21)(rng.nextInt(3))
+    val d2 = Seq(3, 6, 13)(rng.nextInt(3))
+    val (grain, truncSql) = rng.shuffle(Seq(
+      ("quarter", "date_trunc('quarter', l_shipdate)"),
+      ("month", "date_trunc('month', l_shipdate)"))).head
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val facts = li.select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("ship_start"),
+        date_add(col("l_shipdate").cast("date"), d1).as("ship_end"))
+      val promos = li
+        .select(trunc(col("l_shipdate").cast("date"), grain).as("p_start"))
+        .distinct()
+        .select(col("p_start"), date_add(col("p_start"), d2).as("p_end"))
+      facts.join(broadcast(promos),
+          col("ship_start") <= col("p_end") && col("p_start") <= col("ship_end"))
+        .groupBy(date_format(col("p_start"), "yyyy-MM-dd").as("promo_start"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("promo_start"))
+    }
+    val sql =
+      s"""WITH li AS (
+         |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship_start,
+         |    CAST(l_shipdate AS DATE) + $d1 AS ship_end
+         |  FROM lineitem),
+         |promos AS (
+         |  SELECT p_start, p_start + $d2 AS p_end FROM (
+         |    SELECT DISTINCT CAST($truncSql AS DATE) AS p_start FROM lineitem))
+         |SELECT strftime(p_start, '%Y-%m-%d') AS promo_start,
+         |  count(*) AS n_lines,
+         |  count(DISTINCT l_orderkey) AS n_orders
+         |FROM li JOIN promos ON ship_start <= p_end AND p_start <= ship_end
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  /** Randomized as-of join (q22's union + running-window shape): for
+    * each anchor event, the nearest source event of another type at or
+    * before (or, flipped, at or after) it — O(C+P) per user with one
+    * user_id exchange, where the naive join+argmax explodes pairs. */
+  private def asofSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    import org.apache.spark.sql.expressions.Window
+    val types = Seq("click", "view", "signup", "error", "purchase")
+    val srcT = types(rng.nextInt(4)) // source: anything but purchase
+    val anchorT = rng.shuffle(types.filterNot(_ == srcT)).head
+    val forward = rng.nextBoolean() // false: latest prior; true: earliest later
+    val name = f"fuzz_$i%02d"
+    val df = (li: DataFrame) => {
+      val s = li.sparkSession
+      val e = graft.queries.Relational.events(s, sfDir)
+        .filter(col("event_type").isin(srcT, anchorT))
+        .select(col("user_id"), col("event_id"), col("_ms"),
+          when(col("event_type") === srcT, 0).otherwise(1).as("_kind"))
+      // same-ms ties: source sorts before anchor when looking back,
+      // after it when looking forward, matching the <= / >= predicate
+      val wBase = Window.partitionBy(col("user_id"))
+      val (w, best) =
+        if (!forward)
+          (wBase.orderBy(col("_ms"), col("_kind"), col("event_id"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+           max(when(col("_kind") === 0, col("_ms") * 1000000L + col("event_id"))))
+        else
+          (wBase.orderBy(col("_ms"), col("_kind").desc, col("event_id"))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+           min(when(col("_kind") === 0, col("_ms") * 1000000L + col("event_id"))))
+      e.withColumn("_best", best.over(w))
+        .filter(col("_kind") === 1 && col("_best").isNotNull)
+        .select(col("user_id"), col("event_id").as("anchor_id"),
+          (col("_best") % 1000000L).as("src_id"),
+          expr("_best DIV 1000000").as("src_ms"))
+        .orderBy(col("user_id"), col("anchor_id"))
+    }
+    val cmp = if (forward) ">=" else "<="
+    val pick = if (forward) "MIN" else "MAX"
+    val sql =
+      s"""SELECT p.user_id AS user_id, p.event_id AS anchor_id,
+         |  $pick(epoch_ms(c.ts) * 1000000 + c.event_id) % 1000000 AS src_id,
+         |  $pick(epoch_ms(c.ts) * 1000000 + c.event_id) // 1000000 AS src_ms
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id AND c.event_type = '$srcT'
+         | AND epoch_ms(c.ts) $cmp epoch_ms(p.ts)
+         |WHERE p.event_type = '$anchorT'
+         |GROUP BY p.user_id, p.event_id
+         |ORDER BY user_id, anchor_id""".stripMargin
+    Spec(name, df, sql)
+  }
+
+  def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01",
+      family: Option[String] = None): Spec = {
     val rng = new Random(seed + i)
     // burn one draw before the shape selector: java.util.Random's FIRST
     // draw is heavily correlated across sequential seeds (measured 0/30
     // events specs without the burn, ~10/30 with it — the low seed bits
     // need an LCG step to reach the top bits nextInt(4) samples)
     rng.nextLong()
+    // focused sweeps: force every spec into one grammar family so a
+    // 30-query run gives ~10 draws per shape instead of the mixed
+    // selector's long-tail trickle
+    family match {
+      case Some("time") =>
+        return rng.nextInt(3) match {
+          case 0 => rangeFrameSpec(i, rng, sfDir)
+          case 1 => intervalOverlapSpec(i, rng, sfDir)
+          case _ => asofSpec(i, rng, sfDir)
+        }
+      case Some(other) if other.nonEmpty =>
+        throw new IllegalArgumentException(s"unknown fuzz family: $other")
+      case _ => ()
+    }
     // every ~4th spec draws from the events grammar, ~1/5 of the rest
     // from the window grammar, ~1/4 of the rest from the set-op/
-    // grouping-set/full-outer trio, the remainder from the relational
-    // (lineitem/orders) grammar
+    // grouping-set/full-outer trio, ~1/4 of what remains from the
+    // time-shape trio (RANGE frame / interval overlap / as-of), the
+    // remainder from the relational (lineitem/orders) grammar
     if (rng.nextInt(4) == 1) return eventSpec(i, rng, sfDir)
     if (rng.nextInt(5) == 2) return windowSpec(i, rng)
     if (rng.nextInt(4) == 3) {
@@ -370,6 +535,13 @@ object FuzzDump {
         case 0 => groupingSpec(i, rng)
         case 1 => setopSpec(i, rng)
         case _ => fullOuterSpec(i, rng, sfDir)
+      }
+    }
+    if (rng.nextInt(4) == 2) {
+      return rng.nextInt(3) match {
+        case 0 => rangeFrameSpec(i, rng, sfDir)
+        case 1 => intervalOverlapSpec(i, rng, sfDir)
+        case _ => asofSpec(i, rng, sfDir)
       }
     }
     val (fCol, fSql) = filters(rng)
@@ -412,6 +584,7 @@ object FuzzDump {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_fuzz"
     val n = if (args.length > 2) args(2).toInt else 20
     val seed = if (args.length > 3) args(3).toLong else 42L
+    val family = if (args.length > 4) Some(args(4)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -427,7 +600,7 @@ object FuzzDump {
       val (fs, p) = graft.etl.WarehouseFs.resolve(spark, outDir)
       graft.etl.WarehouseFs.mkdirs(fs, p)
     }
-    val specs = (0 until n).map(spec(_, seed, sfDir))
+    val specs = (0 until n).map(spec(_, seed, sfDir, family))
     specs.foreach { s =>
       s.df(li).coalesce(1).write.mode("overwrite").parquet(s"$outDir/${s.name}")
     }

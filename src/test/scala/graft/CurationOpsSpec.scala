@@ -115,6 +115,47 @@ class CurationOpsSpec extends SparkSuite {
       "top-strength item must have at least the bottom item's win-rate")
   }
 
+  test("cohen's kappa: matches an independent driver-side brute force exactly") {
+    // independent reimplementation in plain collections — any drift in
+    // the pair derivation, tie abstention, marginals or the sign-aware
+    // integer division shows up as a cell mismatch
+    val brands = spark.read.parquet(s"$sf/part.parquet").collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+    val byOrder = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), brands(r.getLong(1)), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    var n = 0L; var agree = 0L; var na1 = 0L; var nb1 = 0L
+    byOrder.values.foreach { ls =>
+      val t = ls.groupBy(_._2).map { case (b, xs) =>
+        (b, xs.map(_._3).sum, xs.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+      for (i <- t.indices; j <- (i + 1) until t.size) {
+        val (x, y) = (t(i), t(j))
+        if (x._2 != y._2 && x._3 != y._3) {
+          val ra = if (x._2 > y._2) 1 else 2
+          val rb = if (x._3 > y._3) 1 else 2
+          n += 1; if (ra == rb) agree += 1
+          if (ra == 1) na1 += 1; if (rb == 1) nb1 += 1
+        }
+      }
+    }
+    val peN = na1 * nb1 + (n - na1) * (n - nb1)
+    val kNum = agree * n - peN
+    val kappa = if (kNum >= 0) 1000 * kNum / (n * n - peN)
+                else -(1000 * -kNum / (n * n - peN))
+    val row = PreferenceOps.cohenKappa(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      (n, agree, 1000 * agree / n, 1000 * peN / (n * n), kappa),
+      s"kappa row $row != brute force ($n, $agree, ..., $kappa)")
+    // the two raters are correlated (revenue and quantity both track
+    // basket size), so agreement must beat chance on this fixture
+    assert(row.getLong(4) > 0L, "expected above-chance agreement")
+  }
+
   test("join-view delta refresh equals the one-shot full join recompute") {
     val full = spark.read.parquet(s"$sf/lineitem.parquet")
       .join(spark.read.parquet(s"$sf/orders.parquet"),

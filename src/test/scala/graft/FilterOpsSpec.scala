@@ -282,6 +282,26 @@ class FilterOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("classifier ECE: bins tile the corpus, gaps are |conf-acc|, summary is the n-weighted mean") {
+    val rows = FilterOps.classifierEce(spark, sf).collect()
+    val (summary, bins) = rows.partition(_.getLong(0) == -1L)
+    assert(summary.length == 1 && bins.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(bins.map(_.getLong(1)).sum == n, "bins must tile the corpus")
+    assert(summary.head.getLong(1) == n)
+    bins.foreach { r =>
+      val (bin, conf, acc, gap) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0 && bin < FilterOps.EceBins)
+      assert(conf >= 0 && conf <= 1000 && acc >= 0 && acc <= 1000)
+      // stated confidence must sit inside (or at the clamp edge of) its bin
+      assert(conf >= bin * 100 && (conf <= (bin + 1) * 100 || bin == FilterOps.EceBins - 1))
+      assert(gap == math.abs(conf - acc))
+    }
+    // the summary ECE is exactly the n-weighted bin-gap mean
+    val ece = bins.map(r => r.getLong(1) * r.getLong(4)).sum / n
+    assert(summary.head.getLong(4) == ece)
+  }
+
   test("repetition rules: registered query is total over the corpus and ordered") {
     val out = FilterOps.repetitionRules(spark, sf).cache()
     val n = spark.read.parquet(s"$sf/documents.parquet").count()

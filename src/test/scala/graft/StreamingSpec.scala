@@ -550,6 +550,42 @@ class StreamingSpec extends SparkSuite {
         s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
   }
 
+  test("streaming as-of join: matches equal batch q22 on the time-ordered fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.Relational.events(spark, sf)
+    val ordered = ev
+      .select(col("event_id"), col("_ms"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("_ms"), col("event_id"))
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val in = MemoryStream[Event]
+    val q = StreamOps.asofStream(in.toDS())
+      .writeStream.format("memory").queryName("asofs").outputMode("append").start()
+    // deliver in several micro-batches: state must carry clicks across
+    // batch boundaries for matches to stay batch-identical
+    ordered.grouped(math.max(1, ordered.length / 4 + 1)).foreach { chunk =>
+      in.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.sql(
+      "SELECT user_id, purchase_id, last_click_id, last_click_ms FROM asofs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    q.stop()
+    val want = graft.queries.Relational.q22(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == want,
+      s"streaming/batch as-of divergence: extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(3)}")
+  }
+
   test("streaming scd2: closed versions equal the batch dimension on the time-ordered fixture") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -202,6 +202,42 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("registered bucketed join: SMJ with zero exchanges beneath it, rollup matches plain join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Nil
+      })
+    try {
+      val joined = Layout.layoutBucketedJoin(spark, sf)
+      val rows = joined.as[(String, Long, Long, Double)].collect()
+      val plan = nodes(joined.queryExecution.executedPlan)
+      val smj = plan.find(_.nodeName.contains("SortMergeJoin"))
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${joined.queryExecution.executedPlan}")
+      // the co-location claim: nothing below the join shuffles — the
+      // only exchanges in the whole plan belong to the rollup + sort
+      val below = smj.get.children.flatMap(nodes)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"bucketed join inputs must not shuffle:\n${joined.queryExecution.executedPlan}")
+      val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(rows.toSet == expect, "bucketed layout changed the answer")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_li")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
+    }
+  }
+
   test("dynamic partition pruning: scan carries a DPP filter, reads only qualifying partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.SparkPlan
