@@ -952,6 +952,72 @@ object FilterOps {
       .orderBy(col("bin"))
   }
 
+  // ------------------------------------------------------------------
+  // Per-domain perplexity fence (the CCNet/Wikipedia-LM filtering
+  // recipe, composed from two existing exact primitives): each doc's
+  // mean bigram surprisal q = (−Σ logp_milli) DIV n_bigrams (integer,
+  // nonnegative), each LANGUAGE gets its own p90 fence from the exact
+  // value-histogram quantile (RobustStats.histQuantile — per-language
+  // thresholds because surprisal scales differ across languages, the
+  // reason CCNet buckets per language), and the most-surprising decile
+  // is flagged. Shape at 100 TB: the perplexity pipeline's own passes +
+  // one histogram-sized quantile window + one broadcast fence join —
+  // nothing new moves at corpus scale.
+  val PplFenceNum = 9L
+  val PplFenceDen = 10L
+
+  def pplFence(s: SparkSession, dir: String): DataFrame = {
+    val scored = Lineage.truncate(TextOps.perplexityPerDoc(s, dir)
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // sum_logp_milli <= 0 by construction (add-one probs <= 1), so the
+      // magnitude division stays in nonnegative DIV territory
+      .withColumn("q_milli", expr("(-sum_logp_milli) DIV n_bigrams")))
+    val fence = RobustStats.histQuantile(scored, "lang", "q_milli",
+        PplFenceNum, PplFenceDen)
+      .withColumnRenamed("med", "p90_q_milli")
+    scored.join(broadcast(fence), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("p90_q_milli")).as("p90_q_milli"), // constant within group
+        sum(when(col("q_milli") > col("p90_q_milli"), 1L).otherwise(0L))
+          .as("n_flagged"),
+        max(col("q_milli")).as("max_q_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val pplFenceSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |docbi AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t)),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS nb,
+       |    CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS slp
+       |  FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
+       |  GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.lang, (-pd.slp) // pd.nb AS q
+       |  FROM pd JOIN documents d USING (doc_id)),
+       |hist AS (SELECT lang, q, count(*) AS c FROM sc GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, q,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY q) AS cum,
+       |    sum(c) OVER (PARTITION BY lang) AS n
+       |  FROM hist),
+       |f AS (SELECT lang, min(q) AS p90 FROM cum
+       |      WHERE cum >= (n * $PplFenceNum + $PplFenceDen - 1) // $PplFenceDen GROUP BY 1)
+       |SELECT sc.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(max(f.p90) AS BIGINT) AS p90_q_milli,
+       |  CAST(sum(CASE WHEN sc.q > f.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(max(sc.q) AS BIGINT) AS max_q_milli
+       |FROM sc JOIN f USING (lang)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val classifierEceSql: String =
     s"""WITH ${clfParts._1},
        |clf AS (${clfParts._2}),
@@ -1091,7 +1157,8 @@ object FilterOps {
     "dedup_passage_overlap" -> (passageOverlap _),
     "filter_line_dedup" -> (lineDedup _),
     "filter_quality_classifier" -> (qualityClassifier _),
-    "filter_classifier_ece" -> (classifierEce _)
+    "filter_classifier_ece" -> (classifierEce _),
+    "filter_ppl_fence" -> (pplFence _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -1105,6 +1172,7 @@ object FilterOps {
     "dedup_passage_overlap" -> passageOverlapSql,
     "filter_line_dedup" -> lineDedupSql,
     "filter_quality_classifier" -> qualityClassifierSql,
-    "filter_classifier_ece" -> classifierEceSql
+    "filter_classifier_ece" -> classifierEceSql,
+    "filter_ppl_fence" -> pplFenceSql
   )
 }

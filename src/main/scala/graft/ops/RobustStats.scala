@@ -36,17 +36,25 @@ object RobustStats {
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tok")))
 
-  /** Exact per-group lower median of `v` via the value histogram:
-    * smallest value whose cumulative count reaches ceil(n/2). */
-  private def histMedian(df: DataFrame, grp: String, v: String): DataFrame = {
+  /** Exact per-group quantile of `v` via the value histogram: smallest
+    * value whose cumulative count reaches ceil(n·num/den). The window
+    * runs over HISTOGRAM rows (bounded by the value domain), never
+    * corpus rows — the quantileExact shape. num=1, den=2 is the lower
+    * median ((n·1 + 2 − 1) DIV 2 = ceil(n/2)). */
+  private[ops] def histQuantile(df: DataFrame, grp: String, v: String,
+      num: Long, den: Long): DataFrame = {
     val wCum = Window.partitionBy(col(grp)).orderBy(col(v)) // histogram-sized
     val wAll = Window.partitionBy(col(grp))
     df.groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("n", sum(col("c")).over(wAll))
-      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .filter(col("cum") >= expr(s"(n * $num + $den - 1) DIV $den"))
       .groupBy(col(grp)).agg(min(col(v)).as("med"))
   }
+
+  /** Exact per-group lower median of `v` via the value histogram. */
+  private def histMedian(df: DataFrame, grp: String, v: String): DataFrame =
+    histQuantile(df, grp, v, 1, 2)
 
   def outlierMad(s: SparkSession, dir: String): DataFrame = {
     val d = lengths(s, dir)

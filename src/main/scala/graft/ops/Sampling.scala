@@ -483,7 +483,66 @@ object Sampling {
     dsirCtes +
       s"\nSELECT doc_id, n_grams, logw_milli FROM w ORDER BY logw_milli DESC, doc_id LIMIT $DsirTopK"
 
+  // ------------------------------------------------------------------
+  // Token-budget allocation under the data-constrained epoch cap (the
+  // Pile/LLaMA mixture-planning step, with Muennighoff et al. 2023's
+  // ~4-epoch rule): given a total training budget of BudgetMultiple ×
+  // the corpus token count and an equal per-language target (the
+  // "flatten the mixture" recipe), each language's plan is
+  //   epochs = min(target / tok_total, 4)   (milli-units)
+  //   planned = epochs · tok_total          (what will actually train)
+  //   deficit = target − planned            (the data-constrained gap)
+  // — a language too small to fill its share without exceeding 4
+  // epochs surfaces a deficit instead of silently over-epoching.
+  // All integer (nonnegative DIV both engines). Shape at 100 TB: one
+  // map-side-combined token-count pass; the allocation itself runs on
+  // the language-count-sized frame.
+  val BudgetMultiple = 2L
+  val BudgetEpochCapMilli = 4000L
+
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val perLang = docs(s, dir)
+      .select(col("lang"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
+    val tot = perLang.agg(sum(col("tok_total")).as("corpus_total"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"corpus_total * $BudgetMultiple DIV n_langs"))
+      .withColumn("epochs_milli",
+        least(expr("1000 * target_tokens DIV tok_total"), lit(BudgetEpochCapMilli)))
+      .withColumn("planned_tokens", expr("epochs_milli * tok_total DIV 1000"))
+      .withColumn("deficit_tokens",
+        greatest(col("target_tokens") - col("planned_tokens"), lit(0L)))
+      .select(col("lang"), col("n_docs"), col("tok_total"), col("target_tokens"),
+        col("epochs_milli"), col("planned_tokens"), col("deficit_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH perlang AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS tok_total
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(tok_total) AS BIGINT) AS corpus_total,
+       |               CAST(count(*) AS BIGINT) AS n_langs FROM perlang),
+       |a AS (
+       |  SELECT lang, n_docs, tok_total,
+       |    corpus_total * $BudgetMultiple // n_langs AS target_tokens,
+       |    least(1000 * (corpus_total * $BudgetMultiple // n_langs) // tok_total,
+       |          $BudgetEpochCapMilli) AS epochs_milli
+       |  FROM perlang, tot)
+       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, tok_total,
+       |  CAST(target_tokens AS BIGINT) AS target_tokens,
+       |  CAST(epochs_milli AS BIGINT) AS epochs_milli,
+       |  CAST(epochs_milli * tok_total // 1000 AS BIGINT) AS planned_tokens,
+       |  CAST(greatest(target_tokens - epochs_milli * tok_total // 1000, 0) AS BIGINT)
+       |    AS deficit_tokens
+       |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_budget" -> (tokenBudget _),
     "sample_split_assign" -> (splitAssign _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_mixture_weights" -> (mixtureWeights _),
@@ -496,6 +555,7 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_token_budget" -> tokenBudgetSql,
     "sample_split_assign" -> splitAssignSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture_weights" -> mixtureWeightsSql,

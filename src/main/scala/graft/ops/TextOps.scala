@@ -365,7 +365,10 @@ object TextOps {
   // bounded, broadcast to the per-doc pass; one bigram explode, one
   // map-side-combined per-doc aggregate. At 100 TB the LM is trained
   // once and reused across every scoring run.
-  def perplexity(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc exact bigram log-prob totals (doc_id, n_bigrams,
+    * sum_logp_milli) — the integer core the registered perplexity query
+    * AND the per-domain perplexity fence both consume. */
+  private[graft] def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val toks = tokens(col("text"))
     val docBigrams = d.select(col("doc_id"), toks.as("_t"))
@@ -387,10 +390,13 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("logp_milli")).as("sum_logp_milli"))
+  }
+
+  def perplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityPerDoc(s, dir)
       .withColumn("avg_logp_milli",
         col("sum_logp_milli").cast("double") / col("n_bigrams"))
       .orderBy(col("doc_id"))
-  }
 
   // ------------------------------------------------------------------
   // Kneser-Ney bigram scoring: the add-one model above upgraded to the

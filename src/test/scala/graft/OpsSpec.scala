@@ -912,6 +912,55 @@ class OpsSpec extends SparkSuite {
     assert(last.filter(col("n_chunks") > 1).count() > 0)
   }
 
+  test("token budget: epoch cap respected, deficits exact, targets tile the doubled corpus") {
+    val rows = graft.ops.Sampling.tokenBudget(spark, sf).collect()
+    assert(rows.length > 1)
+    val corpusTotal = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (tok, target, epochs, planned, deficit) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(epochs > 0 && epochs <= graft.ops.Sampling.BudgetEpochCapMilli)
+      assert(planned == epochs * tok / 1000)
+      assert(planned <= graft.ops.Sampling.BudgetEpochCapMilli * tok / 1000,
+        "no language trains past the epoch cap")
+      assert(deficit == math.max(target - planned, 0L))
+      // each target is the equal share of the doubled corpus (DIV floor)
+      assert(target == corpusTotal * graft.ops.Sampling.BudgetMultiple / rows.length)
+    }
+    // an uncapped language's deficit is pure milli-epoch floor rounding:
+    // epochs = floor(1000·target/tok) loses < 1 milli-epoch (< tok/1000
+    // tokens) and planned floors once more — anything beyond that bound
+    // requires the cap to be binding
+    rows.filter(_.getLong(4) < graft.ops.Sampling.BudgetEpochCapMilli).foreach { r =>
+      assert(r.getLong(6) <= r.getLong(2) / 1000 + 1,
+        s"uncapped deficit beyond the rounding bound: $r")
+    }
+  }
+
+  test("perplexity fence: per-language p90 from the histogram, flagged = strictly-above-fence") {
+    val fences = graft.ops.FilterOps.pplFence(spark, sf).collect()
+    assert(fences.nonEmpty)
+    // brute-force each language's fence and flag count from the raw
+    // per-doc surprisal values
+    import org.apache.spark.sql.functions.{col => c, expr => e}
+    val qs = graft.ops.TextOps.perplexityPerDoc(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select(c("doc_id"), c("lang")), Seq("doc_id"))
+      .select(c("lang"), e("(-sum_logp_milli) DIV n_bigrams").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    fences.foreach { r =>
+      val (lang, nDocs, p90, nFlagged, maxQ) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val vals = qs(lang).map(_._2).sorted
+      assert(nDocs == vals.length)
+      val rank = ((vals.length * 9 + 9) / 10).toInt // ceil(0.9 n)
+      assert(p90 == vals(rank - 1), s"$lang fence $p90 != brute ${vals(rank - 1)}")
+      assert(nFlagged == vals.count(_ > p90))
+      assert(maxQ == vals.max)
+      // strictly-above-ceil-rank flags at most floor(n/10) docs
+      assert(nFlagged * 10 <= nDocs, s"$lang flags more than a decile")
+    }
+  }
+
   test("temperature mixture: probs sum to ~1, low-resource langs upweighted") {
     import graft.ops.Sampling
     val t = Sampling.temperatureMixture(spark, sf).collect()
