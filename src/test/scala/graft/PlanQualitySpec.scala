@@ -275,7 +275,19 @@ class PlanQualitySpec extends SparkSuite {
     // as a broadcast. A naive Window.partitionBy(l_returnflag) plans
     // 3 shuffles — this pin failing at 3 means the scale-killer
     // single-task sort came back.
-    "q48_window_stats" -> 5)
+    "q48_window_stats" -> 5,
+    // PNG roundtrip: ONE mapPartitions codec pass + the output sort —
+    // a second exchange means the codec stage started shuffling
+    "media_png_roundtrip" -> 1,
+    // Cohen's kappa: the (order, brand) rollup exchange feeds the pair
+    // self-join (SMJ — both sides are the same aggregated table), part
+    // joins broadcast, one global 1-row agg; growth means the pair
+    // derivation started re-shuffling
+    "rank_cohen_kappa" -> 5,
+    // perplexity fence: the per-doc bigram agg, the histogram-quantile
+    // window (histogram-sized), the per-lang rollup + sort; the fence
+    // itself joins back as a broadcast
+    "filter_ppl_fence" -> 4)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
