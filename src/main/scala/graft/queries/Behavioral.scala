@@ -512,8 +512,8 @@ object Behavioral {
   val AbHashB = 12345L
   val AbMod = 1000003L
 
-  def abTest(s: SparkSession, dir: String): DataFrame = {
-    val perUser = Relational.events(s, dir)
+  def abTest(s: SparkSession, dir: String): DataFrame =
+    abTestOf(Relational.events(s, dir)
       .groupBy(col("user_id"))
       .agg(
         // "converted" must not be degenerate: every fixture user has every
@@ -522,7 +522,13 @@ object Behavioral {
         // threshold splits the population at any scale.
         when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
           .otherwise(0L).as("converted"),
-        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** The readout over any (user_id, converted, cents) per-user frame —
+    * exposed so the overflow-regression spec can push per-user spends
+    * past the point where the pre-round-11 cents² sums wrapped int64. */
+  private[graft] def abTestOf(perUser0: DataFrame): DataFrame = {
+    val perUser = perUser0
       .withColumn("usd", expr("CAST(round(cents / 100.0) AS BIGINT)"))
       .withColumn("arm",
         expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))

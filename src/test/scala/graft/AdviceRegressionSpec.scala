@@ -169,6 +169,42 @@ class AdviceRegressionSpec extends SparkSuite {
     assert(pair.head.getAs[Double]("jaccard") == batch.head.getAs[Double]("jaccard"))
   }
 
+  test("A/B spend statistics stay exact where cents-squared sums would wrap int64 (round-11 ADVICE)") {
+    import spark.implicits._
+    // 1000 users at ~$35M lifetime: Σcents² ≈ 1000 · (3.5e9)² ≈ 1.2e22,
+    // FAR past Long.MaxValue (9.2e18) — the pre-fix accumulation wrapped
+    // silently here while DuckDB widened to HUGEINT. Dollar-quantized,
+    // Σusd² ≈ 1.2e18 fits with headroom.
+    val perUser = (1L to 1000L)
+      .map(u => (u, (u % 2).toLong, 3000000000L + u * 1000000L))
+      .toDF("user_id", "converted", "cents")
+    val row = graft.queries.Behavioral.abTestOf(perUser).collect().head
+    val z = row.getDouble(9)
+    assert(!z.isNaN && !z.isInfinite, s"z_mean_spend not finite: $z")
+    // hand-computed Welch z over the dollar-quantized metric, BigInt
+    // sums so the reference itself cannot wrap
+    val arms = (1L to 1000L).map { u =>
+      val cents = 3000000000L + u * 1000000L
+      val usd = Math.round(cents / 100.0)
+      ((u * graft.queries.Behavioral.AbHashA + graft.queries.Behavioral.AbHashB)
+        % graft.queries.Behavioral.AbMod % 2, usd)
+    }
+    def stats(a: Long): (Long, BigInt, BigInt) = {
+      val xs = arms.filter(_._1 == a).map(_._2)
+      (xs.size.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val (na, sa, ssa) = stats(0)
+    val (nb, sb, ssb) = stats(1)
+    def meanVar(n: Long, s: BigInt, ss: BigInt): (Double, Double) = {
+      val m = s.toDouble / n
+      ((m, (ss.toDouble - s.toDouble * s.toDouble / n) / (n - 1)))
+    }
+    val (ma, va) = meanVar(na, sa, ssa)
+    val (mb, vb) = meanVar(nb, sb, ssb)
+    val want = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(z - want) < 1e-9, s"z $z != BigInt-reference $want")
+  }
+
   test("MMR on a singleton pool returns the anchor row like the oracle") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
