@@ -541,8 +541,73 @@ object Sampling {
        |    AS deficit_tokens
        |FROM a ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Curriculum ordering (Bengio et al. 2009, the easy-to-hard training
+  // schedule): the corpus sorted into the order it will be FED to
+  // training — difficulty bands first (quintiles of exact mean bigram
+  // surprisal, the perplexity fence's metric, cut by the value-histogram
+  // quantile), a deterministic hash shuffle inside each band (adjacent
+  // docs must not correlate), doc_id as the final total-order tiebreak.
+  // The output ORDER IS the curriculum. Shape at 100 TB: the perplexity
+  // passes + 4 histogram-sized quantile probes (broadcast back as one
+  // 1-row fence frame) + ONE range-partitioned global sort — the sort a
+  // training-order writer pays by definition, never a single-task
+  // window.
+  val CurriculumBands = 5
+
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.Lineage.truncate(
+      TextOps.perplexityPerDoc(s, dir)
+        .select(col("doc_id"), expr("(-sum_logp_milli) DIV n_bigrams").as("q_milli"))
+        .withColumn("_g", lit(0L))) // constant key: the histogram IS bounded
+    val fences = (1 until CurriculumBands).map { k =>
+      RobustStats.histQuantile(scored, "_g", "q_milli", k, CurriculumBands)
+        .select(col("med").as(s"f$k"))
+    }.reduce((a, b) => a.crossJoin(broadcast(b))) // 1-row × 1-row
+    val bandExpr = (1 until CurriculumBands)
+      .map(k => s"(CASE WHEN q_milli > f$k THEN 1 ELSE 0 END)").mkString(" + ")
+    scored.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("q_milli"),
+        expr(s"CAST($bandExpr AS BIGINT)").as("band"),
+        ((col("doc_id") * MixHashA + MixHashB) % Mod).as("shuffle_key"))
+      .orderBy(col("band"), col("shuffle_key"), col("doc_id"))
+  }
+
+  val curriculumSql: String = {
+    val fences = (1 until CurriculumBands).map { k =>
+      s"f$k AS (SELECT min(q) AS f FROM cum WHERE cum >= (n * $k + ${CurriculumBands - 1}) // $CurriculumBands)"
+    }.mkString(",\n")
+    val bandExpr = (1 until CurriculumBands)
+      .map(k => s"(CASE WHEN sc.q > f$k.f THEN 1 ELSE 0 END)").mkString(" + ")
+    val fromFences = (1 until CurriculumBands).map(k => s"f$k").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |docbi AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t)),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS nb,
+       |    CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS slp
+       |  FROM docbi JOIN bi USING (w1, w2) JOIN uni USING (w1), vocab
+       |  GROUP BY doc_id),
+       |sc AS (SELECT doc_id, (-slp) // nb AS q FROM pd),
+       |hist AS (SELECT q, count(*) AS c FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT q, sum(c) OVER (ORDER BY q) AS cum, sum(c) OVER () AS n FROM hist),
+       |$fences
+       |SELECT sc.doc_id, CAST(sc.q AS BIGINT) AS q_milli,
+       |  CAST($bandExpr AS BIGINT) AS band,
+       |  CAST((sc.doc_id * $MixHashA + $MixHashB) % $Mod AS BIGINT) AS shuffle_key
+       |FROM sc, $fromFences
+       |ORDER BY band, shuffle_key, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_token_budget" -> (tokenBudget _),
+    "sample_curriculum" -> (curriculum _),
     "sample_split_assign" -> (splitAssign _),
     "sample_stratified" -> (stratifiedSample _),
     "sample_mixture_weights" -> (mixtureWeights _),
@@ -556,6 +621,7 @@ object Sampling {
 
   val oracle: Map[String, String] = Map(
     "sample_token_budget" -> tokenBudgetSql,
+    "sample_curriculum" -> curriculumSql,
     "sample_split_assign" -> splitAssignSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture_weights" -> mixtureWeightsSql,

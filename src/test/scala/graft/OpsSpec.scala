@@ -961,6 +961,30 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("curriculum: bands are difficulty-disjoint quintiles, order is the banded hash shuffle") {
+    val rows = graft.ops.Sampling.curriculum(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    val bands = rows.map(_.getLong(2))
+    assert(bands.toSet == (0L until graft.ops.Sampling.CurriculumBands).toSet,
+      "every quintile band populated")
+    // bands partition the DIFFICULTY axis disjointly: any doc in band k
+    // is strictly easier than any doc in band k+1
+    val byBand = rows.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1))).toMap
+    (0L until graft.ops.Sampling.CurriculumBands - 1).foreach { k =>
+      assert(byBand(k).max <= byBand(k + 1).min,
+        s"band $k overlaps band ${k + 1} in surprisal")
+    }
+    // quintile sizing: each band within ties of n/5 (ties never split)
+    byBand.values.foreach(b =>
+      assert(b.length >= n / 10 && b.length <= n * 2 / 5, s"degenerate band size ${b.length}/$n"))
+    // the emitted order IS (band, shuffle_key, doc_id)
+    val key = rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+    assert(key.sameElements(key.sorted), "output order must be the curriculum order")
+    // deterministic: a rerun is bit-identical
+    assert(graft.ops.Sampling.curriculum(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
   test("temperature mixture: probs sum to ~1, low-resource langs upweighted") {
     import graft.ops.Sampling
     val t = Sampling.temperatureMixture(spark, sf).collect()
