@@ -110,11 +110,84 @@ object RobustStats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Winsorized + trimmed mean per source — the robust location estimates
+  // a curation dashboard reports next to the MAD fence: the 10/90
+  // winsorized mean (clamp into [p10, p90], then average — outliers keep
+  // their vote but lose their leverage) and the 10/90 trimmed mean
+  // (drop outside [p10, p90] entirely). Same scale discipline as
+  // [[outlierMad]]: BOTH exact deciles come from the value histogram
+  // (cumulative window over histogram rows, never corpus rows), the
+  // per-source cut points broadcast back, and the means are ONE exact
+  // integer aggregation — the only double is the final division, the
+  // same expression on both engines. histQuantile's convention (smallest
+  // value whose cumulative count reaches ceil(n·num/den)) defines p10
+  // (num=1, den=10) and p90 (num=9, den=10) identically cross-engine.
+  def winsorized(s: SparkSession, dir: String): DataFrame = {
+    val d = lengths(s, dir)
+    val p10 = histQuantile(d, "source", "n_tok", 1, 10)
+      .withColumnRenamed("med", "p10")
+    val p90 = histQuantile(d, "source", "n_tok", 9, 10)
+      .withColumnRenamed("med", "p90")
+    d.join(broadcast(p10), Seq("source"))
+      .join(broadcast(p90), Seq("source"))
+      .withColumn("w_tok", greatest(least(col("n_tok"), col("p90")), col("p10")))
+      .withColumn("in_core",
+        (col("n_tok") >= col("p10") && col("n_tok") <= col("p90")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("p10")).as("p10_tok"), // constant within group
+        max(col("p90")).as("p90_tok"),
+        sum(col("w_tok")).as("w_sum"),
+        sum(col("in_core")).as("n_core"),
+        sum(when(col("in_core") === 1L, col("n_tok")).otherwise(0L)).as("c_sum"))
+      .select(col("source"), col("n_docs"), col("p10_tok"), col("p90_tok"),
+        expr("CAST(w_sum AS DOUBLE) / n_docs").as("winsor_mean"),
+        col("n_core"),
+        expr("CAST(c_sum AS DOUBLE) / n_core").as("trim_mean"))
+      .orderBy(col("source"))
+  }
+
+  val winsorizedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |hist AS (SELECT source, n_tok, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_tok,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM hist),
+      |p10 AS (SELECT source, min(n_tok) AS p10 FROM cum
+      |        WHERE cum >= (n * 1 + 9) // 10 GROUP BY 1),
+      |p90 AS (SELECT source, min(n_tok) AS p90 FROM cum
+      |        WHERE cum >= (n * 9 + 9) // 10 GROUP BY 1),
+      |j AS (
+      |  SELECT d.source, d.n_tok, p10.p10, p90.p90,
+      |    greatest(least(d.n_tok, p90.p90), p10.p10) AS w_tok,
+      |    CASE WHEN d.n_tok >= p10.p10 AND d.n_tok <= p90.p90
+      |         THEN 1 ELSE 0 END AS in_core
+      |  FROM d JOIN p10 USING (source) JOIN p90 USING (source))
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(max(p10) AS BIGINT) AS p10_tok,
+      |  CAST(max(p90) AS BIGINT) AS p90_tok,
+      |  CAST(sum(w_tok) AS DOUBLE) / count(*) AS winsor_mean,
+      |  CAST(sum(in_core) AS BIGINT) AS n_core,
+      |  CAST(sum(CASE WHEN in_core = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+      |    / sum(in_core) AS trim_mean
+      |FROM j
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "filter_outlier_mad" -> (outlierMad _)
+    "filter_outlier_mad" -> (outlierMad _),
+    "filter_winsorized" -> (winsorized _)
   )
 
   val oracle: Map[String, String] = Map(
-    "filter_outlier_mad" -> outlierMadSql
+    "filter_outlier_mad" -> outlierMadSql,
+    "filter_winsorized" -> winsorizedSql
   )
 }

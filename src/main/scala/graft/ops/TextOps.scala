@@ -623,6 +623,141 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // RM3 pseudo-relevance feedback (Lavrenko & Croft, SIGIR 2001; the
+  // "RM3" interpolated variant of Abdul-Jaleel et al., TREC 2004): run
+  // the seed query, treat the top-F docs as relevant, estimate a
+  // relevance model over their terms, expand the query with the top-E
+  // terms, and rescore — the standard recall-raising second pass of
+  // every lexical retrieval stack.
+  //
+  // Shape for 100 TB: stage 1 is the bm25TopK plan (narrow in-array
+  // filter, term-sized broadcasts, TakeOrdered). Stage 2 explodes the
+  // tokens of exactly F = 10 docs (a broadcast semi-join restricts the
+  // corpus FIRST — bounded work regardless of corpus size) and the E
+  // expansion terms come back as a ≤ E-row bounded driver read (the PQ
+  // codebook pattern), inlined as literals so stage 3 keeps the same
+  // narrow in-array filter shape — the corpus is never exploded. Two
+  // corpus passes total: the canonical price of PRF.
+  //
+  // Determinism: relevance-model weights are exact integers
+  // (Σ_d (tf·10⁶) DIV dl — the tf/dl language model in micro units),
+  // expansion selection is (rw DESC, term), and the final score is
+  // Σ qwt·w over integer milli query-weights (seed = 1000, expansion
+  // capped at 667 ≈ the 0.6/0.4 RM3 interpolation, scaled by rw/max rw)
+  // times the integer micro BM25 weight — exact integer sums on both
+  // engines.
+  val Rm3Feedback = 10
+  val Rm3Expansion = 8
+  val Rm3SeedW = 1000L
+  val Rm3ExpCap = 667L
+
+  def rm3Rescore(s: SparkSession, dir: String): DataFrame = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val perDoc = Lineage.truncate(docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        expr(s"filter(_t, t -> t IN ($termList))").as("_q")))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+    val tf0 = Lineage.truncate(perDoc
+      .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf")))
+    val df0 = tf0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val top10 = tf0.join(broadcast(df0), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(bm25WSql))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("s0"))
+      .orderBy(col("s0").desc, col("doc_id")).limit(Rm3Feedback)
+      .select(col("doc_id"))
+    val fbTf = docs(s, dir)
+      .join(broadcast(top10), Seq("doc_id"), "leftsemi") // F docs survive
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        explode(col("_t")).as("term"))
+      .filter(!col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val exp8 = fbTf
+      .groupBy(col("term")).agg(sum(expr("(tf * 1000000) DIV dl")).as("rw"))
+      .orderBy(col("rw").desc, col("term")).limit(Rm3Expansion)
+      .collect() // ≤ Rm3Expansion rows: bounded driver read
+    val mrw = if (exp8.isEmpty) 1L else exp8.map(_.getLong(1)).max
+    val weights: Seq[(String, Long)] =
+      Bm25Terms.map(_ -> Rm3SeedW) ++
+        exp8.toSeq.map(r => r.getString(0) -> (Rm3ExpCap * r.getLong(1)) / mrw)
+    val unionList = weights.map { case (t, _) => s"'$t'" }.mkString(", ")
+    val caseW = weights
+      .map { case (t, w) => s"WHEN '$t' THEN ${w}L" }
+      .mkString("CASE term ", " ", " ELSE 0L END")
+    val tf2 = Lineage.truncate(docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        expr(s"filter(_t, t -> t IN ($unionList))").as("_q"))
+      .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf")))
+    val df2 = tf2.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf2.join(broadcast(df2), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(bm25WSql))
+      .withColumn("qwt", expr(caseW))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(expr("qwt * w")).as("rm3_milli_micro"))
+      .select(col("doc_id"), col("n_terms"), col("rm3_milli_micro"),
+        (col("rm3_milli_micro").cast("double") / lit(1000000000L)).as("rm3"))
+      .orderBy(col("rm3_milli_micro").desc, col("doc_id"))
+      .limit(Rm3Feedback)
+  }
+
+  val rm3Sql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val seedRows = Bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |perdoc AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT CAST(sum(dl) AS BIGINT) FROM perdoc) AS total_toks),
+       |tf0 AS (
+       |  SELECT t.doc_id, p.dl, t.term, count(*) AS tf
+       |  FROM toks t JOIN perdoc p USING (doc_id)
+       |  WHERE t.term IN ($termList) GROUP BY 1, 2, 3),
+       |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+       |contrib0 AS (
+       |  SELECT tf0.doc_id, $bm25WSql AS w
+       |  FROM tf0 JOIN df0 USING (term), stats),
+       |top10 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(sum(w) AS BIGINT) AS s0 FROM contrib0 GROUP BY 1)
+       |  ORDER BY s0 DESC, doc_id LIMIT $Rm3Feedback),
+       |fbtf AS (
+       |  SELECT t.doc_id, p.dl, t.term, count(*) AS tf
+       |  FROM toks t JOIN top10 USING (doc_id) JOIN perdoc p USING (doc_id)
+       |  WHERE t.term NOT IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |rmw AS (
+       |  SELECT term, CAST(sum((tf * 1000000) // dl) AS BIGINT) AS rw
+       |  FROM fbtf GROUP BY 1),
+       |exp8 AS (SELECT term, rw FROM rmw ORDER BY rw DESC, term LIMIT $Rm3Expansion),
+       |mx AS (SELECT max(rw) AS mrw FROM exp8),
+       |qw AS MATERIALIZED (
+       |  SELECT term, CAST($Rm3SeedW AS BIGINT) AS qwt FROM (VALUES $seedRows) v(term)
+       |  UNION ALL
+       |  SELECT term, CAST(($Rm3ExpCap * rw) // mrw AS BIGINT) AS qwt FROM exp8, mx),
+       |tf2 AS (
+       |  SELECT t.doc_id, p.dl, t.term, count(*) AS tf
+       |  FROM toks t JOIN perdoc p USING (doc_id)
+       |  WHERE t.term IN (SELECT term FROM qw) GROUP BY 1, 2, 3),
+       |df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf2.doc_id, qw.qwt * ($bm25WSql) AS w
+       |  FROM tf2 JOIN df2 USING (term) JOIN qw USING (term), stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(w) AS BIGINT) AS rm3_milli_micro,
+       |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1000000000 AS rm3
+       |FROM contrib GROUP BY 1
+       |ORDER BY rm3_milli_micro DESC, doc_id LIMIT $Rm3Feedback""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
   // per-doc selected k-gram fingerprint count + exact integer sum, from
   // the one-pass codegen Winnow expression (k=16, w=8 → any shared
@@ -796,11 +931,14 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: the training layers (MATERIALIZED — each w_i is referenced
-    * twice, and plain inlining would expand the chain 2^steps-fold once
-    * the doc-apply chain references the merges too) plus a per-doc
-    * apply chain d0 → d_n running the identical literal replaces. */
-  val bpeEncodeSql: String = {
+  /** The shared oracle CTE stack for BPE ENCODE consumers: words → w0
+    * (vocab) → d0 (per-doc) → (p_i, m_i, w_i, d_i)* — the training
+    * layers (MATERIALIZED — each w_i is referenced twice, and plain
+    * inlining would expand the chain 2^steps-fold once the doc-apply
+    * chain references the merges too) plus a per-doc apply chain
+    * d0 → d_n running the identical literal replaces. Consumers append
+    * their own final SELECT over d$BpeSteps (and `words`). */
+  private def bpeApplyCtes: String = {
     val dl = "chr(31)"
     val layers = (1 to BpeSteps).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -816,7 +954,7 @@ object TextOps {
          |  SELECT doc_id, replace(d.w, $dl||m.lhs||$dl||$dl||m.rhs||$dl, $dl||m.lhs||m.rhs||$dl) AS w
          |  FROM d${i - 1} d, m$i m)""".stripMargin
     }
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT doc_id, word
        |  FROM (SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
        |        FROM documents)
@@ -832,10 +970,75 @@ object TextOps {
        |           list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
        |           '$BpeEow'), $dl||$dl) || $dl AS w
        |  FROM words),
-       |${layers.mkString(",\n")}
+       |${layers.mkString(",\n")}""".stripMargin
+  }
+
+  val bpeEncodeSql: String = {
+    val dl = "chr(31)"
+    s"""WITH $bpeApplyCtes
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(len(str_split(trim(w, $dl), $dl||$dl))) AS BIGINT) AS n_bpe_tokens
        |FROM d$BpeSteps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Tokenizer fertility audit — per-language pieces-per-word and
+  // chars-per-piece under the SHARED corpus-trained BPE tokenizer: the
+  // multilingual-parity readout every tokenizer report publishes
+  // (XLM-R §A, NLLB §6 — a language whose fertility is 2× English pays
+  // 2× context window and 2× compute per sentence). Composes the
+  // trained encoder exactly as filter_classifier_ece composes the
+  // trained classifier: ONE tokenizer definition, per-language rollup.
+  //
+  // Shape: bpeEncodeFrom's costs (vocab-table training + map-only
+  // literal-replace encode chain); the fertility join adds a per-doc
+  // char count off the same word explode and a broadcast-sized
+  // per-language aggregation. Ratios are the only doubles — same
+  // exact-integer-division expression both engines.
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val enc = bpeEncodeFrom(d) // (doc_id, n_words, n_bpe_tokens)
+    val chars = d
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0 && !col("word").contains(BpeD))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("word")).cast("long")).as("n_chars"))
+    d.select(col("doc_id"), col("lang"))
+      .join(enc, Seq("doc_id"))
+      .join(chars, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        col("chars"),
+        expr("CAST(bpe_tokens AS DOUBLE) / words").as("fertility"),
+        expr("CAST(chars AS DOUBLE) / bpe_tokens").as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  val fertilitySql: String = {
+    val dl = "chr(31)"
+    s"""WITH $bpeApplyCtes,
+       |enc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(len(str_split(trim(w, $dl), $dl||$dl))) AS BIGINT) AS n_bpe_tokens
+       |  FROM d$BpeSteps GROUP BY 1),
+       |ch AS (
+       |  SELECT doc_id, CAST(sum(length(word)) AS BIGINT) AS n_chars
+       |  FROM words GROUP BY 1)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(enc.n_words) AS BIGINT) AS words,
+       |  CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(ch.n_chars) AS BIGINT) AS chars,
+       |  CAST(sum(enc.n_bpe_tokens) AS DOUBLE) / sum(enc.n_words) AS fertility,
+       |  CAST(sum(ch.n_chars) AS DOUBLE) / sum(enc.n_bpe_tokens) AS chars_per_token
+       |FROM documents d
+       |JOIN enc ON enc.doc_id = d.doc_id
+       |JOIN ch ON ch.doc_id = d.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** The identical iteration unrolled as CTE layers w0 -> (p_i, m_i,
@@ -945,6 +1148,8 @@ object TextOps {
     "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
+    "text_fertility" -> (fertility _),
+    "text_rm3_rescore" -> (rm3Rescore _),
     "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
@@ -965,6 +1170,8 @@ object TextOps {
     "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,
     "text_bpe_encode" -> bpeEncodeSql,
+    "text_fertility" -> fertilitySql,
+    "text_rm3_rescore" -> rm3Sql,
     "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,

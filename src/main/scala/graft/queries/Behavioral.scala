@@ -892,7 +892,128 @@ object Behavioral {
        |       THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
        |FROM g ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Poisson bootstrap CI over per-user spend — the standard way to get
+  // a nonparametric confidence interval at data sizes where classical
+  // resampling (draw n users with replacement, R times) is impossible:
+  // Binomial(n, 1/n) → Poisson(1) as n → ∞, so each user contributes an
+  // INDEPENDENT Poisson(1) multiplicity per replicate and the corpus is
+  // touched in one pass (Chamandy et al., "Estimating Uncertainty for
+  // Massive Data Streams", Google 2012). Shape at 100 TB: one user-level
+  // rollup of the event corpus (the expensive, user_id-keyed exchange,
+  // paid once behind a lineage truncation), then the BOUNDED per-user
+  // frame fans out ×R replicate rows — map-side partial aggregation
+  // collapses them to R groups before the (tiny, R-row) shuffle. No
+  // resample materializes; nothing corpus-scale moves R times.
+  //
+  // Determinism contract: the Poisson(1) draw is inverse-CDF over a
+  // deterministic hash h(user, r) ∈ [0, 1e9) against FIXED integer
+  // thresholds (cumulative Poisson(1) mass scaled by 1e9, truncated at
+  // k=7 where the residual mass is < 1e-7). The hash is the QUADRATIC
+  // kmvMix shape, not a plain affine coin: an affine h(u, r) changes by
+  // a constant shift per replicate, so the weight VECTORS of different
+  // replicates would be nearly identical (only the users within the
+  // shift of a threshold change weight) and the resampling distribution
+  // would collapse; squaring v = h1 + r·c breaks the affine structure
+  // so each replicate draws an effectively independent weight vector. Both engines compute identical integer weights,
+  // identical exact integer replicate sums, and the SAME double division
+  // per replicate; the CI is read from ORDER STATISTICS of the sorted
+  // replicate means (never a float accumulation across replicates), so
+  // aggregation order cannot perturb it. Overflow: h1's product needs
+  // user_id < 2^63/1103515245 ≈ 8.3e9 (same bound as the arm coin);
+  // replicate sums are Σ w·cents ≤ 7·Σ cents — safe wherever the plain
+  // corpus spend sum is.
+  val BootReps = 40
+  val BootMod = 1000000000L
+  // ceil(1e9 · CDF_Poisson(1)(k)) for k = 0..6; k=7 catches the tail.
+  val BootCdf: Seq[Long] = Seq(367879441L, 735758882L, 919698603L,
+    981011843L, 996340153L, 999405815L, 999916759L)
+
+  private def bootWeightCase(h: String): String =
+    BootCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN ($h) < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", s" ELSE ${BootCdf.size}L END")
+
+  private def bootWeightCaseSql(h: String): String =
+    BootCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN ($h) < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${BootCdf.size} END")
+
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** The readout over any (user_id, cents) per-user frame — exposed so
+    * the spec can replay a hand-computed fixture. */
+  private[graft] def bootstrapCiOf(perUser0: DataFrame): DataFrame = {
+    import graft.ops.Lineage
+    // Two consumers (overall mean + replicate fan-out): truncate so the
+    // corpus-scale rollup above is not recomputed per branch.
+    val perUser = Lineage.truncate(perUser0)
+    val reps = perUser
+      .select(col("user_id"), col("cents"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("r"))
+      .withColumn("h1",
+        expr(s"(user_id * $AbHashA + $AbHashB) % $BootMod"))
+      .withColumn("v",
+        expr(s"(h1 + CAST(r AS BIGINT) * 747796405L) % $BootMod"))
+      .withColumn("h",
+        expr(s"((v * v) % $BootMod * 69069L + v * 362437L + 1013904223L) % $BootMod"))
+      .withColumn("w", expr(bootWeightCase("h")))
+    val boot = reps.groupBy(col("r"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("s"))
+      .select(expr("CAST(s AS DOUBLE) / n_eff").as("mean_r"))
+    // 95% percentile CI by order statistics: with R = 40 sorted means,
+    // lo = 2nd smallest (ceil(0.025·R) + 1 = the first value ABOVE the
+    // bottom 2.5% mass), hi = 39th (mirror). Fixed indices, not float
+    // percentile interpolation, so both engines read identical cells.
+    val ci = boot.agg(sort_array(collect_list(col("mean_r"))).as("ms"),
+        count(lit(1)).as("n_reps"))
+      .select(col("n_reps"),
+        element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), BootReps - 1).as("ci_hi"))
+    val overall = perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("s"))
+      .select(col("n_users"),
+        expr("CAST(s AS DOUBLE) / n_users").as("mean_cents"))
+    overall.crossJoin(ci) // 1×1 rows — broadcast-literal join, not a product
+  }
+
+  val bootstrapCiSql: String = {
+    val h1 = s"(user_id * $AbHashA + $AbHashB) % $BootMod"
+    val h = s"((v * v) % $BootMod * 69069 + v * 362437 + 1013904223) % $BootMod"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1),
+       |reps AS (SELECT CAST(range AS BIGINT) AS r FROM range($BootReps)),
+       |hashed AS (
+       |  SELECT user_id, cents, r, ($h1 + r * 747796405) % $BootMod AS v
+       |  FROM pu CROSS JOIN reps),
+       |weighted AS (
+       |  SELECT cents, r, ${bootWeightCaseSql(h)} AS w FROM hashed),
+       |b AS (
+       |  SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+       |    CAST(sum(w * cents) AS BIGINT) AS s
+       |  FROM weighted GROUP BY 1),
+       |m AS (SELECT CAST(s AS DOUBLE) / n_eff AS mean_r FROM b),
+       |ci AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       |    list_sort(list(mean_r))[2] AS ci_lo,
+       |    list_sort(list(mean_r))[${BootReps - 1}] AS ci_hi
+       |  FROM m),
+       |o AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+       |  FROM pu)
+       |SELECT n_users, mean_cents, n_reps, ci_lo, ci_hi
+       |FROM o CROSS JOIN ci""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_bootstrap_ci" -> (bootstrapCi _),
     "events_ab_srm" -> (abSrm _),
     "events_point_in_time_join" -> (pointInTimeJoin _),
     "events_bot_cadence" -> (botCadence _),
@@ -908,6 +1029,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_bootstrap_ci" -> bootstrapCiSql,
     "events_ab_srm" -> abSrmSql,
     "events_point_in_time_join" -> pointInTimeJoinSql,
     "events_bot_cadence" -> botCadenceSql,

@@ -275,6 +275,68 @@ object ChainQueries {
       .orderBy(col("rank_micro").desc, col("addr"))
   }
 
+  // ------------------------------------------------------------------
+  // HITS hubs & authorities over the same address transfer graph
+  // (Kleinberg, JACM 1999) — the who-funds-the-funders complement to
+  // PageRank: exchanges/dispensers surface as hubs, sinks/contracts as
+  // authorities. Same engineering recipe as chainPagerank: edges and
+  // nodes materialized ONCE behind lineage truncations; each iteration
+  // is one src-keyed join + dst-keyed agg (authority step) and its
+  // mirror (hub step), truncated per round so the plan stays bounded.
+  //
+  // All arithmetic is exact integer micro-score units. Normalization
+  // per half-step is `score = raw DIV d` with d = ceil(Σraw / Mass) —
+  // the ceil divisor keeps every post-normalization score ≤ Mass
+  // (proof: raw ≤ Σraw ≤ d·Mass), so the next half-step's per-edge
+  // product score·w stays within int64 whenever a single address's
+  // weighted in/out-degree is < 2^63/Mass ≈ 9.2e12 transfers — beyond
+  // any chain's lifetime traffic to one address. Positive-operand
+  // floor division (Spark DIV == DuckDB //) makes the 4 unrolled
+  // iterations bit-identical cross-engine; the oracle replays them as
+  // paired CTEs with scalar-subquery divisors.
+  val HitsIters = 4
+  val HitsMass = 1000000L
+
+  def chainHits(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lineage
+    val tx = raw(s, "transactions")
+    val edges = Lineage.truncate(
+      tx.filter(col("to").isNotNull)
+        .select(hex(col("from")).as("src"), hex(col("to")).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+    val nodes = Lineage.truncate(
+      edges.select(col("src").as("addr"))
+        .unionByName(edges.select(col("dst").as("addr"))).distinct())
+    val n = nodes.count()
+    var h = nodes.select(col("addr"), lit(HitsMass / n).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aRaw = edges
+        .join(h.select(col("addr").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(expr("h * w")).as("ar"))
+        .withColumnRenamed("dst", "addr")
+      val aDiv = aRaw.agg(
+        expr(s"(sum(ar) + ${HitsMass - 1}) DIV $HitsMass").as("da"))
+      a = Lineage.truncate(
+        nodes.join(aRaw, Seq("addr"), "left").na.fill(0L, Seq("ar"))
+          .crossJoin(aDiv) // 1-row divisor — broadcast literal
+          .select(col("addr"), expr("ar DIV da").as("a")))
+      val hRaw = edges
+        .join(a.select(col("addr").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(expr("a * w")).as("hr"))
+        .withColumnRenamed("src", "addr")
+      val hDiv = hRaw.agg(
+        expr(s"(sum(hr) + ${HitsMass - 1}) DIV $HitsMass").as("dh"))
+      h = Lineage.truncate(
+        nodes.join(hRaw, Seq("addr"), "left").na.fill(0L, Seq("hr"))
+          .crossJoin(hDiv)
+          .select(col("addr"), expr("hr DIV dh").as("h")))
+    }
+    a.join(h, Seq("addr"))
+      .select(col("addr"), col("a").as("auth_micro"), col("h").as("hub_micro"))
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("addr"))
+  }
+
   /** EIP-1559 fee-market decomposition per 100-block bucket: the burned
     * base fee (baseFeePerGas·gasUsed) and the miner tip
     * ((effectiveGasPrice−baseFeePerGas)·gasUsed), with pre-London
@@ -502,6 +564,7 @@ object ChainQueries {
     "chain_top_contracts" -> (chainTopContracts _),
     "chain_validator_withdrawals" -> (chainValidatorWithdrawals _),
     "chain_address_activity" -> (chainAddressActivity _),
+    "chain_address_hits" -> (chainHits _),
     "chain_address_pagerank" -> (chainPagerank _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -550,7 +613,47 @@ object ChainQueries {
        |ORDER BY rank_micro DESC, addr""".stripMargin
   }
 
+  /** Oracle for [[chainHits]]: the identical 4 iterations unrolled as
+    * paired authority/hub CTEs — same ceil-divisor micro-score floor
+    * arithmetic, same left-join zero fill for edgeless sides. Every
+    * iteration CTE is MATERIALIZED: each a_i/h_i layer is referenced
+    * TWICE (the join and the scalar-subquery divisor), so default CTE
+    * inlining would double the plan per layer — 2^(2·iters)-fold. */
+  private val chainHitsSql: String = {
+    val m = HitsMass
+    val iterCtes = (1 to HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS addr, CAST(sum(p.h * e.w) AS BIGINT) AS ar
+         |  FROM edges e JOIN $prevH p ON p.addr = e.src GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT nodes.addr,
+         |    CAST(COALESCE(ar, CAST(0 AS BIGINT))
+         |      // (((SELECT sum(ar) FROM a${i}r) + ${m - 1}) // $m) AS BIGINT) AS a
+         |  FROM nodes LEFT JOIN a${i}r USING (addr)),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS addr, CAST(sum(p.a * e.w) AS BIGINT) AS hr
+         |  FROM edges e JOIN a$i p ON p.addr = e.dst GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT nodes.addr,
+         |    CAST(COALESCE(hr, CAST(0 AS BIGINT))
+         |      // (((SELECT sum(hr) FROM h${i}r) + ${m - 1}) // $m) AS BIGINT) AS h
+         |  FROM nodes LEFT JOIN h${i}r USING (addr))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT hex("from") AS src, hex("to") AS dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM ${tbl("transactions")} WHERE "to" IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS MATERIALIZED (SELECT addr, CAST($m // n AS BIGINT) AS h FROM nodes CROSS JOIN nn),
+       |$iterCtes
+       |SELECT a$HitsIters.addr, a AS auth_micro, h AS hub_micro
+       |FROM a$HitsIters JOIN h$HitsIters USING (addr)
+       |ORDER BY auth_micro DESC, hub_micro DESC, addr""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "chain_address_hits" -> chainHitsSql,
     "chain_address_pagerank" -> chainPagerankSql,
     "chain_transfer_decode" ->
       s"""SELECT blockNumber,

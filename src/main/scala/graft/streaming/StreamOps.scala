@@ -575,6 +575,70 @@ object StreamOps {
       }
   }
 
+  /** Streaming Misra-Gries heavy hitters (Misra & Gries 1982; the
+    * mergeable-summary form of Agarwal et al., PODS 2012) — the
+    * BOUNDED-MEMORY top-k twin: where [[cmsStream]] keeps a constant
+    * grid and answers point probes, this keeps at most K counters per
+    * shard and answers "which terms are heavy" directly. Terms shard by
+    * hash (so the summary scales across executors and no single group
+    * funnels the stream); each shard's state is a capacity-K counter
+    * map plus the running decrement total that prices its error.
+    *
+    * Order-robustness: a micro-batch's items are EXACTLY counted first,
+    * then merged into the state with ONE deterministic Misra-Gries
+    * decrement (subtract the (K+1)-th largest merged count; drop ≤ 0) —
+    * so the result never depends on row order within a batch. Across
+    * different batch SPLITS the summary is not cell-identical (decrement
+    * timing differs — inherent to MG); what IS invariant, and what the
+    * spec pins against exact batch counts, is the guarantee:
+    * true − decs ≤ est ≤ true per surviving term, every term with
+    * true > decs survives, and decs ≤ N_shard/(K+1). */
+  case class MgSummary(shard: Int, n: Long, terms: Seq[String], ests: Seq[Long], decs: Long)
+  case class MgState(m: Map[String, Long], decs: Long, n: Long)
+
+  val MgK = 8
+  val MgShards = 4
+  val MgMod = 1000000007L
+
+  def heavyHittersStream(terms: Dataset[String]): Dataset[MgSummary] = {
+    import terms.sparkSession.implicits._
+    terms
+      .map { t =>
+        val h = graft.functions.PolyHash.fold(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L, MgMod)
+        ((h % MgShards).toInt, t)
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState[MgState, MgSummary](GroupStateTimeout.NoTimeout) {
+        (shard: Int, batch: Iterator[(Int, String)], state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
+          val batchCounts = batch.foldLeft(Map.empty[String, Long]) {
+            case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+          val n = prev.n + batchCounts.values.sum
+          var merged = batchCounts.foldLeft(prev.m) { case (m, (t, c)) =>
+            m.updated(t, m.getOrElse(t, 0L) + c)
+          }
+          var decs = prev.decs
+          if (merged.size > MgK) {
+            // (K+1)-th largest merged count: everything <= it drops to
+            // <= 0, so at most K entries survive — one deterministic,
+            // order-free decrement per batch
+            val d = merged.values.toSeq.sortBy(-_).apply(MgK)
+            merged = merged.iterator
+              .map { case (t, c) => (t, c - d) }
+              .filter(_._2 > 0L)
+              .toMap
+            decs += d
+          }
+          state.update(MgState(merged, decs, n))
+          val sorted = merged.toSeq.sortBy { case (t, c) => (-c, t) }
+          // n is strictly monotone per emission (a shard with no new
+          // rows is not invoked), so the max-n row IS the final summary
+          MgSummary(shard, n, sorted.map(_._1), sorted.map(_._2), decs)
+      }
+  }
+
   /** Incremental near-dup detection on a live document stream. Each
     * micro-batch runs the SAME batch MinHash pipeline: candidates are the
     * union of (1) the batch's own banded+bucket-capped self-pairs — so

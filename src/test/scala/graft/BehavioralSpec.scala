@@ -372,4 +372,47 @@ class BehavioralSpec extends SparkSuite {
     assert(r.getLong(2) == 5000L && r.getLong(3) == 100L &&
       r.getLong(4) == 0L && r.getLong(5) == 4900L)
   }
+
+  test("poisson bootstrap: replicate weights and order-statistic CI match a plain-Scala replay") {
+    val users = (1L to 200L).map(u => (u, u * 7L % 400L + 100L))
+    val out = Behavioral.bootstrapCiOf(users.toDF("user_id", "cents")).collect()
+    assert(out.length == 1)
+    val row = out.head
+    // replay the identical inverse-CDF Poisson(1) draw in plain Scala
+    def w(u: Long, r: Long): Long = {
+      val h1 = (u * Behavioral.AbHashA + Behavioral.AbHashB) % Behavioral.BootMod
+      val v = (h1 + r * 747796405L) % Behavioral.BootMod
+      val h = ((v * v) % Behavioral.BootMod * 69069L + v * 362437L + 1013904223L) %
+        Behavioral.BootMod
+      val i = Behavioral.BootCdf.indexWhere(h < _)
+      if (i < 0) Behavioral.BootCdf.size.toLong else i.toLong
+    }
+    val means = (0 until Behavioral.BootReps).map { r =>
+      val (s, n) = users.foldLeft((0L, 0L)) { case ((s, n), (u, c)) =>
+        val wt = w(u, r.toLong); (s + wt * c, n + wt)
+      }
+      s.toDouble / n
+    }.sorted
+    val mean = users.map(_._2).sum.toDouble / users.length
+    assert(row.getLong(0) == users.length.toLong) // n_users
+    assert(row.getDouble(1) == mean)
+    assert(row.getLong(2) == Behavioral.BootReps.toLong)
+    assert(row.getDouble(3) == means(1)) // ci_lo: 2nd smallest
+    assert(row.getDouble(4) == means(Behavioral.BootReps - 2)) // ci_hi: 39th
+    // the resampling distribution brackets the point estimate on this
+    // fixed fixture (weights average 1 per replicate)
+    assert(row.getDouble(3) <= mean && mean <= row.getDouble(4))
+    assert(row.getDouble(3) < row.getDouble(4))
+  }
+
+  test("poisson bootstrap: registered query is deterministic and well-formed on the fixture") {
+    val a = Behavioral.bootstrapCi(spark, sf).collect()
+    assert(a.length == 1)
+    val r = a.head
+    assert(r.getLong(0) > 0 && r.getLong(2) == Behavioral.BootReps.toLong)
+    assert(r.getDouble(3) <= r.getDouble(4))
+    // the CI is tight around the mean at fixture scale, not degenerate
+    assert(r.getDouble(3) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(4))
+    assert(Behavioral.bootstrapCi(spark, sf).collect().head == r)
+  }
 }

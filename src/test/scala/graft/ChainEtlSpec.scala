@@ -564,4 +564,53 @@ class ChainEtlSpec extends SparkSuite {
     assert(a.map(_.getLong(1)).min >= floor)
     assert(a.head.getLong(1) > a.last.getLong(1))
   }
+
+  test("address HITS: exact plain-Scala replay, mass bounds, edge-structure zeros") {
+    import graft.queries.ChainQueries
+    val got = ChainQueries.chainHits(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      ChainQueries.chainHits(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // replay the identical ceil-divisor integer iterations on the
+    // collected edge list (chainHits above materialized the raw dump)
+    val edges = spark.read
+      .parquet(s"${ChainQueries.RawDumpDir}/chain_raw_transactions")
+      .filter(col("to").isNotNull)
+      .select(hex(col("from")).as("s"), hex(col("to")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case ((s, d), g) => (s, d, g.length.toLong) }
+      .toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val m = ChainQueries.HitsMass
+    var h = nodes.map(_ -> (m / nodes.length)).toMap
+    var a: Map[String, Long] = Map.empty
+    for (_ <- 1 to ChainQueries.HitsIters) {
+      val ar = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => h(s) * w }.sum }
+      val da = (ar.values.sum + m - 1) / m
+      a = nodes.map(n => n -> ar.getOrElse(n, 0L) / da).toMap
+      val hr = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d, w) => a(d) * w }.sum }
+      val dh = (hr.values.sum + m - 1) / m
+      h = nodes.map(n => n -> hr.getOrElse(n, 0L) / dh).toMap
+    }
+    got.foreach { r =>
+      assert(r.getLong(1) == a(r.getString(0)), s"auth mismatch at ${r.getString(0)}")
+      assert(r.getLong(2) == h(r.getString(0)), s"hub mismatch at ${r.getString(0)}")
+    }
+    // ceil divisor keeps every score within the mass budget, and the
+    // totals never exceed it (floor normalization only loses mass)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= m &&
+      r.getLong(2) >= 0 && r.getLong(2) <= m))
+    assert(got.map(_.getLong(1)).sum <= m && got.map(_.getLong(2)).sum <= m)
+    assert(got.exists(_.getLong(1) > 0) && got.exists(_.getLong(2) > 0))
+    // structure: positive authority needs an in-edge, positive hub an out-edge
+    val dsts = edges.map(_._2).toSet
+    val srcs = edges.map(_._1).toSet
+    got.foreach { r =>
+      if (r.getLong(1) > 0) assert(dsts(r.getString(0)))
+      if (r.getLong(2) > 0) assert(srcs(r.getString(0)))
+    }
+  }
 }

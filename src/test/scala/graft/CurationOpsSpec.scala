@@ -412,4 +412,39 @@ class CurationOpsSpec extends SparkSuite {
         s"source ${r.getString(0)}: got ${(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))} expected $e")
     }
   }
+
+  test("winsorized/trimmed mean: histogram deciles match brute-force ranks, means are the exact clamped/core averages") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // histQuantile contract: smallest value whose cumulative count
+    // reaches ceil(n·num/den) == the k-th smallest, k = ceil(n·num/den)
+    def rankQ(xs: Seq[Long], num: Long, den: Long): Long = {
+      val s = xs.sorted
+      s((((s.length * num + den - 1) / den) - 1).toInt)
+    }
+    val expect = d.groupBy(_._1).map { case (src, xs) =>
+      val vals = xs.map(_._2).toSeq
+      val p10 = rankQ(vals, 1, 10)
+      val p90 = rankQ(vals, 9, 10)
+      val wins = vals.map(v => math.min(math.max(v, p10), p90))
+      val core = vals.filter(v => v >= p10 && v <= p90)
+      src -> (vals.length.toLong, p10, p90,
+        wins.sum.toDouble / vals.length,
+        core.length.toLong, core.sum.toDouble / core.length)
+    }
+    val got = RobustStats.winsorized(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val e = expect(r.getString(0))
+      val g = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getDouble(6))
+      assert(g == e, s"source ${r.getString(0)}: got $g expected $e")
+      // robustness ordering: both robust means sit inside the clamp range
+      assert(r.getDouble(4) >= r.getLong(2) && r.getDouble(4) <= r.getLong(3))
+      assert(r.getDouble(6) >= r.getLong(2) && r.getDouble(6) <= r.getLong(3))
+    }
+  }
 }

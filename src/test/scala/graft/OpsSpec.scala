@@ -612,6 +612,55 @@ class OpsSpec extends SparkSuite {
       "df/stats must broadcast")
   }
 
+  test("rm3: deterministic two-pass rescore, weighted-term bounds, feedback overlap") {
+    val t = graft.ops.TextOps
+    val a = t.rm3Rescore(spark, sf).collect()
+    assert(a.length == t.Rm3Feedback)
+    // rerun is bit-identical (the bounded expansion-term collect is a
+    // pure function of the corpus)
+    val b = t.rm3Rescore(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // descending milli-micro score, doc_id tiebreak, all positive
+    val s = a.map(_.getAs[Long]("rm3_milli_micro"))
+    assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+    assert(s.forall(_ > 0))
+    // a doc can match at most seed + expansion terms
+    assert(a.forall(_.getAs[Long]("n_terms") <=
+      (t.Bm25Terms.size + t.Rm3Expansion).toLong))
+    // expansion must engage: some top doc matches MORE than the seeds
+    assert(a.exists(_.getAs[Long]("n_terms") > t.Bm25Terms.size.toLong))
+    // the pseudo-relevant set stays mostly on top after expansion (RM3
+    // re-finds what seeded it — this is the PRF sanity invariant)
+    val seedTop = t.bm25TopK(spark, sf).limit(t.Rm3Feedback).collect()
+      .map(_.getLong(0)).toSet
+    assert(a.count(r => seedTop(r.getLong(0))) >= t.Rm3Feedback / 2)
+  }
+
+  test("fertility: per-language sums tile the per-doc encode, ratios exact") {
+    val t = graft.ops.TextOps
+    val enc = t.bpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+    val byLang = docRows.groupBy(_.getString(1))
+    val got = t.fertility(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ds = byLang(r.getString(0))
+      val words = ds.map(d => enc(d.getLong(0))._1).sum
+      val toks = ds.map(d => enc(d.getLong(0))._2).sum
+      assert(r.getLong(1) == ds.length.toLong)
+      assert(r.getLong(2) == words && r.getLong(3) == toks)
+      assert(r.getDouble(5) == toks.toDouble / words)
+      // BPE emits at least one piece per word: fertility >= 1
+      assert(r.getDouble(5) >= 1.0)
+      assert(r.getDouble(6) > 0)
+    }
+    // languages tile the corpus: no doc lost by the inner joins
+    assert(got.map(_.getLong(1)).sum == docRows.length.toLong)
+  }
+
   test("bpe merges: hand-computed sequence, greedy left-to-right, deterministic ties") {
     import spark.implicits._
     // vocab: aaaa x2, low x3, lower x1 — every interesting case at once:

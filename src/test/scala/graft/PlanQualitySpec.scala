@@ -287,7 +287,29 @@ class PlanQualitySpec extends SparkSuite {
     // perplexity fence: the per-doc bigram agg, the histogram-quantile
     // window (histogram-sized), the per-lang rollup + sort; the fence
     // itself joins back as a broadcast
-    "filter_ppl_fence" -> 4)
+    "filter_ppl_fence" -> 4,
+    // Poisson bootstrap: the user rollup (the ONE corpus-scale
+    // exchange, behind the truncation), the R-group replicate agg, and
+    // the 1-row collect_list CI agg; the overall/CI combine is a 1×1
+    // broadcast nested loop. Growth means replicates started shuffling
+    // corpus-scale rows.
+    "events_bootstrap_ci" -> 3,
+    // Winsorized/trimmed: two histogram builds (agg + histogram-sized
+    // cumulative window each) + the final per-source rollup + sort;
+    // the decile cut points join back as broadcasts.
+    "filter_winsorized" -> 6,
+    // HITS: iterations sit behind per-round truncations; the visible
+    // plan is the final auth⋈hub SMJ (2) + output sort (1). Drift means
+    // an iteration's join/agg escaped its truncation.
+    "chain_address_hits" -> 3,
+    // Fertility: encode chain is map-only over the truncated vocab; the
+    // per-doc encode agg, the per-doc char agg, the per-lang rollup and
+    // the output sort; lang and per-doc frames join broadcast.
+    "text_fertility" -> 4,
+    // RM3: stage-2 feedback runs on 10 docs (broadcast semi-join);
+    // visible exchanges are the truncated tf2's per-doc agg + final
+    // rollup + output sort; df2/stats/weights all broadcast.
+    "text_rm3_rescore" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted

@@ -296,6 +296,59 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming misra-gries: MG guarantee holds against exact counts at every batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val terms = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(100)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("t"))
+      .as[String].collect().toSeq
+    def shardOf(t: String): Int = {
+      val h = graft.functions.PolyHash.fold(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 31L, StreamOps.MgMod)
+      (h % StreamOps.MgShards).toInt
+    }
+    val exact = terms.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val perShardN = terms.groupBy(shardOf).map { case (s, g) => s -> g.length.toLong }
+    def run(name: String, chunks: Seq[Seq[String]]): Map[Int, (Map[String, Long], Long)] = {
+      val in = MemoryStream[String]
+      val q = StreamOps.heavyHittersStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      val rows = spark.sql(s"SELECT shard, n, terms, ests, decs FROM $name").collect()
+      q.stop()
+      rows.groupBy(_.getInt(0)).map { case (s, rs) =>
+        val last = rs.maxBy(_.getLong(1)) // n is monotone: max-n = final
+        s -> (last.getSeq[String](2).zip(last.getSeq[Long](3)).toMap, last.getLong(4))
+      }
+    }
+    val third = terms.length / 3
+    for ((label, chunks) <- Seq(
+        "split3" -> Seq(terms.take(third), terms.slice(third, 2 * third), terms.drop(2 * third)),
+        "split1" -> Seq(terms))) {
+      val got = run(s"mg_$label", chunks)
+      got.foreach { case (shard, (summary, decs)) =>
+        assert(summary.size <= StreamOps.MgK, s"$label shard $shard over capacity")
+        // the classic MG error price: decs <= N_shard / (K + 1)
+        assert(decs <= perShardN(shard) / (StreamOps.MgK + 1),
+          s"$label shard $shard decs $decs too large")
+        summary.foreach { case (t, est) =>
+          val tr = exact(t)
+          assert(est <= tr && est >= tr - decs,
+            s"$label shard $shard '$t': est $est outside [${tr - decs}, $tr]")
+        }
+        // completeness: every term heavier than the decrement total survives
+        exact.foreach { case (t, tr) =>
+          if (shardOf(t) == shard && tr > decs)
+            assert(summary.contains(t), s"$label shard $shard lost heavy term '$t' ($tr > $decs)")
+        }
+      }
+      // every shard that received data reports
+      assert(got.keySet == perShardN.keySet)
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
