@@ -1012,7 +1012,189 @@ object Behavioral {
        |FROM o CROSS JOIN ci""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Group-sequential A/B monitoring with an O'Brien-Fleming boundary —
+  // the peeking-safe readout: an experimenter who looks every day and
+  // stops at |z| > 1.96 inflates false positives several-fold; the OBF
+  // boundary C/√t (t = information fraction) spends almost no alpha
+  // early and converges to ~1.96-level strictness at the horizon
+  // (O'Brien & Fleming 1979; C = 2.24 targets overall α ≈ 0.05 for
+  // daily looks at this horizon — the constant is a design choice
+  // documented here, not fitted to data).
+  //
+  // Metric: cumulative purchase share of events per arm — information
+  // accrues at EVERY look (a user-enrollment metric degenerates on this
+  // fixture: every user's first touch lands in the first two days, so
+  // the look grid collapses to 2 rows). The event-level z treats events
+  // as exchangeable — the standard monitoring simplification; the
+  // user-level readouts (events_ab_test / _cuped) remain the decision
+  // statistics, this query is the peeking guard that says WHEN a look
+  // is even allowed to claim significance. Shape at 100 TB: ONE
+  // (day, arm) rollup of the corpus (scan-shaped, map-side combined),
+  // then a cumulative window over DAY rows (the horizon, ≤ a few
+  // thousand) via the boundedGlobal marker. The z and boundary are
+  // doubles over exact cumulative integers with engine-shared
+  // expression strings; early days with an empty arm or degenerate
+  // pooled rate emit NULL z (the CASE guard, not a crash — Spark ANSI
+  // would raise on the 0 divide).
+  private val ObfZSql: String =
+    """CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+      |       AND conv_a + conv_b < n_a + n_b THEN
+      |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |       * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+      |ELSE NULL END""".stripMargin
+  private val ObfBoundSql: String =
+    "CAST(2.24 AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE) / n_k)"
+
+  def sequentialObf(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Windows
+    val ev = Relational.events(s, dir)
+      .select(expr("_ms DIV 86400000").as("d0"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"),
+        expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2").as("arm"))
+    val byDay = ev.groupBy(col("d0"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("u_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("u_b"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("v_a"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("v_b"))
+    val w = Windows.boundedGlobal(col("d0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDay
+      .select(col("d0").as("day"),
+        sum(col("u_a")).over(w).as("n_a"), sum(col("u_b")).over(w).as("n_b"),
+        sum(col("v_a")).over(w).as("conv_a"), sum(col("v_b")).over(w).as("conv_b"))
+    val tot = cum.agg(max(col("n_a") + col("n_b")).as("n_k"))
+    cum.crossJoin(broadcast(tot)) // 1-row horizon total
+      .select(col("day"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        expr(ObfZSql).as("z"), expr(ObfBoundSql).as("obf_bound"))
+      .withColumn("crossed",
+        when(col("z").isNotNull && abs(col("z")) > col("obf_bound"), 1L)
+          .otherwise(0L))
+      .orderBy(col("day"))
+  }
+
+  val sequentialObfSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_ms(ts) // 86400000 AS d0,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm
+       |  FROM events),
+       |byday AS (
+       |  SELECT d0,
+       |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS u_a,
+       |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS u_b,
+       |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS v_a,
+       |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS v_b
+       |  FROM ev GROUP BY 1),
+       |cum AS (
+       |  SELECT d0 AS day,
+       |    CAST(sum(u_a) OVER (ORDER BY d0) AS BIGINT) AS n_a,
+       |    CAST(sum(u_b) OVER (ORDER BY d0) AS BIGINT) AS n_b,
+       |    CAST(sum(v_a) OVER (ORDER BY d0) AS BIGINT) AS conv_a,
+       |    CAST(sum(v_b) OVER (ORDER BY d0) AS BIGINT) AS conv_b
+       |  FROM byday),
+       |tot AS (SELECT max(n_a + n_b) AS n_k FROM cum),
+       |zc AS (
+       |  SELECT day, n_a, n_b, conv_a, conv_b,
+       |    $ObfZSql AS z,
+       |    $ObfBoundSql AS obf_bound
+       |  FROM cum, tot)
+       |SELECT day, n_a, n_b, conv_a, conv_b, z, obf_bound,
+       |  CAST(CASE WHEN z IS NOT NULL AND abs(z) > obf_bound
+       |       THEN 1 ELSE 0 END AS BIGINT) AS crossed
+       |FROM zc ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Seasonal traffic-anomaly fence — the ops-monitoring twin of the
+  // curation MAD screen: hourly event volumes are strongly periodic by
+  // hour-of-week, so a raw global fence either misses rush-hour drops
+  // or false-alarms every night; the robust baseline must be SEASONAL
+  // (median/MAD per (day-of-week, hour) cell, the "same hour last
+  // weeks" reference every traffic dashboard uses). dow is the epoch
+  // day mod 7 — a fixed weekday labeling, same on both engines.
+  //
+  // Scale shape: the corpus collapses to one (day, hour) count row per
+  // active hour (map-side combined), and the exact median/MAD run on
+  // VALUE HISTOGRAMS per 168-cell key — windows over histogram rows,
+  // never event rows (the quantileExact recipe). The fence is the
+  // integer modified-z rule; hours with no events are absent on both
+  // engines (presence grid — gap-filling is q37's business).
+  def seasonalHours(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lineage
+    // both the (day, hour) rollup and the deviation frame feed TWO
+    // consumers (median build + join-back): truncate so the corpus
+    // rollup and the broadcast join never recompute per branch
+    val hourly = Lineage.truncate(Relational.events(s, dir)
+      .select(expr("_ms DIV 86400000").as("day"),
+        expr("(_ms % 86400000) DIV 3600000").as("hour"))
+      .groupBy(col("day"), col("hour")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("day % 7")))
+    def cellMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wc = Window.partitionBy(col("dow"), col("hour")).orderBy(col(v))
+      val wa = Window.partitionBy(col("dow"), col("hour"))
+      df.groupBy(col("dow"), col("hour"), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("t", sum(col("c")).over(wa))
+        .filter(col("cum") >= expr("(t + 1) DIV 2"))
+        .groupBy(col("dow"), col("hour")).agg(min(col(v)).as(out))
+    }
+    val med = cellMedian(hourly, "n", "med")
+    val dev = Lineage.truncate(hourly.join(broadcast(med), Seq("dow", "hour"))
+      .withColumn("dv", abs(col("n") - col("med"))))
+    val mad = cellMedian(dev, "dv", "mad")
+    dev.join(broadcast(mad), Seq("dow", "hour"))
+      .withColumn("anom", (col("dv") * 6745L > col("mad") * 35000L).cast("long"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("med")).as("med_n"), // constant within cell
+        max(col("mad")).as("mad_n"),
+        sum(col("anom")).as("n_anom"),
+        sum(col("n")).as("total_events"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val seasonalHoursSql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |    (epoch_ms(ts) % 86400000) // 3600000 AS hour,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |keyed AS (SELECT day % 7 AS dow, hour, day, n FROM hourly),
+      |h1 AS (SELECT dow, hour, n, count(*) AS c FROM keyed GROUP BY 1, 2, 3),
+      |c1 AS (
+      |  SELECT dow, hour, n,
+      |    sum(c) OVER (PARTITION BY dow, hour ORDER BY n) AS cum,
+      |    sum(c) OVER (PARTITION BY dow, hour) AS t
+      |  FROM h1),
+      |med AS (SELECT dow, hour, min(n) AS med FROM c1
+      |        WHERE cum >= (t + 1) // 2 GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT k.dow, k.hour, k.n, m.med, abs(k.n - m.med) AS dv
+      |  FROM keyed k JOIN med m USING (dow, hour)),
+      |h2 AS (SELECT dow, hour, dv, count(*) AS c FROM dev GROUP BY 1, 2, 3),
+      |c2 AS (
+      |  SELECT dow, hour, dv,
+      |    sum(c) OVER (PARTITION BY dow, hour ORDER BY dv) AS cum,
+      |    sum(c) OVER (PARTITION BY dow, hour) AS t
+      |  FROM h2),
+      |mad AS (SELECT dow, hour, min(dv) AS mad FROM c2
+      |        WHERE cum >= (t + 1) // 2 GROUP BY 1, 2)
+      |SELECT dev.dow, dev.hour,
+      |  CAST(count(*) AS BIGINT) AS n_obs,
+      |  CAST(max(dev.med) AS BIGINT) AS med_n,
+      |  CAST(max(mad.mad) AS BIGINT) AS mad_n,
+      |  CAST(sum(CASE WHEN dev.dv * 6745 > mad.mad * 35000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anom,
+      |  CAST(sum(dev.n) AS BIGINT) AS total_events
+      |FROM dev JOIN mad USING (dow, hour)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_hours" -> (seasonalHours _),
+    "events_sequential_obf" -> (sequentialObf _),
     "events_bootstrap_ci" -> (bootstrapCi _),
     "events_ab_srm" -> (abSrm _),
     "events_point_in_time_join" -> (pointInTimeJoin _),
@@ -1029,6 +1211,8 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_seasonal_hours" -> seasonalHoursSql,
+    "events_sequential_obf" -> sequentialObfSql,
     "events_bootstrap_ci" -> bootstrapCiSql,
     "events_ab_srm" -> abSrmSql,
     "events_point_in_time_join" -> pointInTimeJoinSql,

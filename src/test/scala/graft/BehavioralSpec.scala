@@ -405,6 +405,56 @@ class BehavioralSpec extends SparkSuite {
     assert(row.getDouble(3) < row.getDouble(4))
   }
 
+  test("sequential OBF: boundary decays to ~C at horizon, crossings respect it, cumulatives are monotone") {
+    val r = Behavioral.sequentialObf(spark, sf).collect()
+    assert(r.length >= 10, s"need a real look grid, got ${r.length} days")
+    // cumulative counts are monotone nondecreasing in day
+    Seq(1, 2, 3, 4).foreach { i =>
+      val xs = r.map(_.getLong(i))
+      assert(xs.zip(xs.tail).forall { case (a, b) => a <= b }, s"col $i not monotone")
+    }
+    // the boundary is strictly decreasing in information and ends at C
+    // (the final look has information fraction exactly 1)
+    val bounds = r.map(_.getDouble(6))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a >= b })
+    assert(math.abs(bounds.last - 2.24) < 1e-12)
+    // early boundaries are strictly harder than the fixed-horizon 1.96
+    assert(bounds.head > 1.96)
+    // crossed is exactly the |z| > bound predicate wherever z exists
+    r.foreach { row =>
+      val crossed = row.getLong(7)
+      if (row.isNullAt(5)) assert(crossed == 0L)
+      else assert(crossed == (if (math.abs(row.getDouble(5)) > row.getDouble(6)) 1L else 0L))
+    }
+    // A/A contract on the hash coin: the full readout is reproducible
+    assert(Behavioral.sequentialObf(spark, sf).collect().toSeq == r.toSeq)
+  }
+
+  test("seasonal hours: cell medians match brute force, fence is the exact modified-z rule") {
+    val hourly = graft.queries.Relational.events(spark, sf)
+      .select(expr("_ms DIV 86400000").as("day"),
+        expr("(_ms % 86400000) DIV 3600000").as("hour"))
+      .groupBy(col("day"), col("hour")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0) % 7, r.getLong(1)), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = { val s = xs.sorted; s((s.length + 1) / 2 - 1) }
+    val expect = hourly.groupBy(_._1).map { case (k, g) =>
+      val vals = g.map(_._2).toSeq
+      val med = lowerMedian(vals)
+      val devs = vals.map(v => (v - med).abs)
+      val mad = lowerMedian(devs)
+      k -> (vals.length.toLong, med, mad,
+        devs.count(dv => dv * 6745L > mad * 35000L).toLong, vals.sum)
+    }
+    val got = Behavioral.seasonalHours(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 168)
+    got.foreach { r =>
+      val e = expect((r.getLong(0), r.getLong(1)))
+      val g = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(g == e, s"cell (${r.getLong(0)}, ${r.getLong(1)}): got $g expected $e")
+    }
+    assert(got.length == expect.size)
+  }
+
   test("poisson bootstrap: registered query is deterministic and well-formed on the fixture") {
     val a = Behavioral.bootstrapCi(spark, sf).collect()
     assert(a.length == 1)

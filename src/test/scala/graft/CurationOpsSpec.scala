@@ -288,6 +288,27 @@ class CurationOpsSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("topk MV maintain: equals the one-shot full recompute's top-k, ranked, idempotent") {
+    val got = IncrementalMv.topkMaintain(spark, sf).collect()
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._3, t._1)).take(IncrementalMv.TopKSuppliers)
+    assert(got.length == full.length)
+    got.zip(full).zipWithIndex.foreach { case ((r, e), i) =>
+      assert(r.getLong(0) == i + 1, s"rank column must be dense from 1")
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == e,
+        s"rank ${i + 1}: got ${(r.getLong(1), r.getLong(2), r.getLong(3))} expected $e")
+    }
+    // idempotent: a re-run rebuilds + re-merges the bucketed state and
+    // serves the identical readout
+    assert(IncrementalMv.topkMaintain(spark, sf).collect().map(_.toSeq).toSeq ==
+      got.map(_.toSeq).toSeq)
+  }
+
   test("agg-state MV: merged HLL states equal the direct sketch, invariant to finer state partitioning") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val got = AggStateMv.aggStateMv(spark, sf).collect()

@@ -309,7 +309,22 @@ class PlanQualitySpec extends SparkSuite {
     // RM3: stage-2 feedback runs on 10 docs (broadcast semi-join);
     // visible exchanges are the truncated tf2's per-doc agg + final
     // rollup + output sort; df2/stats/weights all broadcast.
-    "text_rm3_rescore" -> 3)
+    "text_rm3_rescore" -> 3,
+    // Sequential OBF: the (day, arm) corpus rollup, the day-grid
+    // cumulative window (the boundedGlobal lit(0) key survives in this
+    // session and plans its own hash + sort exchanges), the 1-row
+    // horizon agg, and the output sort; the horizon total joins back
+    // as a broadcast nested loop.
+    "events_sequential_obf" -> 6,
+    // Seasonal hours: hourly rollup and deviation frame are truncated
+    // (each feeds a median build AND a join-back); visible plan is the
+    // MAD histogram's agg + window + min agg and the final rollup+sort
+    // collapsing over the broadcast fence join.
+    "events_seasonal_hours" -> 4,
+    // Top-k MV: all maintenance is write-side; the readout is a
+    // TakeOrdered over the bucketed aggregate table with the rank
+    // window on the post-limit k rows — zero exchanges.
+    "mv_topk_maintain" -> 0)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
