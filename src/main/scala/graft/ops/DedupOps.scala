@@ -855,6 +855,121 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Content-defined chunking dedup (the Rabin/FastCDC primitive behind
+  // every dedup store — restic, borg, LBFS): chunk boundaries are cut
+  // where a rolling hash of the trailing CdcW chars hits 0 mod CdcMod,
+  // so identical text REGIONS produce identical interior chunks no
+  // matter where they sit in a document — byte-shifted copies dedup,
+  // which fixed-offset blocks can never do. Production CDC adds
+  // min/max chunk gates (FastCDC §3.2); this keeps the pure
+  // content-defined rule so the oracle replay is a one-liner per
+  // stage. Complements the dedup family: exact_substr reports aligned
+  // L-gram spans, winnow SELECTS fingerprints, CDC PARTITIONS the text
+  // into dedupable storage units.
+  //
+  // 100 TB shape: the position scan is corpus-linear × CdcW char ops
+  // (one narrow map pass), boundaries collapse to ~len/CdcMod rows,
+  // chunks are one per-doc window over boundary rows (doc-bounded
+  // partitions), and the cross-doc duplicate test is ONE groupBy on
+  // the chunk text (at scale: its 128-bit hash — the exact_substr
+  // footnote applies) with a semi-join back. Nothing pairwise.
+  object Cdc {
+    val W = 16 // rolling window chars
+    val Mod = 64 // expected chunk length
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(docs(s, dir))
+
+  def cdcChunksOf(dIn: DataFrame): DataFrame = {
+    val (w, m) = (Cdc.W, Cdc.Mod)
+    // normalized text feeds the boundary scan AND the chunk substring
+    // join: truncate so the regex pass runs once
+    val d = Lineage.truncate(dIn.select(col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("t")))
+    // one split pass materializes the char codes: per-position
+    // substring() would re-walk the string from its start every call
+    // (UTF8String seeks char boundaries), turning the scan O(len²) per
+    // doc — measured 26 s at sf0.1 vs ~3 s for the slice-on-array form
+    val gramHash = s"aggregate(slice(cs, CAST(e AS INT) - ${w - 1}, $w), " +
+      "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    val bnd = d
+      .withColumn("cs", expr("transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT))"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN length(t) >= $w THEN
+           |  filter(transform(sequence($w, length(t)), e -> CAST(e AS BIGINT)),
+           |         e -> $gramHash % $m = 0)
+           |ELSE array() END""".stripMargin)).as("e"))
+    val allb = bnd.unionByName(
+        d.filter(length(col("t")) > 0)
+          .select(col("doc_id"), length(col("t")).cast("long").as("e")))
+      .distinct()
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("e"))
+    val chunks = Lineage.truncate(allb
+      .withColumn("pe", lag(col("e"), 1, 0L).over(wDoc))
+      .join(d, Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("substring(t, CAST(pe + 1 AS INT), CAST(e - pe AS INT))").as("chunk"),
+        (col("e") - col("pe")).as("clen")))
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("chunk"))
+    val perDoc = chunks.join(dup, Seq("chunk"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_chunks"), sum(col("clen")).as("dup_chars"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("clen")).as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_chars"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_milli", expr("(dup_chars * 1000) DIV n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical scan/boundary/chunk/dup pipeline as CTEs. */
+  val cdcChunksSql: String = {
+    val (w, m) = (Cdc.W, Cdc.Mod)
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, t, unnest(range($w, CAST(greatest(len(t) + 1, $w) AS BIGINT))) AS e
+       |  FROM d),
+       |bnd AS (
+       |  SELECT doc_id, e FROM pos
+       |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substr(t, CAST(e - ${w - 1} AS INTEGER), $w), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) % $m = 0),
+       |allb AS (
+       |  SELECT doc_id, e FROM bnd
+       |  UNION SELECT doc_id, len(t) FROM d WHERE len(t) > 0),
+       |ch AS (
+       |  SELECT doc_id, e,
+       |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS pe
+       |  FROM allb),
+       |chunks AS MATERIALIZED (
+       |  SELECT ch.doc_id,
+       |    substr(d.t, CAST(pe + 1 AS INTEGER), CAST(e - pe AS INTEGER)) AS chunk,
+       |    e - pe AS clen
+       |  FROM ch JOIN d USING (doc_id)),
+       |dup AS (SELECT chunk FROM chunks GROUP BY chunk
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |pd AS (
+       |  SELECT doc_id, count(*) AS n_dup_chunks, sum(clen) AS dup_chars
+       |  FROM chunks JOIN dup USING (chunk) GROUP BY 1)
+       |SELECT c.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(c.clen) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(max(pd.n_dup_chunks), 0) AS BIGINT) AS n_dup_chunks,
+       |  CAST(COALESCE(max(pd.dup_chars), 0) AS BIGINT) AS dup_chars,
+       |  CAST((COALESCE(max(pd.dup_chars), 0) * 1000) // sum(c.clen) AS BIGINT) AS dup_milli
+       |FROM chunks c LEFT JOIN pd USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // All-pairs sparse cosine similarity (the Bayardo/DISCO "similarity
   // self-join"): every document pair whose tf-idf trigram-shingle
   // vectors have cosine ≥ AllPairsTholdMilli/1000, over the full
@@ -1012,6 +1127,7 @@ object DedupOps {
     "sim_allpairs_sparse" -> (allPairsSparse _),
     "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact_substr" -> (exactSubstrSpans _),
+    "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
     "dedup_minhash_oph" -> (ophDedup _),
@@ -1233,6 +1349,7 @@ object DedupOps {
     "sim_allpairs_sparse" -> allPairsSparseSql,
     "dedup_winnow_spans" -> winnowSpansSql,
     "dedup_exact_substr" -> exactSubstrSql,
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,

@@ -623,6 +623,71 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Good-Turing frequency-of-frequencies + missing mass (Good 1953):
+  // the corpus-coverage readout a data pipeline consults before
+  // smoothing or dedup-budget decisions — P₀ = N₁/N estimates how much
+  // probability mass belongs to n-grams NEVER seen, and the adjusted
+  // counts r* = (r+1)·n_{r+1}/n_r are the Good-Turing discounts that
+  // Katz backoff and SGT smoothing start from (quantized to exact
+  // integer milli — absent n_{r+1} yields r* = 0, the raw-GT
+  // convention, documented rather than smoothed). The unit is the word
+  // TRIGRAM — the Katz-backoff setting, and the grain where this
+  // corpus has a genuine Zipf tail (9.4k hapaxes of 16.2k types at
+  // sf0.01; the 31-word unigram vocabulary has none — probed before
+  // choosing the unit, a frequency spectrum over a tail-free grain
+  // verifies nothing).
+  //
+  // Scale shape: ONE corpus pass collapses to the trigram-count table
+  // (type-bounded, map-side combined), which collapses again to the
+  // frequency histogram (distinct-count-of-counts rows, ~hundreds at
+  // any corpus size); everything after is histogram-sized joins. The
+  // fof table is truncated — it feeds the rows, the totals and the
+  // r+1 shift join.
+  def goodTuring(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 2), " +
+          "i -> concat(_t[i-1], ' ', _t[i], ' ', _t[i+1]))")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+    val fof = Lineage.truncate(
+      tf.groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+    val tot = fof.agg(sum(expr("r * n_r")).as("n_tokens"),
+      sum(col("n_r")).as("vocab"),
+      sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    val next = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    fof.filter(col("r") <= 10)
+      .join(next, Seq("r"), "left").na.fill(0L, Seq("n_r1"))
+      .crossJoin(broadcast(tot)) // 1-row totals
+      .select(col("r"), col("n_r"),
+        expr("((r + 1) * n_r1 * 1000) DIV n_r").as("r_star_milli"),
+        col("n_tokens"), col("vocab"),
+        expr("(n1 * 1000) DIV n_tokens").as("p0_milli"))
+      .orderBy(col("r"))
+  }
+
+  val goodTuringSql: String =
+    """WITH toks AS (
+      |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+      |tf AS (
+      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term, count(*) AS r
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) g(i)
+      |  WHERE len(t) >= 3 GROUP BY 1),
+      |fof AS MATERIALIZED (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_r) AS BIGINT) AS vocab,
+      |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+      |  FROM fof)
+      |SELECT CAST(f.r AS BIGINT) AS r, f.n_r,
+      |  CAST(((f.r + 1) * coalesce(nx.n_r, 0) * 1000) // f.n_r AS BIGINT) AS r_star_milli,
+      |  n_tokens, vocab,
+      |  CAST((n1 * 1000) // n_tokens AS BIGINT) AS p0_milli
+      |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1, tot
+      |WHERE f.r <= 10 ORDER BY f.r""".stripMargin
+
+  // ------------------------------------------------------------------
   // RM3 pseudo-relevance feedback (Lavrenko & Croft, SIGIR 2001; the
   // "RM3" interpolated variant of Abdul-Jaleel et al., TREC 2004): run
   // the seed query, treat the top-F docs as relevant, estimate a
@@ -1150,6 +1215,7 @@ object TextOps {
     "text_bpe_encode" -> (bpeEncode _),
     "text_fertility" -> (fertility _),
     "text_rm3_rescore" -> (rm3Rescore _),
+    "text_good_turing" -> (goodTuring _),
     "text_winnow" -> (winnowFingerprints _),
     "text_bm25_topk" -> (bm25TopK _),
     "text_entropy" -> (entropy _),
@@ -1172,6 +1238,7 @@ object TextOps {
     "text_bpe_encode" -> bpeEncodeSql,
     "text_fertility" -> fertilitySql,
     "text_rm3_rescore" -> rm3Sql,
+    "text_good_turing" -> goodTuringSql,
     "text_winnow" -> winnowFingerprintsSql,
     "text_bm25_topk" -> bm25Sql,
     "text_entropy" -> entropySql,

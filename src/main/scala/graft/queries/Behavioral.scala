@@ -1192,7 +1192,88 @@ object Behavioral {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Theil-Sen robust trend over daily revenue (Theil 1950, Sen 1968):
+  // the median of all pairwise day-slopes — up to ~29% of days can be
+  // corrupted (outages, backfills, bot storms) without moving the
+  // estimate, where OLS follows a single bad day. EXACT arithmetic
+  // throughout: slopes are quantized to milli-cents/day with the
+  // sign-split floor division (Spark DIV truncates toward zero, DuckDB
+  // // floors — they agree only on nonnegative operands, so we divide
+  // magnitudes and negate: the sample_temperature recipe), and the
+  // median runs on the slope HISTOGRAM via the cumulative window.
+  //
+  // Scale shape: ONE corpus scan collapses to the day grid; the pair
+  // build is day-grid², which is BOUNDED by the monitoring horizon
+  // (a year of days = 66k pairs — nothing), via a broadcast of the
+  // grid against itself. n_up/n_down give the Kendall-style
+  // concordance counts for a direction readout. Overflow: 1000·Δcents
+  // needs |daily revenue| < 9.2e15 cents — far past any fixture.
+  def theilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOfDaily(Relational.events(s, dir)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** The estimator over any (day, cents) frame — exposed so the spec
+    * can plant series with known slopes and adversarial outlier days. */
+  private[graft] def theilSenOfDaily(daily0: DataFrame): DataFrame = {
+    import graft.ops.{Lineage, Windows}
+    // three consumers (both self-join sides + the day count): truncate
+    // so the corpus rollup runs once
+    val daily = Lineage.truncate(daily0)
+    val pairs = Lineage.truncate(
+      daily.select(col("day").as("d1"), col("cents").as("c1"))
+        .join(broadcast(daily.select(col("day").as("d2"), col("cents").as("c2"))),
+          col("d1") < col("d2"))
+        .select((col("c2") - col("c1")).as("dc"), (col("d2") - col("d1")).as("dd")))
+    val slopes = pairs.select(expr(
+      "CASE WHEN dc >= 0 THEN (1000 * dc) DIV dd ELSE -((1000 * (-dc)) DIV dd) END")
+      .as("sl"))
+    val wc = Windows.boundedGlobal(col("sl"))
+    val med = slopes.groupBy(col("sl")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(lit(0))))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .agg(min(col("sl")).as("med_slope_milli"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val summ = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("dc") > 0, 1L).otherwise(0L)).as("n_up"),
+      sum(when(col("dc") < 0, 1L).otherwise(0L)).as("n_down"))
+    nDays.crossJoin(summ).crossJoin(med) // three 1-row frames
+      .select(col("n_days"), col("n_pairs"), col("med_slope_milli"),
+        col("n_up"), col("n_down"))
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT epoch_ms(ts) // 86400000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT d2.cents - d1.cents AS dc, d2.day - d1.day AS dd
+      |  FROM daily d1 JOIN daily d2 ON d1.day < d2.day),
+      |slopes AS (
+      |  SELECT CASE WHEN dc >= 0 THEN (1000 * dc) // dd
+      |         ELSE -((1000 * (-dc)) // dd) END AS sl
+      |  FROM pairs),
+      |hist AS (SELECT sl, count(*) AS c FROM slopes GROUP BY 1),
+      |cum AS (
+      |  SELECT sl, sum(c) OVER (ORDER BY sl) AS cum, sum(c) OVER () AS n
+      |  FROM hist),
+      |med AS (SELECT CAST(min(sl) AS BIGINT) AS med_slope_milli
+      |        FROM cum WHERE cum >= (n + 1) // 2),
+      |summ AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN dc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |    CAST(sum(CASE WHEN dc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      |  FROM pairs),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+      |SELECT n_days, n_pairs, med_slope_milli, n_up, n_down
+      |FROM nd CROSS JOIN summ CROSS JOIN med""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_theil_sen" -> (theilSen _),
     "events_seasonal_hours" -> (seasonalHours _),
     "events_sequential_obf" -> (sequentialObf _),
     "events_bootstrap_ci" -> (bootstrapCi _),
@@ -1211,6 +1292,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_theil_sen" -> theilSenSql,
     "events_seasonal_hours" -> seasonalHoursSql,
     "events_sequential_obf" -> sequentialObfSql,
     "events_bootstrap_ci" -> bootstrapCiSql,

@@ -337,6 +337,48 @@ object ChainQueries {
       .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("addr"))
   }
 
+  // ------------------------------------------------------------------
+  // Pass-through (mixer/hop) screen: per-address flow balance — the
+  // forensics readout that classifies every address as source / relay /
+  // sink and scores relays by how much of their inflow they forward
+  // (mixers and sybil hops score passthrough → 1000). Chosen over the
+  // reciprocal-pair / directed-cycle screens because the fixture
+  // generator emits a strictly layered from→to pattern with ZERO
+  // 2-cycles or directed triangles (probed in DuckDB round 11) — a
+  // registered query whose answer is structurally empty verifies
+  // nothing. The fixture is in fact fully BIPARTITE (sender and
+  // receiver sets are disjoint on the tx, token and combined graphs —
+  // also probed), so its relay class is empty and passthrough is 0
+  // throughout; the spec pins that property so a generator change that
+  // introduces relays fails loudly instead of silently shifting the
+  // ranking. Shape: ONE aggregated-edge pass (truncated) feeds both
+  // direction rollups; the full outer join is address-keyed; ratios
+  // are exact integer milli with positive-operand floor division.
+  def chainFlowBalance(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lineage
+    val edges = Lineage.truncate(
+      raw(s, "transactions").filter(col("to").isNotNull)
+        .select(hex(col("from")).as("src"), hex(col("to")).as("dst"))
+        .filter(col("src") =!= col("dst")) // self-transfers balance trivially
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+    val outw = edges.groupBy(col("src"))
+      .agg(sum(col("w")).as("n_out"), countDistinct(col("dst")).as("out_deg"))
+      .withColumnRenamed("src", "addr")
+    val inw = edges.groupBy(col("dst"))
+      .agg(sum(col("w")).as("n_in"), countDistinct(col("src")).as("in_deg"))
+      .withColumnRenamed("dst", "addr")
+    outw.join(inw, Seq("addr"), "full")
+      .na.fill(0L, Seq("n_out", "out_deg", "n_in", "in_deg"))
+      .select(col("addr"), col("n_in"), col("in_deg"), col("n_out"),
+        col("out_deg"), (col("n_in") + col("n_out")).as("gross"),
+        expr("""CASE WHEN n_in > 0 AND n_out > 0 THEN 'relay'
+                WHEN n_out > 0 THEN 'source' ELSE 'sink' END""").as("role"),
+        expr("""CASE WHEN n_in > 0 AND n_out > 0
+                THEN (least(n_in, n_out) * 1000) DIV greatest(n_in, n_out)
+                ELSE 0 END""").as("passthrough_milli"))
+      .orderBy(col("passthrough_milli").desc, col("gross").desc, col("addr"))
+  }
+
   /** EIP-1559 fee-market decomposition per 100-block bucket: the burned
     * base fee (baseFeePerGas·gasUsed) and the miner tip
     * ((effectiveGasPrice−baseFeePerGas)·gasUsed), with pre-London
@@ -565,6 +607,7 @@ object ChainQueries {
     "chain_validator_withdrawals" -> (chainValidatorWithdrawals _),
     "chain_address_activity" -> (chainAddressActivity _),
     "chain_address_hits" -> (chainHits _),
+    "chain_flow_balance" -> (chainFlowBalance _),
     "chain_address_pagerank" -> (chainPagerank _),
     "chain_tbl_blocks" -> (chainTblBlocks _),
     "chain_tbl_transactions" -> (chainTblTransactions _),
@@ -654,6 +697,32 @@ object ChainQueries {
 
   val oracle: Map[String, String] = Map(
     "chain_address_hits" -> chainHitsSql,
+    "chain_flow_balance" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT hex("from") AS src, hex("to") AS dst, CAST(count(*) AS BIGINT) AS w
+         |  FROM ${tbl("transactions")}
+         |  WHERE "to" IS NOT NULL AND hex("from") <> hex("to")
+         |  GROUP BY 1, 2),
+         |o AS (SELECT src AS addr, CAST(sum(w) AS BIGINT) AS n_out,
+         |        CAST(count(DISTINCT dst) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS addr, CAST(sum(w) AS BIGINT) AS n_in,
+         |        CAST(count(DISTINCT src) AS BIGINT) AS in_deg FROM edges GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(o.addr, i.addr) AS addr,
+         |    CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in,
+         |    CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+         |    CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out,
+         |    CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg
+         |  FROM o FULL JOIN i ON o.addr = i.addr)
+         |SELECT addr, n_in, in_deg, n_out, out_deg,
+         |  n_in + n_out AS gross,
+         |  CASE WHEN n_in > 0 AND n_out > 0 THEN 'relay'
+         |       WHEN n_out > 0 THEN 'source' ELSE 'sink' END AS role,
+         |  CAST(CASE WHEN n_in > 0 AND n_out > 0
+         |       THEN (least(n_in, n_out) * 1000) // greatest(n_in, n_out)
+         |       ELSE 0 END AS BIGINT) AS passthrough_milli
+         |FROM j
+         |ORDER BY passthrough_milli DESC, gross DESC, addr""".stripMargin,
     "chain_address_pagerank" -> chainPagerankSql,
     "chain_transfer_decode" ->
       s"""SELECT blockNumber,

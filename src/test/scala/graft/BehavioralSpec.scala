@@ -455,6 +455,33 @@ class BehavioralSpec extends SparkSuite {
     assert(got.length == expect.size)
   }
 
+  test("theil-sen: exact slope on a clean ramp, unmoved by a planted outlier day, OLS is not") {
+    // clean ramp: cents = 500 + 250·day → every pairwise slope is
+    // exactly 250000 milli-cents/day
+    val ramp = (0L to 20L).map(d => (d, 500L + 250L * d))
+    val clean = Behavioral.theilSenOfDaily(ramp.toDF("day", "cents")).collect().head
+    assert(clean.getLong(0) == 21L && clean.getLong(1) == 210L)
+    assert(clean.getLong(2) == 250000L)
+    assert(clean.getLong(3) == 210L && clean.getLong(4) == 0L) // all pairs up
+    // plant one catastrophic day (backfill spike 1000× the trend): the
+    // median pairwise slope must not move, while the OLS slope explodes
+    val dirty = ramp.map { case (d, c) => if (d == 10L) (d, c + 5000000L) else (d, c) }
+    val got = Behavioral.theilSenOfDaily(dirty.toDF("day", "cents")).collect().head
+    assert(got.getLong(2) == 250000L,
+      s"median slope must resist a single outlier day, got ${got.getLong(2)}")
+    // brute-force replay of the exact sign-split floor arithmetic
+    def slope(d1: Long, c1: Long, d2: Long, c2: Long): Long = {
+      val dc = c2 - c1; val dd = d2 - d1
+      if (dc >= 0) 1000 * dc / dd else -(1000 * -dc / dd)
+    }
+    val slopes = (for {
+      (d1, c1) <- dirty; (d2, c2) <- dirty if d1 < d2
+    } yield slope(d1, c1, d2, c2)).sorted
+    assert(got.getLong(2) == slopes((slopes.length + 1) / 2 - 1))
+    assert(got.getLong(3) == dirty.combinations(2).count { case Seq((d1, c1), (d2, c2)) =>
+      if (d1 < d2) c2 > c1 else c1 > c2 })
+  }
+
   test("poisson bootstrap: registered query is deterministic and well-formed on the fixture") {
     val a = Behavioral.bootstrapCi(spark, sf).collect()
     assert(a.length == 1)

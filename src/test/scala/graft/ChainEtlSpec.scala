@@ -565,6 +565,43 @@ class ChainEtlSpec extends SparkSuite {
     assert(a.head.getLong(1) > a.last.getLong(1))
   }
 
+  test("flow balance: brute-force totals, role classification, bipartite-fixture pin") {
+    import graft.queries.ChainQueries
+    val got = ChainQueries.chainFlowBalance(spark, sf).collect()
+    assert(got.nonEmpty)
+    // brute-force per-address flows from the raw dump
+    val edges = spark.read
+      .parquet(s"${ChainQueries.RawDumpDir}/chain_raw_transactions")
+      .filter(col("to").isNotNull)
+      .select(hex(col("from")).as("s"), hex(col("to")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter { case (s, d) => s != d }
+    val out = edges.groupBy(_._1).map { case (a, es) =>
+      a -> (es.length.toLong, es.map(_._2).distinct.length.toLong) }
+    val in = edges.groupBy(_._2).map { case (a, es) =>
+      a -> (es.length.toLong, es.map(_._1).distinct.length.toLong) }
+    assert(got.length == (out.keySet ++ in.keySet).size)
+    got.foreach { r =>
+      val a = r.getString(0)
+      val (nIn, inDeg) = in.getOrElse(a, (0L, 0L))
+      val (nOut, outDeg) = out.getOrElse(a, (0L, 0L))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        (nIn, inDeg, nOut, outDeg), s"flows mismatch at $a")
+      assert(r.getLong(5) == nIn + nOut)
+      val role = if (nIn > 0 && nOut > 0) "relay" else if (nOut > 0) "source" else "sink"
+      assert(r.getString(6) == role)
+    }
+    // flow conservation: total inflow == total outflow == edge count
+    assert(got.map(_.getLong(1)).sum == edges.length.toLong)
+    assert(got.map(_.getLong(3)).sum == edges.length.toLong)
+    // the fixture generator is strictly bipartite (probed round 11): no
+    // relays, passthrough identically 0. If a regen introduces relays,
+    // this fails loudly and the screen becomes informative — update the
+    // docs then, not this assertion silently.
+    assert(got.forall(_.getString(6) != "relay"))
+    assert(got.forall(_.getLong(7) == 0L))
+  }
+
   test("address HITS: exact plain-Scala replay, mass bounds, edge-structure zeros") {
     import graft.queries.ChainQueries
     val got = ChainQueries.chainHits(spark, sf).collect()

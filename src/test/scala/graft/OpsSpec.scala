@@ -661,6 +661,72 @@ class OpsSpec extends SparkSuite {
     assert(got.map(_.getLong(1)).sum == docRows.length.toLong)
   }
 
+  test("good-turing: trigram spectrum matches brute force, discounts and missing mass exact") {
+    val docTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docTexts.foreach { t =>
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.length >= 3) w.sliding(3).foreach { g =>
+        val k = g.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val fof = counts.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val n = counts.values.sum
+    val v = counts.size.toLong
+    val n1 = fof.getOrElse(1L, 0L)
+    val got = graft.ops.TextOps.goodTuring(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rr = r.getLong(0)
+      assert(rr <= 10L)
+      assert(r.getLong(1) == fof(rr), s"n_$rr mismatch")
+      val expStar = (rr + 1) * fof.getOrElse(rr + 1, 0L) * 1000L / fof(rr)
+      assert(r.getLong(2) == expStar, s"r*_$rr mismatch")
+      assert(r.getLong(3) == n && r.getLong(4) == v)
+      assert(r.getLong(5) == n1 * 1000L / n)
+    }
+    // the spectrum actually has a tail on this corpus (the reason the
+    // unit is trigrams): hapaxes exist and dominate the missing mass
+    assert(fof.getOrElse(1L, 0L) > 0L)
+    assert(got.map(_.getLong(0)).toSet == fof.keySet.filter(_ <= 10L))
+  }
+
+  test("cdc chunks: tile every doc exactly, brute-force boundary replay, exact dups fully covered") {
+    val t = graft.ops.TextOps
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")))
+    // plain-Scala replay of the rolling boundary rule
+    def chunksOf(t0: String): Seq[String] = {
+      val bs = (16 to t0.length).filter { e =>
+        val h = t0.substring(e - 16, e).foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+        h % 64 == 0
+      }
+      val ends = (bs :+ t0.length).distinct
+      ends.zip(0 +: ends.init).map { case (e, p) => t0.substring(p, e) }
+    }
+    val expect = d.map { case (id, t0) => id -> chunksOf(t0) }.toMap
+    val got = graft.ops.DedupOps.cdcChunks(spark, sf).collect()
+    assert(got.length == d.length)
+    got.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert(r.getLong(1) == e.length.toLong, s"doc ${r.getLong(0)} chunk count")
+      // chunks tile the normalized text exactly
+      assert(r.getLong(2) == e.map(_.length.toLong).sum)
+      assert(r.getLong(4) <= r.getLong(2))
+    }
+    // exact-duplicate docs share EVERY chunk: dup_milli == 1000
+    val byText = d.groupBy(_._2).filter(_._2.length >= 2).values.flatten.map(_._1).toSet
+    if (byText.nonEmpty) {
+      val full = got.filter(r => byText(r.getLong(0)))
+      assert(full.nonEmpty && full.forall(_.getLong(5) == 1000L),
+        "verbatim duplicate docs must be fully chunk-covered")
+    }
+    // cross-doc dup detection engages on this corpus
+    assert(got.exists(_.getLong(3) > 0L))
+  }
+
   test("bpe merges: hand-computed sequence, greedy left-to-right, deterministic ties") {
     import spark.implicits._
     // vocab: aaaa x2, low x3, lower x1 — every interesting case at once:

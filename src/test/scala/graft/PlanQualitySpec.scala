@@ -324,7 +324,24 @@ class PlanQualitySpec extends SparkSuite {
     // Top-k MV: all maintenance is write-side; the readout is a
     // TakeOrdered over the bucketed aggregate table with the rank
     // window on the post-limit k rows — zero exchanges.
-    "mv_topk_maintain" -> 0)
+    "mv_topk_maintain" -> 0,
+    // Flow balance: edge aggregate truncated; visible plan is the two
+    // direction rollups, the address-keyed full-outer SMJ (2) and the
+    // output sort.
+    "chain_flow_balance" -> 5,
+    // Theil-Sen: daily grid + pairs truncated; visible plan is the
+    // slope-histogram agg, its boundedGlobal cumulative window (hash +
+    // sort exchanges in this session), the 1-row median agg and the
+    // summary aggs joined as broadcast nested loops.
+    "events_theil_sen" -> 5,
+    // Good-Turing: term/fof rollups behind the truncation; visible
+    // plan is the r+1 shift join (broadcast), totals broadcast and the
+    // output sort over histogram rows.
+    "text_good_turing" -> 2,
+    // CDC: chunk table truncated; visible plan is the dup groupBy, the
+    // chunk-keyed semi join (SMJ), the two per-doc rollups and the
+    // output sort. Growth means the chunk table started recomputing.
+    "dedup_cdc_chunks" -> 6)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
