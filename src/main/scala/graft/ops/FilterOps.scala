@@ -1146,7 +1146,90 @@ object FilterOps {
              31, HashMod)} AS cleaned_hash
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Jensen-Shannon domain divergence — each source's word distribution
+  // against the REST of the corpus: the domain-shift audit run before
+  // mixing sources into a training blend (a source whose JS is near
+  // ln 2 ≈ 693 milli-nats contributes vocabulary the rest of the blend
+  // lacks; near 0 it is redundant). JS is the symmetric, bounded
+  // alternative to KL (never infinite on disjoint support — the reason
+  // it is the mixing-audit standard).
+  //
+  // Determinism: the transcendental is quantized EXACTLY as the
+  // entropy/tfidf family does — round(1000·ln(ratio)) with the ratio a
+  // fixed-parenthesization double over exact integer counts, then all
+  // accumulation is integer (Σ count·ln_milli) and the final milli
+  // readout is one shared double expression. Scale shape: ONE corpus
+  // token rollup collapses to the (source × term) table; the Q side
+  // needs the full source×vocab grid, which is BOUNDED (sources ×
+  // vocabulary), built from two broadcast aggregates — the corpus is
+  // never re-read.
+  private def jsLnMilli(top: String): String =
+    s"CAST(round(CAST(1000 AS DOUBLE) * ln(($top) / " +
+      "((CAST(cs AS DOUBLE) / n_s + CAST(rs AS DOUBLE) / nr) / CAST(2 AS DOUBLE)))) AS BIGINT)"
+
+  def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Lineage
+    val st = Lineage.truncate(docs(s, dir)
+      .select(col("source"), explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs")))
+    val tot = st.groupBy(col("term")).agg(sum(col("cs")).as("ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("n_s"))
+    val nAll = ns.agg(sum(col("n_s")).as("n_all"))
+    val grid = ns.join(broadcast(tot), lit(true)) // sources × vocab: bounded
+      .join(st, Seq("source", "term"), "left").na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("rs", col("ct") - col("cs"))
+      .withColumn("nr", col("n_all") - col("n_s"))
+    val lnP = jsLnMilli("CAST(cs AS DOUBLE) / n_s")
+    val lnQ = jsLnMilli("CAST(rs AS DOUBLE) / nr")
+    grid.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_src"), // constant within source
+        max(col("nr")).as("n_rest"),
+        sum(when(col("cs") > 0, lit(1L)).otherwise(0L)).as("n_terms_src"),
+        sum(when(col("cs") > 0, expr(s"cs * ($lnP)")).otherwise(0L)).as("jsp"),
+        sum(when(col("rs") > 0, expr(s"rs * ($lnQ)")).otherwise(0L)).as("jsq"))
+      .select(col("source"), col("n_src"), col("n_rest"), col("n_terms_src"),
+        col("jsp"), col("jsq"),
+        expr("""(CAST(jsp AS DOUBLE) / n_src + CAST(jsq AS DOUBLE) / n_rest)
+                / CAST(2 AS DOUBLE)""").as("js_milli"))
+      .orderBy(col("source"))
+  }
+
+  val jsDivergenceSql: String = {
+    val lnP = jsLnMilli("CAST(cs AS DOUBLE) / n_s")
+    val lnQ = jsLnMilli("CAST(rs AS DOUBLE) / nr")
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT source, term, CAST(count(*) AS BIGINT) AS cs
+       |  FROM (SELECT source, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |tot AS (SELECT term, CAST(sum(cs) AS BIGINT) AS ct FROM st GROUP BY 1),
+       |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM st GROUP BY 1),
+       |na AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM ns),
+       |grid AS (
+       |  SELECT ns.source, tot.term, ns.n_s, tot.ct,
+       |    CAST(COALESCE(st.cs, 0) AS BIGINT) AS cs,
+       |    tot.ct - CAST(COALESCE(st.cs, 0) AS BIGINT) AS rs,
+       |    na.n_all - ns.n_s AS nr
+       |  FROM ns CROSS JOIN tot
+       |  LEFT JOIN st ON st.source = ns.source AND st.term = tot.term
+       |  CROSS JOIN na)
+       |SELECT source,
+       |  CAST(max(n_s) AS BIGINT) AS n_src,
+       |  CAST(max(nr) AS BIGINT) AS n_rest,
+       |  CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_src,
+       |  CAST(sum(CASE WHEN cs > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) AS jsp,
+       |  CAST(sum(CASE WHEN rs > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) AS jsq,
+       |  (CAST(sum(CASE WHEN cs > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) / CAST(max(n_s) AS DOUBLE)
+       |   + CAST(sum(CASE WHEN rs > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) / CAST(max(nr) AS DOUBLE))
+       |  / CAST(2 AS DOUBLE) AS js_milli
+       |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_js_divergence" -> (jsDivergence _),
     "pipeline_refinery" -> (refinery _),
     "filter_domain_mix" -> (domainMix _),
     "filter_quality_rules" -> (qualityFilters _),
@@ -1162,6 +1245,7 @@ object FilterOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "filter_js_divergence" -> jsDivergenceSql,
     "pipeline_refinery" -> refinerySql,
     "filter_domain_mix" -> domainMixSql,
     "filter_quality_rules" -> qualityFiltersSql,

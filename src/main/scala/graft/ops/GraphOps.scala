@@ -696,7 +696,87 @@ object GraphOps {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Degree assortativity (Newman, PRL 2002) over the part co-occurrence
+  // graph: the Pearson correlation of endpoint degrees across all edge
+  // stubs (each undirected edge contributes both orientations — the
+  // standard definition). Positive r = hubs link to hubs; negative =
+  // hub-and-spoke. One number summarizing mixing structure, next to the
+  // family's triangles/k-core readouts on the same graph. (The chain
+  // transfer graphs were probed and are perfect matchings — every
+  // degree 1, zero variance, r undefined — so the readout lives on the
+  // co-occurrence graph where degrees actually vary.)
+  //
+  // The six sufficient statistics are EXACT integer sums over edge
+  // stubs; the final r is ONE shared double expression with every
+  // cross-term of BIGINT sums cast to DOUBLE before multiplying (the
+  // CUPED overflow rule: DuckDB widens to HUGEINT where Spark wraps).
+  // A zero-variance graph yields NULL via the guard. Shape: the
+  // edge/degree builds are trianglesOf's (distinct pair join + degree
+  // agg, both truncated); the stub union is edge-linear; degrees join
+  // back as broadcasts.
+  private val AssortRSql: String =
+    """CASE WHEN (CAST(m AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj) > 0
+      |      AND (CAST(m AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk) > 0 THEN
+      |  (CAST(m AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sk)
+      |  / (sqrt(CAST(m AS DOUBLE) * sj2 - CAST(sj AS DOUBLE) * sj)
+      |     * sqrt(CAST(m AS DOUBLE) * sk2 - CAST(sk AS DOUBLE) * sk))
+      |ELSE NULL END""".stripMargin
+
+  def assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOf(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  def assortativityOf(membership: DataFrame): DataFrame = {
+    val li = membership.select(col("o"), col("p")).distinct()
+    val und = Lineage.truncate(
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+    val deg = Lineage.truncate(und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val keyed = und
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), Seq("b"))
+    keyed.select(col("da").as("j"), col("db").as("k"))
+      .unionByName(keyed.select(col("db").as("j"), col("da").as("k")))
+      .agg(count(lit(1)).as("m"),
+        sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+        sum(expr("j * k")).as("sjk"),
+        sum(expr("j * j")).as("sj2"), sum(expr("k * k")).as("sk2"))
+      .select(col("m"), col("sj"), col("sk"), col("sjk"), col("sj2"),
+        col("sk2"), expr(AssortRSql).as("r_assort"))
+  }
+
+  val assortativitySql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |deg AS MATERIALIZED (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |keyed AS MATERIALIZED (
+       |  SELECT da.d AS da, db.d AS db
+       |  FROM und JOIN deg da ON da.n = und.a JOIN deg db ON db.n = und.b),
+       |stubs AS (
+       |  SELECT da AS j, db AS k FROM keyed
+       |  UNION ALL SELECT db AS j, da AS k FROM keyed),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(j) AS BIGINT) AS sj, CAST(sum(k) AS BIGINT) AS sk,
+       |    CAST(sum(j * k) AS BIGINT) AS sjk,
+       |    CAST(sum(j * j) AS BIGINT) AS sj2,
+       |    CAST(sum(k * k) AS BIGINT) AS sk2
+       |  FROM stubs)
+       |SELECT m, sj, sk, sjk, sj2, sk2,
+       |  $AssortRSql AS r_assort
+       |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (assortativity _),
     "graph_walks" -> (randomWalks _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -923,6 +1003,7 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_assortativity" -> assortativitySql,
     "dedup_clusters" -> dedupClustersSql,
     // identical output contract to dedup_clusters — the star-contraction
     // path is cross-checked against the same recursive-CTE fixpoint

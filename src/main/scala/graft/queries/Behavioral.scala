@@ -1272,7 +1272,89 @@ object Behavioral {
       |SELECT n_days, n_pairs, med_slope_milli, n_up, n_down
       |FROM nd CROSS JOIN summ CROSS JOIN med""".stripMargin
 
+  // ------------------------------------------------------------------
+  // CUSUM change-point detection over daily event volumes (Page 1954):
+  // S_t = max(0, S_{t-1} + (n_t − ref)) accumulates sustained drift
+  // above the robust reference level and fires when it crosses a
+  // MAD-scaled fence — the classic sequential detector for "traffic
+  // stepped up and stayed up", complementing the point-outlier fences
+  // (Hampel, seasonal) that miss slow level shifts.
+  //
+  // The recursion is NOT folded row-by-row: it solves in closed form to
+  // S_t = P_t − min(0, min_{j≤t} P_j) with P_t the prefix sum of
+  // (n_t − ref) — two cumulative windows over the bounded day grid, so
+  // both engines compute it with plain window functions and EXACT
+  // integers (no struct-fold, whose accumulator typing differs
+  // cross-engine). ref = lower median, fence = 5·MAD, both from the
+  // value histogram; argmax ties resolve to the EARLIEST day (struct
+  // max on (s, −day) / min-day-where-max — same total order).
+  def cusum(s: SparkSession, dir: String): DataFrame =
+    cusumOfDaily(Relational.events(s, dir)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The detector over any (day, n) frame — exposed so the spec can
+    * plant level shifts and verify the prefix-min identity against the
+    * direct recursion. */
+  private[graft] def cusumOfDaily(daily0: DataFrame): DataFrame = {
+    import graft.ops.{Lineage, Windows}
+    val daily = Lineage.truncate(daily0)
+    def histMed(df: DataFrame, v: String, out: String): DataFrame = {
+      val wc = Windows.boundedGlobal(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("t", sum(col("c")).over(Window.partitionBy(lit(0))))
+        .filter(col("cum") >= expr("(t + 1) DIV 2"))
+        .agg(min(col(v)).as(out))
+    }
+    val ref = histMed(daily, "n", "ref")
+    val dev = daily.crossJoin(broadcast(ref))
+      .select(abs(col("n") - col("ref")).as("dv"))
+    val mad = histMed(dev, "dv", "mad")
+    val wd = Windows.boundedGlobal(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sArr = daily.crossJoin(broadcast(ref))
+      .withColumn("pt", sum(col("n") - col("ref")).over(wd))
+      .withColumn("pmin", min(col("pt")).over(wd))
+      .withColumn("s", expr("pt - least(CAST(0 AS BIGINT), pmin)"))
+    val top = sArr.agg(count(lit(1)).as("n_days"),
+        max(struct(col("s"), (-col("day")).as("negd"), col("day"))).as("m"))
+      .select(col("n_days"), col("m.s").as("cusum_max"),
+        col("m.day").as("day_at_max"))
+    top.crossJoin(broadcast(ref)).crossJoin(broadcast(mad))
+      .select(col("n_days"), col("ref"), col("mad"), col("cusum_max"),
+        col("day_at_max"),
+        (col("cusum_max") > col("mad") * 5L).cast("long").as("changepoint_flag"))
+  }
+
+  val cusumSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |h1 AS (SELECT n, count(*) AS c FROM daily GROUP BY 1),
+      |c1 AS (SELECT n, sum(c) OVER (ORDER BY n) AS cum, sum(c) OVER () AS t FROM h1),
+      |refv AS (SELECT CAST(min(n) AS BIGINT) AS ref FROM c1 WHERE cum >= (t + 1) // 2),
+      |dv AS (SELECT abs(n - ref) AS dv FROM daily, refv),
+      |h2 AS (SELECT dv, count(*) AS c FROM dv GROUP BY 1),
+      |c2 AS (SELECT dv, sum(c) OVER (ORDER BY dv) AS cum, sum(c) OVER () AS t FROM h2),
+      |madv AS (SELECT CAST(min(dv) AS BIGINT) AS mad FROM c2 WHERE cum >= (t + 1) // 2),
+      |p AS (
+      |  SELECT day, sum(n - ref) OVER (ORDER BY day) AS pt FROM daily, refv),
+      |ps AS (SELECT day, pt, min(pt) OVER (ORDER BY day) AS pmin FROM p),
+      |sarr AS MATERIALIZED (SELECT day, pt - least(0, pmin) AS s FROM ps),
+      |top AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |               CAST(max(s) AS BIGINT) AS cusum_max FROM sarr),
+      |amax AS (
+      |  SELECT CAST(min(day) AS BIGINT) AS day_at_max
+      |  FROM sarr, top WHERE s = cusum_max)
+      |SELECT n_days, ref, mad, cusum_max, day_at_max,
+      |  CAST(CASE WHEN cusum_max > mad * 5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS changepoint_flag
+      |FROM top, amax, refv, madv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cusum" -> (cusum _),
     "events_theil_sen" -> (theilSen _),
     "events_seasonal_hours" -> (seasonalHours _),
     "events_sequential_obf" -> (sequentialObf _),
@@ -1292,6 +1374,7 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_cusum" -> cusumSql,
     "events_theil_sen" -> theilSenSql,
     "events_seasonal_hours" -> seasonalHoursSql,
     "events_sequential_obf" -> sequentialObfSql,

@@ -482,6 +482,37 @@ class BehavioralSpec extends SparkSuite {
       if (d1 < d2) c2 > c1 else c1 > c2 })
   }
 
+  test("cusum: prefix-min identity equals the direct recursion, level shift fires, flat series does not") {
+    // direct recursion reference
+    def direct(ns: Seq[(Long, Long)], ref: Long): (Long, Long) = {
+      var s = 0L; var smax = 0L; var dmax = -1L
+      ns.sortBy(_._1).foreach { case (d, n) =>
+        s = math.max(0L, s + (n - ref))
+        if (s > smax) { smax = s; dmax = d }
+      }
+      (smax, dmax)
+    }
+    // level shift: 20 flat days at 100, then 10 days at 200
+    val shifted = (0L until 20L).map(d => (d, 100L)) ++ (20L until 30L).map(d => (d, 200L))
+    val got = Behavioral.cusumOfDaily(shifted.toDF("day", "n")).collect().head
+    assert(got.getLong(0) == 30L)
+    assert(got.getLong(1) == 100L && got.getLong(2) == 0L) // ref = median, MAD = 0
+    val (smax, dmax) = direct(shifted, 100L)
+    assert(got.getLong(3) == smax && got.getLong(4) == dmax)
+    assert(smax == 1000L && dmax == 29L)
+    assert(got.getLong(5) == 1L, "a sustained level shift must fire the fence")
+    // flat series: S stays 0, nothing fires
+    val flat = (0L until 30L).map(d => (d, 100L))
+    val fg = Behavioral.cusumOfDaily(flat.toDF("day", "n")).collect().head
+    assert(fg.getLong(3) == 0L && fg.getLong(5) == 0L)
+    // a single point spike moves S for one day only — max equals the
+    // spike excess, and the identity still matches the recursion
+    val spike = flat.map { case (d, n) => if (d == 15L) (d, 400L) else (d, n) }
+    val sg = Behavioral.cusumOfDaily(spike.toDF("day", "n")).collect().head
+    val (s2, d2) = direct(spike, 100L)
+    assert(sg.getLong(3) == s2 && sg.getLong(4) == d2 && s2 == 300L && d2 == 15L)
+  }
+
   test("poisson bootstrap: registered query is deterministic and well-formed on the fixture") {
     val a = Behavioral.bootstrapCi(spark, sf).collect()
     assert(a.length == 1)

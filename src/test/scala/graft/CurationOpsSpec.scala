@@ -434,6 +434,44 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("js divergence: brute-force replay per source, bounds hold, grid tiles the vocab") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text")).collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.foreach { r =>
+      r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val k = (r.getString(0), t); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val bySrc = counts.groupBy(_._1._1)
+      .map { case (s, m) => s -> m.map { case ((_, t), c) => t -> c } }
+    val tot = counts.groupBy(_._1._2).map { case (t, m) => t -> m.values.sum }
+    val nAll = counts.values.sum
+    // both engines round() away from zero on doubles
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+    val got = graft.ops.FilterOps.jsDivergence(spark, sf).collect()
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val cs = bySrc(r.getString(0))
+      val ns = cs.values.sum
+      val nr = nAll - ns
+      var jsp = 0L; var jsq = 0L
+      tot.foreach { case (t, ct) =>
+        val c = cs.getOrElse(t, 0L); val rs = ct - c
+        val m = (c.toDouble / ns + rs.toDouble / nr) / 2.0
+        if (c > 0) jsp += c * rnd(1000.0 * math.log((c.toDouble / ns) / m))
+        if (rs > 0) jsq += rs * rnd(1000.0 * math.log((rs.toDouble / nr) / m))
+      }
+      assert(r.getLong(1) == ns && r.getLong(2) == nr, s"${r.getString(0)} totals")
+      assert(r.getLong(4) == jsp && r.getLong(5) == jsq, s"${r.getString(0)} sums")
+      assert(r.getDouble(6) == (jsp.toDouble / ns + jsq.toDouble / nr) / 2.0)
+      // Gibbs: JS >= 0 (quantization slack) and <= ln 2 = 693.1 milli-nats
+      assert(r.getDouble(6) >= -0.5 && r.getDouble(6) <= 693.2)
+      assert(r.getLong(3) <= tot.size.toLong) // source vocab within corpus vocab
+    }
+  }
+
   test("winsorized/trimmed mean: histogram deciles match brute-force ranks, means are the exact clamped/core averages") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"),

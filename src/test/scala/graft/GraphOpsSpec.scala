@@ -329,4 +329,31 @@ class GraphOpsSpec extends SparkSuite {
         s"node $n at $d has no neighbor at ${d - 1}")
     }
   }
+
+  test("assortativity: star is exactly -1, regular graph is NULL, fixture r is a valid correlation") {
+    // star K1,3 through shared orders: hub part 0 meets 1/2/3 in three orders
+    val star = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 3L))
+      .toDF("o", "p")
+    val sr = GraphOps.assortativityOf(star).collect().head
+    assert((sr.getLong(0), sr.getLong(1), sr.getLong(3), sr.getLong(4)) ==
+      (6L, 12L, 18L, 30L)) // m, sj, sjk, sj2 — hand-computed stub sums
+    assert(sr.getDouble(6) == -1.0, "a star mixes maximally disassortatively")
+    // a 3-clique (one shared order) is 2-regular: zero degree variance -> NULL
+    val clique = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("o", "p")
+    val cr = GraphOps.assortativityOf(clique).collect().head
+    assert(cr.isNullAt(6))
+    // fixture: a genuine correlation with variance on both sides
+    val fr = GraphOps.assortativity(spark, sf).collect().head
+    assert(!fr.isNullAt(6))
+    val r = fr.getDouble(6)
+    assert(r >= -1.0 && r <= 1.0)
+    // the formula replayed in plain Scala over the returned sums
+    val (m, sj, sk, sjk, sj2, sk2) = (fr.getLong(0).toDouble, fr.getLong(1).toDouble,
+      fr.getLong(2).toDouble, fr.getLong(3).toDouble, fr.getLong(4).toDouble,
+      fr.getLong(5).toDouble)
+    assert(r == (m * sjk - sj * sk) /
+      (math.sqrt(m * sj2 - sj * sj) * math.sqrt(m * sk2 - sk * sk)))
+    // stub symmetry: both orientations are present
+    assert(fr.getLong(1) == fr.getLong(2) && fr.getLong(4) == fr.getLong(5))
+  }
 }

@@ -341,7 +341,22 @@ class PlanQualitySpec extends SparkSuite {
     // CDC: chunk table truncated; visible plan is the dup groupBy, the
     // chunk-keyed semi join (SMJ), the two per-doc rollups and the
     // output sort. Growth means the chunk table started recomputing.
-    "dedup_cdc_chunks" -> 6)
+    "dedup_cdc_chunks" -> 6,
+    // Assortativity: edge/degree builds truncated (trianglesOf's
+    // shape); visible plan is the stub-union global agg, degrees join
+    // back as broadcasts — ONE exchange.
+    "graph_assortativity" -> 1,
+    // JS divergence: the (source, term) rollup truncated; visible plan
+    // is the two bounded grid aggregates, the grid left join feed and
+    // the per-source rollup + sort — all source×vocab-sized.
+    "filter_js_divergence" -> 5,
+    // CUSUM: daily grid truncated; the 14 visible exchanges are ALL
+    // day-grid or histogram sized (two histogram-median builds and the
+    // prefix windows — each boundedGlobal window keeps its lit(0) key
+    // in this session and plans hash + sort exchanges — plus the tiny
+    // aggs). Nothing corpus-scale. Drift means the daily rollup
+    // escaped its truncation.
+    "events_cusum" -> 14)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
