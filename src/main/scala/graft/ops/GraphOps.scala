@@ -775,7 +775,83 @@ object GraphOps {
        |  $AssortRSql AS r_assort
        |FROM t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Modularity of a labeled partition (Newman & Girvan 2004) — Q for
+  // the brand partition of the part co-occurrence graph: the standard
+  // "is this grouping better than chance" score every community
+  // pipeline reports (Q > 0: more intra-community edges than a random
+  // graph with the same degrees). Exact RATIONAL form: Q = Σ_c [e_c/m −
+  // (d_c/2m)²] telescopes to (4m·Σe_c − Σd_c²)/(4m²), so the corpus
+  // work produces three exact integers (m, intra-edge count, Σ of
+  // squared community degree totals; bound d_c² < 2^63 ⇔ m < 1.5e9
+  // edges per community-heavy graph — document, don't wrap) and the
+  // single double division is ONE shared expression — no per-community
+  // float accumulation whose order could differ cross-engine.
+  private val QModSql: String =
+    """(CAST(4 AS DOUBLE) * m * se - CAST(sd2 AS DOUBLE))
+      |/ (CAST(4 AS DOUBLE) * m * m)""".stripMargin
+
+  def modularity(s: SparkSession, dir: String): DataFrame =
+    modularityOf(
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+      s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("p"), col("p_brand").as("c")))
+
+  /** Q of any (p → community c) labeling over the co-occurrence graph
+    * of an (o, p) membership table. */
+  def modularityOf(membership: DataFrame, labels: DataFrame): DataFrame = {
+    val li = membership.select(col("o"), col("p")).distinct()
+    val und = Lineage.truncate(
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lab = Lineage.truncate(labels)
+    val edgeStats = und
+      .join(broadcast(lab.select(col("p").as("a"), col("c").as("ca"))), Seq("a"))
+      .join(broadcast(lab.select(col("p").as("b"), col("c").as("cb"))), Seq("b"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("se"))
+    val commDeg = deg
+      .join(broadcast(lab.select(col("p").as("n"), col("c"))), Seq("n"))
+      .groupBy(col("c")).agg(sum(col("d")).as("dc"))
+    val degStats = commDeg.agg(count(lit(1)).as("n_comms"),
+      sum(expr("dc * dc")).as("sd2"))
+    edgeStats.crossJoin(broadcast(degStats)) // two 1-row frames
+      .select(col("m").as("m_edges"), col("n_comms"), col("se").as("intra_edges"),
+        col("sd2").as("sum_comm_deg_sq"), expr(QModSql).as("q_modularity"))
+  }
+
+  val modularitySql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |lab AS (SELECT p_partkey AS p, p_brand AS c FROM part),
+       |es AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN la.c = lb.c THEN 1 ELSE 0 END) AS BIGINT) AS se
+       |  FROM und JOIN lab la ON la.p = und.a JOIN lab lb ON lb.p = und.b),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY 1),
+       |cd AS (
+       |  SELECT lab.c, CAST(sum(d) AS BIGINT) AS dc
+       |  FROM deg JOIN lab ON lab.p = deg.n GROUP BY 1),
+       |ds AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_comms,
+       |    CAST(sum(dc * dc) AS BIGINT) AS sd2
+       |  FROM cd)
+       |SELECT m AS m_edges, n_comms, se AS intra_edges, sd2 AS sum_comm_deg_sq,
+       |  $QModSql AS q_modularity
+       |FROM es CROSS JOIN ds""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
     "graph_walks" -> (randomWalks _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1003,6 +1079,7 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "dedup_clusters" -> dedupClustersSql,
     // identical output contract to dedup_clusters — the star-contraction

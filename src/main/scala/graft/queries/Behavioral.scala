@@ -1353,7 +1353,113 @@ object Behavioral {
       |    AS changepoint_flag
       |FROM top, amax, refv, madv""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Power analysis / sample sizing — the DESIGN side of the experiment
+  // family (abTest/CUPED/SRM/OBF are all readouts; this answers "how
+  // long must the experiment run"): from the observed baseline
+  // conversion rate, (a) the minimum detectable effect at the CURRENT
+  // arm sizes and (b) the required per-arm n for a 5% relative lift,
+  // both at the standard α = 0.05 two-sided / 80% power operating
+  // point (z_{α/2} + z_β = 1.96 + 0.8416 — literals, a design choice).
+  // Inputs are the same exact integer rollup as abTest (threshold
+  // conversion, hash-coin arms); outputs are fixed-parenthesization
+  // doubles plus one ceiling'd BIGINT. ONE user-keyed exchange.
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
+        .otherwise(0L).as("converted"))
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("converted")).as("conv"))
+      .select(col("n_users"), col("n_a"), col("n_b"), col("conv"),
+        expr(PowerPhatSql).as("p_hat"),
+        expr(PowerMdeSql).as("mde_abs"),
+        expr(PowerNReqSql).as("n_req_per_arm_5pct"))
+  }
+
+  // shared expression strings (the CUPED convention): identical double
+  // parenthesization on both engines
+  private val PowerPhatSql = "CAST(conv AS DOUBLE) / n_users"
+  private val PowerMdeSql =
+    """(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+      |* sqrt(CAST(2 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)
+      |       * (1 - CAST(conv AS DOUBLE) / n_users)
+      |       / (CAST(least(n_a, n_b) AS DOUBLE)))""".stripMargin
+  private val PowerNReqSql =
+    """CAST(ceiling(
+      |  (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+      |  * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+      |  * CAST(2 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)
+      |  * (1 - CAST(conv AS DOUBLE) / n_users)
+      |  / ((CAST(0.05 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users))
+      |     * (CAST(0.05 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)))) AS BIGINT)""".stripMargin
+
+  val powerAnalysisSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+       |         THEN 1 ELSE 0 END AS converted,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(converted) AS BIGINT) AS conv
+       |  FROM pu)
+       |SELECT n_users, n_a, n_b, conv,
+       |  $PowerPhatSql AS p_hat,
+       |  $PowerMdeSql AS mde_abs,
+       |  $PowerNReqSql AS n_req_per_arm_5pct
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Top session paths — the Sankey/user-flow readout: the most common
+  // ordered event-type sequences per (user, day) session, truncated to
+  // the first PathSteps steps (the standard paths-report cap; full
+  // paths are unbounded strings). Complements transitions (1-step
+  // Markov) with whole-journey counts. Shape: ONE (user, day) exchange
+  // whose collected sequence is bounded by daily activity, then a
+  // path-string rollup + TakeOrdered — no joins. Determinism: the
+  // in-session order is (ms, event_id) — event_id unique — via the
+  // struct-sort trick on the Spark side and aggregate ORDER BY in
+  // DuckDB.
+  val PathSteps = 8
+
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+      .select(col("user_id"), expr("_ms DIV 86400000").as("day"),
+        col("_ms"), col("event_id"), col("event_type"))
+    ev.groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_list(
+        struct(col("_ms"), col("event_id"), col("event_type")))).as("seq"))
+      .select(expr(
+        s"array_join(transform(slice(seq, 1, $PathSteps), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  val topPathsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+       |    epoch_ms(ts) AS ms, event_id, event_type
+       |  FROM events),
+       |p AS (
+       |  SELECT array_to_string(
+       |    list(event_type ORDER BY ms, event_id)[:$PathSteps], '>') AS path
+       |  FROM ev GROUP BY user_id, day)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |FROM p GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_top_paths" -> (topPaths _),
+    "events_power_analysis" -> (powerAnalysis _),
     "events_cusum" -> (cusum _),
     "events_theil_sen" -> (theilSen _),
     "events_seasonal_hours" -> (seasonalHours _),
@@ -1374,6 +1480,8 @@ object Behavioral {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_top_paths" -> topPathsSql,
+    "events_power_analysis" -> powerAnalysisSql,
     "events_cusum" -> cusumSql,
     "events_theil_sen" -> theilSenSql,
     "events_seasonal_hours" -> seasonalHoursSql,

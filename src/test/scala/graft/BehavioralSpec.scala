@@ -513,6 +513,42 @@ class BehavioralSpec extends SparkSuite {
     assert(sg.getLong(3) == s2 && sg.getLong(4) == d2 && s2 == 300L && d2 == 15L)
   }
 
+  test("power analysis: formula replay, ceiling consistency at the requested MDE") {
+    val r = Behavioral.powerAnalysis(spark, sf).collect().head
+    val (n, nA, nB, conv) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == nA + nB && conv > 0 && conv < n)
+    val p = conv.toDouble / n
+    assert(r.getDouble(4) == p)
+    val z = 1.96 + 0.8416
+    assert(r.getDouble(5) == z * math.sqrt(2.0 * p * (1 - p) / math.min(nA, nB).toDouble))
+    val nReq = r.getLong(6)
+    assert(nReq == math.ceil(z * z * 2.0 * p * (1 - p) / ((0.05 * p) * (0.05 * p))).toLong)
+    // consistency: at n_req per arm the detectable effect is <= the
+    // requested 5% relative lift; at n_req - 1 it is not
+    def mdeAt(nn: Long) = z * math.sqrt(2.0 * p * (1 - p) / nn.toDouble)
+    assert(mdeAt(nReq) <= 0.05 * p + 1e-12)
+    assert(mdeAt(nReq - 1) > 0.05 * p)
+    assert(Behavioral.powerAnalysis(spark, sf).collect().head == r)
+  }
+
+  test("top paths: exact brute-force replay of the session-path rollup") {
+    val got = Behavioral.topPaths(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val ev = graft.queries.Relational.events(spark, sf)
+      .select(col("user_id"), col("_ms"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(e => (e._1, e._2 / 86400000L)).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).take(Behavioral.PathSteps).map(_._4).mkString(">")
+    }
+    val expect = paths.groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == expect)
+    // counts are descending and the truncation cap holds
+    val cs = got.map(_.getLong(1))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(got.forall(_.getString(0).split(">").length <= Behavioral.PathSteps))
+  }
+
   test("poisson bootstrap: registered query is deterministic and well-formed on the fixture") {
     val a = Behavioral.bootstrapCi(spark, sf).collect()
     assert(a.length == 1)

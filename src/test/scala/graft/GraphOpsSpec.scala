@@ -330,6 +330,29 @@ class GraphOpsSpec extends SparkSuite {
     }
   }
 
+  test("modularity: hand graph matches the rational form, one-community graph is exactly 0") {
+    // two brand-pure triangles bridged by one cross-brand edge
+    val member = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), // order 1: parts 1,2,3 (brand A clique)
+      (2L, 4L), (2L, 5L), (2L, 6L), // order 2: parts 4,5,6 (brand B clique)
+      (3L, 3L), (3L, 4L)            // order 3: the bridge edge 3—4
+    ).toDF("o", "p")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"), (6L, "B"))
+      .toDF("p", "c")
+    val r = GraphOps.modularityOf(member, labels).collect().head
+    // m=7 edges, 6 intra; degrees 2,2,3,3,2,2 → d_A = d_B = 7, Σd² = 98
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (7L, 2L, 6L, 98L))
+    assert(r.getDouble(4) == (4.0 * 7 * 6 - 98.0) / (4.0 * 7 * 7)) // 70/196
+    // everything in one community: Q is identically 0 (se = m, Σd² = (2m)²)
+    val one = labels.select(col("p"), lit("A").as("c"))
+    val r1 = GraphOps.modularityOf(member, one).collect().head
+    assert(r1.getDouble(4) == 0.0)
+    // fixture: a defined Q in the valid range, deterministic
+    val f = GraphOps.modularity(spark, sf).collect().head
+    assert(f.getDouble(4) >= -0.5 && f.getDouble(4) <= 1.0)
+    assert(GraphOps.modularity(spark, sf).collect().head == f)
+  }
+
   test("assortativity: star is exactly -1, regular graph is NULL, fixture r is a valid correlation") {
     // star K1,3 through shared orders: hub part 0 meets 1/2/3 in three orders
     val star = Seq((1L, 0L), (1L, 1L), (2L, 0L), (2L, 2L), (3L, 0L), (3L, 3L))

@@ -356,7 +356,16 @@ class PlanQualitySpec extends SparkSuite {
     // in this session and plans hash + sort exchanges — plus the tiny
     // aggs). Nothing corpus-scale. Drift means the daily rollup
     // escaped its truncation.
-    "events_cusum" -> 14)
+    "events_cusum" -> 14,
+    // Power analysis: ONE user rollup + the 1-row design agg.
+    "events_power_analysis" -> 2,
+    // Top paths: the (user, day) session collect + the path rollup
+    // feeding TakeOrdered — a join appearing here is a de-optimization.
+    "events_top_paths" -> 2,
+    // Modularity: und/labels truncated; visible plan is the degree agg,
+    // the community-degree agg, and the two 1-row stat aggs; labels
+    // join everywhere as broadcasts.
+    "graph_modularity" -> 4)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
