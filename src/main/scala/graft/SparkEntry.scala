@@ -19,7 +19,8 @@ object SparkEntry {
       Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries ++
       LinkageOps.queries ++ PcaOps.queries ++ Coreset.queries ++
       IncrementalMv.queries ++ AnfOps.queries ++ PreferenceOps.queries ++ PprOps.queries ++ UnigramLm.queries ++
-      AggStateMv.queries ++ DomainReweight.queries ++ RobustStats.queries
+      AggStateMv.queries ++ DomainReweight.queries ++ RobustStats.queries ++
+      graft.streaming.StreamParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle ++
       LinkageOps.oracle ++ PcaOps.oracle ++ Coreset.oracle ++
       IncrementalMv.oracle ++ AnfOps.oracle ++ PreferenceOps.oracle ++ PprOps.oracle ++ UnigramLm.oracle ++
-      AggStateMv.oracle ++ DomainReweight.oracle ++ RobustStats.oracle
+      AggStateMv.oracle ++ DomainReweight.oracle ++ RobustStats.oracle ++
+      graft.streaming.StreamParity.oracle
 }

@@ -1184,16 +1184,25 @@ object FilterOps {
       .withColumn("nr", col("n_all") - col("n_s"))
     val lnP = jsLnMilli("CAST(cs AS DOUBLE) / n_s")
     val lnQ = jsLnMilli("CAST(rs AS DOUBLE) / nr")
+    // Single-source guard: with one source (or one source holding every
+    // token) nr = n_all − n_s = 0 and the ln ratio divides by zero —
+    // NaN/Infinity on Spark, an error on DuckDB. Emit NULL for that
+    // degenerate source instead (mirrored in the oracle SQL), the same
+    // NULL-guard convention sequentialObf uses.
     grid.groupBy(col("source"))
       .agg(max(col("n_s")).as("n_src"), // constant within source
         max(col("nr")).as("n_rest"),
         sum(when(col("cs") > 0, lit(1L)).otherwise(0L)).as("n_terms_src"),
-        sum(when(col("cs") > 0, expr(s"cs * ($lnP)")).otherwise(0L)).as("jsp"),
-        sum(when(col("rs") > 0, expr(s"rs * ($lnQ)")).otherwise(0L)).as("jsq"))
+        sum(when(col("cs") > 0 && col("nr") > 0, expr(s"cs * ($lnP)"))
+          .otherwise(0L)).as("jsp"),
+        sum(when(col("rs") > 0 && col("nr") > 0, expr(s"rs * ($lnQ)"))
+          .otherwise(0L)).as("jsq"))
       .select(col("source"), col("n_src"), col("n_rest"), col("n_terms_src"),
         col("jsp"), col("jsq"),
-        expr("""(CAST(jsp AS DOUBLE) / n_src + CAST(jsq AS DOUBLE) / n_rest)
-                / CAST(2 AS DOUBLE)""").as("js_milli"))
+        expr("""CASE WHEN n_rest > 0 THEN
+                  (CAST(jsp AS DOUBLE) / n_src + CAST(jsq AS DOUBLE) / n_rest)
+                  / CAST(2 AS DOUBLE)
+                END""").as("js_milli"))
       .orderBy(col("source"))
   }
 
@@ -1220,11 +1229,12 @@ object FilterOps {
        |  CAST(max(n_s) AS BIGINT) AS n_src,
        |  CAST(max(nr) AS BIGINT) AS n_rest,
        |  CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_src,
-       |  CAST(sum(CASE WHEN cs > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) AS jsp,
-       |  CAST(sum(CASE WHEN rs > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) AS jsq,
-       |  (CAST(sum(CASE WHEN cs > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) / CAST(max(n_s) AS DOUBLE)
-       |   + CAST(sum(CASE WHEN rs > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) / CAST(max(nr) AS DOUBLE))
-       |  / CAST(2 AS DOUBLE) AS js_milli
+       |  CAST(sum(CASE WHEN cs > 0 AND nr > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) AS jsp,
+       |  CAST(sum(CASE WHEN rs > 0 AND nr > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) AS jsq,
+       |  CASE WHEN max(nr) > 0 THEN
+       |    (CAST(sum(CASE WHEN cs > 0 AND nr > 0 THEN cs * ($lnP) ELSE 0 END) AS BIGINT) / CAST(max(n_s) AS DOUBLE)
+       |     + CAST(sum(CASE WHEN rs > 0 AND nr > 0 THEN rs * ($lnQ) ELSE 0 END) AS BIGINT) / CAST(max(nr) AS DOUBLE))
+       |    / CAST(2 AS DOUBLE) END AS js_milli
        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

@@ -748,9 +748,13 @@ object TextOps {
     val weights: Seq[(String, Long)] =
       Bm25Terms.map(_ -> Rm3SeedW) ++
         exp8.toSeq.map(r => r.getString(0) -> (Rm3ExpCap * r.getLong(1)) / mrw)
-    val unionList = weights.map { case (t, _) => s"'$t'" }.mkString(", ")
+    // The expansion terms are corpus-derived strings: escape backslashes
+    // and single quotes before inlining into expr() SQL text, or a token
+    // like "don't" breaks the parse (and is a mild injection surface).
+    def sqlEsc(t: String): String = t.replace("\\", "\\\\").replace("'", "\\'")
+    val unionList = weights.map { case (t, _) => s"'${sqlEsc(t)}'" }.mkString(", ")
     val caseW = weights
-      .map { case (t, w) => s"WHEN '$t' THEN ${w}L" }
+      .map { case (t, w) => s"WHEN '${sqlEsc(t)}' THEN ${w}L" }
       .mkString("CASE term ", " ", " ELSE 0L END")
     val tf2 = Lineage.truncate(docs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("_t"))

@@ -1382,21 +1382,26 @@ object Behavioral {
   }
 
   // shared expression strings (the CUPED convention): identical double
-  // parenthesization on both engines
-  private val PowerPhatSql = "CAST(conv AS DOUBLE) / n_users"
-  private val PowerMdeSql =
-    """(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+  // parenthesization on both engines. Degenerate-rate guard: conv = 0
+  // makes mde/n_req a 0/0 whose CAST differs cross-engine (Spark
+  // non-ANSI saturates, DuckDB errors) and conv = n_users zeroes the
+  // variance the same way — emit NULL outside 0 < conv < n_users (the
+  // OBF z-guard convention).
+  private[graft] val PowerPhatSql = "CAST(conv AS DOUBLE) / n_users"
+  private[graft] val PowerMdeSql =
+    """CASE WHEN conv > 0 AND conv < n_users THEN
+      |(CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
       |* sqrt(CAST(2 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)
       |       * (1 - CAST(conv AS DOUBLE) / n_users)
-      |       / (CAST(least(n_a, n_b) AS DOUBLE)))""".stripMargin
-  private val PowerNReqSql =
-    """CAST(ceiling(
+      |       / (CAST(least(n_a, n_b) AS DOUBLE))) END""".stripMargin
+  private[graft] val PowerNReqSql =
+    """CASE WHEN conv > 0 AND conv < n_users THEN CAST(ceiling(
       |  (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
       |  * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
       |  * CAST(2 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)
       |  * (1 - CAST(conv AS DOUBLE) / n_users)
       |  / ((CAST(0.05 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users))
-      |     * (CAST(0.05 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)))) AS BIGINT)""".stripMargin
+      |     * (CAST(0.05 AS DOUBLE) * (CAST(conv AS DOUBLE) / n_users)))) AS BIGINT) END""".stripMargin
 
   val powerAnalysisSql: String =
     s"""WITH pu AS (

@@ -308,6 +308,13 @@ object ChainQueries {
       edges.select(col("src").as("addr"))
         .unionByName(edges.select(col("dst").as("addr"))).distinct())
     val n = nodes.count()
+    // Precondition: n < HitsMass. With ≥ HitsMass distinct addresses the
+    // integer seed HitsMass / n floors to 0, every raw sum is 0 and the
+    // ceil divisor is 0 — Spark's DIV would yield NULL scores while
+    // DuckDB's // errors. At 100 TB, raise HitsMass (the overflow bound
+    // above scales as 2^63/Mass) rather than accepting a zero seed.
+    require(n > 0 && n < HitsMass,
+      s"chainHits: node count $n must be in (0, $HitsMass) or the integer seed floors to 0")
     var h = nodes.select(col("addr"), lit(HitsMass / n).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.etl.{Scratch, WarehouseFs}
+
+/** Streaming-EXECUTED parity queries — the graded-oracle face of the
+  * StreamOps family (round-11 verdict item #1: 854 lines of streaming
+  * surface had spec-only coverage; these entries run a REAL
+  * micro-batched StreamingQuery inside a registered query and emit a
+  * final table DuckDB can recompute from batch semantics).
+  *
+  * Why these two twins: `dailyRollupBatch` and the chain ingest are the
+  * SPLIT-INVARIANT foreachBatch maintainers — their final state is the
+  * same additive merge / exact-dedup union no matter how the input is
+  * sliced into micro-batches, so the oracle is simply the batch
+  * semantics and the file-source's batch ordering (modification-time
+  * based, not contractual) cannot perturb the answer. The
+  * watermark-dependent twins (windowed/session/funnel) are NOT
+  * registrable this way — their drop set depends on batch arrival
+  * order — which is exactly why they are covered by order-controlled
+  * MemoryStream parity specs instead (StreamingSpec).
+  *
+  * Micro-batching is forced and deterministic: the fixture is landed as
+  * `NumBatches` hash-bucketed parquet files and streamed back with
+  * `maxFilesPerTrigger = 1`, so the query genuinely executes N
+  * micro-batches through the checkpointed foreachBatch path (each with
+  * its own read-merge-overwrite cycle), not one degenerate batch.
+  *
+  * Determinism of the money column follows the family's proven
+  * round(value·100) cents convention (Behavioral.scala): values are
+  * quantized to integer-valued doubles BEFORE streaming, so the
+  * double-typed partial sums are exact integers (< 2^53) and
+  * order-independent across merges.
+  */
+object StreamParity {
+
+  val NumBatches = 4
+
+  private def freshDir(s: SparkSession, name: String): String = {
+    val p = Scratch.path(s, name)
+    val (fs, hp) = WarehouseFs.resolve(s, p)
+    WarehouseFs.deleteTree(fs, hp)
+    p
+  }
+
+  /** Daily rollup maintained by a live StreamingQuery over NumBatches
+    * micro-batches, then read back: must equal the one-pass batch rollup
+    * (additive merge ⇒ split-invariant). The `last_batch` replay marker
+    * is the only batch-order-dependent column and is dropped here. */
+  def streamRollupParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_rollup/in")
+    val table = freshDir(s, "stream_rollup/table")
+    val ckpt = freshDir(s, "stream_rollup/ckpt")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)").as("value"))
+    // exactly NumBatches files -> exactly that many micro-batches
+    ev.repartition(NumBatches, col("event_id")).write.parquet(inDir)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        StreamOps.dailyRollupBatch(s, batch, table, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(table)
+      .select(col("day"), col("event_type"), col("n"),
+        col("total").cast("long").as("total_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val streamRollupParitySql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Chain ingest driven by a stream of block heights: the SAME
+    * flatten (C1-C4) + exact dedup (D5) as batch, arriving as
+    * NumBatches height slices through the replay-safe
+    * `batch_id`-partitioned sink. Final per-block readout must equal
+    * the batch flatten of the same height range (heights are disjoint
+    * across slices and dedup is intra-key, so the union is
+    * split-invariant). Oracle recomputes from the chain_raw dump. */
+  def streamChainIngest(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_chain/in")
+    val wh = freshDir(s, "stream_chain/wh")
+    val ckpt = freshDir(s, "stream_chain/ckpt")
+    val heights = s.range(0L, 200L).toDF("number")
+    heights.repartition(NumBatches, col("number")).write.parquet(inDir)
+    val stream = s.readStream.schema(heights.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.chainIngestStream(s, stream, wh, Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$wh/transactions_stream")
+      .groupBy(col("blockNumber").cast("long").as("block_no"))
+      .agg(count(lit(1)).as("n_tx"),
+        countDistinct(hex(col("hash"))).as("n_hashes"),
+        sum(col("transactionIndex")).as("sum_tx_index"))
+      .orderBy(col("block_no"))
+  }
+
+  val streamChainIngestSql: String = {
+    val t = s"'${graft.queries.ChainQueries.RawDumpDir}/chain_raw_transactions/*.parquet'"
+    s"""SELECT CAST(blockNumber AS BIGINT) AS block_no,
+       |  CAST(count(*) AS BIGINT) AS n_tx,
+       |  CAST(count(DISTINCT hex(hash)) AS BIGINT) AS n_hashes,
+       |  CAST(sum(transactionIndex) AS BIGINT) AS sum_tx_index
+       |FROM $t GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_rollup_parity" -> (streamRollupParity _),
+    "stream_chain_ingest" -> (streamChainIngest _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_rollup_parity" -> streamRollupParitySql,
+    "stream_chain_ingest" -> streamChainIngestSql
+  )
+}

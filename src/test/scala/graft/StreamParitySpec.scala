@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamParity
+
+/** The streaming-executed oracle queries (round-12): genuinely
+  * micro-batched AND equal to the one-pass batch semantics. */
+class StreamParitySpec extends SparkSuite {
+
+  test("stream_rollup_parity equals the one-pass batch rollup and ran multi-batch") {
+    val got = StreamParity.streamRollupParity(spark, sf)
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("CAST(CAST(ts AS TIMESTAMP) AS DATE)").as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy(col("day"), col("event_type"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the maintained table really went through >1 micro-batch: every
+    // batch touches every day partition (hash split), so the final
+    // marker is the LAST batch id — id 0 would mean one degenerate batch
+    val table = graft.etl.Scratch.path(spark, "stream_rollup/table")
+    val lastId = spark.read.parquet(table)
+      .select(max(col("last_batch"))).head().getLong(0)
+    assert(lastId > 0, s"expected multi-batch execution, last batch id was $lastId")
+  }
+
+  test("stream_chain_ingest equals the batch flatten of the same height range") {
+    val got = StreamParity.streamChainIngest(spark, sf).collect().toSeq
+    val blocks = graft.etl.ChainFixture.blocks(spark, 0L, 199L)
+    val receipts = graft.etl.ChainFixture.receipts(spark, 0L, 199L)
+    val want = graft.etl.Flatten.transactionRows(blocks, receipts)
+      .groupBy(col("blockNumber").cast("long").as("block_no"))
+      .agg(count(lit(1)).as("n_tx"),
+        countDistinct(hex(col("hash"))).as("n_hashes"),
+        sum(col("transactionIndex")).as("sum_tx_index"))
+      .orderBy(col("block_no"))
+      .collect().toSeq
+    assert(got == want)
+    val wh = graft.etl.Scratch.path(spark, "stream_chain/wh")
+    val batches = spark.read.parquet(s"$wh/transactions_stream")
+      .select(countDistinct(col("batch_id"))).head().getLong(0)
+    assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
+  }
+}
