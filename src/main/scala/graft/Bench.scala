@@ -50,7 +50,13 @@ object Bench {
     // its code was compiled up front; fresh-JVM best 5.8 s). Baselines
     // are fresh-JVM minima, so timed reps must at least be JIT-warm or
     // the gate measures compilation order, not plans.
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // Local-iteration subset (comma-separated names). The driver never
+    // sets this — it always sweeps the full surface; totals over a
+    // subset are labeled by n_queries in the output line.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    for ((name, fn) <- names) {
       spark.catalog.clearCache()
       try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       // consumed results don't need their lineage-truncation blocks:
@@ -63,7 +69,6 @@ object Bench {
     // mostly measures the host. Cache is cleared before EVERY rep — the
     // best is a cold-query time, never a warm-cache artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // Rep passes are INTERLEAVED across the whole query list (complete the
     // rep-1 sweep over every query, then rep-2, then rep-3) so one query's
     // reps never share a single host-contention window. Round 4's adjacent

@@ -32,7 +32,17 @@ object GraphOps {
   /** Connected components of an undirected pair graph given as (a, b)
     * rows. Returns (node, label) with label = min node id reachable —
     * a canonical, deterministic component id. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** @param inputTruncated caller already materialized `pairs` via
+    *   Lineage.truncate — skip the defensive re-truncation (it exists so
+    *   an untruncated caller dag isn't computed twice by the symmetrizing
+    *   union's two branches; a truncated one can't be). Round-12 profile:
+    *   the CC stage on the 6k-pair sf0.1 twin graph is 6 Spark jobs of
+    *   0.1-0.37 s each (seed agg, 1 confirming round, 2 labelSums, 2
+    *   truncates) over already-AQE-coalesced 6/12/1-partition frames —
+    *   per-job latency, not data; the double truncate was the only
+    *   removable job. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      inputTruncated: Boolean = false): DataFrame = {
     // Lineage.truncate (eager) both materializes AND TRUNCATES LINEAGE.
     // Plain persist() short-circuits execution but not analysis: every
     // round Catalyst would re-optimize a logical plan embedding the whole
@@ -44,7 +54,9 @@ object GraphOps {
     // a checkpoint dir configured it is reliable checkpoint() (the loop
     // survives executor loss on a cluster); otherwise localCheckpoint
     // (local mode — losing the one executor is losing the job anyway).
-    val p = Lineage.truncate(pairs.select(col("a"), col("b")))
+    val p =
+      if (inputTruncated) pairs.select(col("a"), col("b"))
+      else Lineage.truncate(pairs.select(col("a"), col("b")))
     val edges = Lineage.truncate(
       p.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
@@ -105,7 +117,7 @@ object GraphOps {
         s.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"))
     val pairs = Lineage.truncate(DedupOps.dupPairs(s, dir).select(col("a"), col("b")))
-    val cc = connectedComponents(pairs)
+    val cc = connectedComponents(pairs, inputTruncated = true)
     def coin(c: Column) = (c * Sampling.HashA + Sampling.HashB) % Sampling.Mod
     def splitOf(c: Column) =
       when(coin(c) < Sampling.Mod * 8 / 10, "train")

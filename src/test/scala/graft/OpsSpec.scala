@@ -187,29 +187,33 @@ class OpsSpec extends SparkSuite {
   }
 
   test("matryoshka ANN: dense ranks, exact re-rank on the shortlist, recall above the measured floor") {
-    val full = graft.ops.SimilarityOps.annBruteForce(spark, sf).collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val mat = graft.ops.SimilarityOps.annMatryoshka(spark, sf).collect()
-    val byQ = mat.groupBy(_.getLong(0))
-    assert(byQ.keySet == full.keySet, "every probe must answer")
-    // ranks dense 1..K per probe; cosines non-increasing along the rank
-    byQ.values.foreach { rs =>
-      val sorted = rs.sortBy(_.getLong(3))
-      assert(sorted.map(_.getLong(3)).toSeq == (1L to graft.ops.SimilarityOps.TopK.toLong))
-      val cs = sorted.map(_.getDouble(2))
-      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // Recall floor pinned at BOTH scale factors (round-12: the budget is
+    // now scale-adaptive — max(192, ceil(N/5))/half — measured 0.82 @
+    // sf0.01 192/96 and 0.80 @ sf0.1 400/200, vs 0.62 at the old fixed
+    // budget; curve in SCALE.md). The fixture's embeddings are untrained
+    // and near-isotropic, so a FIXED budget is information-bounded and
+    // must decay with N — the adaptive fraction is what holds the floor.
+    // A broken stage (single-64 shortlist → 0.54, random → ~0.15) fails
+    // loudly at either sf.
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val full = graft.ops.SimilarityOps.annBruteForce(spark, sfDir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val mat = graft.ops.SimilarityOps.annMatryoshka(spark, sfDir).collect()
+      val byQ = mat.groupBy(_.getLong(0))
+      assert(byQ.keySet == full.keySet, "every probe must answer")
+      // ranks dense 1..K per probe; cosines non-increasing along the rank
+      byQ.values.foreach { rs =>
+        val sorted = rs.sortBy(_.getLong(3))
+        assert(sorted.map(_.getLong(3)).toSeq == (1L to graft.ops.SimilarityOps.TopK.toLong))
+        val cs = sorted.map(_.getDouble(2))
+        assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      }
+      val recalls = byQ.map { case (q, rs) =>
+        rs.map(_.getLong(1)).count(full(q)).toDouble / full(q).size
+      }
+      val avg = recalls.sum / recalls.size
+      assert(avg >= 0.75, f"matryoshka recall $avg%.2f below the 0.75 floor at $sfDir")
     }
-    // Funnel-cascade recall vs the exact top-K: measured 0.82 at this sf
-    // with the 192/96 budgets (round-11 sweep, curve in SCALE.md). The
-    // fixture's embeddings are untrained and near-isotropic, so this is
-    // the information-bounded level for a 16-dim entry stage, not a plan
-    // defect; floor pinned at 0.75 so a broken stage (single-64 shortlist
-    // regresses to 0.54, random shortlist to ~0.15) fails loudly.
-    val recalls = byQ.map { case (q, rs) =>
-      rs.map(_.getLong(1)).count(full(q)).toDouble / full(q).size
-    }
-    val avg = recalls.sum / recalls.size
-    assert(avg >= 0.75, f"matryoshka recall $avg%.2f below the 0.75 floor")
   }
 
   test("golden record: the consensus-closest member survives, audit stats tile the clusters") {
