@@ -501,6 +501,81 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
+  // ---- correlated-subquery grammar (VERDICT r11 item 5) ----------------
+  // Scalar-agg-in-WHERE, scalar-agg-in-SELECT, EXISTS / NOT EXISTS (equi
+  // and NON-equi correlation) — the q24/q29/q36 shape classes, where the
+  // engines take entirely different paths (Catalyst's DecorrelateInnerQuery
+  // rewrite vs DuckDB's flatten-dependent-join) and semantics can drift
+  // silently: empty-group COUNT (0, not NULL), empty-group SUM (NULL),
+  // NULL comparison filtering. Spark side runs the SAME SQL text through
+  // spark.sql() — deliberately, because the surface under test is Spark's
+  // decorrelation of the correlated form, not a hand-decorrelated join.
+  // The text is dialect-shared: TIMESTAMP literals, %, <>, year(), exact
+  // Decimal(18,2) money with DOUBLE at the edge, BIGINT counts.
+
+  private def subquerySpec(i: Int, rng: Random, sfDir: String): Spec = {
+    val name = f"fuzz_$i%02d"
+    val (_, innerF) = filters(rng) // SQL side is dialect-shared
+    val outerF = rng.shuffle(Seq(
+      "o_orderstatus = 'F'",
+      "o_orderkey % 3 = 0",
+      "o_orderpriority <> '1-URGENT'",
+      "year(o_orderdate) >= 1996")).head
+    val sql = rng.nextInt(4) match {
+      case 0 =>
+        // correlated COUNT in WHERE: empty groups are 0 (never NULL) in
+        // both engines — the comparison sees every outer row
+        val (op, k) = rng.shuffle(Seq((">", 2), (">=", 4), ("=", 0), ("=", 1))).head
+        s"""SELECT o_orderkey, o_orderstatus,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+           |FROM orders o
+           |WHERE ($outerF)
+           |  AND (SELECT count(*) FROM lineitem l
+           |       WHERE l.l_orderkey = o.o_orderkey AND ($innerF)) $op $k
+           |ORDER BY o_orderkey""".stripMargin
+      case 1 =>
+        // correlated SUM projected in the SELECT list: empty groups are
+        // NULL in both engines; NULLS FIRST pinned for the sort column
+        s"""SELECT o_orderkey,
+           |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |   FROM lineitem l
+           |   WHERE l.l_orderkey = o.o_orderkey AND ($innerF)) AS sub_qty
+           |FROM orders o
+           |WHERE ($outerF)
+           |ORDER BY o_orderkey""".stripMargin
+      case 2 =>
+        // [NOT] EXISTS with equi correlation, aggregated readout
+        val neg = if (rng.nextBoolean()) "NOT " else ""
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  count(DISTINCT o_orderstatus) AS n_status
+           |FROM orders o
+           |WHERE ($outerF)
+           |  AND ${neg}EXISTS (SELECT 1 FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey AND ($innerF))
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      case _ =>
+        // EXISTS with an extra NON-equi correlated predicate — the
+        // decorrelation corner (outer column under an inequality)
+        val frac = Seq(20, 50, 100)(rng.nextInt(3))
+        val neg = if (rng.nextBoolean()) "NOT " else ""
+        s"""SELECT o_orderstatus, count(*) AS n
+           |FROM orders o
+           |WHERE ($outerF)
+           |  AND ${neg}EXISTS (SELECT 1 FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey AND ($innerF)
+           |      AND CAST(l_extendedprice AS DECIMAL(18,2)) >
+           |          CAST(o_totalprice AS DECIMAL(18,2)) / $frac)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+    val df = (li: DataFrame) => {
+      val s = li.sparkSession
+      li.createOrReplaceTempView("lineitem")
+      s.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+    Spec(name, df, sql)
+  }
+
   def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01",
       family: Option[String] = None): Spec = {
     val rng = new Random(seed + i)
@@ -519,6 +594,8 @@ object FuzzDump {
           case 1 => intervalOverlapSpec(i, rng, sfDir)
           case _ => asofSpec(i, rng, sfDir)
         }
+      case Some("subquery") =>
+        return subquerySpec(i, rng, sfDir)
       case Some(other) if other.nonEmpty =>
         throw new IllegalArgumentException(s"unknown fuzz family: $other")
       case _ => ()
@@ -544,6 +621,8 @@ object FuzzDump {
         case _ => asofSpec(i, rng, sfDir)
       }
     }
+    // ~1/4 of what remains: the correlated-subquery grammar
+    if (rng.nextInt(4) == 3) return subquerySpec(i, rng, sfDir)
     val (fCol, fSql) = filters(rng)
     val joinShape = rng.nextInt(3) == 0 // every ~3rd spec joins orders
     val keys = if (joinShape) groupKeys(rng) ++ orderKeys(rng) else groupKeys(rng)
