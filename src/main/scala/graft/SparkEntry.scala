@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{AggStateMv, AnfOps, Clustering, Coreset, DedupOps, DomainReweight, FilterOps, GraphOps, IncrementalMv, Layout, LinkageOps, Multimodal, PcaOps, PprOps, PreferenceOps, RetrievalOps, RobustStats, Sampling, SimilarityOps, SketchOps, TextOps, UnigramLm, VectorAgg}
-import graft.queries.{Behavioral, ChainQueries, Relational}
+import graft.queries.{Behavioral, ChainQueries, Relational, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ Multimodal.queries ++
       VectorAgg.queries ++ Sampling.queries ++ Clustering.queries ++
       GraphOps.queries ++ FilterOps.queries ++ SketchOps.queries ++
-      Layout.queries ++ Behavioral.queries ++ RetrievalOps.queries ++
+      Layout.queries ++ Behavioral.queries ++ TimeSeries.queries ++ RetrievalOps.queries ++
       LinkageOps.queries ++ PcaOps.queries ++ Coreset.queries ++
       IncrementalMv.queries ++ AnfOps.queries ++ PreferenceOps.queries ++ PprOps.queries ++ UnigramLm.queries ++
       AggStateMv.queries ++ DomainReweight.queries ++ RobustStats.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
       SimilarityOps.oracle ++ Multimodal.oracle ++ ChainQueries.oracle ++
       VectorAgg.oracle ++ Sampling.oracle ++ Clustering.oracle ++
       GraphOps.oracle ++ FilterOps.oracle ++ SketchOps.oracle ++
-      Layout.oracle ++ Behavioral.oracle ++ RetrievalOps.oracle ++
+      Layout.oracle ++ Behavioral.oracle ++ TimeSeries.oracle ++ RetrievalOps.oracle ++
       LinkageOps.oracle ++ PcaOps.oracle ++ Coreset.oracle ++
       IncrementalMv.oracle ++ AnfOps.oracle ++ PreferenceOps.oracle ++ PprOps.oracle ++ UnigramLm.oracle ++
       AggStateMv.oracle ++ DomainReweight.oracle ++ RobustStats.oracle ++

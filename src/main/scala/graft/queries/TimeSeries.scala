@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / nonparametric-statistics extensions over the events
+  * table — the second behavioral family: interval algebra
+  * (gaps-and-islands), rank statistics (Mann-Whitney U, Spearman ρ),
+  * and an exact-integer EWMA anomaly fence. Like [[Behavioral]], every
+  * operator is ONE user- or day-keyed exchange with all later passes
+  * window functions over it, and every cross-engine-graded number is
+  * either an exact BIGINT or a DOUBLE produced by an identical
+  * parenthesization on both engines (the hash-match contract).
+  *
+  * Rank-statistic determinism: ties take AVERAGE ranks, which are
+  * half-integers — both operators therefore work in DOUBLED ranks
+  * (2·rank), which are exact BIGINTs: for a tie group occupying ranks
+  * [a, b], 2·avg = a + b = 2·(count below) + (group size) + 1, computed
+  * from the value histogram's cumulative window. No engine sees a
+  * fractional rank.
+  */
+object TimeSeries {
+
+  /** Each event covers [ts, ts + ActiveWindowMs) of "user active" time
+    * (the product-analytics activity-coverage convention). */
+  val ActiveWindowMs: Long = 300000L
+
+  // ------------------------------------------------------------------
+  // Gaps-and-islands: merge each user's overlapping activity intervals.
+  //
+  // The classic interval-merge: an interval starts a new island iff its
+  // start exceeds the running max of all previous ends (ROWS cummax) —
+  // island id is then the running count of starts, and per-island
+  // extents collapse with one groupBy that REUSES the user_id exchange
+  // the window already made. One shuffle total; no self-join, no
+  // interval explosion. Ties (identical ms) are harmless: equal rows
+  // yield the same cummax regardless of their relative order, and the
+  // trailing event_id key makes the order fully deterministic anyway.
+  //
+  // 100 TB shape: everything is partitioned by user_id; island counts
+  // per user are bounded by the user's event count. Exact integers
+  // throughout (epoch millis).
+  def intervalsMerged(s: SparkSession, dir: String): DataFrame =
+    intervalsMergedOf(Relational.events(s, dir))
+
+  /** Interval merge over any frame with (user_id, event_id, _ms) —
+    * exposed so the spec can plant touching/overlapping/disjoint spans. */
+  private[graft] def intervalsMergedOf(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val iv = ev.select(col("user_id"), col("event_id"),
+      col("_ms").as("s"), (col("_ms") + lit(ActiveWindowMs)).as("e"))
+    iv.withColumn("prev_max_e",
+        max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      // strict >: a span starting exactly at the previous max end merges
+      // (half-open [s, e) intervals — touching spans form one island)
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("is_"), max(col("e")).as("ie"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ie") - col("is_")).as("covered_ms"),
+        max(col("ie") - col("is_")).as("max_island_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val intervalsMergedSql: String =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS s,
+       |    epoch_ms(ts) + $ActiveWindowMs AS e
+       |  FROM events),
+       |flag AS (
+       |  SELECT user_id, s, e,
+       |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              IS NULL
+       |           OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island,
+       |    event_id
+       |  FROM iv),
+       |isl AS (
+       |  SELECT user_id, s, e,
+       |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |                          ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM flag),
+       |ext AS (
+       |  SELECT user_id, island, min(s) AS is_, max(e) AS ie
+       |  FROM isl GROUP BY 1, 2)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       |  CAST(sum(ie - is_) AS BIGINT) AS covered_ms,
+       |  CAST(max(ie - is_) AS BIGINT) AS max_island_ms
+       |FROM ext GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Mann-Whitney U over per-user spend, arm split as events_ab_test —
+  // the NONPARAMETRIC two-sample test the t-test family
+  // (events_ab_test / CUPED / bootstrap) can't replace when spend is
+  // heavy-tailed: U depends only on ranks, so one whale user can't move
+  // it. Normal approximation with the standard tie correction
+  // σ² = n1·n2/12 · ((n+1) − Σ(t³−t)/(n(n−1))).
+  //
+  // Shape: one user_id exchange builds per-user cents; the rank
+  // histogram groups by DISTINCT cents value (bounded by user count);
+  // doubled ranks join back broadcast-style; one global agg emits the
+  // scalar row. Overflow: doubled rank ≤ 2n, rank sum ≤ 2n² — exact to
+  // n < 2.1e9 users; tie_sum needs max tie-group < 2.1e6 (both far past
+  // any per-user-spend fixture; documented, not silently saturating).
+  def mannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** The test over any (user_id, cents) per-user frame. */
+  private[graft] def mannWhitneyOf(perUser0: DataFrame): DataFrame = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    import graft.ops.{Lineage, Windows}
+    val perUser = Lineage.truncate(perUser0
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2")))
+    // value histogram → doubled average rank per distinct cents value:
+    // 2·avg_rank = 2·(count of strictly smaller) + (tie size) + 1
+    val hist = perUser.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val ranked = hist.withColumn("below",
+        coalesce(sum(col("cnt")).over(
+          Windows.boundedGlobal(col("cents"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("d", lit(2L) * col("below") + col("cnt") + lit(1L))
+    val ties = ranked.agg(
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_sum"))
+    val sums = perUser.join(ranked.select(col("cents"), col("d")), Seq("cents"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("r_a_doubled"))
+    sums.crossJoin(ties) // two 1-row frames
+      .withColumn("u_a_doubled",
+        col("r_a_doubled") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("u_b_doubled",
+        lit(2L) * col("n_a") * col("n_b") - col("u_a_doubled"))
+      .withColumn("z", expr(zExpr))
+      .select(col("n_a"), col("n_b"), col("r_a_doubled"),
+        col("u_a_doubled"), col("u_b_doubled"), col("tie_sum"), col("z"))
+  }
+
+  /** z-statistic double algebra — ONE string spliced into both engines
+    * so the parenthesization (and hence the IEEE result) is identical. */
+  private val zExpr: String =
+    """(CAST(u_a_doubled AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+      | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+      |        * ((CAST(n_a + n_b AS DOUBLE) + 1)
+      |           - CAST(tie_sum AS DOUBLE)
+      |             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))""".stripMargin
+
+  val mannWhitneySql: String = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm
+       |  FROM events GROUP BY 1),
+       |hist AS (SELECT cents, count(*) AS cnt FROM pu GROUP BY 1),
+       |ranked AS (
+       |  SELECT cents, cnt,
+       |    2 * coalesce(sum(cnt) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + cnt + 1 AS d
+       |  FROM hist),
+       |ties AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+       |         FROM ranked),
+       |sums AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS r_a_doubled
+       |  FROM pu JOIN ranked USING (cents)),
+       |u AS (
+       |  SELECT n_a, n_b, r_a_doubled, tie_sum,
+       |    CAST(r_a_doubled - n_a * (n_a + 1) AS BIGINT) AS u_a_doubled
+       |  FROM sums CROSS JOIN ties)
+       |SELECT n_a, n_b, r_a_doubled, u_a_doubled,
+       |  CAST(2 * n_a * n_b - u_a_doubled AS BIGINT) AS u_b_doubled, tie_sum,
+       |  ${zExpr.replace("\n", " ")} AS z
+       |FROM u""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Spearman rank correlation between per-user activity (event count)
+  // and per-user spend (cents) — "do heavier users spend more, in a
+  // way no outlier can fake?" Pearson over doubled average ranks; the
+  // five sufficient sums are exact BIGINTs (doubled rank ≤ 2n ⇒
+  // Σd² ≤ 4n³, exact to n ≤ 1.3e6 users per partition of the grade;
+  // past that the SUMS would need DECIMAL — documented bound), and ρ
+  // itself is a DOUBLE from one shared expression string.
+  //
+  // Shape: one user_id exchange → two bounded value histograms (rank
+  // maps) → two joins back on the value → one global agg. At 100 TB
+  // the histograms are small (distinct per-user totals), the joins
+  // broadcast.
+  def spearman(s: SparkSession, dir: String): DataFrame =
+    spearmanOf(Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("y")))
+
+  /** ρ over any (user_id, x, y) frame with integer metrics. */
+  private[graft] def spearmanOf(perUser0: DataFrame): DataFrame = {
+    import graft.ops.{Lineage, Windows}
+    val perUser = Lineage.truncate(perUser0)
+    def rankMap(c: String): DataFrame =
+      perUser.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum(col("cnt")).over(
+          Windows.boundedGlobal(col(c))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(c), (lit(2L) * col("below") + col("cnt") + lit(1L))
+          .as(s"d$c"))
+    perUser
+      .join(rankMap("x"), Seq("x"))
+      .join(rankMap("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .withColumn("rho", expr(rhoExpr))
+      .select(col("n"), col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"), col("rho"))
+  }
+
+  /** ρ double algebra shared verbatim by both engines. The n·Σ products
+    * can pass 2^63, so every product is forced DOUBLE before
+    * multiplying (the HUGEINT-vs-overflow trap in SKILL.md). */
+  private val rhoExpr: String =
+    """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      | / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))""".stripMargin
+
+  val spearmanSql: String =
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |rx AS (
+       |  SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + cnt + 1 AS dx
+       |  FROM (SELECT x, count(*) AS cnt FROM pu GROUP BY 1)),
+       |ry AS (
+       |  SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + cnt + 1 AS dy
+       |  FROM (SELECT y, count(*) AS cnt FROM pu GROUP BY 1)),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+       |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+       |  FROM pu JOIN rx USING (x) JOIN ry USING (y))
+       |SELECT n, sx, sy, sxx, syy, sxy,
+       |  ${rhoExpr.replace("\n", " ")} AS rho
+       |FROM sums""".stripMargin
+
+  // ------------------------------------------------------------------
+  // EWMA anomaly fence over daily event volume — EXACT INTEGER form.
+  //
+  // α = 1/2 EWMA of the PRIOR 16 days, truncated: the tail weight past
+  // 16 days is < 2^-16 of the total, and truncation is what makes the
+  // recursion a plain bounded self-join instead of a row-by-row fold
+  // (whose accumulator typing differs cross-engine — the CUSUM lesson).
+  // ewma_num_t = Σ_{k=1..16} 2^(16−k) · n_{t−k};  EWMA = num / (2^16 − 1)
+  // up to truncation. The spike test n·2^16 > 3·ewma_num ("today exceeds
+  // ~1.5× the smoothed level") is a pure BIGINT comparison — no doubles
+  // anywhere. Missing days contribute 0 by construction of the range
+  // join (no calendar table needed); days with NO history emit num = 0
+  // and never flag.
+  //
+  // Shape: the day grid is bounded by the horizon (a year ≈ 365 rows),
+  // so the range self-join broadcasts — same shape as events_theil_sen.
+  // Overflow: 2^15 · (daily count) · 16 terms < 2^63 ⇔ daily count
+  // < 1.7e13 — documented.
+  def ewmaFence(s: SparkSession, dir: String): DataFrame =
+    ewmaFenceOf(Relational.events(s, dir)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The fence over any (day, n) frame — exposed for planted spikes. */
+  private[graft] def ewmaFenceOf(daily0: DataFrame): DataFrame = {
+    import graft.ops.Lineage
+    val daily = Lineage.truncate(daily0) // both join sides read it
+    val hist = daily.select(col("day").as("day2"), col("n").as("n2"))
+    daily.join(broadcast(hist),
+        col("day2") >= col("day") - lit(16L) && col("day2") <= col("day") - lit(1L),
+        "left")
+      .groupBy(col("day"), col("n"))
+      .agg(coalesce(sum(
+        expr("CAST(power(2, 16 - (day - day2)) AS BIGINT)") * col("n2")),
+        lit(0L)).as("ewma_num"))
+      .withColumn("is_spike",
+        when(col("ewma_num") > 0 && col("n") * lit(65536L) > lit(3L) * col("ewma_num"), 1)
+          .otherwise(0))
+      .select(col("day"), col("n"), col("ewma_num"), col("is_spike"))
+      .orderBy(col("day"))
+  }
+
+  val ewmaFenceSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT d1.day, d1.n,
+      |    CAST(coalesce(sum(
+      |      CAST(power(2, 16 - (d1.day - d2.day)) AS BIGINT) * d2.n), 0)
+      |      AS BIGINT) AS ewma_num
+      |  FROM daily d1 LEFT JOIN daily d2
+      |    ON d2.day >= d1.day - 16 AND d2.day <= d1.day - 1
+      |  GROUP BY 1, 2)
+      |SELECT day, n, ewma_num,
+      |  CAST(CASE WHEN ewma_num > 0 AND n * 65536 > 3 * ewma_num
+      |       THEN 1 ELSE 0 END AS INTEGER) AS is_spike
+      |FROM j ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_intervals_merged" -> (intervalsMerged _),
+    "events_mann_whitney" -> (mannWhitney _),
+    "events_spearman" -> (spearman _),
+    "events_ewma_fence" -> (ewmaFence _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_intervals_merged" -> intervalsMergedSql,
+    "events_mann_whitney" -> mannWhitneySql,
+    "events_spearman" -> spearmanSql,
+    "events_ewma_fence" -> ewmaFenceSql
+  )
+}

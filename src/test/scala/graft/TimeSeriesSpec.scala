@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Behavioral, TimeSeries}
+
+/** Time-series / rank-statistics family: interval merge, Mann-Whitney U,
+  * Spearman ρ, exact-integer EWMA fence. Planted fixtures exercise the
+  * hand-computable corners; brute-force Scala recomputations pin the
+  * rank statistics against an independent implementation. */
+class TimeSeriesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val W = TimeSeries.ActiveWindowMs // 300000
+
+  test("intervals_merged: overlap merges, touching merges, gap splits") {
+    val ev = Seq(
+      // user 1: [0,300k) + [100k,400k) overlap; [400k,700k) touches the
+      // merged end exactly (half-open -> same island); 1e6 starts fresh
+      (1L, 1L, 0L), (1L, 2L, 100000L), (1L, 3L, 400000L), (1L, 4L, 1000000L),
+      // user 2: single event
+      (2L, 5L, 50L)
+    ).toDF("user_id", "event_id", "_ms")
+    val got = TimeSeries.intervalsMergedOf(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 700000L + W, 700000L),
+      (2L, 1L, W, W)))
+  }
+
+  test("intervals_merged: duplicate timestamps are one island, order-stable") {
+    val ev = Seq((7L, 1L, 500L), (7L, 2L, 500L), (7L, 3L, 500L))
+      .toDF("user_id", "event_id", "_ms")
+    val got = TimeSeries.intervalsMergedOf(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 1L, W, W)))
+  }
+
+  test("intervals_merged: fixture invariants — coverage bounded by span and by event count") {
+    val ev = graft.queries.Relational.events(spark, sf)
+    val out = TimeSeries.intervalsMerged(spark, sf)
+    val bad = out
+      .join(ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_ev"),
+        (max(col("_ms")) - min(col("_ms")) + lit(W)).as("span")), Seq("user_id"))
+      .filter(col("covered_ms") > col("span") ||          // can't exceed hull
+        col("covered_ms") > col("n_ev") * lit(W) ||       // nor sum of spans
+        col("covered_ms") < lit(W) ||                     // at least one span
+        col("max_island_ms") > col("covered_ms") ||
+        col("n_islands") > col("n_ev"))
+    assert(bad.count() == 0)
+  }
+
+  /** Doubled average ranks computed independently in Scala. */
+  private def doubledRanks(values: Seq[Long]): Map[Long, Long] = {
+    val sorted = values.sorted
+    values.distinct.map { v =>
+      val below = sorted.count(_ < v).toLong
+      val cnt = sorted.count(_ == v).toLong
+      v -> (2 * below + cnt + 1)
+    }.toMap
+  }
+
+  test("mann_whitney: matches a brute-force Scala recomputation with ties") {
+    val perUser = Seq(
+      (1L, 100L), (2L, 200L), (3L, 100L), (4L, 300L), (5L, 200L),
+      (6L, 400L), (7L, 100L), (8L, 500L), (9L, 250L), (10L, 200L)
+    )
+    val got = TimeSeries.mannWhitneyOf(perUser.toDF("user_id", "cents"))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val (nA, nB, rA, uA, uB, tieSum, z) = got
+    // independent recomputation
+    def arm(u: Long): Long =
+      ((u * Behavioral.AbHashA + Behavioral.AbHashB) % Behavioral.AbMod) % 2
+    val ranks = doubledRanks(perUser.map(_._2))
+    val a = perUser.filter(p => arm(p._1) == 0)
+    val b = perUser.filter(p => arm(p._1) == 1)
+    val wantRa = a.map(p => ranks(p._2)).sum
+    val wantTie = perUser.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    assert((nA, nB) == (a.size.toLong, b.size.toLong))
+    assert(rA == wantRa)
+    assert(tieSum == wantTie)
+    assert(uA == wantRa - nA * (nA + 1))
+    assert(uA + uB == 2 * nA * nB)
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("mann_whitney: rank-sum identity holds on the fixture") {
+    val got = TimeSeries.mannWhitney(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val (nA, nB, _, uA, uB, _, z) = got
+    val n = nA + nB
+    assert(n > 0 && nA > 0 && nB > 0)
+    assert(uA + uB == 2 * nA * nB)
+    assert(uA >= 0 && uA <= 2 * nA * nB)
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("spearman: perfectly monotone -> rho ±1 (to sqrt·sqrt rounding); brute force with ties") {
+    // sqrt(a)·sqrt(b) ≠ sqrt(a·b) in IEEE, so ±1 lands within 1 ulp-ish;
+    // cross-engine determinism is unaffected (identical parenthesization)
+    val inc = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L), (4L, 4L, 40L))
+    val gotInc = TimeSeries.spearmanOf(inc.toDF("user_id", "x", "y"))
+      .select(col("rho")).as[Double].collect().head
+    assert(math.abs(gotInc - 1.0) < 1e-12)
+    val dec = Seq((1L, 1L, 40L), (2L, 2L, 30L), (3L, 3L, 20L), (4L, 4L, 10L))
+    val gotDec = TimeSeries.spearmanOf(dec.toDF("user_id", "x", "y"))
+      .select(col("rho")).as[Double].collect().head
+    assert(math.abs(gotDec + 1.0) < 1e-12)
+    // ties: brute-force the five sums from doubled ranks
+    val tied = Seq((1L, 5L, 10L), (2L, 5L, 20L), (3L, 7L, 20L), (4L, 9L, 5L))
+    val got = TimeSeries.spearmanOf(tied.toDF("user_id", "x", "y"))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    val rx = doubledRanks(tied.map(_._2))
+    val ry = doubledRanks(tied.map(_._3))
+    val ds = tied.map(t => (rx(t._2), ry(t._3)))
+    assert(got._1 == tied.size.toLong)
+    assert(got._2 == ds.map(_._1).sum)
+    assert(got._3 == ds.map(_._2).sum)
+    assert(got._4 == ds.map(d => d._1 * d._1).sum)
+    assert(got._5 == ds.map(d => d._2 * d._2).sum)
+    assert(got._6 == ds.map(d => d._1 * d._2).sum)
+  }
+
+  test("spearman: fixture rho is a valid correlation") {
+    val rho = TimeSeries.spearman(spark, sf)
+      .select(col("rho")).as[Double].collect().head
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
+
+  test("ewma_fence: hand-computed weights, gap days contribute zero, no-history never flags") {
+    val daily = Seq(
+      (100L, 10L), (101L, 10L), (103L, 10L), // note the gap at 102
+      (104L, 100L)                           // spike day
+    ).toDF("day", "n")
+    val got = TimeSeries.ewmaFenceOf(daily)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // day 100: no history -> num 0, NOT flagged even though n*2^16 > 0
+    assert(got.head == ((100L, 10L, 0L, 0)))
+    // day 101: k=1 -> 2^15 * 10
+    assert(got(1) == ((101L, 10L, 32768L * 10, 0)))
+    // day 103: k=3 from 100 (2^13), k=2 from 101 (2^14); 102 missing -> 0
+    assert(got(2)._3 == 8192L * 10 + 16384L * 10)
+    // day 104: n=100 vs smoothed ~10 -> flagged
+    val d104 = got(3)
+    assert(d104._3 == 4096L * 10 + 8192L * 10 + 32768L * 10) // k=4,3,1
+    assert(d104._4 == 1 && d104._2 * 65536L > 3L * d104._3)
+  }
+
+  test("ewma_fence: fixture — flags are exactly the integer rule, days ordered") {
+    val out = TimeSeries.ewmaFence(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._1) == out.map(_._1).sorted)
+    out.foreach { case (_, n, num, f) =>
+      val want = if (num > 0 && n * 65536L > 3L * num) 1 else 0
+      assert(f == want)
+    }
+  }
+}
