@@ -862,7 +862,112 @@ object GraphOps {
        |  $QModSql AS q_modularity
        |FROM es CROSS JOIN ds""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Link prediction over the part co-occurrence graph — the classic
+  // candidate-generation trio (Liben-Nowell & Kleinberg 2003): for
+  // non-adjacent pairs, common-neighbor count, neighborhood Jaccard,
+  // and Adamic-Adar (Σ 1/ln deg over shared neighbors, in exact micro
+  // units so the sum is an order-insensitive BIGINT).
+  //
+  // Scale shape: wedge enumeration is inherently Σ d(center)², so the
+  // kernel HUB-SUPPRESSES: centers with degree > HubCap are dropped
+  // before the wedge self-join (a shared order containing everything
+  // predicts nothing — the IDF argument; the same screen production
+  // candidate generators apply). That bounds wedges at
+  // |V|·HubCap² regardless of skew, and the cap is part of the operator
+  // CONTRACT (the DuckDB oracle applies it identically), not a silent
+  // truncation. Jaccard/AA scoring then uses FULL degrees via two
+  // broadcast dimension lookups; existing edges leave by left_anti; the
+  // served result is a TakeOrdered top-K under a total order.
+  object LinkPred {
+    /** Max center degree for wedge enumeration (see above). Fixture
+      * degrees cluster at ~115-150 (max ~222 at sf0.1), so ~half the
+      * nodes act as centers at every sf — the cap binds, on purpose. */
+    val HubCap = 128L
+    /** Candidate screen: pairs sharing fewer hub-suppressed neighbors
+      * than this never leave the wedge aggregation. */
+    val MinCommon = 5L
+    val TopK = 100
+  }
+
+  def linkPrediction(s: SparkSession, dir: String): DataFrame =
+    linkPredictionOf(s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+
+  /** Link scores over the co-occurrence graph of an (o, p) membership
+    * table (same graph as [[trianglesOf]]). */
+  def linkPredictionOf(membership: DataFrame): DataFrame = {
+    import LinkPred._
+    val li = membership.select(col("o"), col("p")).distinct()
+    val und = Lineage.truncate(
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
+    val deg = Lineage.truncate(und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    // directed adjacency with the CENTER's degree attached; hub centers
+    // dropped before the self-join (the wedge-cost bound)
+    val adj = und.select(col("a").as("ctr"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("ctr"), col("a").as("nb")))
+      .join(broadcast(deg.select(col("n").as("ctr"), col("d").as("dc"))),
+        Seq("ctr"))
+      .filter(col("dc") <= lit(HubCap))
+    // wedge centers have ≥2 distinct neighbors, so ln(dc) > 0 always
+    val cand = adj.as("e1").join(adj.as("e2"),
+        col("e1.ctr") === col("e2.ctr") && col("e1.nb") < col("e2.nb"))
+      .select(col("e1.nb").as("a"), col("e2.nb").as("b"),
+        expr("CAST(round(1000000 / ln(e1.dc)) AS BIGINT)").as("w"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("aa_micro"))
+      .filter(col("n_common") >= lit(MinCommon))
+    cand.join(und, Seq("a", "b"), "left_anti") // only NEW links
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), Seq("b"))
+      // positive operands, so Spark DIV == DuckDB //
+      .withColumn("jaccard_milli",
+        expr("1000 * n_common DIV (da + db - n_common)"))
+      .select(col("a"), col("b"), col("n_common"), col("da"), col("db"),
+        col("jaccard_milli"), col("aa_micro"))
+      .orderBy(col("n_common").desc, col("aa_micro").desc, col("a"), col("b"))
+      .limit(TopK)
+  }
+
+  /** Oracle: identical hub cap, identical micro-unit AA weights. */
+  val linkPredictionSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |und AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |deg AS (
+       |  SELECT n, count(*) AS d
+       |  FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+       |adj AS (
+       |  SELECT t.ctr, t.nb, deg.d AS dc
+       |  FROM (SELECT a AS ctr, b AS nb FROM und
+       |        UNION ALL SELECT b, a FROM und) t
+       |  JOIN deg ON deg.n = t.ctr
+       |  WHERE deg.d <= ${LinkPred.HubCap}),
+       |cand AS (
+       |  SELECT e1.nb AS a, e2.nb AS b, count(*) AS n_common,
+       |    CAST(sum(CAST(round(1000000 / ln(e1.dc)) AS BIGINT)) AS BIGINT)
+       |      AS aa_micro
+       |  FROM adj e1 JOIN adj e2 ON e1.ctr = e2.ctr AND e1.nb < e2.nb
+       |  GROUP BY 1, 2 HAVING count(*) >= ${LinkPred.MinCommon}),
+       |non AS (
+       |  SELECT c.* FROM cand c LEFT JOIN und u ON u.a = c.a AND u.b = c.b
+       |  WHERE u.a IS NULL)
+       |SELECT c2.a, c2.b, CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db,
+       |  CAST(1000 * n_common // (da.d + db.d - n_common) AS BIGINT)
+       |    AS jaccard_milli,
+       |  aa_micro
+       |FROM non c2 JOIN deg da ON da.n = c2.a JOIN deg db ON db.n = c2.b
+       |ORDER BY n_common DESC, aa_micro DESC, a, b LIMIT ${LinkPred.TopK}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
     "graph_walks" -> (randomWalks _),
@@ -1091,6 +1196,7 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_link_prediction" -> linkPredictionSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,
     "dedup_clusters" -> dedupClustersSql,

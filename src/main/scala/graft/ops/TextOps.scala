@@ -1213,7 +1213,83 @@ object TextOps {
        |JOIN uni u2 ON u2.w = c12.w2, tot, btot
        |ORDER BY pmi_milli DESC, w1, w2 LIMIT ${Collocations.TopK}""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Zipf rank-frequency fit — the corpus-health diagnostic (natural
+  // language sits near slope −1 on log rank vs log freq; boilerplate-
+  // heavy or template-generated corpora bend away from it). OLS over
+  // the top-N terms' (ln rank, ln tf) points, QUANTIZED to milli-nats
+  // BEFORE summation so every sufficient statistic is an
+  // order-insensitive exact BIGINT (double Σ would be accumulation-
+  // order-dependent and could never hash-match cross-engine); slope
+  // and intercept then derive from the five integer sums through ONE
+  // shared expression string (identical IEEE parenthesization).
+  //
+  // Shape: one explode → one map-side-combined term count → TakeOrdered
+  // top-N (no global sort) → N-row bounded window for ranks → one agg.
+  // The only corpus-scale work is the vocabulary pass.
+  val ZipfTopN = 1000
+
+  def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlopeOf(docs(s, dir))
+
+  /** The fit over any frame with a `text` column — exposed so the spec
+    * can plant exact term frequencies. */
+  private[graft] def zipfSlopeOf(d: DataFrame): DataFrame = {
+    import graft.ops.Windows
+    val top = d
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(ZipfTopN)
+    top
+      .withColumn("rank", row_number().over(
+        Windows.boundedGlobal(col("tf").desc, col("term"))))
+      .select(
+        expr("CAST(round(1000 * ln(CAST(rank AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(round(1000 * ln(CAST(tf AS DOUBLE))) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("slope", expr(ZipfSlopeExpr))
+      .withColumn("intercept", expr(ZipfInterceptExpr))
+      .select(col("n_terms"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("slope"), col("intercept"))
+  }
+
+  /** Slope of the milli-log OLS — dimensionless (milli/milli cancels). */
+  private val ZipfSlopeExpr: String =
+    """(CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      | / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""".stripMargin
+
+  /** Intercept in milli-nats of ln(tf); references the `slope` column. */
+  private val ZipfInterceptExpr: String =
+    "(CAST(sy AS DOUBLE) - slope * sx) / n_terms"
+
+  val zipfSlopeSql: String =
+    s"""WITH top_terms AS (
+       |  SELECT term, count(*) AS tf
+       |  FROM (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY term ORDER BY tf DESC, term LIMIT $ZipfTopN),
+       |pts AS (
+       |  SELECT
+       |    CAST(round(1000 * ln(CAST(row_number() OVER (ORDER BY tf DESC, term) AS DOUBLE))) AS BIGINT) AS x,
+       |    CAST(round(1000 * ln(CAST(tf AS DOUBLE))) AS BIGINT) AS y
+       |  FROM top_terms),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM pts),
+       |sl AS (
+       |  SELECT *, ${ZipfSlopeExpr.replace("\n", " ")} AS slope FROM sums)
+       |SELECT n_terms, sx, sy, sxx, sxy, slope,
+       |  ${ZipfInterceptExpr} AS intercept
+       |FROM sl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_slope" -> (zipfSlope _),
     "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -1237,6 +1313,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_zipf_slope" -> zipfSlopeSql,
     "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,
     "text_bpe_encode" -> bpeEncodeSql,

@@ -288,6 +288,24 @@ class CurationOpsSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("distinct MV maintain: support-table merge equals the one-shot COUNT(DISTINCT)") {
+    val got = IncrementalMv.distinctMaintain(spark, sf).cache()
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy(col("ship_month"))
+      .agg(countDistinct(col("l_suppkey")).as("n_distinct_supp"),
+        count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0,
+      "served distinct counts must equal the full recompute")
+    // pre-cutoff months survive the partial rewrite
+    assert(got.filter(col("ship_month") < 199706L).count() > 0)
+    val again = IncrementalMv.distinctMaintain(spark, sf)
+    assert(got.exceptAll(again).count() == 0 && again.exceptAll(got).count() == 0,
+      "refresh must be idempotent run-to-run")
+    got.unpersist()
+  }
+
   test("topk MV maintain: equals the one-shot full recompute's top-k, ranked, idempotent") {
     val got = IncrementalMv.topkMaintain(spark, sf).collect()
     val full = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -379,4 +379,61 @@ class GraphOpsSpec extends SparkSuite {
     // stub symmetry: both orientations are present
     assert(fr.getLong(1) == fr.getLong(2) && fr.getLong(4) == fr.getLong(5))
   }
+
+  test("link prediction: hand-computed scores on a 6-wedge non-edge pair") {
+    // orders of size 2 build edges 100-k and 200-k for k=1..6; 100-200
+    // is NOT an edge. Six degree-2 centers each contribute one wedge
+    // (100,200); pairs (k1,k2) share only {100,200} = 2 < MinCommon.
+    val membership = (1L to 6L).flatMap { k =>
+      Seq((10 * k, 100L), (10 * k, k), (10 * k + 1, 200L), (10 * k + 1, k))
+    }.toDF("o", "p")
+    val got = GraphOps.linkPredictionOf(membership)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val aaPerWedge = math.round(1000000.0 / math.log(2.0)) // deg(center)=2
+    assert(got == Seq((100L, 200L, 6L, 6L, 6L,
+      1000L * 6 / (6 + 6 - 6), 6L * aaPerWedge)))
+  }
+
+  test("link prediction: hub centers above the degree cap are suppressed") {
+    // same 6-wedge pair, plus center 999 adjacent to 100, 200 and 127
+    // fillers: deg(999) = 129 > HubCap -> its wedge must NOT count,
+    // but 999's edges still raise the endpoint degrees used by Jaccard
+    val base = (1L to 6L).flatMap { k =>
+      Seq((10 * k, 100L), (10 * k, k), (10 * k + 1, 200L), (10 * k + 1, k))
+    }
+    val hub = Seq((1000L, 999L, 100L), (1001L, 999L, 200L)).flatMap {
+      case (o, h, x) => Seq((o, h), (o, x))
+    } ++ (1L to 127L).flatMap { i =>
+      Seq((2000L + i, 999L), (2000L + i, 5000L + i))
+    }
+    val membership = (base ++ hub).toDF("o", "p")
+    val got = GraphOps.linkPredictionOf(membership)
+      .filter(col("a") === 100L && col("b") === 200L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val aaPerWedge = math.round(1000000.0 / math.log(2.0))
+    // n_common stays 6 (hub suppressed); degrees are now 7 each
+    assert(got == Seq((100L, 200L, 6L, 7L, 7L,
+      1000L * 6 / (7 + 7 - 6), 6L * aaPerWedge)))
+  }
+
+  test("link prediction: fixture output is valid, non-adjacent, totally ordered") {
+    val out = GraphOps.linkPrediction(spark, sf).cache()
+    val rows = out.as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= GraphOps.LinkPred.TopK)
+    rows.foreach { case (a, b, cn, da, db, jm, aa) =>
+      assert(a < b && cn >= GraphOps.LinkPred.MinCommon)
+      assert(cn <= math.min(da, db)) // common neighbors bounded by degree
+      assert(jm >= 0 && jm <= 1000 && aa > 0)
+    }
+    assert(rows == rows.sortBy(r => (-r._3, -r._7, r._1, r._2)))
+    // no returned pair is an existing edge
+    import org.apache.spark.sql.functions.{col => c}
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(c("l_orderkey").as("o"), c("l_partkey").as("p")).distinct()
+    val und = li.as("x").join(li.as("y"),
+        c("x.o") === c("y.o") && c("x.p") < c("y.p"))
+      .select(c("x.p").as("a"), c("y.p").as("b")).distinct()
+    assert(out.join(und, Seq("a", "b"), "left_semi").count() == 0)
+    out.unpersist()
+  }
 }

@@ -1577,4 +1577,37 @@ class OpsSpec extends SparkSuite {
     // the templated fixture phrasing produces real cross-doc duplication
     assert(rows.exists(_._3 > 0L), "expected at least one duplicated span")
   }
+
+  test("zipf slope: planted geometric frequencies recover slope -ln2/ln-rank fit exactly") {
+    import spark.implicits._
+    // frequencies 8,4,2,1 over ranks 1..4 — recompute the milli-log OLS
+    // independently in Scala and demand the identical sums + fit
+    val d = Seq(
+      (1L, ("a " * 8).trim), (2L, ("b " * 4).trim),
+      (3L, ("c " * 2).trim), (4L, "d")
+    ).toDF("doc_id", "text")
+    val got = TextOps.zipfSlopeOf(d).collect().head
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L)).map { case (r, f) =>
+      (math.round(1000 * math.log(r.toDouble)), math.round(1000 * math.log(f.toDouble)))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((n, sx, sy, sxx, sxy)))
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    assert(got.getDouble(5) == slope)
+    assert(got.getDouble(6) == (sy.toDouble - slope * sx) / n)
+    // geometric halving is steeper than Zipf's -1 on log-rank
+    assert(slope < -1.0)
+  }
+
+  test("zipf slope: fixture corpus fits with negative slope over the full TopN") {
+    val got = TextOps.zipfSlope(spark, sf).collect().head
+    assert(got.getLong(0) > 0 && got.getLong(0) <= TextOps.ZipfTopN)
+    assert(got.getDouble(5) < 0.0, "rank-frequency slope must be negative")
+    assert(!got.getDouble(6).isNaN && !got.getDouble(6).isInfinite)
+  }
 }
