@@ -115,13 +115,81 @@ object StreamParity {
        |FROM $t GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Count-min sketch maintained by a live mapGroupsWithState
+    * StreamingQuery over NumBatches micro-batches — the third
+    * registrable twin: the counter grid is an ASSOCIATIVE sum per
+    * (depth, slot) cell, so the final grid is independent of how the
+    * term stream is sliced (unlike Misra-Gries, whose decrement timing
+    * is split-sensitive — that one stays spec-only by design).
+    *
+    * Execution: the fixture's exploded term column lands as NumBatches
+    * hash-bucketed files and streams back one file per trigger through
+    * [[StreamOps.cmsStream]] (keyed stream state, Update mode); each
+    * batch's updated cells land in a `batch_id` partition (dynamic
+    * overwrite — replay rewrites, never duplicates), and the final
+    * counter per cell is the max across batches (counters are monotone
+    * nondecreasing). The DuckDB oracle rebuilds the identical grid from
+    * exact term counts and the shared PolyHash/affine-row expressions. */
+  def streamCmsParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_cms/in")
+    val cellsDir = freshDir(s, "stream_cms/cells")
+    val ckpt = freshDir(s, "stream_cms/ckpt")
+    val terms = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+    terms.repartition(NumBatches, col("term")).write.parquet(inDir)
+    val stream = s.readStream.schema(terms.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val cells = StreamOps.cmsStream(stream.select(col("term")).as[String]).toDF()
+    val q = cells.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(cellsDir)
+      .groupBy(col("d"), col("slot"))
+      .agg(max(col("c")).as("c"))
+      .select(col("d").cast("long").as("d"), col("slot"), col("c"))
+      .orderBy(col("d"), col("slot"))
+  }
+
+  val streamCmsParitySql: String = {
+    import graft.ops.SketchOps.{CmsMod, CmsWidth, cmsAB}
+    val slotSelects = cmsAB.zipWithIndex.map { case ((a, b), d) =>
+      s"SELECT exact_tf, $d AS d, (($a * h + $b) % $CmsMod) % $CmsWidth AS slot FROM h"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tf AS (
+       |  SELECT term, count(*) AS exact_tf
+       |  FROM (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1),
+       |h AS (SELECT term, exact_tf,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $CmsMod) AS h
+       |  FROM tf),
+       |slots AS ($slotSelects)
+       |SELECT CAST(d AS BIGINT) AS d, slot, CAST(sum(exact_tf) AS BIGINT) AS c
+       |FROM slots GROUP BY 1, 2 ORDER BY d, slot""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rollup_parity" -> (streamRollupParity _),
-    "stream_chain_ingest" -> (streamChainIngest _)
+    "stream_chain_ingest" -> (streamChainIngest _),
+    "stream_cms_parity" -> (streamCmsParity _)
   )
 
   val oracle: Map[String, String] = Map(
     "stream_rollup_parity" -> streamRollupParitySql,
-    "stream_chain_ingest" -> streamChainIngestSql
+    "stream_chain_ingest" -> streamChainIngestSql,
+    "stream_cms_parity" -> streamCmsParitySql
   )
 }

@@ -44,4 +44,28 @@ class StreamParitySpec extends SparkSuite {
       .select(countDistinct(col("batch_id"))).head().getLong(0)
     assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
   }
+
+  test("stream_cms_parity equals the batch counter grid and ran multi-batch") {
+    import graft.ops.SketchOps.{CmsMod, CmsWidth, cmsAB}
+    val got = StreamParity.streamCmsParity(spark, sf)
+    // batch grid from exact term counts through the same hash expressions
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_tf"))
+      .withColumn("h", graft.functions.PolyHash.polyHash(col("term"), 31, CmsMod))
+    val slots = cmsAB.zipWithIndex.map { case ((a, b), d) =>
+      struct(lit(d.toLong).as("d"),
+        (((lit(a) * col("h") + lit(b)) % CmsMod) % CmsWidth).as("slot"))
+    }
+    val want = tf.select(col("exact_tf"), explode(array(slots: _*)).as("ds"))
+      .groupBy(col("ds.d").as("d"), col("ds.slot").as("slot"))
+      .agg(sum(col("exact_tf")).as("c"))
+      .orderBy(col("d"), col("slot"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // the state genuinely accumulated across >1 micro-batch
+    val cellsDir = graft.etl.Scratch.path(spark, "stream_cms/cells")
+    val batches = spark.read.parquet(cellsDir)
+      .select(countDistinct(col("batch_id"))).head().getLong(0)
+    assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
+  }
 }
