@@ -513,6 +513,77 @@ object FuzzDump {
   // The text is dialect-shared: TIMESTAMP literals, %, <>, year(), exact
   // Decimal(18,2) money with DOUBLE at the edge, BIGINT counts.
 
+  // ---- array-algebra grammar (round 12) ---------------------------------
+  // Higher-order array functions over the documents token arrays — the
+  // dialect pair where names AND semantics diverge the most (Spark
+  // size/slice/sort_array/filter/exists vs DuckDB len/list slicing/
+  // list_sort/list_filter), so each shape carries a hand-matched SQL per
+  // engine instead of a shared text. Randomized: slice width, predicate
+  // letter/length, grouping column. All outputs BIGINT-cast (Spark size()
+  // is INT32, DuckDB len() is BIGINT — dtype drift fails the compare).
+
+  private def arraySpec(i: Int, rng: Random, sfDir: String): Spec = {
+    val name = f"fuzz_$i%02d"
+    val k = 2 + rng.nextInt(3)                    // slice width 2..4
+    val minLen = 4 + rng.nextInt(4)               // length predicate 4..7
+    val letter = ('a' + rng.nextInt(26)).toChar
+    val grp = if (rng.nextBoolean()) "lang" else "source"
+    val sparkToks = "split(trim(lower(text)), '\\\\s+')"
+    val duckToks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val (sparkSql, duckSql) = rng.nextInt(4) match {
+      case 0 => // per-doc position/predicate algebra
+        (s"""WITH t AS (SELECT doc_id, $sparkToks AS a FROM documents)
+            |SELECT doc_id, CAST(size(a) AS BIGINT) AS n_tok,
+            |  CAST(size(filter(a, x -> length(x) >= $minLen)) AS BIGINT) AS n_long,
+            |  element_at(a, 1) AS first_tok,
+            |  element_at(a, CAST(size(a) AS INT)) AS last_tok
+            |FROM t ORDER BY doc_id""".stripMargin,
+         s"""WITH t AS (SELECT doc_id, $duckToks AS a FROM documents)
+            |SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tok,
+            |  CAST(len(list_filter(a, x -> length(x) >= $minLen)) AS BIGINT) AS n_long,
+            |  a[1] AS first_tok, a[len(a)] AS last_tok
+            |FROM t ORDER BY doc_id""".stripMargin)
+      case 1 => // sorted-slice fingerprint histogram (binary collation both)
+        (s"""WITH t AS (SELECT doc_id, $sparkToks AS a FROM documents)
+            |SELECT array_join(slice(sort_array(a), 1, $k), ' ') AS fp,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY fp""".stripMargin,
+         s"""WITH t AS (SELECT doc_id, $duckToks AS a FROM documents)
+            |SELECT array_to_string(list_sort(a)[:$k], ' ') AS fp,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY fp""".stripMargin)
+      case 2 => // existential predicate rolled up per group
+        (s"""WITH t AS (SELECT $grp, $sparkToks AS a FROM documents)
+            |SELECT $grp,
+            |  CAST(sum(CASE WHEN exists(a, x -> x LIKE '$letter%') THEN 1 ELSE 0 END) AS BIGINT) AS n_has,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+         s"""WITH t AS (SELECT $grp, $duckToks AS a FROM documents)
+            |SELECT $grp,
+            |  CAST(sum(CASE WHEN len(list_filter(a, x -> x LIKE '$letter%')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_has,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+      case _ => // array aggregation: distinct first-tokens, sorted, sliced
+        (s"""WITH t AS (SELECT $grp, element_at($sparkToks, 1) AS ft FROM documents)
+            |SELECT $grp,
+            |  array_join(slice(sort_array(collect_set(ft)), 1, $k), '|') AS toks,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+         s"""WITH t AS (SELECT $grp, ($duckToks)[1] AS ft FROM documents)
+            |SELECT $grp,
+            |  array_to_string(list_sort(list(DISTINCT ft))[:$k], '|') AS toks,
+            |  CAST(count(*) AS BIGINT) AS n
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+    val df = (li: DataFrame) => {
+      val s = li.sparkSession
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .createOrReplaceTempView("documents")
+      s.sql(sparkSql)
+    }
+    Spec(name, df, duckSql)
+  }
+
   private def subquerySpec(i: Int, rng: Random, sfDir: String): Spec = {
     val name = f"fuzz_$i%02d"
     val (_, innerF) = filters(rng) // SQL side is dialect-shared
@@ -596,6 +667,8 @@ object FuzzDump {
         }
       case Some("subquery") =>
         return subquerySpec(i, rng, sfDir)
+      case Some("arrays") =>
+        return arraySpec(i, rng, sfDir)
       case Some(other) if other.nonEmpty =>
         throw new IllegalArgumentException(s"unknown fuzz family: $other")
       case _ => ()
