@@ -605,7 +605,75 @@ object Sampling {
        |ORDER BY band, shuffle_key, doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Neyman optimal allocation (Neyman 1934): split a sampling budget
+  // across strata ∝ N_h·S_h — the variance-minimizing allocation for
+  // estimating a mean under stratified sampling, vs the proportional
+  // N_h/N everyone reaches for first. Here strata are sources and the
+  // measured variable is n_chars: a bursty source (high S_h) earns more
+  // than its headcount share.
+  //
+  // Determinism: each stratum's variance numerator n·Σx²−(Σx)² is an
+  // exact BIGINT (bound: n·Σx² < 2^63 ⇔ corpus chars² mass < 9e18 per
+  // stratum — document-length-scaled, not corpus-scaled, since x is
+  // per-doc length); the weight N_h·S_h is then quantized to milli
+  // BEFORE the budget split so the allocation is pure integer division
+  // on both engines. Shape: one corpus pass → k stratum rows → a 1-row
+  // total broadcast back. Rounding is floor-by-division; the emitted
+  // remainder column shows the ≤ k−1 unallocated units explicitly
+  // (no silent largest-remainder tie-break to drift cross-engine).
+  val NeymanBudget = 1000L
+
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame =
+    neymanAllocationOf(docs(s, dir))
+
+  /** The allocation over any (source, n_chars) frame — exposed so the
+    * spec can plant strata with hand-computed variances. */
+  private[graft] def neymanAllocationOf(d: DataFrame): DataFrame = {
+    import graft.ops.Lineage
+    val strata = Lineage.truncate(d
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("w_milli", expr(
+        """CAST(round(1000 * n_h * sqrt(
+          |  CAST(n_h * sxx - sx * sx AS DOUBLE)
+          |  / (CAST(n_h AS DOUBLE) * (n_h - 1)))) AS BIGINT)""".stripMargin)))
+    val tot = strata.agg(sum(col("w_milli")).as("w_tot"),
+      sum(col("n_h")).as("n_tot"))
+    strata.crossJoin(broadcast(tot)) // k rows × 1 row
+      .select(col("source"), col("n_h"), col("w_milli"),
+        // w_tot = 0 (every stratum variance-free) would divide by zero
+        // under ANSI; emit NULL like the other degenerate-metric guards
+        expr(s"CASE WHEN w_tot > 0 THEN $NeymanBudget * w_milli DIV w_tot ELSE NULL END")
+          .as("alloc_neyman"),
+        expr(s"$NeymanBudget * n_h DIV n_tot").as("alloc_proportional"))
+      .orderBy(col("source"))
+  }
+
+  val neymanAllocationSql: String =
+    s"""WITH strata AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_h,
+       |    CAST(round(1000 * n_h * sqrt(
+       |      CAST(n_h * sxx - sx * sx AS DOUBLE)
+       |      / (CAST(n_h AS DOUBLE) * (n_h - 1)))) AS BIGINT) AS w_milli
+       |  FROM strata),
+       |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_tot,
+       |               CAST(sum(n_h) AS BIGINT) AS n_tot FROM w)
+       |SELECT source, n_h, w_milli,
+       |  CAST(CASE WHEN w_tot > 0 THEN $NeymanBudget * w_milli // w_tot
+       |       ELSE NULL END AS BIGINT) AS alloc_neyman,
+       |  CAST($NeymanBudget * n_h // n_tot AS BIGINT) AS alloc_proportional
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_neyman" -> (neymanAllocation _),
     "sample_token_budget" -> (tokenBudget _),
     "sample_curriculum" -> (curriculum _),
     "sample_split_assign" -> (splitAssign _),
@@ -620,6 +688,7 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_neyman" -> neymanAllocationSql,
     "sample_token_budget" -> tokenBudgetSql,
     "sample_curriculum" -> curriculumSql,
     "sample_split_assign" -> splitAssignSql,

@@ -1288,7 +1288,149 @@ object TextOps {
        |  ${ZipfInterceptExpr} AS intercept
        |FROM sl""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Flesch readability in exact integer algebra — the classic surface
+  // statistic quality cascades gate on (Flesch 1948; Kincaid 1975 for
+  // the grade form). The syllable count is the standard machine proxy —
+  // vowel GROUPS ([aeiou]+ runs; whitespace breaks a run, so counting
+  // over the whole text equals the per-word sum) — and both scores are
+  // quantized to milli with positive-operand integer division, so the
+  // whole row is BIGINT-exact cross-engine. Sentences floor at 1
+  // (unpunctuated fixture docs must not divide by zero), words likewise.
+  // Shape: a pure per-row projection — one scan, no shuffle but the
+  // output sort.
+  def readability(s: SparkSession, dir: String): DataFrame =
+    readabilityOf(docs(s, dir))
+
+  /** The scores over any (doc_id, text) frame — exposed for planted prose. */
+  private[graft] def readabilityOf(d: DataFrame): DataFrame =
+    d
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("words0"),
+        expr("CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS BIGINT)")
+          .as("vowel_groups"),
+        expr("CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)")
+          .as("sentences0"))
+      .select(col("doc_id"),
+        expr("greatest(words0, 1)").as("words"),
+        col("vowel_groups"),
+        expr("greatest(sentences0, 1)").as("sentences"))
+      .withColumn("flesch_milli", expr(
+        "206835 - 1015 * words DIV sentences - 84600 * vowel_groups DIV words"))
+      .withColumn("fk_grade_milli", expr(
+        "390 * words DIV sentences + 11800 * vowel_groups DIV words - 15590"))
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    greatest(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT), 1) AS words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS vowel_groups,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences
+      |  FROM documents)
+      |SELECT doc_id, words, vowel_groups, sentences,
+      |  CAST(206835 - 1015 * words // sentences - 84600 * vowel_groups // words AS BIGINT) AS flesch_milli,
+      |  CAST(390 * words // sentences + 11800 * vowel_groups // words - 15590 AS BIGINT) AS fk_grade_milli
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // nDCG@k of the BM25 ranking — the retrieval-EVAL half the ranking
+  // family was missing (BM25 scores exist; nothing graded how good the
+  // ordering is). Graded relevance is deterministic from the corpus:
+  // rel(doc) = number of DISTINCT query terms present (0..3), gain
+  // 2^rel − 1, discount 1/log2(i+1) quantized to a micro-unit integer
+  // weight per rank (i ≤ k+1 = 11 values — both engines round the same
+  // irrational), so DCG and the ideal DCG are exact BIGINT sums; the
+  // ideal ranking is GLOBAL (all docs by rel desc, doc_id), not merely
+  // a reshuffle of the retrieved page. Shape: the BM25 pipeline's one
+  // corpus pass + two bounded top-K pools; nothing corpus-scale sorts.
+  val NdcgK = 10
+
+  def searchNdcg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Lineage, Windows}
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val perDoc = Lineage.truncate(docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("dl"),
+        expr(s"filter(_t, t -> t IN ($termList))").as("_q"))
+      .withColumn("rel", expr("CAST(size(array_distinct(_q)) AS BIGINT)")))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+    val tf = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(bm25WSql))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("bm25_micro"))
+    val gain =
+      "(CAST(power(2, rel) AS BIGINT) - 1) * " +
+        "CAST(round(1000000 / log2(CAST(i + 1 AS DOUBLE))) AS BIGINT)"
+    val ranked = scored
+      .orderBy(col("bm25_micro").desc, col("doc_id")).limit(NdcgK)
+      .withColumn("i", row_number().over(
+        Windows.boundedGlobal(col("bm25_micro").desc, col("doc_id"))).cast("long"))
+      .join(perDoc.select(col("doc_id"), col("rel")), Seq("doc_id"))
+    val ideal = perDoc.select(col("doc_id"), col("rel"))
+      .orderBy(col("rel").desc, col("doc_id")).limit(NdcgK)
+      .withColumn("i", row_number().over(
+        Windows.boundedGlobal(col("rel").desc, col("doc_id"))).cast("long"))
+    ranked.agg(sum(expr(gain)).as("dcg_micro"))
+      .crossJoin(ideal.agg(sum(expr(gain)).as("idcg_micro"))) // 1-row × 1-row
+      .select(lit(NdcgK.toLong).as("k"), col("dcg_micro"), col("idcg_micro"),
+        expr("""CASE WHEN idcg_micro > 0
+                THEN 1000 * dcg_micro DIV idcg_micro
+                ELSE NULL END""").as("ndcg_milli"))
+  }
+
+  val searchNdcgSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val gain =
+      "(CAST(power(2, rel) AS BIGINT) - 1) * " +
+        "CAST(round(1000000 / log2(CAST(i + 1 AS DOUBLE))) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |perdoc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |rel AS (
+       |  SELECT p.doc_id,
+       |    CAST(coalesce(r.rel, 0) AS BIGINT) AS rel
+       |  FROM perdoc p LEFT JOIN (
+       |    SELECT doc_id, count(DISTINCT term) AS rel
+       |    FROM toks WHERE term IN ($termList) GROUP BY 1) r USING (doc_id)),
+       |stats AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |         (SELECT CAST(sum(dl) AS BIGINT) FROM perdoc) AS total_toks),
+       |tf AS (
+       |  SELECT t.doc_id, p.dl, t.term, count(*) AS tf
+       |  FROM toks t JOIN perdoc p USING (doc_id)
+       |  WHERE t.term IN ($termList) GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT tf.doc_id, $bm25WSql AS w
+       |  FROM tf JOIN df USING (term), stats),
+       |scores AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS bm25_micro
+       |           FROM contrib GROUP BY 1),
+       |ranked AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS i
+       |  FROM scores ORDER BY bm25_micro DESC, doc_id LIMIT $NdcgK),
+       |dcg AS (
+       |  SELECT CAST(sum($gain) AS BIGINT) AS dcg_micro
+       |  FROM ranked JOIN rel USING (doc_id)),
+       |ideal AS (
+       |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+       |  FROM rel ORDER BY rel DESC, doc_id LIMIT $NdcgK),
+       |idcg AS (SELECT CAST(sum($gain) AS BIGINT) AS idcg_micro FROM ideal)
+       |SELECT CAST($NdcgK AS BIGINT) AS k, dcg_micro, idcg_micro,
+       |  CAST(CASE WHEN idcg_micro > 0 THEN 1000 * dcg_micro // idcg_micro
+       |       ELSE NULL END AS BIGINT) AS ndcg_milli
+       |FROM dcg CROSS JOIN idcg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_ndcg" -> (searchNdcg _),
+    "text_readability" -> (readability _),
     "text_zipf_slope" -> (zipfSlope _),
     "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
@@ -1313,6 +1455,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "search_ndcg" -> searchNdcgSql,
+    "text_readability" -> readabilitySql,
     "text_zipf_slope" -> zipfSlopeSql,
     "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,

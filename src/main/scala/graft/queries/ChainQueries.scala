@@ -605,7 +605,90 @@ object ChainQueries {
       .orderBy(col("token"), col("holder"))
   }
 
+  // ------------------------------------------------------------------
+  // Holder-concentration Gini over decoded transfer inflows — the
+  // wealth-concentration readout every token dashboard publishes. Exact
+  // rank form over micro-wei-quantized balances:
+  //   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx),  ranks ascending,
+  // quantized to milli with positive-operand integer division.
+  //
+  // SCALE SHAPE: Gini needs a global rank, and a single-partition
+  // window over a ledger is the classic scale-killer — so this is the
+  // q48 two-phase distributed rank: shard the value axis on a fixed
+  // grid (shard(x) ≤ shard(y) whenever x ≤ y), per-shard row_numbers in
+  // bounded tasks, then a grid-sized cumulative offset table broadcast
+  // back; rank = offset + in-shard row_number, exactly. The only
+  // corpus-sized sort is gone; the scale path past the documented
+  // Σ rank·x < 2^63/1000 exactness bound is the log-histogram Gini
+  // over sketch_quantile_hist buckets.
+  //
+  // Quantization: micro-wei (x DIV 1e6) keeps rank·x inside int64 at
+  // ledger sizes the exact form is meant for; ties get the (q, token,
+  // holder) total order so both engines rank identically.
+  object Gini {
+    val QuantDiv = 1000000L   // wei -> micro-wei
+    val ShardWidth = 100000000L // micro-wei per rank shard (~720 shards max)
+  }
+
+  def chainBalanceGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.{Lineage, Windows}
+    val bal = Lineage.truncate(decodedTransfers(s)
+      .groupBy(col("token"), col("to_addr").as("holder"))
+      .agg(sum(col("amount")).as("wei_in"))
+      .select(col("token"), col("holder"),
+        expr(s"wei_in DIV ${Gini.QuantDiv}").as("q"))
+      .withColumn("_shard", expr(s"q DIV ${Gini.ShardWidth}")))
+    // Phase 1: rank inside each value-grid shard (bounded tasks)
+    val wIn = Window.partitionBy(col("_shard"))
+      .orderBy(col("q"), col("token"), col("holder"))
+    val inShard = bal.withColumn("_rn", row_number().over(wIn).cast("long"))
+    // Phase 2: grid-sized offset table (bounded by the shard grid)
+    val offsets = bal.groupBy(col("_shard")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum(col("_cnt")).over(
+        Windows.boundedGlobal(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_shard"), col("_offset"))
+    inShard.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("rk", col("_offset") + col("_rn"))
+      .agg(count(lit(1)).as("n_holders"),
+        sum(col("q")).as("total_q"),
+        sum(col("rk") * col("q")).as("siq"))
+      .select(col("n_holders"), col("total_q"),
+        expr("""CASE WHEN total_q > 0
+                THEN (2 * siq - (n_holders + 1) * total_q) * 1000
+                     DIV (n_holders * total_q)
+                ELSE NULL END""").as("gini_milli"))
+  }
+
+  val chainBalanceGiniSql: String =
+    s"""WITH tr AS (
+       |  SELECT hex(address) AS token,
+       |    substr(hex(topics[3]), 25, 40) AS holder,
+       |    CAST(concat('0x', substr(hex(data), 2 * octet_length(data) - 13, 14)) AS BIGINT) AS amount
+       |  FROM ${tbl("events")}
+       |  WHERE len(topics) = 3),
+       |bal AS (
+       |  SELECT token, holder,
+       |    CAST(sum(amount) // ${Gini.QuantDiv} AS BIGINT) AS q
+       |  FROM tr GROUP BY 1, 2),
+       |r AS (
+       |  SELECT q, row_number() OVER (ORDER BY q, token, holder) AS rk
+       |  FROM bal),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_holders,
+       |    CAST(sum(q) AS BIGINT) AS total_q,
+       |    CAST(sum(rk * q) AS BIGINT) AS siq
+       |  FROM r)
+       |SELECT n_holders, total_q,
+       |  CAST(CASE WHEN total_q > 0
+       |       THEN (2 * siq - (n_holders + 1) * total_q) * 1000
+       |            // (n_holders * total_q)
+       |       ELSE NULL END AS BIGINT) AS gini_milli
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_balance_gini" -> (chainBalanceGini _),
     "chain_transfer_decode" -> (chainTransferDecode _),
     "chain_token_balances" -> (chainTokenBalances _),
     "chain_fee_market" -> (chainFeeMarket _),
@@ -703,6 +786,7 @@ object ChainQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "chain_balance_gini" -> chainBalanceGiniSql,
     "chain_address_hits" -> chainHitsSql,
     "chain_flow_balance" ->
       s"""WITH edges AS MATERIALIZED (

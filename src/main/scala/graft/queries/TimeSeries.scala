@@ -326,7 +326,75 @@ object TimeSeries {
       |       THEN 1 ELSE 0 END AS INTEGER) AS is_spike
       |FROM j ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Forecast evaluation: MASE of the truncated-EWMA forecast against
+  // the seasonal-naive baseline (Hyndman & Koehler 2006 — THE
+  // scale-free forecast metric; < 1000 milli means the smoother beats
+  // "same day last week"). Everything stays exact integers by scaling
+  // both error sums to the EWMA numerator's 2^16 − 1 denominator:
+  //   forecast(d) = ewma_num(d) / (2^16 − 1)   (prior-16-day, α = 1/2,
+  //   missing days contribute zero — the events_ewma_fence definition),
+  //   err_ewma   = Σ |n(d)·65535 − ewma_num(d)|,
+  //   err_snaive = Σ |n(d) − n(d−7)|·65535,
+  // summed over exactly the days where BOTH the EWMA has history and
+  // d−7 exists (the comparable scoring set — same join both engines).
+  // mase_milli = 1000·err_ewma DIV err_snaive. Same bounded day-grid
+  // broadcast self-join shape as the fence; one extra lag-7 join.
+  def forecastMase(s: SparkSession, dir: String): DataFrame =
+    forecastMaseOf(Relational.events(s, dir)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The eval over any (day, n) frame — exposed for planted series. */
+  private[graft] def forecastMaseOf(daily0: DataFrame): DataFrame = {
+    import graft.ops.Lineage
+    val daily = Lineage.truncate(daily0) // three consumers
+    val hist = daily.select(col("day").as("day2"), col("n").as("n2"))
+    val fc = daily.join(broadcast(hist),
+        col("day2") >= col("day") - lit(16L) && col("day2") <= col("day") - lit(1L),
+        "left")
+      .groupBy(col("day"), col("n"))
+      .agg(coalesce(sum(
+        expr("CAST(power(2, 16 - (day - day2)) AS BIGINT)") * col("n2")),
+        lit(0L)).as("ewma_num"))
+    val lag7 = daily.select((col("day") + lit(7L)).as("day"), col("n").as("n7"))
+    fc.join(broadcast(lag7), Seq("day"))
+      .filter(col("ewma_num") > 0)
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("n") * lit(65535L) - col("ewma_num"))).as("err_ewma"),
+        sum(abs(col("n") - col("n7")) * lit(65535L)).as("err_snaive"))
+      .select(col("n_days_scored"), col("err_ewma"), col("err_snaive"),
+        expr("""CASE WHEN err_snaive > 0
+                THEN 1000 * err_ewma DIV err_snaive
+                ELSE NULL END""").as("mase_milli"))
+  }
+
+  val forecastMaseSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |fc AS (
+      |  SELECT d1.day, d1.n,
+      |    CAST(coalesce(sum(
+      |      CAST(power(2, 16 - (d1.day - d2.day)) AS BIGINT) * d2.n), 0)
+      |      AS BIGINT) AS ewma_num
+      |  FROM daily d1 LEFT JOIN daily d2
+      |    ON d2.day >= d1.day - 16 AND d2.day <= d1.day - 1
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT fc.n, fc.ewma_num, l.n AS n7
+      |  FROM fc JOIN daily l ON l.day = fc.day - 7
+      |  WHERE fc.ewma_num > 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+      |  CAST(sum(abs(n * 65535 - ewma_num)) AS BIGINT) AS err_ewma,
+      |  CAST(sum(abs(n - n7) * 65535) AS BIGINT) AS err_snaive,
+      |  CAST(CASE WHEN sum(abs(n - n7) * 65535) > 0
+      |       THEN 1000 * sum(abs(n * 65535 - ewma_num)) // sum(abs(n - n7) * 65535)
+      |       ELSE NULL END AS BIGINT) AS mase_milli
+      |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_forecast_mase" -> (forecastMase _),
     "events_intervals_merged" -> (intervalsMerged _),
     "events_mann_whitney" -> (mannWhitney _),
     "events_spearman" -> (spearman _),
@@ -334,6 +402,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_forecast_mase" -> forecastMaseSql,
     "events_intervals_merged" -> intervalsMergedSql,
     "events_mann_whitney" -> mannWhitneySql,
     "events_spearman" -> spearmanSql,

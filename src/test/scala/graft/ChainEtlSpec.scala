@@ -650,4 +650,24 @@ class ChainEtlSpec extends SparkSuite {
       if (r.getLong(2) > 0) assert(srcs(r.getString(0)))
     }
   }
+
+  test("balance gini: two-phase rank matches a direct Scala recomputation") {
+    import graft.queries.ChainQueries
+    val got = ChainQueries.chainBalanceGini(spark, sf).collect().head
+    // independent recomputation: recipient inflow ledger, micro-wei
+    // quantized, single-threaded sort + exact rank formula
+    val bal = ChainQueries.chainTransferDecode(spark, sf)
+      .groupBy(col("token"), col("to_addr")).agg(sum(col("amount")).as("w"))
+      .select(col("token"), col("to_addr"),
+        expr(s"w DIV ${ChainQueries.Gini.QuantDiv}").as("q"))
+      .collect().map(r => (r.getLong(2), r.getString(0), r.getString(1))).toSeq
+      .sortBy(t => (t._1, t._2, t._3))
+    val n = bal.size.toLong
+    val sq = bal.map(_._1).sum
+    val siq = bal.zipWithIndex.map { case ((q, _, _), i) => (i + 1) * q }.sum
+    val wantGini = (2 * siq - (n + 1) * sq) * 1000 / (n * sq)
+    assert(got.getLong(0) == n && got.getLong(1) == sq)
+    assert(got.getLong(2) == wantGini)
+    assert(wantGini >= 0 && wantGini < 1000)
+  }
 }

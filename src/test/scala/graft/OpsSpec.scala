@@ -1604,6 +1604,85 @@ class OpsSpec extends SparkSuite {
     assert(slope < -1.0)
   }
 
+  test("search ndcg: matches a recomputation from the proven BM25 ranking; bounds hold") {
+    import spark.implicits._
+    val got = TextOps.searchNdcg(spark, sf).collect().head
+    val k = TextOps.NdcgK
+    // relevance per doc, independently (plain Scala tokenization)
+    val rel = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.trim.toLowerCase.split("\\s+").toSet
+        id -> TextOps.Bm25Terms.count(toks.contains)
+      }.toMap
+    def w(i: Int): Long = math.round(1e6 / (math.log(i + 1.0) / math.log(2.0)))
+    // ranked page from the oracle-proven bm25 query (same total order)
+    val page = TextOps.bm25TopK(spark, sf).limit(k)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val dcg = page.zipWithIndex.map { case (id, i) =>
+      ((1L << rel(id)) - 1) * w(i + 1)
+    }.sum
+    val idealRel = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(k).map(_._2)
+    val idcg = idealRel.zipWithIndex.map { case (r, i) =>
+      ((1L << r) - 1) * w(i + 1)
+    }.sum
+    assert(got.getLong(0) == k.toLong)
+    assert(got.getLong(1) == dcg && got.getLong(2) == idcg)
+    assert(idcg > 0 && got.getLong(3) == 1000L * dcg / idcg)
+    assert(got.getLong(3) >= 0 && got.getLong(3) <= 1000)
+  }
+
+  test("neyman allocation: zero-variance stratum earns zero; bursty stratum beats proportional") {
+    import spark.implicits._
+    // A: 4 docs, constant length (S=0); B: 4 docs, bursty (S=200/√3·...);
+    // proportional would split 500/500 — Neyman gives B everything
+    val d = Seq(
+      ("A", 100L), ("A", 100L), ("A", 100L), ("A", 100L),
+      ("B", 0L), ("B", 400L), ("B", 0L), ("B", 400L)
+    ).toDF("source", "n_chars")
+    val got = graft.ops.Sampling.neymanAllocationOf(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // hand-computed: var numerator B = n·Σx² − (Σx)² = 4·320000 − 1600²
+    // = 1280000 − 2560000... recompute: Σx=800, Σx²=320000 ->
+    // 4·320000 − 640000 = 640000; S_B = sqrt(640000/(4·3)) = sqrt(53333.3)
+    val wB = math.round(1000 * 4 * math.sqrt(640000.0 / (4.0 * 3)))
+    assert(got == Seq(
+      ("A", 4L, 0L, 0L, 500L),
+      ("B", 4L, wB, 1000L, 500L)))
+  }
+
+  test("neyman allocation: fixture allocations are budget-bounded and weight-ordered") {
+    val rows = graft.ops.Sampling.neymanAllocation(spark, sf)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum <= graft.ops.Sampling.NeymanBudget)
+    assert(rows.map(_._3).sum <= graft.ops.Sampling.NeymanBudget)
+    // allocation order follows weight order (floor division is monotone)
+    val byW = rows.sortBy(_._1)
+    assert(byW.map(_._2) == byW.map(_._2).sorted)
+  }
+
+  test("readability: hand-computed flesch/grade on planted prose; fixture rows exact") {
+    import spark.implicits._
+    // "the cat sat. it ran!" -> words 5, sentences 2,
+    // vowel groups: e,a,a,i,a = 5
+    val got = TextOps.readability(spark, sf).limit(0) // schema touch
+    val planted = Seq((1L, "the cat sat. it ran!"), (2L, "zzz"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextOps.readabilityOf(planted)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(r.head == ((1L, 5L, 5L, 2L,
+      206835L - 1015 * 5 / 2 - 84600 * 5 / 5,
+      390 * 5 / 2 + 11800 * 5 / 5 - 15590)))
+    // "zzz": zero vowel groups, unpunctuated -> sentence floor 1
+    assert(r(1) == ((2L, 1L, 0L, 1L,
+      206835L - 1015 * 1 / 1 - 0, 390 * 1 / 1 + 0 - 15590)))
+    assert(got.columns.toSeq == Seq("doc_id", "words", "vowel_groups",
+      "sentences", "flesch_milli", "fk_grade_milli"))
+  }
+
   test("zipf slope: fixture corpus fits with negative slope over the full TopN") {
     val got = TextOps.zipfSlope(spark, sf).collect().head
     assert(got.getLong(0) > 0 && got.getLong(0) <= TextOps.ZipfTopN)

@@ -147,6 +147,45 @@ class TimeSeriesSpec extends SparkSuite {
     assert(d104._4 == 1 && d104._2 * 65536L > 3L * d104._3)
   }
 
+  test("forecast_mase: constant series has zero error AND a NULL metric (0/0 guard)") {
+    val daily = (100L to 130L).map(d => (d, 10L)).toDF("day", "n")
+    val got = TimeSeries.forecastMaseOf(daily).collect().head
+    // err_ewma: day d scored iff d-7 exists (d >= 107); the truncated
+    // EWMA under-fills until day 116 (full 16-day history), so partial
+    // windows make |n·65535 − num| > 0 for d in 107..115 — recompute
+    // the whole thing independently:
+    val ns = (100L to 130L).map(d => d -> 10L).toMap
+    val scored = (100L to 130L).filter(d => ns.contains(d - 7))
+      .map { d =>
+        val num = (1 to 16).map(k => ns.getOrElse(d - k, 0L) * (1L << (16 - k))).sum
+        (d, num)
+      }.filter(_._2 > 0)
+    val errE = scored.map { case (d, num) => math.abs(ns(d) * 65535L - num) }.sum
+    val errS = scored.map { case (d, _) => math.abs(ns(d) - ns(d - 7)) * 65535L }.sum
+    assert(got.getLong(0) == scored.size.toLong)
+    assert(got.getLong(1) == errE)
+    assert(got.getLong(2) == errS && errS == 0L)
+    assert(got.isNullAt(3), "0/0 must emit NULL, not divide")
+  }
+
+  test("forecast_mase: fixture metric matches an independent Scala recomputation") {
+    val daily = graft.queries.Relational.events(spark, sf)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ns = daily.as[(Long, Long)].collect().toMap
+    val scored = ns.keys.toSeq.sorted.filter(d => ns.contains(d - 7))
+      .map { d =>
+        val num = (1 to 16).map(k => ns.getOrElse(d - k.toLong, 0L) * (1L << (16 - k))).sum
+        (d, num)
+      }.filter(_._2 > 0)
+    val errE = scored.map { case (d, num) => math.abs(ns(d) * 65535L - num) }.sum
+    val errS = scored.map { case (d, _) => math.abs(ns(d) - ns(d - 7)) * 65535L }.sum
+    val got = TimeSeries.forecastMase(spark, sf).collect().head
+    assert(got.getLong(0) == scored.size.toLong)
+    assert(got.getLong(1) == errE && got.getLong(2) == errS)
+    if (errS > 0) assert(got.getLong(3) == 1000L * errE / errS)
+  }
+
   test("ewma_fence: fixture — flags are exactly the integer rule, days ordered") {
     val out = TimeSeries.ewmaFence(spark, sf)
       .as[(Long, Long, Long, Int)].collect().toSeq
