@@ -164,6 +164,30 @@ class PlanQualitySpec extends SparkSuite {
     // broadcast variant measured slower (SCALE.md); partitioned joins
     // are deliberate.
     "graph_ktruss" -> 7,
+    // Interval merge: ONE user_id exchange feeds the cummax/island
+    // windows AND the two same-key groupBys; + the output sort. A third
+    // exchange means the island rollup stopped reusing the window's
+    // partitioning.
+    "events_intervals_merged" -> 2,
+    // EWMA fence / MASE eval: the day-grid agg + the 1-row/output pass;
+    // the range self-join and lag-7 join are broadcasts over the
+    // bounded day grid. A third exchange means the grid joins stopped
+    // broadcasting (a corpus-scale shuffle at 100 TB).
+    "events_ewma_fence" -> 2,
+    "events_forecast_mase" -> 2,
+    // Zipf / readability: one corpus agg (term count) or just the
+    // output sort; top-N is TakeOrdered and the rank window is a
+    // bounded-pool constant partition. A second/third exchange means a
+    // global sort crept in.
+    "text_zipf_slope" -> 1,
+    "text_readability" -> 1,
+    // Link prediction post-checkpoint: the adj self-join's two branch
+    // exchanges (SMJ on ctr over the checkpointed hub-capped adjacency)
+    // + the (a,b) wedge agg + the scored-pair anti-join feed; degree
+    // lookups broadcast, top-K is TakeOrdered. A fifth exchange means
+    // the wedge stream is being re-shuffled — the one thing this plan
+    // must never do.
+    "graph_link_prediction" -> 4,
     // Transition matrix: ONE user_id exchange (the lag window), then
     // the (from,to) count agg, the per-source totals window, and the
     // output sort — the last three on a vocabulary²-bounded frame. A
