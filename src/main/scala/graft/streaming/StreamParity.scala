@@ -181,15 +181,69 @@ object StreamParity {
        |FROM slots GROUP BY 1, 2 ORDER BY d, slot""".stripMargin
   }
 
+  /** Quantile-histogram grid maintained by a live mapGroupsWithState
+    * query — the fourth registrable twin (same split-invariance
+    * argument as the CMS: per-cell counters are associative sums). The
+    * bucket map round(1000·ln(1+v)) DIV width runs as JVM math in the
+    * stream and as SQL in the oracle; the nonnegative domain makes
+    * HALF_UP and floor(x+0.5) agree, so the grids are cell-identical
+    * (the StreamingSpec-proven property, now driver-graded). */
+  def streamQhistParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_qhist/in")
+    val cellsDir = freshDir(s, "stream_qhist/cells")
+    val ckpt = freshDir(s, "stream_qhist/ckpt")
+    val vals = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+    vals.repartition(NumBatches, col("grp"), col("v")).write.parquet(inDir)
+    val stream = s.readStream.schema(vals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val cells = StreamOps.quantileHistStream(
+      stream.as[(String, Long)]).toDF()
+    val q = cells.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cellsDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(cellsDir)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("c")).as("c")) // counters are monotone
+      .orderBy(col("grp"), col("bucket"))
+  }
+
+  val streamQhistParitySql: String = {
+    import graft.ops.SketchOps.QWidthMilli
+    // NB: CAST the rounded milli-ln to BIGINT BEFORE `//` — DuckDB's //
+    // on DOUBLE is plain division (693.0 // 100 = 6.93) and the outer
+    // CAST would then ROUND it (→ 7, not the floor 6)
+    s"""SELECT grp, CAST(round(1000 * ln(1 + cents)) AS BIGINT) // $QWidthMilli AS bucket,
+       |  CAST(count(*) AS BIGINT) AS c
+       |FROM (SELECT event_type AS grp,
+       |        CAST(round(value * 100) AS BIGINT) AS cents
+       |      FROM events)
+       |GROUP BY 1, 2 ORDER BY grp, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rollup_parity" -> (streamRollupParity _),
     "stream_chain_ingest" -> (streamChainIngest _),
-    "stream_cms_parity" -> (streamCmsParity _)
+    "stream_cms_parity" -> (streamCmsParity _),
+    "stream_qhist_parity" -> (streamQhistParity _)
   )
 
   val oracle: Map[String, String] = Map(
     "stream_rollup_parity" -> streamRollupParitySql,
     "stream_chain_ingest" -> streamChainIngestSql,
-    "stream_cms_parity" -> streamCmsParitySql
+    "stream_cms_parity" -> streamCmsParitySql,
+    "stream_qhist_parity" -> streamQhistParitySql
   )
 }

@@ -68,4 +68,21 @@ class StreamParitySpec extends SparkSuite {
       .select(countDistinct(col("batch_id"))).head().getLong(0)
     assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
   }
+
+  test("stream_qhist_parity equals the batch ln-bucket grid and ran multi-batch") {
+    import graft.ops.SketchOps.QWidthMilli
+    val got = StreamParity.streamQhistParity(spark, sf)
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type").as("grp"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .select(col("grp"),
+        expr(s"CAST(round(1000 * ln(1 + cents)) AS BIGINT) DIV $QWidthMilli").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+      .orderBy(col("grp"), col("bucket"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    val cellsDir = graft.etl.Scratch.path(spark, "stream_qhist/cells")
+    val batches = spark.read.parquet(cellsDir)
+      .select(countDistinct(col("batch_id"))).head().getLong(0)
+    assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
+  }
 }
