@@ -89,6 +89,10 @@ object GraphScaleBench {
       Thread.sleep(1500)
       meter.bytes.set(0L) // exclude the blow-up's own shuffle
       measured("triangles", factor)(GraphOps.trianglesOf(m))
+      // wedge enumeration Σ d(ctr)² scales ×factor under vertex-disjoint
+      // replicas (degree distribution invariant) — the HubCap contract's
+      // linearity claim under test
+      measured("linkpred", factor)(GraphOps.linkPredictionOf(m))
       measured("kcore", factor)(GraphOps.coreDecompositionOf(m))
       measured("ktruss", factor)(GraphOps.ktrussOf(m))
       measured("bfs", factor)(GraphOps.bfsOf(m))
