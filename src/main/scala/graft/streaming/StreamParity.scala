@@ -233,17 +233,104 @@ object StreamParity {
        |GROUP BY 1, 2 ORDER BY grp, bucket""".stripMargin
   }
 
+  /** HLL cardinality maintained by a live mapGroupsWithState query —
+    * the fifth registrable twin: registers merge by MAX, so the final
+    * register state is split-invariant (replays and reorders absorb
+    * idempotently). Unlike the counter grids, the EMITTED estimate is
+    * not per-cell monotone, so the readout takes each key's row from
+    * the LAST batch that updated it (max batch_id per key — the final
+    * state by construction). The fixture ts encoding is irrelevant to
+    * the sketch (hashes run on user_id), so the Event rows carry an
+    * epoch-zero timestamp rather than depending on the drifting
+    * parquet ts encoding. */
+  def streamHllParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_hll/in")
+    val outDir = freshDir(s, "stream_hll/out")
+    val ckpt = freshDir(s, "stream_hll/ckpt")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        lit(0L).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"))
+    ev.repartition(NumBatches, col("user_id")).write.parquet(inDir)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val ests = StreamOps.hllDistinctStream(stream.as[StreamOps.Event]).toDF()
+    val q = ests.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val wLast = Window.partitionBy(col("event_type"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(outDir)
+      .withColumn("_rn", row_number().over(wLast))
+      .filter(col("_rn") === 1)
+      .select(col("event_type"), col("n_hit"), col("n_zero"),
+        col("s_scaled"), col("est_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamHllParitySql: String = {
+    import graft.ops.SketchOps.{kmvMixSql, HllAlphaMilli, HllM, HllWBits, KmvMod}
+    val scale = HllWBits + 1
+    val numer = HllAlphaMilli * HllM * HllM * (1L << scale)
+    s"""WITH hp AS (
+       |  SELECT event_type AS grp, user_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM events),
+       |h AS (SELECT grp, ${kmvMixSql("ph")} AS hv FROM hp),
+       |r AS (
+       |  SELECT grp, hv % $HllM AS j,
+       |    max(CASE WHEN hv // $HllM = 0 THEN $scale
+       |             ELSE $scale - length(bin(hv // $HllM)) END) AS m
+       |  FROM h GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (($scale - m))) AS BIGINT) AS s_hit
+       |  FROM r GROUP BY 1),
+       |e AS (
+       |  SELECT grp, n_hit, $HllM - n_hit AS n_zero,
+       |    s_hit + ($HllM - n_hit) * CAST(${1L << scale} AS BIGINT) AS s_scaled
+       |  FROM agg),
+       |est AS (
+       |  SELECT grp, n_hit, n_zero, s_scaled,
+       |    $numer // s_scaled AS est_raw_milli
+       |  FROM e)
+       |SELECT grp AS event_type, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_zero AS BIGINT) AS n_zero, CAST(s_scaled AS BIGINT) AS s_scaled,
+       |  CAST(CASE WHEN est_raw_milli <= ${2500L * HllM} AND n_zero > 0
+       |    THEN $HllM * CAST(round(1000 * ln($HllM / n_zero)) AS BIGINT)
+       |    ELSE est_raw_milli END AS BIGINT) AS est_milli
+       |FROM est ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rollup_parity" -> (streamRollupParity _),
     "stream_chain_ingest" -> (streamChainIngest _),
     "stream_cms_parity" -> (streamCmsParity _),
-    "stream_qhist_parity" -> (streamQhistParity _)
+    "stream_qhist_parity" -> (streamQhistParity _),
+    "stream_hll_parity" -> (streamHllParity _)
   )
 
   val oracle: Map[String, String] = Map(
     "stream_rollup_parity" -> streamRollupParitySql,
     "stream_chain_ingest" -> streamChainIngestSql,
     "stream_cms_parity" -> streamCmsParitySql,
-    "stream_qhist_parity" -> streamQhistParitySql
+    "stream_qhist_parity" -> streamQhistParitySql,
+    "stream_hll_parity" -> streamHllParitySql
   )
 }

@@ -85,4 +85,20 @@ class StreamParitySpec extends SparkSuite {
       .select(countDistinct(col("batch_id"))).head().getLong(0)
     assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
   }
+
+  test("stream_hll_parity equals the batch register pipeline and ran multi-batch") {
+    val got = StreamParity.streamHllParity(spark, sf)
+    // the batch twin over the same (event_type, user_id) rows
+    val want = graft.ops.SketchOps.hllKeyed(
+        spark.read.parquet(s"$sf/events.parquet"),
+        col("event_type"), col("user_id"))
+      .select(col("grp").as("event_type"), col("n_hit"), col("n_zero"),
+        col("s_scaled"), col("est_milli"))
+      .orderBy(col("event_type"))
+    assert(got.collect().toSeq == want.collect().toSeq)
+    val outDir = graft.etl.Scratch.path(spark, "stream_hll/out")
+    val batches = spark.read.parquet(outDir)
+      .select(countDistinct(col("batch_id"))).head().getLong(0)
+    assert(batches > 1, s"expected multi-batch execution, saw $batches distinct batch ids")
+  }
 }
