@@ -1238,7 +1238,65 @@ object FilterOps {
        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // k-anonymity / l-diversity risk audit (Sweeney 2002; Machanavajjhala
+  // 2007) — the privacy screen a release pipeline runs before shipping
+  // a corpus: group documents by their QUASI-IDENTIFIER tuple
+  // (lang × length bucket — the attributes an attacker could join on),
+  // flag groups smaller than k (re-identifiable rows) and, among the
+  // k-anonymous groups, those whose SENSITIVE attribute (source) shows
+  // fewer than l distinct values (attribute-disclosure risk even when
+  // k-anonymous). All outputs exact integers; risk share in milli via
+  // positive-operand integer division.
+  //
+  // Shape: one groupBy to QI-group granularity (map-side combined; the
+  // distinct-source count rides the same exchange), then a lang-sized
+  // rollup — nothing above QI-group cardinality ever moves. At 100 TB
+  // the QI table IS the anonymization working set; k-suppression or
+  // generalization would be one more join against it.
+  val AnonK = 5L
+  val AnonL = 2L
+  val AnonLenBucket = 100L
+
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(docs(s, dir))
+
+  /** The audit over any (lang, source, n_chars) frame. */
+  private[graft] def kAnonymityOf(d: DataFrame): DataFrame = {
+    val groups = d
+      .groupBy(col("lang"), expr(s"n_chars DIV $AnonLenBucket").as("len_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("source")).as("n_sources"))
+    groups.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("n") < AnonK, 1L).otherwise(0L)).as("small_groups"),
+        sum(when(col("n") < AnonK, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("n") >= AnonK && col("n_sources") < AnonL, 1L)
+          .otherwise(0L)).as("low_diversity_groups"))
+      .withColumn("risk_milli", expr("1000 * rows_at_risk DIV n_rows"))
+      .select(col("lang"), col("n_groups"), col("n_rows"), col("small_groups"),
+        col("rows_at_risk"), col("risk_milli"), col("low_diversity_groups"))
+      .orderBy(col("lang"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH g AS (
+       |  SELECT lang, n_chars // $AnonLenBucket AS len_bucket,
+       |    count(*) AS n, count(DISTINCT source) AS n_sources
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN n < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       |  CAST(sum(CASE WHEN n < $AnonK THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       |  CAST(1000 * CAST(sum(CASE WHEN n < $AnonK THEN n ELSE 0 END) AS BIGINT)
+       |       // CAST(sum(n) AS BIGINT) AS BIGINT) AS risk_milli,
+       |  CAST(sum(CASE WHEN n >= $AnonK AND n_sources < $AnonL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS low_diversity_groups
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_k_anonymity" -> (kAnonymity _),
     "filter_js_divergence" -> (jsDivergence _),
     "pipeline_refinery" -> (refinery _),
     "filter_domain_mix" -> (domainMix _),
@@ -1255,6 +1313,7 @@ object FilterOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "filter_k_anonymity" -> kAnonymitySql,
     "filter_js_divergence" -> jsDivergenceSql,
     "pipeline_refinery" -> refinerySql,
     "filter_domain_mix" -> domainMixSql,

@@ -312,4 +312,35 @@ class FilterOpsSpec extends SparkSuite {
     assert(out.filter(col("keep") =!= (col("n_rules_failed") === 0L)).count() == 0)
     out.unpersist()
   }
+
+  test("k-anonymity: planted QI groups — small groups flagged, low-diversity counted") {
+    import spark.implicits._
+    val K = FilterOps.AnonK.toInt
+    // lang "aa": one group of K rows all from ONE source (k-anonymous but
+    // low-diversity), one group of K-1 rows (at risk).
+    // lang "bb": one group of K rows across 2 sources (fully safe).
+    val d = (
+      (1 to K).map(i => ("aa", "s1", 150L)) ++
+      (1 to K - 1).map(i => ("aa", "s1", 250L)) ++
+      (1 to K).map(i => ("bb", if (i % 2 == 0) "s1" else "s2", 50L))
+    ).toDF("lang", "source", "n_chars")
+    val got = FilterOps.kAnonymityOf(d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("aa", 2L, (2L * K - 1), 1L, (K - 1).toLong,
+        1000L * (K - 1) / (2 * K - 1), 1L),
+      ("bb", 1L, K.toLong, 0L, 0L, 0L, 0L)))
+  }
+
+  test("k-anonymity: fixture — invariants hold and risk is bounded") {
+    import spark.implicits._
+    val rows = FilterOps.kAnonymity(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, groups, n, small, atRisk, riskMilli, lowDiv) =>
+      assert(small <= groups && lowDiv <= groups - small)
+      assert(atRisk < FilterOps.AnonK * small + 1)
+      assert(riskMilli == 1000L * atRisk / n)
+    }
+  }
 }
