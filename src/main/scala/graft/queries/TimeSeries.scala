@@ -393,7 +393,78 @@ object TimeSeries {
       |       ELSE NULL END AS BIGINT) AS mase_milli
       |FROM scored""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Benford's-law first-digit screen over transaction amounts (Benford
+  // 1938; Nigrini's fraud-audit staple): natural multi-scale amounts
+  // follow P(d) = log10(1 + 1/d); fabricated or capped values don't.
+  // The first significant digit of the integer cents comes from the
+  // STRING head — exact and engine-identical, where a log10/power
+  // derivation risks IEEE boundary flips at exact powers of ten. The
+  // expected milli-probabilities are Scala-computed literals inlined
+  // into BOTH engines, and the chi-square-style statistic stays in
+  // exact integers: per digit, (1000·n_d − n·e_d)² DIV (n·e_d), summed.
+  // Overflow bound: (1000·n)² < 2^63 ⇔ n < 3e6 rows per grade (cents
+  // rows; documented — past it, quantize n_d/n to ppm first).
+  //
+  // Shape: one scan → a 9-row digit histogram → a 1-row statistic. The
+  // digit histogram is the only exchange beyond the output.
+  val BenfordExpMilli: Seq[(Int, Long)] = (1 to 9).map { d =>
+    d -> math.round(1000.0 * math.log10(1.0 + 1.0 / d))
+  }
+
+  def benford(s: SparkSession, dir: String): DataFrame =
+    benfordOf(Relational.events(s, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0))
+
+  /** The screen over any (cents > 0) frame — exposed for planted
+    * uniform (non-Benford) and log-uniform (Benford) amounts. */
+  private[graft] def benfordOf(amounts: DataFrame): DataFrame = {
+    val expCase = BenfordExpMilli
+      .map { case (d, e) => s"WHEN $d THEN ${e}L" }
+      .mkString("CASE digit ", " ", " END")
+    val hist = amounts
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+      .withColumn("e_milli", expr(expCase))
+    import graft.ops.Lineage
+    val h = Lineage.truncate(hist) // both the total and the terms read it
+    val tot = h.agg(sum(col("n_d")).as("n"))
+    h.crossJoin(broadcast(tot)) // 9 rows × 1 row
+      .withColumn("dev", expr("1000 * n_d - n * e_milli"))
+      .agg(sum(col("n_d")).as("n_amounts"),
+        count(lit(1)).as("n_digits"),
+        sum(expr("dev * dev DIV (n * e_milli)")).as("chi2_scaled"),
+        max(expr("abs(dev) DIV n")).as("max_dev_milli"))
+      .select(col("n_amounts"), col("n_digits"), col("chi2_scaled"),
+        col("max_dev_milli"))
+  }
+
+  val benfordSql: String = {
+    val expCase = BenfordExpMilli
+      .map { case (d, e) => s"WHEN $d THEN $e" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH amounts AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+       |  WHERE CAST(round(value * 100) AS BIGINT) > 0),
+       |hist AS (
+       |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_d
+       |  FROM amounts GROUP BY 1),
+       |h AS (SELECT digit, n_d, $expCase AS e_milli FROM hist),
+       |tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM h),
+       |terms AS (
+       |  SELECT n_d, 1000 * n_d - n * e_milli AS dev, n * e_milli AS den
+       |  FROM h CROSS JOIN tot)
+       |SELECT CAST(sum(n_d) AS BIGINT) AS n_amounts,
+       |  CAST(count(*) AS BIGINT) AS n_digits,
+       |  CAST(sum(dev * dev // den) AS BIGINT) AS chi2_scaled,
+       |  CAST(max(abs(dev) // (SELECT n FROM tot)) AS BIGINT) AS max_dev_milli
+       |FROM terms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_benford" -> (benford _),
     "events_forecast_mase" -> (forecastMase _),
     "events_intervals_merged" -> (intervalsMerged _),
     "events_mann_whitney" -> (mannWhitney _),
@@ -402,6 +473,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_benford" -> benfordSql,
     "events_forecast_mase" -> forecastMaseSql,
     "events_intervals_merged" -> intervalsMergedSql,
     "events_mann_whitney" -> mannWhitneySql,

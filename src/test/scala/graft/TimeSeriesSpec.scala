@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Behavioral, TimeSeries}
+import graft.queries.{Behavioral, Relational, TimeSeries}
 
 /** Time-series / rank-statistics family: interval merge, Mann-Whitney U,
   * Spearman ρ, exact-integer EWMA fence. Planted fixtures exercise the
@@ -184,6 +184,43 @@ class TimeSeriesSpec extends SparkSuite {
     assert(got.getLong(0) == scored.size.toLong)
     assert(got.getLong(1) == errE && got.getLong(2) == errS)
     if (errS > 0) assert(got.getLong(3) == 1000L * errE / errS)
+  }
+
+  test("benford: log-uniform amounts score far below uniform amounts; digits exact") {
+    // log-uniform over 4 decades -> near-Benford; uniform 10000..99999 ->
+    // every first digit equally likely (max deviation from Benford)
+    val logu = (0 until 4096).map { i =>
+      math.round(math.pow(10.0, 2.0 + 4.0 * i / 4096.0))
+    }.map(v => Tuple1(v)).toDF("cents")
+    val unif = (0 until 4096).map(i => Tuple1(10000L + i * 21L)).toDF("cents")
+    val sLog = TimeSeries.benfordOf(logu).collect().head
+    val sUni = TimeSeries.benfordOf(unif).collect().head
+    assert(sLog.getLong(0) == 4096L && sUni.getLong(0) == 4096L)
+    assert(sLog.getLong(1) == 9L) // all nine digits observed
+    assert(sLog.getLong(2) < sUni.getLong(2),
+      s"log-uniform chi2 ${sLog.getLong(2)} must beat uniform ${sUni.getLong(2)}")
+    // uniform 1xxxx..9xxxx: hand-check the digit histogram drives the stat
+    val expect1 = TimeSeries.BenfordExpMilli.head._2 // P(d=1) ~ 301 milli
+    assert(expect1 == 301L)
+  }
+
+  test("benford: fixture statistic matches an independent Scala recomputation") {
+    val cents = Relational.events(spark, sf)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0).as[Long].collect()
+    val hist = cents.groupBy(c => c.toString.head.asDigit)
+      .map { case (d, xs) => d -> xs.length.toLong }
+    val n = hist.values.sum
+    val exp = TimeSeries.BenfordExpMilli.toMap
+    val chi2 = hist.map { case (d, nd) =>
+      val dev = 1000L * nd - n * exp(d); dev * dev / (n * exp(d))
+    }.sum
+    val maxDev = hist.map { case (d, nd) =>
+      math.abs(1000L * nd - n * exp(d)) / n
+    }.max
+    val got = TimeSeries.benford(spark, sf).collect().head
+    assert(got.getLong(0) == n && got.getLong(1) == hist.size.toLong)
+    assert(got.getLong(2) == chi2 && got.getLong(3) == maxDev)
   }
 
   test("ewma_fence: fixture — flags are exactly the integer rule, days ordered") {
