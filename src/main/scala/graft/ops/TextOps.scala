@@ -1428,7 +1428,48 @@ object TextOps {
        |FROM dcg CROSS JOIN idcg""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Lexical diversity per source: type-token ratio and Herdan's C
+  // (ln V / ln N — the TTR variant that is stable under corpus growth,
+  // Herdan 1960). A boilerplate-heavy source shows depressed V for its
+  // N; alongside zipf_slope this is the second corpus-mix diagnostic a
+  // curation pass reads. ttr in exact milli (positive integer
+  // division); Herdan's C as one shared double expression (a single
+  // ln-ratio — both engines' libm lns divide identically), NULL-guarded
+  // for the degenerate N ≤ 1 / V ≤ 1 corners.
+  // Shape: one explode → one (source, term) distinct-count agg.
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalDiversityOf(docs(s, dir))
+
+  /** The diagnostic over any (source, text) frame. */
+  private[graft] def lexicalDiversityOf(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_types"))
+      .withColumn("ttr_milli", expr("1000 * n_types DIV n_tokens"))
+      .withColumn("herdan_c_milli", expr(HerdanExpr))
+      .orderBy(col("source"))
+
+  private val HerdanExpr: String =
+    """CASE WHEN n_tokens > 1 AND n_types > 1
+      | THEN CAST(round(1000 * ln(CAST(n_types AS DOUBLE))
+      |                 / ln(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+      | ELSE NULL END""".stripMargin
+
+  val lexicalDiversitySql: String =
+    s"""SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+       |  CAST(1000 * count(DISTINCT term) // count(*) AS BIGINT) AS ttr_milli,
+       |  ${HerdanExpr.replace("\n", " ")
+            .replace("n_types", "count(DISTINCT term)")
+            .replace("n_tokens", "count(*)")} AS herdan_c_milli
+       |FROM (SELECT source, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |      FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lexical_diversity" -> (lexicalDiversity _),
     "search_ndcg" -> (searchNdcg _),
     "text_readability" -> (readability _),
     "text_zipf_slope" -> (zipfSlope _),
@@ -1455,6 +1496,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lexical_diversity" -> lexicalDiversitySql,
     "search_ndcg" -> searchNdcgSql,
     "text_readability" -> readabilitySql,
     "text_zipf_slope" -> zipfSlopeSql,

@@ -463,7 +463,80 @@ object TimeSeries {
        |FROM terms""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Lag-k autocorrelation of daily volume (k = 1 and 7 — persistence
+  // and weekly seasonality, the two numbers a capacity planner reads
+  // first). Pearson r over (n_t, n_{t−k}) pairs where both days exist;
+  // the five sufficient sums are exact BIGINTs over the bounded day
+  // grid (documented bound: daily count < ~5e8 keeps Σn² inside int64
+  // at a monthly horizon; past that, quantize to kilo-events first),
+  // and r is ONE shared expression string (products forced DOUBLE —
+  // the same discipline as events_spearman's ρ).
+  //
+  // Shape: the day grid is horizon-bounded, so both lag joins
+  // broadcast; one union + one k-row aggregate.
+  val AutocorrLags: Seq[Int] = Seq(1, 7)
+
+  def autocorr(s: SparkSession, dir: String): DataFrame =
+    autocorrOf(Relational.events(s, dir)
+      .groupBy(expr("_ms DIV 86400000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The correlogram over any (day, n) frame — exposed for planted
+    * periodic series. */
+  private[graft] def autocorrOf(daily0: DataFrame): DataFrame = {
+    import graft.ops.Lineage
+    val daily = Lineage.truncate(daily0) // 2·|lags| consumers
+    def lagged(k: Int): DataFrame = daily.join(
+        broadcast(daily.select((col("day") + lit(k.toLong)).as("day"),
+          col("n").as("nk"))), Seq("day"))
+      .select(lit(k.toLong).as("lag"), col("n"), col("nk"))
+    AutocorrLags.map(lagged).reduce(_ unionByName _)
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n")).as("sx"), sum(col("nk")).as("sy"),
+        sum(col("n") * col("n")).as("sxx"),
+        sum(col("nk") * col("nk")).as("syy"),
+        sum(col("n") * col("nk")).as("sxy"))
+      .withColumn("r", expr(AutocorrRExpr))
+      .select(col("lag"), col("n_pairs"), col("sx"), col("sy"),
+        col("sxx"), col("syy"), col("sxy"), col("r"))
+      .orderBy(col("lag"))
+  }
+
+  /** Pearson r shared verbatim by both engines; NULL when a side is
+    * constant (zero variance ⇒ 0/0, the degenerate-metric guard). */
+  private val AutocorrRExpr: String =
+    """CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      |      AND CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+      | THEN (CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      | ELSE NULL END""".stripMargin
+
+  val autocorrSql: String = {
+    val lagSelects = AutocorrLags.map { k =>
+      s"""SELECT $k AS lag, a.n AS n, b.n AS nk
+         |FROM daily a JOIN daily b ON b.day = a.day - $k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |pairs AS ($lagSelects),
+       |sums AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(nk) AS BIGINT) AS sy,
+       |    CAST(sum(n * n) AS BIGINT) AS sxx,
+       |    CAST(sum(nk * nk) AS BIGINT) AS syy,
+       |    CAST(sum(n * nk) AS BIGINT) AS sxy
+       |  FROM pairs GROUP BY 1)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs, sx, sy, sxx, syy, sxy,
+       |  ${AutocorrRExpr.replace("\n", " ")} AS r
+       |FROM sums ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_autocorr" -> (autocorr _),
     "events_benford" -> (benford _),
     "events_forecast_mase" -> (forecastMase _),
     "events_intervals_merged" -> (intervalsMerged _),
@@ -473,6 +546,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_autocorr" -> autocorrSql,
     "events_benford" -> benfordSql,
     "events_forecast_mase" -> forecastMaseSql,
     "events_intervals_merged" -> intervalsMergedSql,

@@ -1604,6 +1604,23 @@ class OpsSpec extends SparkSuite {
     assert(slope < -1.0)
   }
 
+  test("lexical diversity: planted corpus hand-computed; repetitive source scores lower") {
+    import spark.implicits._
+    val d = Seq(
+      ("rich", "alpha beta gamma delta"),   // 4 types / 4 tokens
+      ("dull", "spam spam spam spam"),      // 1 type / 4 tokens
+      ("dull", "spam spam ham spam")        // adds 1 type, 4 tokens
+    ).toDF("source", "text")
+    val got = TextOps.lexicalDiversityOf(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val hDull = math.round(1000 * math.log(2.0) / math.log(8.0))
+    val hRich = math.round(1000 * math.log(4.0) / math.log(4.0))
+    assert(got == Seq(
+      ("dull", 8L, 2L, 1000L * 2 / 8, hDull),
+      ("rich", 4L, 4L, 1000L, hRich)))
+  }
+
   test("search ndcg: matches a recomputation from the proven BM25 ranking; bounds hold") {
     import spark.implicits._
     val got = TextOps.searchNdcg(spark, sf).collect().head

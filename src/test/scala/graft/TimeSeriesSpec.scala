@@ -186,6 +186,31 @@ class TimeSeriesSpec extends SparkSuite {
     if (errS > 0) assert(got.getLong(3) == 1000L * errE / errS)
   }
 
+  test("autocorr: planted period-7 series — lag-7 r near 1, lag-1 near the off-phase value") {
+    // period-7 pattern: one spike day per week over flat baseline
+    val daily = (0L until 70L).map(d => (d, if (d % 7 == 0) 100L else 10L))
+      .toDF("day", "n")
+    val got = TimeSeries.autocorrOf(daily)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 7L))
+    val r1 = got(0)._8.get; val r7 = got(1)._8.get
+    assert(r7 > 0.99, s"lag-7 must capture the weekly period, got $r7")
+    assert(r1 < 0, s"lag-1 of a spiky series is negative, got $r1")
+    // sums replayed independently for lag 7
+    val ns = (0L until 70L).map(d => d -> (if (d % 7 == 0) 100L else 10L)).toMap
+    val ps = (7L until 70L).map(d => (ns(d), ns(d - 7)))
+    assert(got(1)._2 == ps.size.toLong)
+    assert(got(1)._3 == ps.map(_._1).sum && got(1)._4 == ps.map(_._2).sum)
+    assert(got(1)._7 == ps.map(p => p._1 * p._2).sum)
+  }
+
+  test("autocorr: constant series emits NULL r (zero-variance guard)") {
+    val daily = (0L until 30L).map(d => (d, 5L)).toDF("day", "n")
+    val got = TimeSeries.autocorrOf(daily).collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(7)))
+  }
+
   test("benford: log-uniform amounts score far below uniform amounts; digits exact") {
     // log-uniform over 4 decades -> near-Benford; uniform 10000..99999 ->
     // every first digit equally likely (max deviation from Benford)
