@@ -170,8 +170,7 @@ object AnfOps {
          |    SELECT n, CAST(count(*) AS BIGINT) AS n_hit,
          |      CAST(sum(CAST(1 AS BIGINT) << ($AnfScale - m)) AS BIGINT) AS s_hit
          |    FROM reg$k GROUP BY 1))""".stripMargin
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH ${GraphOps.LiCappedCte},
        |und AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p

@@ -149,6 +149,53 @@ object GraphOps {
   }
 
   // ------------------------------------------------------------------
+  // The bipartite→unipartite CO-OCCURRENCE PROJECTION shared by every
+  // graph kernel below (triangles, butterflies, k-core/k-truss/ANF/PPR
+  // via supportedEdges, assortativity, modularity, link prediction):
+  // parts sharing an order become edges via a self-join on the order
+  // key, which emits C(k, 2) pairs per order of k members — ALL under
+  // ONE join key. Orientation/HubCap bound the downstream wedge work,
+  // but neither touches this expansion: one hot group with 10^5 members
+  // would emit 5×10^9 pairs into a single shuffle partition and kill
+  // the job. So the projection carries its own skew contract:
+
+  object CoGraph {
+    /** GroupCap: membership groups (orders) with MORE distinct members
+      * than this are DROPPED before the C(k, 2) pair expansion — the
+      * same contract move as [[LinkPred.HubCap]], for the same reason
+      * (a group containing everything co-locates nothing: its pairs are
+      * pure noise for basket analytics — the IDF argument — and pure
+      * skew for the shuffle). Per-group pair fan-out is thus bounded at
+      * C(256, 2) ≈ 3.3×10^4 however skewed the corpus; the cap is part
+      * of every operator's CONTRACT and every DuckDB oracle applies it
+      * identically. Fixture orders carry ≤ 7 distinct parts (TPC-H
+      * lineitem shape), so the cap never binds on test data — the
+      * planted-hot-group spec exercises the binding case. */
+    val GroupCap = 256L
+  }
+
+  /** Distinct (o, p) membership with the [[CoGraph.GroupCap]] contract
+    * applied. Plan note: the group-size window partitions by `o`, which
+    * is exactly the partitioning the downstream pair self-join needs —
+    * the window's exchange REPLACES the join's, so the cap costs a
+    * per-partition count, not an extra shuffle. */
+  private[graft] def cappedMembership(membership: DataFrame): DataFrame =
+    membership.select(col("o"), col("p")).distinct()
+      .withColumn("gsz", count(lit(1)).over(Window.partitionBy(col("o"))))
+      .filter(col("gsz") <= lit(CoGraph.GroupCap))
+      .select(col("o"), col("p"))
+
+  /** Oracle twin of [[cappedMembership]] over lineitem — splice as the
+    * `li` CTE (`WITH $LiCappedCte, ...`) so every oracle applies the
+    * identical GroupCap. */
+  val LiCappedCte: String =
+    s"""li AS MATERIALIZED (
+       |  SELECT o, p FROM (
+       |    SELECT o, p, count(*) OVER (PARTITION BY o) AS gsz
+       |    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem))
+       |  WHERE gsz <= ${CoGraph.GroupCap})""".stripMargin
+
+  // ------------------------------------------------------------------
   // Triangle counting over the part co-occurrence graph — the third
   // classic graph-analytics kernel (after connected components and
   // PageRank): clustering structure of "parts ordered together", the
@@ -163,7 +210,8 @@ object GraphOps {
   // wedges are charged to its lower-degree neighbors), which is the
   // property that makes the self-join survive power-law graphs at
   // 100 TB. Three shuffles total: the per-order pair expansion (keyed
-  // on order id — fan-out C(k,2) is bounded by order size, ~7 items),
+  // on order id — fan-out C(k,2) bounded by the [[CoGraph.GroupCap]]
+  // contract, NOT by hoping order sizes stay small),
   // the degree aggregation, and the wedge/closure join pair on node
   // keys. Each triangle is counted exactly once (kdst strictly ordered
   // along the wedge).
@@ -197,7 +245,7 @@ object GraphOps {
     * (o, p) membership table: nodes are `p` values, an edge joins two
     * nodes sharing at least one `o`. Returns the top-K (part, n_tri). */
   def trianglesOf(membership: DataFrame): DataFrame = {
-    val li = membership.select(col("o"), col("p")).distinct()
+    val li = cappedMembership(membership)
     // Undirected distinct edge set {a<b}: parts sharing at least one order.
     val und = Lineage.truncate(
       li.as("x").join(li.as("y"),
@@ -280,7 +328,11 @@ object GraphOps {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
   def butterfliesOf(membership: DataFrame): DataFrame = {
-    val li = membership.select(col("o"), col("p")).distinct()
+    // truncated: the capped membership feeds BOTH sides of the pair
+    // self-join — materializing it once beats re-running the distinct +
+    // group-size window per side (the other kernels get the same
+    // sharing from their existing `und` truncation)
+    val li = Lineage.truncate(cappedMembership(membership))
     val pairs = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
@@ -507,7 +559,7 @@ object GraphOps {
 
   /** Support-filtered co-occurrence edges — shared by kcore/ktruss. */
   private[graft] def supportedEdges(membership: DataFrame): DataFrame = {
-    val li = membership.select(col("o"), col("p")).distinct()
+    val li = cappedMembership(membership)
     li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
@@ -682,8 +734,7 @@ object GraphOps {
          |  FROM w${t - 1} w JOIN adj a
          |    ON a.src = w.node AND a.rk = ${coin(t)} % a.deg)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
@@ -740,7 +791,7 @@ object GraphOps {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
 
   def assortativityOf(membership: DataFrame): DataFrame = {
-    val li = membership.select(col("o"), col("p")).distinct()
+    val li = cappedMembership(membership)
     val und = Lineage.truncate(
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -762,7 +813,7 @@ object GraphOps {
   }
 
   val assortativitySql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -813,7 +864,7 @@ object GraphOps {
   /** Q of any (p → community c) labeling over the co-occurrence graph
     * of an (o, p) membership table. */
   def modularityOf(membership: DataFrame, labels: DataFrame): DataFrame = {
-    val li = membership.select(col("o"), col("p")).distinct()
+    val li = cappedMembership(membership)
     val und = Lineage.truncate(
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -838,7 +889,7 @@ object GraphOps {
   }
 
   val modularitySql: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS MATERIALIZED (
        |  SELECT DISTINCT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -873,10 +924,11 @@ object GraphOps {
   // kernel HUB-SUPPRESSES: centers with degree > HubCap are dropped
   // before the wedge self-join (a shared order containing everything
   // predicts nothing — the IDF argument; the same screen production
-  // candidate generators apply). That bounds wedges at
-  // |V|·HubCap² regardless of skew, and the cap is part of the operator
-  // CONTRACT (the DuckDB oracle applies it identically), not a silent
-  // truncation. Jaccard/AA scoring then uses FULL degrees via two
+  // candidate generators apply). That bounds WEDGES at |V|·HubCap²; the
+  // upstream pair EXPANSION building the edge list is bounded separately
+  // by [[CoGraph.GroupCap]] (Σ|order|² skew lives there, not in the
+  // wedge join). Both caps are part of the operator CONTRACT (the DuckDB
+  // oracle applies them identically), not silent truncations. Jaccard/AA scoring then uses FULL degrees via two
   // broadcast dimension lookups; existing edges leave by left_anti; the
   // served result is a TakeOrdered top-K under a total order.
   object LinkPred {
@@ -898,7 +950,7 @@ object GraphOps {
     * table (same graph as [[trianglesOf]]). */
   def linkPredictionOf(membership: DataFrame): DataFrame = {
     import LinkPred._
-    val li = membership.select(col("o"), col("p")).distinct()
+    val li = cappedMembership(membership)
     val und = Lineage.truncate(
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
@@ -935,8 +987,7 @@ object GraphOps {
 
   /** Oracle: identical hub cap, identical micro-unit AA weights. */
   val linkPredictionSql: String =
-    s"""WITH li AS (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS (
        |  SELECT DISTINCT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -1041,8 +1092,7 @@ object GraphOps {
     * packed (degree, id) orientation key, same strict kdst wedge order,
     * same top-100 total order. */
   val trianglesSql: String =
-    s"""WITH li AS (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS (
        |  SELECT DISTINCT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -1075,8 +1125,7 @@ object GraphOps {
   /** Oracle: the identical closed form — per-pair shared-order counts,
     * C(w,2) per pair, rolled up to both endpoint parts. */
   val butterfliesSql: String =
-    s"""WITH li AS (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |pairs AS (
        |  SELECT x.p AS a, y.p AS b, count(*) AS w
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
@@ -1107,8 +1156,7 @@ object GraphOps {
          |h$i AS MATERIALIZED (SELECT n, COALESCE(MAX(CASE WHEN c >= rn THEN rn END), 0) AS h FROM rk$i GROUP BY n),
          |est$i AS MATERIALIZED (SELECT p.n, LEAST(p.c, h$i.h) AS c FROM $p p JOIN h$i ON h$i.n = p.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
@@ -1144,8 +1192,7 @@ object GraphOps {
          |  WHERE COALESCE(s.c, 0) >= ${k - 2})""".stripMargin
     }.mkString(",\n")
     val last = s"e${Truss.MaxRounds}"
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |e0 AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
@@ -1179,8 +1226,7 @@ object GraphOps {
          |d$i AS MATERIALIZED (
          |  SELECT n, d FROM $pd UNION ALL SELECT n, $i AS d FROM f$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH $LiCappedCte,
        |und AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p

@@ -78,8 +78,7 @@ object PprOps {
          |    UNION ALL SELECT n, ${PprAlphaMilli * PprUnit / 1000L} FROM seeds)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS MATERIALIZED (
-       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    s"""WITH ${GraphOps.LiCappedCte},
        |und AS MATERIALIZED (
        |  SELECT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p

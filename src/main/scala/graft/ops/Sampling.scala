@@ -624,6 +624,17 @@ object Sampling {
   // (no silent largest-remainder tie-break to drift cross-engine).
   val NeymanBudget = 1000L
 
+  /** Stratum weight N_h·S_h in milli — ONE string spliced into both
+    * engines. The n_h > 1 guard: a SINGLETON stratum makes the variance
+    * term 0.0/0.0 = NaN, and the engines then diverge (Spark's non-ANSI
+    * CAST(NaN AS BIGINT) yields 0 where DuckDB errors) — a singleton has
+    * zero ESTIMATED variance, so its Neyman weight is 0, stated
+    * explicitly like the w_tot = 0 degenerate below. */
+  private val NeymanWMilliSql: String =
+    """CASE WHEN n_h > 1 THEN CAST(round(1000 * n_h * sqrt(
+      |  CAST(n_h * sxx - sx * sx AS DOUBLE)
+      |  / (CAST(n_h AS DOUBLE) * (n_h - 1)))) AS BIGINT) ELSE 0 END""".stripMargin
+
   def neymanAllocation(s: SparkSession, dir: String): DataFrame =
     neymanAllocationOf(docs(s, dir))
 
@@ -636,10 +647,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_h"),
         sum(col("n_chars")).as("sx"),
         sum(col("n_chars") * col("n_chars")).as("sxx"))
-      .withColumn("w_milli", expr(
-        """CAST(round(1000 * n_h * sqrt(
-          |  CAST(n_h * sxx - sx * sx AS DOUBLE)
-          |  / (CAST(n_h AS DOUBLE) * (n_h - 1)))) AS BIGINT)""".stripMargin)))
+      .withColumn("w_milli", expr(NeymanWMilliSql)))
     val tot = strata.agg(sum(col("w_milli")).as("w_tot"),
       sum(col("n_h")).as("n_tot"))
     strata.crossJoin(broadcast(tot)) // k rows × 1 row
@@ -660,9 +668,7 @@ object Sampling {
        |  FROM documents GROUP BY 1),
        |w AS (
        |  SELECT source, n_h,
-       |    CAST(round(1000 * n_h * sqrt(
-       |      CAST(n_h * sxx - sx * sx AS DOUBLE)
-       |      / (CAST(n_h AS DOUBLE) * (n_h - 1)))) AS BIGINT) AS w_milli
+       |    ${NeymanWMilliSql.replace("\n", " ")} AS w_milli
        |  FROM strata),
        |tot AS (SELECT CAST(sum(w_milli) AS BIGINT) AS w_tot,
        |               CAST(sum(n_h) AS BIGINT) AS n_tot FROM w)

@@ -150,13 +150,26 @@ object TimeSeries {
   }
 
   /** z-statistic double algebra — ONE string spliced into both engines
-    * so the parenthesization (and hence the IEEE result) is identical. */
+    * so the parenthesization (and hence the IEEE result) is identical.
+    * Degenerate guard (the AutocorrRExpr convention): an empty arm, a
+    * single user, or ALL values tied (one tie group zeroes the
+    * tie-corrected variance (n+1) − Σ(t³−t)/(n(n−1))) would make the
+    * denominator sqrt(0) and z a 0/0 NaN — emit NULL instead,
+    * identically on both engines. The n_a + n_b > 1 conjunct also keeps
+    * the n = 1 case out BEFORE the tie term's own n(n−1) division can
+    * go 0/0 = NaN (NaN > 0 is TRUE under both engines' total ordering,
+    * so the variance conjunct alone would not catch it). */
   private val zExpr: String =
-    """(CAST(u_a_doubled AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+    """CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+      |       AND (CAST(n_a + n_b AS DOUBLE) + 1)
+      |           - CAST(tie_sum AS DOUBLE)
+      |             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)) > 0
+      |THEN (CAST(u_a_doubled AS DOUBLE) / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
       | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
       |        * ((CAST(n_a + n_b AS DOUBLE) + 1)
       |           - CAST(tie_sum AS DOUBLE)
-      |             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))""".stripMargin
+      |             / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))))
+      |ELSE NULL END""".stripMargin
 
   val mannWhitneySql: String = {
     import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}

@@ -98,6 +98,34 @@ object GraphScaleBench {
       measured("bfs", factor)(GraphOps.bfsOf(m))
       m.unpersist(blocking = true)
     }
+
+    // Planted hot group (r13 GroupCap contract): the vertex-disjoint
+    // blow-up above preserves the tame group-size distribution, so it
+    // CANNOT see projection skew. Append one mega-order and measure:
+    //  - tri_hot / linkpred_hot: the capped kernels must run at ~base
+    //    cost (the group is dropped before the C(k,2) expansion);
+    //  - proj_raw_hot: the UNCAPPED projection on a smaller plant
+    //    (C(n,2) pairs under ONE shuffle key — the straggler the cap
+    //    exists to kill), counted directly for the wall-time contrast.
+    val hotN = sys.env.getOrElse("SPARK_GRAFT_HOT_MEMBERS", "100000").toLong
+    val rawN = sys.env.getOrElse("SPARK_GRAFT_HOT_RAW", "10000").toLong
+    def plant(n: Long): DataFrame = base.unionByName(
+      spark.range(0, n).select(lit(99999999L).as("o"),
+        (col("id") + 50000000L).as("p")))
+    val mh = plant(hotN).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    mh.count(); Thread.sleep(1500); meter.bytes.set(0L)
+    measured(s"tri_hot$hotN", 1)(GraphOps.trianglesOf(mh))
+    measured(s"linkpred_hot$hotN", 1)(GraphOps.linkPredictionOf(mh))
+    mh.unpersist(blocking = true)
+    val mraw = plant(rawN).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    mraw.count(); Thread.sleep(1500); meter.bytes.set(0L)
+    measured(s"proj_raw_hot$rawN", 1) {
+      val li = mraw.select(col("o"), col("p")).distinct()
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    }
+    mraw.unpersist(blocking = true)
     spark.stop()
   }
 }

@@ -26,8 +26,9 @@ object KcoreProfile {
       now
     }
     var t = t0
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val li = graft.ops.GraphOps.cappedMembership(
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
     val und = Lineage.truncate(
       li.as("x").join(li.as("y"),
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))

@@ -94,10 +94,11 @@ class PlanQualitySpec extends SparkSuite {
     // probe are broadcasts. A fourth exchange here means the closure
     // stopped broadcasting or the edge checkpoint was dropped.
     "graph_triangles" -> 3,
-    // Pair expansion join on order id (broadcast side: the distinct
-    // membership is dimension-sized at spec sf), (a,b) count agg,
-    // per-part rollup, TakeOrdered.
-    "graph_butterflies" -> 4,
+    // Post-checkpoint plan (r13: the GroupCap-filtered membership is
+    // truncated once and feeds both pair-expansion sides): (a,b) count
+    // agg + per-part rollup, TakeOrdered; the expansion join itself
+    // broadcasts at spec sf.
+    "graph_butterflies" -> 2,
     // Post-checkpoint plan (the keyed rows materialize once behind a
     // lineage truncation): the 1-row extent agg, the bucket agg, the
     // output sort; the 1-row crosses are broadcast BNLJs.
