@@ -1,6 +1,8 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -12,16 +14,40 @@ import graft.etl.{Scratch, WarehouseFs}
   * micro-batched StreamingQuery inside a registered query and emit a
   * final table DuckDB can recompute from batch semantics).
   *
-  * Why these two twins: `dailyRollupBatch` and the chain ingest are the
-  * SPLIT-INVARIANT foreachBatch maintainers — their final state is the
-  * same additive merge / exact-dedup union no matter how the input is
-  * sliced into micro-batches, so the oracle is simply the batch
-  * semantics and the file-source's batch ordering (modification-time
-  * based, not contractual) cannot perturb the answer. The
-  * watermark-dependent twins (windowed/session/funnel) are NOT
-  * registrable this way — their drop set depends on batch arrival
-  * order — which is exactly why they are covered by order-controlled
-  * MemoryStream parity specs instead (StreamingSpec).
+  * Two registrability routes (round-13: the second one is new):
+  *
+  * 1. SPLIT-INVARIANT maintainers (`dailyRollupBatch`, chain ingest,
+  *    CMS/qhist/HLL grids): the final state is the same additive merge /
+  *    exact-dedup union / max-merge no matter how the input is sliced
+  *    into micro-batches, so the oracle is simply the batch semantics
+  *    and batch ordering cannot perturb the answer.
+  *
+  * 2. ORDER-CONTROLLED watermark twins (windowed / sliding / session —
+  *    round-12's "not registrable" trio): their drop set DOES depend on
+  *    micro-batch arrival order, but the file source's ordering is
+  *    modification-time based — so [[landOrdered]] makes it contractual
+  *    by landing each batch as ONE file with an explicitly set,
+  *    strictly ascending mtime (60 s apart). With maxFilesPerTrigger=1
+  *    the source then replays file k as micro-batch k, the watermark
+  *    trajectory is a pure function of the fixture, and the drop set is
+  *    computable batch SQL. Spark runs TWO watermarks per batch
+  *    (SPARK-42376 semantics, measured here and pinned by
+  *    StreamOrderedSpec): the LATE-ROW FILTER uses the previous batch's
+  *    watermark, filter_wm(k) = max(event time over batches ≤ k−2) −
+  *    delay (0 for k ≤ 1), while STATE EVICTION uses the advanced one,
+  *    evict_wm(k) = max(over batches < k) − delay. A row in batch k
+  *    survives iff its window END is strictly past filter_wm(k) — the
+  *    comparison keys on `window.end`, NOT the raw event time, so
+  *    within-watermark late rows into a still-open window aggregate —
+  *    and a window is EMITTED in append mode iff end ≤ the FINAL
+  *    watermark max(all) − delay (the no-data finalization batch runs
+  *    under processAllAvailable; also pinned by spec). Rows landing
+  *    after their window's eviction always fail the filter
+  *    (filter_wm(k) ≥ evict_wm(j) ≥ end for k > j), so each window is
+  *    emitted at most once and a plain append sink is replay-exact. The
+  *    funnel twin stays spec-only: its flatMapGroupsWithState drop set
+  *    depends on per-user state *timeout interleaving*, not just the
+  *    watermark trajectory, and has no closed-form batch SQL.
   *
   * Micro-batching is forced and deterministic: the fixture is landed as
   * `NumBatches` hash-bucketed parquet files and streamed back with
@@ -318,12 +344,242 @@ object StreamParity {
        |FROM est ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Ordered-replay machinery for the WATERMARK-DEPENDENT twins.
+
+  /** Fixed mtime origin for ordered landing (any past instant works —
+    * the file source orders by mtime relative to the files themselves;
+    * maxFileAge only compares files to the NEWEST file, and the landed
+    * set spans minutes). */
+  private val OrderedMtimeBase = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** Land `df` (which must carry an integer bucket column `_b` in
+    * [0, n)) as exactly `n` single-file batches under `inDir`, file k
+    * holding bucket k with mtime `OrderedMtimeBase + k·60 s`. The file
+    * source lists by modification time (oldest first with the default
+    * latestFirst=false), so `maxFilesPerTrigger = 1` replays bucket k
+    * as micro-batch k — DETERMINISTICALLY, which is what turns the
+    * watermark trajectory into a fixture-derivable function (see the
+    * header). The coalesce(1) is harness landing, not operator shape:
+    * fixture batches are small by construction. */
+  private def landOrdered(s: SparkSession, df: DataFrame, inDir: String, n: Int): Unit = {
+    val (fs, root) = WarehouseFs.resolve(s, inDir)
+    WarehouseFs.mkdirs(fs, root)
+    for (k <- 0 until n) {
+      val tmp = s"$inDir/_tmp"
+      df.filter(col("_b") === lit(k)).drop("_b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val (tfs, tp) = WarehouseFs.resolve(s, tmp)
+      val part = WarehouseFs.list(tfs, tp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new Path(root, f"batch-$k%02d.parquet")
+      WarehouseFs.rename(tfs, part, dest)
+      WarehouseFs.deleteTree(tfs, tp)
+      fs.setTimes(dest, OrderedMtimeBase + k * 60000L, -1L)
+    }
+  }
+
+  /** Events prepared for the watermark twins: epoch-ms event time as a
+    * proper TimestampType (`timestamp_millis` is tz-independent epoch
+    * math, bit-equal to DuckDB's `epoch_ms(ts)` on the oracle side via
+    * Relational.eventsMs — the proven `_ms` convention) and the value
+    * pre-quantized to integer-valued-double cents so streamed partial
+    * sums are exact and merge-order-free. */
+  private def orderedEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.Relational.events(s, dir)
+    ev.select(col("event_id"), timestamp_millis(col("_ms")).as("ts"),
+      col("user_id"), col("event_type"),
+      expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)").as("value"))
+  }
+
+  /** Tumbling 5-min windows + 10-min watermark (StreamOps.windowedCounts
+    * — the operator StreamingSpec covers, now driver-graded), executed
+    * over NumBatches HASH-sliced ordered batches (`event_id % N`): every
+    * batch spans the fixture's whole 30-day range, so after batch 0 the
+    * watermark jumps to max−10 min and batches 1..3 are dominated by
+    * LATE data — the drop path is the load-bearing semantics here. The
+    * readout re-keys window bounds to epoch ms (tz-proof) and re-casts
+    * the exact-integer double sum to cents. */
+  def streamWindowParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_window/in")
+    val outDir = freshDir(s, "stream_window/out")
+    val ckpt = freshDir(s, "stream_window/ckpt")
+    val ev = orderedEvents(s, dir)
+      .withColumn("_b", pmod(col("event_id"), lit(NumBatches.toLong)).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append) // emit-on-eviction: the watermark IS the result
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir) // append-mode rows are final: plain append is replay-safe enough for parity (each window emitted once)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(unix_millis(col("w_start")).as("w_start_ms"),
+        unix_millis(col("w_end")).as("w_end_ms"),
+        col("event_type"), col("n"),
+        col("total_value").cast("long").as("total_cents"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+  }
+
+  /** The oracle replays the deterministic batch schedule in SQL: a row
+    * in batch k survives iff its window end > filter_wm(k) = max(ms
+    * over batches ≤ k−2) − 10 min (the late filter runs on the PREVIOUS
+    * batch's watermark — hence the `2 PRECEDING` frame; 0 for k ≤ 1),
+    * and a window is emitted iff its end ≤ the final watermark
+    * max(ms) − 10 min. Window arithmetic is pure epoch-ms floor math on
+    * both engines. */
+  val streamWindowParitySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_ms(ts) AS ms, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    event_id % $NumBatches AS b
+       |  FROM events),
+       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
+       |wmt AS (SELECT b, coalesce(max(mx) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm
+       |  FROM bmax),
+       |fwm AS (SELECT max(ms) - 600000 AS f FROM ev),
+       |kept AS (
+       |  SELECT (ev.ms // 300000) * 300000 AS ws, ev.event_type, ev.cents
+       |  FROM ev JOIN wmt USING (b)
+       |  WHERE (ev.ms // 300000) * 300000 + 300000 > wmt.wm)
+       |SELECT ws AS w_start_ms, ws + 300000 AS w_end_ms, event_type,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM kept, fwm
+       |WHERE ws + 300000 <= fwm.f
+       |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
+  /** Sliding 5-min/1-min windows (StreamOps.slidingCounts) over the
+    * same hash-sliced ordered schedule. The late filter is PER EXPANDED
+    * (row, window) pair — a late row is kept for its still-open trailing
+    * windows and dropped for the already-evicted leading ones — which is
+    * exactly what the per-window `end > wm` predicate models. */
+  def streamSlidingParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_sliding/in")
+    val outDir = freshDir(s, "stream_sliding/out")
+    val ckpt = freshDir(s, "stream_sliding/ckpt")
+    val ev = orderedEvents(s, dir)
+      .withColumn("_b", pmod(col("event_id"), lit(NumBatches.toLong)).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.slidingCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(unix_millis(col("w_start")).as("w_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy(col("w_start_ms"), col("event_type"))
+  }
+
+  val streamSlidingParitySql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_ms(ts) AS ms, event_type,
+       |    event_id % $NumBatches AS b
+       |  FROM events),
+       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
+       |wmt AS (SELECT b, coalesce(max(mx) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm
+       |  FROM bmax),
+       |fwm AS (SELECT max(ms) - 600000 AS f FROM ev),
+       |expd AS (
+       |  SELECT ((ev.ms // 60000) - g.k) * 60000 AS ws, ev.event_type, ev.b
+       |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) g),
+       |kept AS (
+       |  SELECT expd.ws, expd.event_type
+       |  FROM expd JOIN wmt USING (b)
+       |  WHERE expd.ws + 300000 > wmt.wm)
+       |SELECT ws AS w_start_ms, event_type, CAST(count(*) AS BIGINT) AS n
+       |FROM kept, fwm
+       |WHERE ws + 300000 <= fwm.f
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Session windows (30-min gap — StreamOps.sessionCounts, the
+    * streaming twin of q25) over TIME-ORDERED batches: `_b` = event-time
+    * quartile (ntile over the global ms order — harness landing only,
+    * not operator shape). Time-ordered arrival makes the run a pure
+    * cross-batch STATE-MERGE exercise with zero late drops — every
+    * batch's rows are ≥ the previous batches' max, so `ts + gap` is
+    * always past the watermark — and premature-eviction splits cannot
+    * disagree with batch gaps-and-islands (eviction of a session needs
+    * last_ts ≤ wm − gap = max_prev − 2·gap, so any later row is > 2·gap
+    * away and batch SQL starts a new session too). The one
+    * watermark-dependent effect left is FINAL eviction: sessions whose
+    * end (last_ts + gap) is still inside the closing watermark
+    * (max − gap) are unemitted state — the oracle's cutoff predicate. */
+  def streamSessionParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_session/in")
+    val outDir = freshDir(s, "stream_session/out")
+    val ckpt = freshDir(s, "stream_session/ckpt")
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    val ev = orderedEvents(s, dir)
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.sessionCounts(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"),
+        unix_millis(col("s_start")).as("s_start_ms"),
+        unix_millis(col("s_end")).as("s_end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("s_start_ms"))
+  }
+
+  val streamSessionParitySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |sess AS (
+      |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    min(ms) AS s_start_ms, max(ms) + 1800000 AS s_end_ms
+      |  FROM (
+      |    SELECT user_id, ms, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, ms,
+      |        CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |             > 1800000 THEN 1 ELSE 0 END AS is_new
+      |      FROM ev))
+      |  GROUP BY 1, 2),
+      |fwm AS (SELECT max(ms) - 1800000 AS f FROM ev)
+      |SELECT user_id, s_start_ms, s_end_ms, n_events
+      |FROM sess, fwm
+      |WHERE s_end_ms <= fwm.f
+      |ORDER BY user_id, s_start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_rollup_parity" -> (streamRollupParity _),
     "stream_chain_ingest" -> (streamChainIngest _),
     "stream_cms_parity" -> (streamCmsParity _),
     "stream_qhist_parity" -> (streamQhistParity _),
-    "stream_hll_parity" -> (streamHllParity _)
+    "stream_hll_parity" -> (streamHllParity _),
+    "stream_window_parity" -> (streamWindowParity _),
+    "stream_sliding_parity" -> (streamSlidingParity _),
+    "stream_session_parity" -> (streamSessionParity _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -331,6 +587,9 @@ object StreamParity {
     "stream_chain_ingest" -> streamChainIngestSql,
     "stream_cms_parity" -> streamCmsParitySql,
     "stream_qhist_parity" -> streamQhistParitySql,
-    "stream_hll_parity" -> streamHllParitySql
+    "stream_hll_parity" -> streamHllParitySql,
+    "stream_window_parity" -> streamWindowParitySql,
+    "stream_sliding_parity" -> streamSlidingParitySql,
+    "stream_session_parity" -> streamSessionParitySql
   )
 }
