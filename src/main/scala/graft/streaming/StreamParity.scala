@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -72,19 +72,32 @@ object StreamParity {
     p
   }
 
+  /** Bucketing column for the split-invariance FUZZ sweep: salt = 0 is
+    * the graded layout (hash-repartition on the key itself); a nonzero
+    * salt re-mixes the key so the same rows land in a different slicing.
+    * The parity claim — the final state is invariant under ANY slicing —
+    * is exactly what varying (numBatches, salt) and re-checking the same
+    * oracle hash tests (FuzzDump family "stream"). */
+  private def bucketed(c: Column, salt: Long): Column =
+    if (salt == 0L) c else hash(c, lit(salt))
+
   /** Daily rollup maintained by a live StreamingQuery over NumBatches
     * micro-batches, then read back: must equal the one-pass batch rollup
     * (additive merge ⇒ split-invariant). The `last_batch` replay marker
     * is the only batch-order-dependent column and is dropped here. */
-  def streamRollupParity(s: SparkSession, dir: String): DataFrame = {
-    val inDir = freshDir(s, "stream_rollup/in")
-    val table = freshDir(s, "stream_rollup/table")
-    val ckpt = freshDir(s, "stream_rollup/ckpt")
+  def streamRollupParity(s: SparkSession, dir: String): DataFrame =
+    streamRollupParityN(s, dir, NumBatches, 0L, "")
+
+  private[graft] def streamRollupParityN(s: SparkSession, dir: String,
+      numBatches: Int, salt: Long, tag: String): DataFrame = {
+    val inDir = freshDir(s, s"stream_rollup$tag/in")
+    val table = freshDir(s, s"stream_rollup$tag/table")
+    val ckpt = freshDir(s, s"stream_rollup$tag/ckpt")
     val ev = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("ts"), col("event_type"),
         expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)").as("value"))
-    // exactly NumBatches files -> exactly that many micro-batches
-    ev.repartition(NumBatches, col("event_id")).write.parquet(inDir)
+    // exactly numBatches files -> exactly that many micro-batches
+    ev.repartition(numBatches, bucketed(col("event_id"), salt)).write.parquet(inDir)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = stream.writeStream
@@ -156,14 +169,18 @@ object StreamParity {
     * counter per cell is the max across batches (counters are monotone
     * nondecreasing). The DuckDB oracle rebuilds the identical grid from
     * exact term counts and the shared PolyHash/affine-row expressions. */
-  def streamCmsParity(s: SparkSession, dir: String): DataFrame = {
+  def streamCmsParity(s: SparkSession, dir: String): DataFrame =
+    streamCmsParityN(s, dir, NumBatches, 0L, "")
+
+  private[graft] def streamCmsParityN(s: SparkSession, dir: String,
+      numBatches: Int, salt: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_cms/in")
-    val cellsDir = freshDir(s, "stream_cms/cells")
-    val ckpt = freshDir(s, "stream_cms/ckpt")
+    val inDir = freshDir(s, s"stream_cms$tag/in")
+    val cellsDir = freshDir(s, s"stream_cms$tag/cells")
+    val ckpt = freshDir(s, s"stream_cms$tag/ckpt")
     val terms = s.read.parquet(s"$dir/documents.parquet")
       .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
-    terms.repartition(NumBatches, col("term")).write.parquet(inDir)
+    terms.repartition(numBatches, bucketed(col("term"), salt)).write.parquet(inDir)
     val stream = s.readStream.schema(terms.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val cells = StreamOps.cmsStream(stream.select(col("term")).as[String]).toDF()
@@ -214,15 +231,20 @@ object StreamParity {
     * stream and as SQL in the oracle; the nonnegative domain makes
     * HALF_UP and floor(x+0.5) agree, so the grids are cell-identical
     * (the StreamingSpec-proven property, now driver-graded). */
-  def streamQhistParity(s: SparkSession, dir: String): DataFrame = {
+  def streamQhistParity(s: SparkSession, dir: String): DataFrame =
+    streamQhistParityN(s, dir, NumBatches, 0L, "")
+
+  private[graft] def streamQhistParityN(s: SparkSession, dir: String,
+      numBatches: Int, salt: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_qhist/in")
-    val cellsDir = freshDir(s, "stream_qhist/cells")
-    val ckpt = freshDir(s, "stream_qhist/ckpt")
+    val inDir = freshDir(s, s"stream_qhist$tag/in")
+    val cellsDir = freshDir(s, s"stream_qhist$tag/cells")
+    val ckpt = freshDir(s, s"stream_qhist$tag/ckpt")
     val vals = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_type").as("grp"),
         expr("CAST(round(value * 100) AS BIGINT)").as("v"))
-    vals.repartition(NumBatches, col("grp"), col("v")).write.parquet(inDir)
+    vals.repartition(numBatches, bucketed(col("grp"), salt), bucketed(col("v"), salt))
+      .write.parquet(inDir)
     val stream = s.readStream.schema(vals.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val cells = StreamOps.quantileHistStream(
@@ -269,17 +291,21 @@ object StreamParity {
     * the sketch (hashes run on user_id), so the Event rows carry an
     * epoch-zero timestamp rather than depending on the drifting
     * parquet ts encoding. */
-  def streamHllParity(s: SparkSession, dir: String): DataFrame = {
+  def streamHllParity(s: SparkSession, dir: String): DataFrame =
+    streamHllParityN(s, dir, NumBatches, 0L, "")
+
+  private[graft] def streamHllParityN(s: SparkSession, dir: String,
+      numBatches: Int, salt: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_hll/in")
-    val outDir = freshDir(s, "stream_hll/out")
-    val ckpt = freshDir(s, "stream_hll/ckpt")
+    val inDir = freshDir(s, s"stream_hll$tag/in")
+    val outDir = freshDir(s, s"stream_hll$tag/out")
+    val ckpt = freshDir(s, s"stream_hll$tag/ckpt")
     val ev = s.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"),
         lit(0L).cast("timestamp").as("ts"),
         col("user_id"), col("event_type"),
         lit(0.0).as("value"))
-    ev.repartition(NumBatches, col("user_id")).write.parquet(inDir)
+    ev.repartition(numBatches, bucketed(col("user_id"), salt)).write.parquet(inDir)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val ests = StreamOps.hllDistinctStream(stream.as[StreamOps.Event]).toDF()

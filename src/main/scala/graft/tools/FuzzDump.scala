@@ -647,6 +647,40 @@ object FuzzDump {
     Spec(name, df, sql)
   }
 
+  /** Split-invariance sweep over the streaming parity maintainers
+    * (StreamParity rollup/CMS/qhist/HLL): the SAME oracle SQL as the
+    * graded `stream_*` queries, but the input sliced into a random
+    * number of micro-batches (2..8) under a random nonzero bucket salt.
+    * The registrability theorem for these queries is that the final
+    * state is invariant under ANY slicing — this family tests the
+    * theorem the way the SQL families test the engine: every sampled
+    * layout runs a REAL StreamingQuery and must hash-match DuckDB. The
+    * order-controlled twins (window/sliding/session) are excluded by
+    * construction: their results are functions of the one contractual
+    * mtime-ordered schedule, so alternate slicings have a DIFFERENT
+    * correct answer and the invariance property doesn't apply. */
+  private def streamSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    import graft.streaming.StreamParity
+    val nb = 2 + rng.nextInt(7)
+    val salt = rng.nextLong() | 1L // force nonzero: always a re-mixed layout
+    val tag = f"_fz$i%02d"
+    val name = f"fuzz_stream_$i%02d"
+    i % 4 match {
+      case 0 => Spec(name,
+        li => StreamParity.streamRollupParityN(li.sparkSession, sfDir, nb, salt, tag),
+        StreamParity.streamRollupParitySql)
+      case 1 => Spec(name,
+        li => StreamParity.streamCmsParityN(li.sparkSession, sfDir, nb, salt, tag),
+        StreamParity.streamCmsParitySql)
+      case 2 => Spec(name,
+        li => StreamParity.streamQhistParityN(li.sparkSession, sfDir, nb, salt, tag),
+        StreamParity.streamQhistParitySql)
+      case _ => Spec(name,
+        li => StreamParity.streamHllParityN(li.sparkSession, sfDir, nb, salt, tag),
+        StreamParity.streamHllParitySql)
+    }
+  }
+
   def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01",
       family: Option[String] = None): Spec = {
     val rng = new Random(seed + i)
@@ -669,6 +703,8 @@ object FuzzDump {
         return subquerySpec(i, rng, sfDir)
       case Some("arrays") =>
         return arraySpec(i, rng, sfDir)
+      case Some("stream") =>
+        return streamSpec(i, rng, sfDir)
       case Some(other) if other.nonEmpty =>
         throw new IllegalArgumentException(s"unknown fuzz family: $other")
       case _ => ()
