@@ -1295,7 +1295,72 @@ object FilterOps {
        |    AS low_diversity_groups
        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Chi-square independence audit: is the quality-rule verdict
+  // INDEPENDENT of language? A corpus whose keep-rate varies by lang is
+  // silently reweighting its language mix — the bias screen run before
+  // any multilingual training job. Cells are the (lang, keep) grid
+  // INCLUDING empty combos (χ² charges an absent cell its full
+  // expectation); observed counts and margins are exact BIGINTs from
+  // bounded broadcast dims, and each cell's χ² term is quantized to
+  // micro-units (round(1e6·term) — the family's milli/micro convention)
+  // so the cross-cell sum is an exact, order-free BIGINT on both
+  // engines. The double algebra keeps products of potentially-2^63
+  // counts in DOUBLE before multiplying (the HUGEINT/overflow trap).
+  // 100 TB shape: one corpus pass to cells; everything after is
+  // langs×2-sized arithmetic on broadcast margins.
+
+  /** χ² cell term in micro-units — ONE string spliced into both engines
+    * (identical parenthesization ⇒ identical IEEE result; nonnegative
+    * domain ⇒ HALF_UP and half-away rounding agree). */
+  private val chiTermMicroExpr: String =
+    """CAST(round(1000000 * (
+      |  ((CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+      |   * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct))
+      |  / (CAST(n AS DOUBLE) * rt * ct))) AS BIGINT)""".stripMargin
+
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val base = qualityMetricsFrom(docs(s, dir))
+      .select(col("doc_id"), col("keep"))
+      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val cells = base.groupBy(col("lang"), col("keep")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("keep")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val grid = rt.crossJoin(broadcast(ct)) // full r×c grid: bounded dims
+      .join(cells, Seq("lang", "keep"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+    grid.agg(
+        max(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(expr(chiTermMicroExpr)).as("chi2_micro"))
+      .withColumn("dof", (col("n_langs") - lit(1L)) * lit(1L)) // keep is binary: c−1 = 1
+      .select(col("n_docs"), col("n_langs"), col("dof"), col("chi2_micro"))
+  }
+
+  val chiSquareSql: String =
+    s"""WITH ${qualityCtes("documents")},
+       |v AS (SELECT doc_id, ($ruleFailsSql) = 0 AS keep FROM m),
+       |b AS (SELECT d.lang, v.keep FROM v JOIN documents d USING (doc_id)),
+       |cells AS (SELECT lang, keep, CAST(count(*) AS BIGINT) AS o
+       |          FROM b GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |ct AS (SELECT keep, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       |  SELECT rt.lang, ct.keep, rt.rt, ct.ct, coalesce(cells.o, 0) AS o, nn.n
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.keep = ct.keep
+       |  CROSS JOIN nn)
+       |SELECT CAST(max(n) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(count(DISTINCT lang) - 1 AS BIGINT) AS dof,
+       |  CAST(sum(${chiTermMicroExpr.replace("\n", " ")}) AS BIGINT) AS chi2_micro
+       |FROM grid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_chi_square" -> (chiSquare _),
     "filter_k_anonymity" -> (kAnonymity _),
     "filter_js_divergence" -> (jsDivergence _),
     "pipeline_refinery" -> (refinery _),
@@ -1313,6 +1378,7 @@ object FilterOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "filter_chi_square" -> chiSquareSql,
     "filter_k_anonymity" -> kAnonymitySql,
     "filter_js_divergence" -> jsDivergenceSql,
     "pipeline_refinery" -> refinerySql,

@@ -1289,6 +1289,97 @@ object TextOps {
        |FROM sl""".stripMargin
 
   // ------------------------------------------------------------------
+  // Heaps'-law vocabulary-growth fit — the Zipf companion: V(N) ≈ k·N^β
+  // (β ≈ 0.7 for natural text). A corpus whose β drifts is changing
+  // composition (template spam pushes β down, mixed-language crawl up),
+  // so the fit is a one-row drift monitor next to text_zipf_slope. The
+  // growth curve needs NO prefix-distinct pass: a term contributes to
+  // the vocabulary exactly once, at its FIRST doc (min doc_id), so
+  // V(cumulative at doc n) = running sum of per-doc first-appearance
+  // counts — one grouped aggregate + a doc-spine cumulative window.
+  // Points are milli-log quantized and the OLS runs on exact BIGINT
+  // sums (the zipfSlope discipline). 100 TB shape: the heavy work is
+  // the (term → min doc) aggregate, map-side combinable; the cumulative
+  // window runs over the DOC SPINE (one row per doc) — at extreme doc
+  // counts that prefix sum becomes the two-phase sharded-offset pattern
+  // chain_balance_gini already implements.
+
+  def heapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLawOf(docs(s, dir))
+
+  /** The fit over any (doc_id, text) frame — exposed for planted corpora. */
+  private[graft] def heapsLawOf(d: DataFrame): DataFrame = {
+    import graft.ops.Windows
+    val tok = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val newTerms = tok.groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_terms"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      .join(newTerms, Seq("doc_id"), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+    val wCum = Windows.boundedGlobal(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+      .withColumn("cum_voc", sum(col("new_terms")).over(wCum))
+      .filter(col("cum_tok") >= 1L && col("cum_voc") >= 1L) // ln(0) guard: empty-text prefix
+      .select(
+        expr("CAST(round(1000 * ln(CAST(cum_tok AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(round(1000 * ln(CAST(cum_voc AS DOUBLE))) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("beta", expr(HeapsSlopeExpr))
+      .withColumn("ln_k_milli", expr(HeapsInterceptExpr))
+      .select(col("n_pts"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        col("beta"), col("ln_k_milli"))
+  }
+
+  /** Heaps β — the milli-log OLS slope (dimensionless). */
+  private val HeapsSlopeExpr: String =
+    """(CAST(n_pts AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      | / (CAST(n_pts AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""".stripMargin
+
+  /** Intercept ln k in milli-nats; references the `beta` column. */
+  private val HeapsInterceptExpr: String =
+    "(CAST(sy AS DOUBLE) - beta * sx) / n_pts"
+
+  val heapsLawSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |new_terms AS (
+       |  SELECT doc_id, count(*) AS new_terms
+       |  FROM (SELECT term, min(doc_id) AS doc_id FROM tok GROUP BY 1)
+       |  GROUP BY 1),
+       |per_doc AS (
+       |  SELECT t.doc_id, count(*) AS n_tok
+       |  FROM tok t GROUP BY 1),
+       |cums AS (
+       |  SELECT p.doc_id,
+       |    sum(p.n_tok) OVER (ORDER BY p.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok,
+       |    sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_voc
+       |  FROM per_doc p LEFT JOIN new_terms n USING (doc_id)),
+       |pts AS (
+       |  SELECT
+       |    CAST(round(1000 * ln(CAST(cum_tok AS DOUBLE))) AS BIGINT) AS x,
+       |    CAST(round(1000 * ln(CAST(cum_voc AS DOUBLE))) AS BIGINT) AS y
+       |  FROM cums WHERE cum_tok >= 1 AND cum_voc >= 1),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pts,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM pts),
+       |sl AS (
+       |  SELECT *, ${HeapsSlopeExpr.replace("\n", " ")} AS beta FROM sums)
+       |SELECT n_pts, sx, sy, sxx, sxy, beta,
+       |  $HeapsInterceptExpr AS ln_k_milli
+       |FROM sl""".stripMargin
+
+  // ------------------------------------------------------------------
   // Flesch readability in exact integer algebra — the classic surface
   // statistic quality cascades gate on (Flesch 1948; Kincaid 1975 for
   // the grade form). The syllable count is the standard machine proxy —
@@ -1473,6 +1564,7 @@ object TextOps {
     "search_ndcg" -> (searchNdcg _),
     "text_readability" -> (readability _),
     "text_zipf_slope" -> (zipfSlope _),
+    "text_heaps_law" -> (heapsLaw _),
     "text_collocations" -> (collocations _),
     "text_bpe_merges" -> (bpeMerges _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -1500,6 +1592,7 @@ object TextOps {
     "search_ndcg" -> searchNdcgSql,
     "text_readability" -> readabilitySql,
     "text_zipf_slope" -> zipfSlopeSql,
+    "text_heaps_law" -> heapsLawSql,
     "text_collocations" -> collocationsSql,
     "text_bpe_merges" -> bpeSql,
     "text_bpe_encode" -> bpeEncodeSql,

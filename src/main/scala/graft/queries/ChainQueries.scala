@@ -687,7 +687,103 @@ object ChainQueries {
        |       ELSE NULL END AS BIGINT) AS gini_milli
        |FROM s""".stripMargin
 
+  /** Sequence-integrity audit — the post-load ETL screen for any
+    * "per-scope counter must be gapless" contract: gaps (missing
+    * loads), duplicates (the same slot landed twice — a replay/idempotency
+    * bug), and inclusion-order regressions (the counter going backwards
+    * along arrival order) are each counted per scope. One window
+    * exchange keyed by scope; all exact integers:
+    *   n_gaps = (max − min + 1) − distinct  (holes in the span)
+    *   n_dup  = n_rows − distinct           (a slot landed twice)
+    *   n_regr = adjacent inversions along (blockNumber, txIndex) order
+    * The registered query audits transactionIndex per block (the
+    * contract C1's posexplode must preserve: exactly 0..n−1 per block);
+    * the SAME operator keyed by sender over account nonces is the
+    * classic account audit — this fixture's generator gives every tx a
+    * unique sender, so the spec proves that path with planted
+    * gap/dup/regression frames instead. 100 TB shape: everything
+    * partitions by the scope key; no global pass. */
+  def chainTxIndexAudit(s: SparkSession, dir: String): DataFrame =
+    sequenceAuditOf(raw(s, "transactions")
+      .select(lpad(col("blockNumber").cast("string"), 8, "0").as("scope"),
+        col("blockNumber"), col("transactionIndex"),
+        col("transactionIndex").as("seq")))
+
+  /** The audit over any (scope, blockNumber, transactionIndex, seq)
+    * frame — exposed so the spec can plant gaps/dups/regressions. */
+  private[graft] def sequenceAuditOf(tx: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("scope"))
+      .orderBy(col("blockNumber"), col("transactionIndex"))
+    tx
+      .withColumn("prev_seq", lag(col("seq"), 1).over(w))
+      .withColumn("regr",
+        when(col("prev_seq").isNotNull && col("seq") < col("prev_seq"), 1L)
+          .otherwise(0L))
+      .groupBy(col("scope"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("seq")).as("seq_min"),
+        max(col("seq")).as("seq_max"),
+        countDistinct(col("seq")).as("n_distinct"),
+        sum(col("regr")).as("n_regressions"))
+      .filter(col("n_rows") >= 2)
+      .withColumn("n_gaps",
+        col("seq_max") - col("seq_min") + lit(1L) - col("n_distinct"))
+      .withColumn("n_dup", col("n_rows") - col("n_distinct"))
+      .select(col("scope"), col("n_rows"), col("seq_min"), col("seq_max"),
+        col("n_gaps"), col("n_dup"), col("n_regressions"))
+      .orderBy(col("scope"))
+  }
+
+  /** EIP-1559 base-fee conformance template — the exact integer update
+    * rule (all operands positive, so Spark `DIV` and DuckDB `//` agree;
+    * `{IDIV}` is spliced per engine). parent target = gasLimit/2
+    * (elasticity 2); delta floors at 1 only on the increase branch, per
+    * the spec pseudocode. */
+  private val Eip1559ExpectedTpl: String =
+    """CASE WHEN pgu = tgt THEN pbf
+      |     WHEN pgu > tgt THEN pbf + greatest(1, pbf * (pgu - tgt) {IDIV} tgt {IDIV} 8)
+      |     ELSE pbf - pbf * (tgt - pgu) {IDIV} tgt {IDIV} 8 END""".stripMargin
+
+  /** Spec access to the shared template (ChainEtlSpec's planted chain). */
+  private[graft] def Eip1559ExpectedForTest: String = Eip1559ExpectedTpl
+
+  /** Base-fee market-rule audit: does each post-London block's
+    * baseFeePerGas equal the EIP-1559 update applied to its parent? A
+    * conforming chain answers all-yes; an ETL that mixed up columns,
+    * dropped blocks, or ingested a non-conforming devnet (this fixture's
+    * generator uses a linear schedule — the audit REPORTS that, which is
+    * its job) shows structured deviations per 100-block range. The lag
+    * runs on the block SPINE (rows = chain height — the small table), so
+    * the single ordered window is trivial at any scale; all arithmetic
+    * is exact positive-integer math shared across engines. */
+  def chainBasefeeAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Windows
+    val w = Windows.boundedGlobal(col("number"))
+    raw(s, "blocks")
+      .select(col("number"),
+        col("baseFeePerGas").cast("long").as("bf"),
+        col("gasLimit").cast("long").as("gl"),
+        col("gasUsed").cast("long").as("gu"))
+      .withColumn("pbf", lag(col("bf"), 1).over(w))
+      .withColumn("pgu", lag(col("gu"), 1).over(w))
+      .withColumn("pgl", lag(col("gl"), 1).over(w))
+      .filter(col("bf").isNotNull && col("pbf").isNotNull)
+      .withColumn("tgt", expr("pgl DIV 2"))
+      .withColumn("expected", expr(Eip1559ExpectedTpl.replace("{IDIV}", "DIV")))
+      .groupBy(floor(col("number") / 100).cast("long").as("range100"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("bf") === col("expected"), 1L).otherwise(0L)).as("n_conforming"),
+        max(abs(col("bf") - col("expected"))).as("max_abs_dev_wei"),
+        sum(abs(col("bf") - col("expected"))).as("sum_abs_dev_wei"))
+      .orderBy(col("range100"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chain_basefee_audit" -> (chainBasefeeAudit _),
+    "chain_txindex_audit" -> (chainTxIndexAudit _),
     "chain_balance_gini" -> (chainBalanceGini _),
     "chain_transfer_decode" -> (chainTransferDecode _),
     "chain_token_balances" -> (chainTokenBalances _),
@@ -786,6 +882,46 @@ object ChainQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "chain_basefee_audit" ->
+      s"""WITH b AS (
+         |  SELECT CAST(number AS BIGINT) AS number,
+         |    CAST(baseFeePerGas AS BIGINT) AS bf,
+         |    lag(CAST(baseFeePerGas AS BIGINT)) OVER (ORDER BY number) AS pbf,
+         |    lag(CAST(gasUsed AS BIGINT)) OVER (ORDER BY number) AS pgu,
+         |    lag(CAST(gasLimit AS BIGINT)) OVER (ORDER BY number) // 2 AS tgt
+         |  FROM ${tbl("blocks")}),
+         |e AS (
+         |  SELECT number, bf,
+         |    ${Eip1559ExpectedTpl.replace("{IDIV}", "//").replace("\n", " ")} AS expected
+         |  FROM b WHERE bf IS NOT NULL AND pbf IS NOT NULL)
+         |SELECT CAST(number // 100 AS BIGINT) AS range100,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN bf = expected THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming,
+         |  CAST(max(abs(bf - expected)) AS BIGINT) AS max_abs_dev_wei,
+         |  CAST(sum(abs(bf - expected)) AS BIGINT) AS sum_abs_dev_wei
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chain_txindex_audit" ->
+      s"""WITH tx AS (
+         |  SELECT lpad(CAST(blockNumber AS VARCHAR), 8, '0') AS scope,
+         |    blockNumber, transactionIndex,
+         |    CAST(transactionIndex AS BIGINT) AS seq
+         |  FROM ${tbl("transactions")}),
+         |lagged AS (
+         |  SELECT scope, seq,
+         |    CASE WHEN lag(seq) OVER (PARTITION BY scope
+         |           ORDER BY blockNumber, transactionIndex) IS NOT NULL
+         |          AND seq < lag(seq) OVER (PARTITION BY scope
+         |           ORDER BY blockNumber, transactionIndex)
+         |         THEN 1 ELSE 0 END AS regr
+         |  FROM tx)
+         |SELECT scope, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(seq) AS seq_min, max(seq) AS seq_max,
+         |  CAST(max(seq) - min(seq) + 1 - count(DISTINCT seq) AS BIGINT) AS n_gaps,
+         |  CAST(count(*) - count(DISTINCT seq) AS BIGINT) AS n_dup,
+         |  CAST(sum(regr) AS BIGINT) AS n_regressions
+         |FROM lagged
+         |GROUP BY scope HAVING count(*) >= 2
+         |ORDER BY scope""".stripMargin,
     "chain_balance_gini" -> chainBalanceGiniSql,
     "chain_address_hits" -> chainHitsSql,
     "chain_flow_balance" ->

@@ -548,11 +548,100 @@ object TimeSeries {
        |FROM sums ORDER BY lag""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Two-sample Kolmogorov-Smirnov distance between the A/B arms'
+  // per-user spend distributions — the distribution-SHAPE companion to
+  // Mann-Whitney's location test (U can miss a variance change that D
+  // catches). Same coin, same per-user cents frame, same exact-integer
+  // discipline: the ECDF gap at a value v is |F_a(v) − F_b(v)| =
+  // |c_a·n_b − c_b·n_a| / (n_a·n_b), so the sup is the MAX of an exact
+  // BIGINT numerator over the value histogram — no doubles until the
+  // final statistic. Exact while n_a·n_b < 2^63 (n ≲ 6×10⁹ users —
+  // never the binding constraint; the histogram cumulative is the same
+  // bounded-global window the rank tests use, rows = distinct spend
+  // values, not users).
+  def ksTest(s: SparkSession, dir: String): DataFrame =
+    ksTestOf(Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** The test over any (user_id, cents) per-user frame. */
+  private[graft] def ksTestOf(perUser0: DataFrame): DataFrame = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    import graft.ops.Windows
+    val perUser = perUser0
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    val hist = perUser.groupBy(col("cents")).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val wCum = Windows.boundedGlobal(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Windows.boundedGlobal(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("fa", sum(col("ca")).over(wCum))
+      .withColumn("fb", sum(col("cb")).over(wCum))
+      .withColumn("na", sum(col("ca")).over(wAll))
+      .withColumn("nb", sum(col("cb")).over(wAll))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("d_scaled"))
+      .withColumn("d", expr(ksDExpr))
+      .withColumn("lambda", expr(ksLambdaExpr))
+  }
+
+  /** KS statistic double algebra — one string per column, spliced into
+    * both engines (the zExpr convention); NULL on an empty arm. */
+  private val ksDExpr: String =
+    """CASE WHEN n_a > 0 AND n_b > 0
+      |THEN CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+      |ELSE NULL END""".stripMargin
+
+  /** Asymptotic λ = D·sqrt(n_a·n_b/(n_a+n_b)) — the value fed to the
+    * Kolmogorov distribution for a p-value. */
+  private val ksLambdaExpr: String =
+    """CASE WHEN n_a > 0 AND n_b > 0
+      |THEN (CAST(d_scaled AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))
+      |     * sqrt(CAST(n_a AS DOUBLE) * n_b / (CAST(n_a AS DOUBLE) + n_b))
+      |ELSE NULL END""".stripMargin
+
+  val ksTestSql: String = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm
+       |  FROM events GROUP BY 1),
+       |hist AS (
+       |  SELECT cents,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM pu GROUP BY 1),
+       |cum AS (
+       |  SELECT cents,
+       |    sum(ca) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+       |    sum(cb) OVER (ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+       |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+       |  FROM hist),
+       |agg AS (
+       |  SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |    CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_scaled
+       |  FROM cum)
+       |SELECT n_a, n_b, d_scaled,
+       |  ${ksDExpr.replace("\n", " ")} AS d,
+       |  ${ksLambdaExpr.replace("\n", " ")} AS lambda
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_autocorr" -> (autocorr _),
     "events_benford" -> (benford _),
     "events_forecast_mase" -> (forecastMase _),
     "events_intervals_merged" -> (intervalsMerged _),
+    "events_ks_test" -> (ksTest _),
     "events_mann_whitney" -> (mannWhitney _),
     "events_spearman" -> (spearman _),
     "events_ewma_fence" -> (ewmaFence _)
@@ -563,6 +652,7 @@ object TimeSeries {
     "events_benford" -> benfordSql,
     "events_forecast_mase" -> forecastMaseSql,
     "events_intervals_merged" -> intervalsMergedSql,
+    "events_ks_test" -> ksTestSql,
     "events_mann_whitney" -> mannWhitneySql,
     "events_spearman" -> spearmanSql,
     "events_ewma_fence" -> ewmaFenceSql

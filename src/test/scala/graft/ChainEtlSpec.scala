@@ -670,4 +670,79 @@ class ChainEtlSpec extends SparkSuite {
     assert(got.getLong(2) == wantGini)
     assert(wantGini >= 0 && wantGini < 1000)
   }
+
+  test("sequence audit: planted gap, duplicate, and regression are each counted once") {
+    import spark.implicits._
+    // scope A: seqs 0,1,3 in arrival order            -> 1 gap (2 missing)
+    // scope B: seqs 0,1,1 (slot landed twice)         -> 1 dup
+    // scope C: seqs 1,0 (order inversion)             -> 1 regression + clean span
+    // scope D: single row                             -> filtered (n_rows < 2)
+    val tx = Seq(
+      ("AA", 1L, 0L, 0L), ("AA", 2L, 0L, 1L), ("AA", 3L, 0L, 3L),
+      ("BB", 1L, 1L, 0L), ("BB", 2L, 1L, 1L), ("BB", 3L, 1L, 1L),
+      ("CC", 1L, 2L, 1L), ("CC", 2L, 2L, 0L),
+      ("DD", 1L, 3L, 5L)
+    ).toDF("scope", "blockNumber", "transactionIndex", "seq")
+    val got = graft.queries.ChainQueries.sequenceAuditOf(tx)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("AA", 3L, 1L, 0L, 0L),  // gap at seq 2
+      ("BB", 3L, 0L, 1L, 0L),  // duplicate seq 1
+      ("CC", 2L, 0L, 0L, 1L))) // arrival-order regression
+  }
+
+  test("basefee audit: fixture linear schedule deviates from EIP-1559 deterministically") {
+    val rows = graft.queries.ChainQueries.chainBasefeeAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, conf, maxDev, sumDev) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0 && conf >= 0 && conf <= n)
+      assert(maxDev >= 0 && sumDev >= maxDev)
+      // fixture: baseFee = 1e9 + n (linear +1/block) while gasUsed is
+      // well under target, so EIP-1559 predicts a DECREASE — every
+      // audited block must deviate
+      assert(conf == 0, s"linear fixture schedule cannot conform, got $conf of $n")
+    }
+  }
+
+  test("basefee audit: hand-built conforming chain audits clean") {
+    import spark.implicits._
+    // three blocks following the exact update rule, gasLimit 30M:
+    //   b1: bf 1000000000, gu 15000000 (== target) -> b2 bf unchanged
+    //   b2: bf 1000000000, gu 30000000 (full)      -> b3 bf + bf*15M/15M/8
+    val bf3 = 1000000000L + 1000000000L * 15000000L / 15000000L / 8
+    val blocks = Seq(
+      (1L, 1000000000L, 30000000L, 15000000L),
+      (2L, 1000000000L, 30000000L, 30000000L),
+      (3L, bf3, 30000000L, 1000000L)
+    ).toDF("number", "bf", "gl", "gu")
+    // run the same expression the query uses, over the planted spine
+    import org.apache.spark.sql.functions._
+    val w = graft.ops.Windows.boundedGlobal(col("number"))
+    val audited = blocks
+      .withColumn("pbf", lag(col("bf"), 1).over(w))
+      .withColumn("pgu", lag(col("gu"), 1).over(w))
+      .withColumn("pgl", lag(col("gl"), 1).over(w))
+      .filter(col("pbf").isNotNull)
+      .withColumn("tgt", expr("pgl DIV 2"))
+      .withColumn("expected",
+        expr(graft.queries.ChainQueries.Eip1559ExpectedForTest.replace("{IDIV}", "DIV")))
+      .select(col("number"), col("bf"), col("expected"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) == r.getLong(2))).toSeq
+    assert(audited == Seq((2L, true), (3L, true)))
+  }
+
+  test("txindex audit: fixture blocks are gapless 0..n-1 and the audit proves it") {
+    val rows = graft.queries.ChainQueries.chainTxIndexAudit(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture must have blocks with >= 2 txs")
+    rows.foreach { r =>
+      val (nTx, sMin, sMax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (gaps, dups, regr) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      // a correct flatten yields exactly 0..n−1 per block: all clean
+      assert(sMin == 0L && sMax == nTx - 1)
+      assert(gaps == 0L && dups == 0L && regr == 0L)
+    }
+  }
 }

@@ -343,4 +343,31 @@ class FilterOpsSpec extends SparkSuite {
       assert(riskMilli == 1000L * atRisk / n)
     }
   }
+
+  test("chi_square: matches a brute-force recomputation from the (lang, keep) cells") {
+    val got = FilterOps.chiSquare(spark, sf).collect().head
+    val (nDocs, nLangs, dof, chiMicro) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    // independent recomputation from the same verdict join
+    val cells = FilterOps.qualityFilters(spark, sf)
+      .select(col("doc_id"), col("keep"))
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("keep")).count()
+      .collect().map(r => ((r.getString(0), r.getBoolean(1)), r.getLong(2))).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct
+    val keeps = cells.keys.map(_._2).toSeq.distinct
+    val n = cells.values.sum
+    val rt = langs.map(l => l -> cells.collect { case ((`l`, _), c) => c }.sum).toMap
+    val ct = keeps.map(k => k -> cells.collect { case ((_, `k`), c) => c }.sum).toMap
+    val wantMicro = (for (l <- langs; k <- keeps) yield {
+      val o = cells.getOrElse((l, k), 0L)
+      val diff = o.toDouble * n - rt(l).toDouble * ct(k)
+      math.round(1e6 * (diff * diff) / (n.toDouble * rt(l) * ct(k)))
+    }).sum
+    assert(nDocs == n)
+    assert(nLangs == langs.size.toLong)
+    assert(dof == nLangs - 1) // keep is binary: c − 1 = 1
+    assert(chiMicro == wantMicro, s"chi2_micro $chiMicro != brute $wantMicro")
+  }
 }

@@ -1604,6 +1604,36 @@ class OpsSpec extends SparkSuite {
     assert(slope < -1.0)
   }
 
+  test("heaps law: planted growth curve recovers the hand-computed milli-log OLS") {
+    import spark.implicits._
+    // doc 1: "a b a"  -> n_tok 3, new {a,b}=2 -> cum (3, 2)
+    // doc 2: "b c"    -> n_tok 2, new {c}=1   -> cum (5, 3)
+    // doc 3: "d d"    -> n_tok 2, new {d}=1   -> cum (7, 4)
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "d d")).toDF("doc_id", "text")
+    val got = TextOps.heapsLawOf(d).collect().head
+    val pts = Seq((3L, 2L), (5L, 3L), (7L, 4L)).map { case (t, v) =>
+      (math.round(1000 * math.log(t.toDouble)), math.round(1000 * math.log(v.toDouble)))
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((n, sx, sy, sxx, sxy)))
+    val beta = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    assert(got.getDouble(5) == beta)
+    assert(got.getDouble(6) == (sy.toDouble - beta * sx) / n)
+  }
+
+  test("heaps law: fixture beta is a plausible sublinear growth exponent") {
+    val got = TextOps.heapsLaw(spark, sf).collect().head
+    val (nPts, beta) = (got.getLong(0), got.getDouble(5))
+    assert(nPts > 0)
+    assert(beta > 0.0 && beta <= 1.05,
+      s"Heaps beta must be sublinear-ish, got $beta")
+  }
+
   test("lexical diversity: planted corpus hand-computed; repetitive source scores lower") {
     import spark.implicits._
     val d = Seq(

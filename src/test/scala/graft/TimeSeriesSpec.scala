@@ -258,4 +258,57 @@ class TimeSeriesSpec extends SparkSuite {
       assert(f == want)
     }
   }
+
+  test("ks_test: matches a brute-force ECDF sup recomputation") {
+    val perUser = Seq(
+      (1L, 100L), (2L, 200L), (3L, 100L), (4L, 300L), (5L, 200L),
+      (6L, 400L), (7L, 100L), (8L, 500L), (9L, 250L), (10L, 200L)
+    )
+    val got = TimeSeries.ksTestOf(perUser.toDF("user_id", "cents"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val (nA, nB, dScaled, d, lambda) = got
+    def arm(u: Long): Long =
+      ((u * Behavioral.AbHashA + Behavioral.AbHashB) % Behavioral.AbMod) % 2
+    val a = perUser.filter(p => arm(p._1) == 0).map(_._2)
+    val b = perUser.filter(p => arm(p._1) == 1).map(_._2)
+    // brute-force sup over every observed value of the scaled ECDF gap
+    val want = perUser.map(_._2).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)
+    }.max
+    assert((nA, nB) == (a.size.toLong, b.size.toLong))
+    assert(dScaled == want)
+    assert(math.abs(d - want.toDouble / (a.size.toLong * b.size)) < 1e-12)
+    assert(lambda > 0 && !lambda.isNaN)
+  }
+
+  test("ks_test: identical arms give D = 0; disjoint arms give D = 1") {
+    // users chosen so the AbHash coin splits them 0/1 alternately is NOT
+    // guaranteed — instead pick ids per arm by probing the coin
+    def arm(u: Long): Long =
+      ((u * Behavioral.AbHashA + Behavioral.AbHashB) % Behavioral.AbMod) % 2
+    val ids = (1L to 200L)
+    val armA = ids.filter(arm(_) == 0).take(5)
+    val armB = ids.filter(arm(_) == 1).take(5)
+    // identical distributions: same multiset of cents on both arms
+    val same = (armA.zip(Seq(1L, 2L, 2L, 3L, 9L)) ++
+      armB.zip(Seq(1L, 2L, 2L, 3L, 9L)))
+    val gotSame = TimeSeries.ksTestOf(same.toDF("user_id", "cents"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(gotSame._3 == 0L && gotSame._4 == 0.0)
+    // disjoint supports: arm A all below arm B -> D = 1 at the boundary
+    val disj = (armA.map(u => (u, 1L)) ++ armB.map(u => (u, 100L)))
+    val gotDisj = TimeSeries.ksTestOf(disj.toDF("user_id", "cents"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(gotDisj._4 == 1.0, s"disjoint supports must reach D=1, got ${gotDisj._4}")
+  }
+
+  test("ks_test: fixture D is a valid statistic and arms are nonempty") {
+    val got = TimeSeries.ksTest(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val (nA, nB, dScaled, d, lambda) = got
+    assert(nA > 0 && nB > 0)
+    assert(dScaled >= 0 && dScaled <= nA * nB)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(lambda >= 0.0 && !lambda.isNaN)
+  }
 }
