@@ -57,9 +57,15 @@ object GraphOps {
     val p =
       if (inputTruncated) pairs.select(col("a"), col("b"))
       else Lineage.truncate(pairs.select(col("a"), col("b")))
-    val edges = Lineage.truncate(
-      p.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
+    // edges deliberately NOT truncated: p is already materialized, so the
+    // symmetrizing union is a narrow double-scan of the checkpoint, and
+    // re-deriving it once per round costs less than a second eager
+    // materialization (round-13 profile: the CC tail on a twin-pair
+    // graph is ~6 jobs of pure latency; this removes one, the fused
+    // convergence sum below removes another — 6 → 4 for the common
+    // diameter-1 case).
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
     // Seed labels with the FIRST propagation round for free: label(v) =
     // min(v, min neighbor) is one aggregation over the (already
     // symmetrized) edge list — no join, and for diameter-1 components
@@ -68,10 +74,6 @@ object GraphOps {
     var labels = Lineage.truncate(edges
       .groupBy(col("src").as("node"))
       .agg(least(col("node"), min(col("dst"))).as("label")))
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prev = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -80,10 +82,19 @@ object GraphOps {
         .select(col("dst").as("node"), col("label"))
         .unionByName(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val cur = labelSum(next)
+      // ONE fused job per round checks convergence: labels only ever
+      // decrease (min-propagation), so equal label SUMS over the old and
+      // new (both already-materialized) frames imply the fixpoint. The
+      // old two-job shape (labelSum before the loop + one per round) paid
+      // an extra scheduler round-trip for the same comparison.
+      val sums = labels.select(lit(0).as("k"), col("label"))
+        .unionByName(next.select(lit(1).as("k"), col("label")))
+        .groupBy(col("k")).agg(sum(col("label")).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .toMap
+      converged = sums.getOrElse(0, 0L) == sums.getOrElse(1, 0L)
       labels = next
-      converged = cur == prev
-      prev = cur
       iter += 1
     }
     labels
