@@ -597,7 +597,59 @@ object StreamParity {
       |WHERE s_end_ms <= fwm.f
       |ORDER BY user_id, s_start_ms""".stripMargin
 
+  /** Streaming exact-dedup parity (dropDuplicatesWithinWatermark — the
+    * streaming face of the D5 dedup contract) over ordered batches with
+    * PLANTED duplicates: every row of batches 0..N−2 lands again,
+    * payload-identical, in the NEXT batch (cross-batch state hits), and
+    * the landing layout also re-tests in-batch dedup (the duplicate of a
+    * boundary row can share its original's file).
+    *
+    * Why the oracle is plain DISTINCT — a small theorem: with duplicates
+    * carrying the SAME event time t as their original, re-emission after
+    * state eviction is IMPOSSIBLE under any slicing. Eviction of the key
+    * at some batch j needs t + delay < evict_wm(j); a later duplicate in
+    * batch m > j faces the late filter at filter_wm(m) = evict_wm(m−1) ≥
+    * evict_wm(j) > t + delay > t — so the duplicate is always late and
+    * dropped. Every key therefore emits exactly once (its first
+    * non-late occurrence; under time-ordered batches no original is
+    * ever late), and the final table is the distinct original rows.
+    * StreamOrderedSpec pins the two behaviors the proof leans on. */
+  def streamDedupParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_dedup/in")
+    val outDir = freshDir(s, "stream_dedup/out")
+    val ckpt = freshDir(s, "stream_dedup/ckpt")
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    val based = orderedEvents(s, dir)
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    val dups = based.filter(col("_b") < lit(NumBatches - 1))
+      .withColumn("_b", col("_b") + lit(1))
+    landOrdered(s, based.unionByName(dups), inDir, NumBatches)
+    val stream = s.readStream.schema(based.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.dedupStream(stream)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"),
+        col("value").cast("long").as("cents"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamDedupParitySql: String =
+    """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_parity" -> (streamDedupParity _),
     "stream_rollup_parity" -> (streamRollupParity _),
     "stream_chain_ingest" -> (streamChainIngest _),
     "stream_cms_parity" -> (streamCmsParity _),
@@ -609,6 +661,7 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup_parity" -> streamDedupParitySql,
     "stream_rollup_parity" -> streamRollupParitySql,
     "stream_chain_ingest" -> streamChainIngestSql,
     "stream_cms_parity" -> streamCmsParitySql,

@@ -144,6 +144,35 @@ class StreamOrderedSpec extends SparkSuite {
       s"ordered drop set mismatch: $out")
   }
 
+  test("dedup: same-event-time duplicates never re-emit (the DISTINCT-oracle theorem)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = graft.streaming.StreamOps.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("ddp").outputMode("append").start()
+    try {
+      // in-batch dup + first occurrences
+      in.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(0), 1, "a", 1.0),
+        Event(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      // cross-batch dup with state alive (wm still 0) -> dropped
+      in.addData(Event(1, ts(0), 1, "a", 1.0))
+      q.processAllAvailable()
+      // advance wm to 10:20: id1's state (expiry 10:10) is EVICTED
+      in.addData(Event(3, ts(30), 1, "a", 1.0))
+      q.processAllAvailable()
+      // dup of the now-evicted key, same ts: eviction implied
+      // t + delay < wm, so the same-ts dup is necessarily LATE -> dropped,
+      // never re-emitted (the theorem streamDedupParity's oracle rests on)
+      in.addData(Event(1, ts(0), 1, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, count(*) FROM ddp GROUP BY 1 ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+        s"every key must emit exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("session eviction boundary: end == wm emits the session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
