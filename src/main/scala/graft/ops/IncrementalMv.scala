@@ -302,7 +302,65 @@ object IncrementalMv {
       |  CAST(count(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Maintenance under DELETES — the retraction half of the counting
+  // algebra, which the insert-only queries above leave unexercised
+  // (their m > 0 liveness filter is trivially true). The delete delta
+  // here is semantically real: RETURNED lineitems (l_returnflag = 'R')
+  // are retracted from the distinct-supplier view as negative
+  // multiplicities; a supplier whose every shipment in a month was
+  // returned must VANISH from that month's distinct count — exactly
+  // what m > 0 enforces and what no distributive merge could do.
+  // Refresh cost is unchanged: O(delta + touched months), dynamic
+  // partition overwrite. The DuckDB oracle recomputes one-shot over the
+  // undeleted rows, so the hash match is the retraction theorem
+  // (Gupta/Mumick counting algebra) checked per run.
+  def deleteRetraction(s: SparkSession, dir: String): DataFrame = {
+    val mvPath = graft.etl.Scratch.path(s, "mv/retract_supp_by_month")
+    val fact = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_shipdate"), col("l_suppkey"), col("l_returnflag"))
+    def support(f: DataFrame): DataFrame = f
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      .groupBy(col("ship_month"), col("l_suppkey"))
+      .agg(count(lit(1)).as("m"))
+    // 1. full insert-phase state (every row, returns included)
+    support(fact)
+      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    // 2. DELETE delta: returned rows as negative multiplicities
+    val delta = support(fact.filter(col("l_returnflag") === "R"))
+      .withColumn("m", -col("m"))
+    val touched = delta.select(col("ship_month")).distinct()
+    val stored = s.read.parquet(mvPath)
+      .join(touched, Seq("ship_month"), "left_semi")
+    Lineage.truncate(stored.unionByName(delta)
+      .groupBy(col("ship_month"), col("l_suppkey"))
+      .agg(sum(col("m")).as("m")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ship_month")
+      .parquet(mvPath)
+    // 3. serve: the liveness filter is now LOAD-BEARING — fully-returned
+    //    (month, supplier) pairs sit at m = 0 and must not count
+    s.read.parquet(mvPath)
+      .filter(col("m") > 0)
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_distinct_supp"), sum(col("m")).as("n_rows"))
+      .select(col("ship_month").cast("long").as("ship_month"),
+        col("n_distinct_supp"), col("n_rows"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Oracle: one-shot recompute over the undeleted rows. */
+  val deleteRetractionSql: String =
+    """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_supp,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem WHERE l_returnflag <> 'R'
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_delete_retraction" -> (deleteRetraction _),
     "mv_distinct_maintain" -> (distinctMaintain _),
     "mv_incremental_refresh" -> (incrementalRefresh _),
     "mv_join_refresh" -> (joinRefresh _),
@@ -310,6 +368,7 @@ object IncrementalMv {
   )
 
   val oracle: Map[String, String] = Map(
+    "mv_delete_retraction" -> deleteRetractionSql,
     "mv_distinct_maintain" -> distinctMaintainSql,
     "mv_incremental_refresh" -> incrementalRefreshSql,
     "mv_join_refresh" -> joinRefreshSql,

@@ -306,6 +306,31 @@ class CurationOpsSpec extends SparkSuite {
     got.unpersist()
   }
 
+  test("delete retraction MV: equals the full recompute over undeleted rows; m=0 vanishes") {
+    val got = IncrementalMv.deleteRetraction(spark, sf).cache()
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") =!= "R")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy(col("ship_month"))
+      .agg(countDistinct(col("l_suppkey")).as("n_distinct_supp"),
+        count(lit(1)).as("n_rows"))
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0,
+      "retracted view must equal the recompute over undeleted rows")
+    // the liveness filter is load-bearing: some (month, supplier) pair
+    // must actually have been fully retracted (m = 0), otherwise the
+    // fixture isn't exercising the delete path
+    val withReturns = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("ship_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy(col("ship_month"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_ret"))
+    assert(withReturns.filter(col("n_all") === col("n_ret")).count() > 0,
+      "fixture must contain at least one fully-returned (month, supplier) pair")
+    got.unpersist()
+  }
+
   test("topk MV maintain: equals the one-shot full recompute's top-k, ranked, idempotent") {
     val got = IncrementalMv.topkMaintain(spark, sf).collect()
     val full = spark.read.parquet(s"$sf/lineitem.parquet")
