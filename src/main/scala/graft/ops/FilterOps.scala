@@ -1323,7 +1323,12 @@ object FilterOps {
     val base = qualityMetricsFrom(docs(s, dir))
       .select(col("doc_id"), col("keep"))
       .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val cells = base.groupBy(col("lang"), col("keep")).agg(count(lit(1)).as("o"))
+    // cells is langs×2 rows but feeds FOUR consumers (margins, total,
+    // grid): truncate so the quality-metric dag runs ONCE, not four
+    // times (un-truncated plan: 26 shuffles; truncated: the dag's own
+    // plus three 1-exchange margin aggs)
+    val cells = Lineage.truncate(
+      base.groupBy(col("lang"), col("keep")).agg(count(lit(1)).as("o")))
     val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("keep")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("n"))

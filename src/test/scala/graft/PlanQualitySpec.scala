@@ -182,6 +182,29 @@ class PlanQualitySpec extends SparkSuite {
     // global sort crept in.
     "text_zipf_slope" -> 1,
     "text_readability" -> 1,
+    // Round-13 additions (counts under THIS session's config, which
+    // keeps boundedGlobal's constant partition key — each such window
+    // costs one visible single-partition exchange here). ks_test:
+    // per-user agg + histogram agg + cum window + its agg feed — never
+    // a user-count-sized shuffle.
+    "events_ks_test" -> 4,
+    // Sequence audit: ONE scope-keyed exchange feeds the lag window AND
+    // the per-scope rollup; + output sort. Basefee audit: the block
+    // SPINE's bounded-global lag window + range rollup + sort (blocks
+    // are the small table by construction).
+    "chain_txindex_audit" -> 2,
+    "chain_basefee_audit" -> 3,
+    // Chi-square post-checkpoint: the quality-metric dag runs ONCE into
+    // the truncated langs×2 cells (its own shuffles), then margin aggs;
+    // the grid crosses are broadcast BNLJs. 26 means the truncation was
+    // dropped and the metric dag re-executes per margin.
+    "filter_chi_square" -> 7,
+    // Heaps: term explode agg, first-appearance agg, per-doc agg, the
+    // doc-spine cumulative window + its sums-agg feed; the doc join
+    // broadcasts at spec sf.
+    "text_heaps_law" -> 5,
+    // Delete-retraction MV readout: post-write scan + month agg + sort.
+    "mv_delete_retraction" -> 2,
     // Link prediction post-checkpoint: the adj self-join's two branch
     // exchanges (SMJ on ctr over the checkpointed hub-capped adjacency)
     // + the (a,b) wedge agg + the scored-pair anti-join feed; degree
