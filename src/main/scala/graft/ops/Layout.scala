@@ -412,12 +412,131 @@ object Layout {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Zone-map pruning effectiveness — the METRIC that justifies the
+  // whole layout family: a file's (min, max) box per column lets a scan
+  // SKIP the file when a predicate's range misses it, and how many
+  // files a 2-D predicate skips depends entirely on the clustering.
+  // This query builds the per-bucket zone maps under TWO layouts over
+  // the same rows — the Morton curve on (part, supplier) vs the
+  // ingestion-order layout (value-range buckets on l_orderkey) — probes
+  // both with a deterministic 4×4 grid of square (part, supplier) range
+  // predicates, and reports the pruned fraction per layout. The Z-order
+  // number should crush the linear one; that GAP is the data-skipping
+  // argument made hash-checkable. All arithmetic is exact positive
+  // integers (grid edges by integer DIV); bucket boxes are
+  // Buckets-sized, predicates 16 rows — everything after the two
+  // corpus aggregates is broadcast-bounded.
+  def layoutZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"),
+        col("l_suppkey").as("sk"))
+    val dom = li.agg(
+      min(col("o")).as("omin"), max(col("o")).as("omax"),
+      min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+      min(col("sk")).as("smin"), max(col("sk")).as("smax"))
+    val keyed = Lineage.truncate(li.crossJoin(broadcast(dom))
+      .withColumn("z", normKeyWith(ZOrder.zorderKey)(
+        col("p"), col("pmin"), col("pmax"),
+        col("sk"), col("smin"), col("smax"))))
+    val mm = keyed.agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+    def boxes(bucket: Column, tag: String)(src: DataFrame): DataFrame = src
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("sk")).as("s_min"), max(col("sk")).as("s_max"))
+      .withColumn("layout", lit(tag))
+    val zBoxes = boxes(
+      intDiv((col("z") - col("zmin")) * lit(Buckets),
+        col("zmax") - col("zmin") + lit(1L)), "zorder")(
+      keyed.crossJoin(broadcast(mm)))
+    val linBoxes = boxes(
+      intDiv((col("o") - col("omin")) * lit(Buckets),
+        col("omax") - col("omin") + lit(1L)), "linear")(keyed)
+    // 4×4 grid of quarter-span-per-axis square predicates, edges by
+    // exact integer division of the (min, max) domain
+    val preds = s.range(0, 16).select(col("id").as("pred_id"))
+      .crossJoin(broadcast(dom))
+      .withColumn("plo", col("pmin")
+        + intDiv((col("pmax") - col("pmin") + lit(1L)) * (col("pred_id") % 4) * lit(2L), lit(8L)))
+      .withColumn("phi", col("plo")
+        + intDiv(col("pmax") - col("pmin") + lit(1L), lit(8L)))
+      .withColumn("slo", col("smin")
+        + intDiv((col("smax") - col("smin") + lit(1L)) * intDiv(col("pred_id"), lit(4L)) * lit(2L), lit(8L)))
+      .withColumn("shi", col("slo")
+        + intDiv(col("smax") - col("smin") + lit(1L), lit(8L)))
+      .select(col("pred_id"), col("plo"), col("phi"), col("slo"), col("shi"))
+    zBoxes.unionByName(linBoxes)
+      .crossJoin(broadcast(preds)) // Buckets×2 boxes × 16 predicates
+      .withColumn("pruned",
+        when(col("p_max") < col("plo") || col("p_min") > col("phi")
+          || col("s_max") < col("slo") || col("s_min") > col("shi"), 1L)
+          .otherwise(0L))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_checks"), sum(col("pruned")).as("n_pruned"))
+      .withColumn("pruned_milli",
+        intDiv(lit(1000L) * col("n_pruned"), col("n_checks")))
+      .orderBy(col("layout"))
+  }
+
+  /** Oracle: same curve key (the unrolled 16-bit interleave), same
+    * buckets, same predicate grid, same box-miss test. */
+  val layoutZonemapPruneSql: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        s"((xn >> $i) & 1) * ${1L << (2 * i)}",
+        s"((yn >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p, l_suppkey AS sk FROM lineitem),
+       |dom AS (SELECT min(o) AS omin, max(o) AS omax,
+       |               min(p) AS pmin, max(p) AS pmax,
+       |               min(sk) AS smin, max(sk) AS smax FROM li),
+       |n AS (SELECT o, p, sk,
+       |        ((p - pmin) * 65536) // (pmax - pmin + 1) AS xn,
+       |        ((sk - smin) * 65536) // (smax - smin + 1) AS yn
+       |      FROM li CROSS JOIN dom),
+       |z AS (SELECT o, p, sk, $terms AS z FROM n),
+       |mm AS (SELECT min(z) AS zmin, max(z) AS zmax FROM z),
+       |zb AS (
+       |  SELECT 'zorder' AS layout,
+       |    ((z - zmin) * $Buckets) // (zmax - zmin + 1) AS bucket,
+       |    min(p) AS p_min, max(p) AS p_max,
+       |    min(sk) AS s_min, max(sk) AS s_max
+       |  FROM z CROSS JOIN mm GROUP BY 1, 2),
+       |lb AS (
+       |  SELECT 'linear' AS layout,
+       |    ((o - omin) * $Buckets) // (omax - omin + 1) AS bucket,
+       |    min(p) AS p_min, max(p) AS p_max,
+       |    min(sk) AS s_min, max(sk) AS s_max
+       |  FROM li CROSS JOIN dom GROUP BY 1, 2),
+       |preds AS (
+       |  SELECT pred_id,
+       |    pmin + ((pmax - pmin + 1) * (pred_id % 4) * 2) // 8 AS plo,
+       |    pmin + ((pmax - pmin + 1) * (pred_id % 4) * 2) // 8
+       |         + (pmax - pmin + 1) // 8 AS phi,
+       |    smin + ((smax - smin + 1) * (pred_id // 4) * 2) // 8 AS slo,
+       |    smin + ((smax - smin + 1) * (pred_id // 4) * 2) // 8
+       |         + (smax - smin + 1) // 8 AS shi
+       |  FROM (SELECT unnest(generate_series(0, 15)) AS pred_id) CROSS JOIN dom),
+       |checks AS (
+       |  SELECT b.layout,
+       |    CASE WHEN b.p_max < preds.plo OR b.p_min > preds.phi
+       |           OR b.s_max < preds.slo OR b.s_min > preds.shi
+       |         THEN 1 ELSE 0 END AS pruned
+       |  FROM (SELECT * FROM zb UNION ALL SELECT * FROM lb) b
+       |  CROSS JOIN preds)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_checks,
+       |  CAST(sum(pruned) AS BIGINT) AS n_pruned,
+       |  CAST((1000 * sum(pruned)) // count(*) AS BIGINT) AS pruned_milli
+       |FROM checks GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_dpp" -> (layoutDpp _),
     "layout_bucketed_join" -> (layoutBucketedJoin _),
     "layout_zorder" -> (layoutZorder _),
     "layout_zorder3" -> (layoutZorder3 _),
-    "layout_hilbert" -> (layoutHilbert _)
+    "layout_hilbert" -> (layoutHilbert _),
+    "layout_zonemap_prune" -> (layoutZonemapPrune _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -425,6 +544,7 @@ object Layout {
     "layout_bucketed_join" -> layoutBucketedJoinSql,
     "layout_zorder" -> layoutZorderSql,
     "layout_zorder3" -> layoutZorder3Sql,
-    "layout_hilbert" -> layoutHilbertSql
+    "layout_hilbert" -> layoutHilbertSql,
+    "layout_zonemap_prune" -> layoutZonemapPruneSql
   )
 }

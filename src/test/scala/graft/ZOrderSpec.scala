@@ -339,4 +339,18 @@ class ZOrderSpec extends SparkSuite {
     assert(widths._2 < doms._2 * 0.4, s"avg supp width ${widths._2} vs domain ${doms._2}")
     out.unpersist()
   }
+
+  test("zonemap prune: the Morton layout skips most zone checks, linear skips ~none") {
+    val rows = graft.ops.Layout.layoutZonemapPrune(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (linChecks, linPruned, linMilli) = rows("linear")
+    val (zChecks, zPruned, zMilli) = rows("zorder")
+    assert(linChecks == zChecks && linChecks > 0)
+    // ingestion order is uncorrelated with (part, supplier): every
+    // bucket's box spans ~the whole domain, so ~nothing prunes
+    assert(linMilli < 200, s"linear layout should barely prune, got $linMilli milli")
+    // the Morton curve's whole point: most square predicates miss most boxes
+    assert(zMilli > 700, s"zorder layout should prune most checks, got $zMilli milli")
+    assert(zPruned > linPruned * 3 + 10)
+  }
 }
