@@ -656,7 +656,144 @@ object SketchOps {
        |FROM sk JOIN ex ON sk.grp = ex.grp AND sk.q_milli = ex.q_milli
        |ORDER BY sk.grp, sk.q_milli""".stripMargin
 
+  // ------------------------------------------------------------------
+  // KMV sketch SET ALGEBRA — the reason production sketch libraries
+  // exist (Apache DataSketches' theta use-case): once each cohort keeps
+  // its bottom-k hash set, |A∪B| is estimable from the MERGED sketch
+  // (union of sketches = bottom-k of the union of their hash sets — no
+  // re-scan of either cohort) and |A∩B| by inclusion-exclusion, floored
+  // at 0. Cohorts here are customer sets of overlapping order-priority
+  // classes (2-HIGH sits in both, so the intersection is real). One
+  // corpus pass fans each row into its memberships; everything after
+  // the per-(set, hv) distinct is k-sized. Exact counts ride along per
+  // set (the sketch-error audit), and every estimate is the exact
+  // integer (k−1)·M / kth — deterministic cross-engine.
+  val SetA = Seq("1-URGENT", "2-HIGH")
+  val SetB = Seq("2-HIGH", "3-MEDIUM")
+
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Windows
+    val mem = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority").as("pri"), col("o_custkey"))
+      .withColumn("ph", graft.functions.PolyHash
+        .polyHash(col("o_custkey").cast("string"), 31, KmvMod))
+      .withColumn("hv", expr(kmvMixSql("ph")))
+      .select(explode(array(
+        when(col("pri").isin(SetA.map(lit): _*), "A"),
+        when(col("pri").isin(SetB.map(lit): _*), "B"))).as("st"),
+        col("hv"), col("o_custkey"))
+      .filter(col("st").isNotNull)
+    val distinctHv = Lineage.truncate(
+      mem.select(col("st"), col("hv"), col("o_custkey")).distinct())
+    // per-set bottom-k sketches (rows, not arrays: the merge is a union)
+    val wSet = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("st")).orderBy(col("hv"))
+    val sketch = distinctHv.select(col("st"), col("hv")).distinct()
+      .withColumn("rn", row_number().over(wSet))
+      .filter(col("rn") <= KmvK)
+    // union sketch = bottom-k of the two sketches' merged hash sets
+    val wAll = Windows.boundedGlobal(col("hv"))
+    val uSketch = sketch.select(col("hv")).distinct()
+      .withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= KmvK)
+      .select(lit("UNION").as("st"), col("hv"), col("rn"))
+    def estOf(kth: Column, n: Column): Column =
+      when(n < KmvK, n).otherwise(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.ColumnBridge.expression(lit((KmvK - 1) * KmvMod)),
+            org.apache.spark.sql.graft.ColumnBridge.expression(kth))))
+    val perSet = sketch.unionByName(uSketch)
+      .groupBy(col("st"))
+      .agg(max(when(col("rn") === KmvK, col("hv"))).as("kth"),
+        count(lit(1)).as("n"))
+      .withColumn("est_distinct", estOf(col("kth"), col("n")))
+    val exact = distinctHv.groupBy(col("st"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      .unionByName(distinctHv.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .select(lit("UNION").as("st"), col("exact_distinct")))
+    val abu = perSet.join(exact, Seq("st"))
+      .select(col("st"), col("est_distinct"), col("exact_distinct"),
+        when(col("n") >= KmvK, col("kth")).cast("long").as("kth_hash"))
+    // intersection row: inclusion-exclusion over the three estimates,
+    // floored at 0; exact = customers carrying BOTH memberships
+    val ests = abu.groupBy()
+      .agg(sum(when(col("st") === "A", col("est_distinct"))).as("ea"),
+        sum(when(col("st") === "B", col("est_distinct"))).as("eb"),
+        sum(when(col("st") === "UNION", col("est_distinct"))).as("eu"))
+    val exactI = distinctHv.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("st")).as("nm"))
+      .filter(col("nm") === 2).agg(count(lit(1)).as("exact_distinct"))
+    val inter = ests.crossJoin(exactI) // two 1-row frames
+      .select(lit("INTERSECT").as("st"),
+        greatest(col("ea") + col("eb") - col("eu"), lit(0L)).as("est_distinct"),
+        col("exact_distinct"), lit(null).cast("long").as("kth_hash"))
+    abu.unionByName(inter).orderBy(col("st"))
+  }
+
+  val kmvSetOpsSql: String = {
+    val inA = SetA.mkString("('", "','", "')")
+    val inB = SetB.mkString("('", "','", "')")
+    val est = s"CASE WHEN n < $KmvK THEN n ELSE ${(KmvK - 1) * KmvMod} // kth END"
+    s"""WITH mem0 AS (
+       |  SELECT CASE WHEN o_orderpriority IN $inA THEN 'A' END AS st,
+       |         o_custkey FROM orders
+       |  UNION ALL
+       |  SELECT CASE WHEN o_orderpriority IN $inB THEN 'B' END AS st,
+       |         o_custkey FROM orders),
+       |mem1 AS (SELECT DISTINCT st, o_custkey FROM mem0 WHERE st IS NOT NULL),
+       |hp AS (
+       |  SELECT st, o_custkey,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(o_custkey AS VARCHAR), ''),
+       |                     c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % $KmvMod) AS ph
+       |  FROM mem1),
+       |mem AS (SELECT st, o_custkey, ${kmvMixSql("ph")} AS hv FROM hp),
+       |sk AS (
+       |  SELECT st, hv, row_number() OVER (PARTITION BY st ORDER BY hv) AS rn
+       |  FROM (SELECT DISTINCT st, hv FROM mem)),
+       |skk AS (SELECT st, hv, rn FROM sk WHERE rn <= $KmvK),
+       |usk AS (
+       |  SELECT 'UNION' AS st, hv,
+       |    row_number() OVER (ORDER BY hv) AS rn
+       |  FROM (SELECT DISTINCT hv FROM skk)),
+       |allsk AS (SELECT * FROM skk UNION ALL SELECT * FROM usk WHERE rn <= $KmvK),
+       |agg AS (
+       |  SELECT st, max(CASE WHEN rn = $KmvK THEN hv END) AS kth,
+       |    count(*) AS n
+       |  FROM allsk GROUP BY 1),
+       |ex AS (
+       |  SELECT st, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+       |  FROM mem GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'UNION', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM mem),
+       |abu AS (
+       |  SELECT agg.st, CAST($est AS BIGINT) AS est_distinct, ex.exact_distinct,
+       |    CAST(CASE WHEN n >= $KmvK THEN kth END AS BIGINT) AS kth_hash
+       |  FROM agg JOIN ex ON ex.st = agg.st),
+       |ests AS (
+       |  SELECT sum(CASE WHEN st = 'A' THEN est_distinct END) AS ea,
+       |    sum(CASE WHEN st = 'B' THEN est_distinct END) AS eb,
+       |    sum(CASE WHEN st = 'UNION' THEN est_distinct END) AS eu
+       |  FROM abu),
+       |exi AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+       |  FROM (SELECT o_custkey FROM mem GROUP BY 1 HAVING count(DISTINCT st) = 2)),
+       |inter AS (
+       |  SELECT 'INTERSECT' AS st,
+       |    CAST(greatest(ea + eb - eu, 0) AS BIGINT) AS est_distinct,
+       |    exi.exact_distinct, CAST(NULL AS BIGINT) AS kth_hash
+       |  FROM ests CROSS JOIN exi)
+       |SELECT st, CAST(est_distinct AS BIGINT) AS est_distinct,
+       |  exact_distinct, kth_hash
+       |FROM (SELECT * FROM abu UNION ALL SELECT * FROM inter)
+       |ORDER BY st""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_setops" -> (kmvSetOps _),
     "sketch_quantile_hist" -> (quantileHist _),
     "sketch_hll_sliding" -> (hllSliding _),
     "sketch_hll_distinct" -> (hllDistinct _),
@@ -666,6 +803,7 @@ object SketchOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_kmv_setops" -> kmvSetOpsSql,
     "sketch_quantile_hist" -> quantileHistSql,
     "sketch_hll_sliding" -> hllSlidingSql,
     "sketch_hll_distinct" -> hllDistinctSql,

@@ -1434,6 +1434,34 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("KMV set ops: exact arms correct, union/intersect estimates within sketch bounds") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.SketchOps.kmvSetOps(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact arms against a direct recomputation
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderpriority").as("pri"), col("o_custkey"))
+    def cust(pris: Seq[String]) = o.filter(col("pri").isin(pris.map(lit): _*))
+      .select(col("o_custkey")).distinct()
+    val (a, b) = (cust(graft.ops.SketchOps.SetA).cache(),
+      cust(graft.ops.SketchOps.SetB).cache())
+    assert(rows("A")._2 == a.count())
+    assert(rows("B")._2 == b.count())
+    assert(rows("UNION")._2 == a.unionByName(b).distinct().count())
+    assert(rows("INTERSECT")._2 == a.intersect(b).count())
+    // estimates within 4 standard errors; intersection compounds three
+    // estimators so allow 3x the single-sketch band
+    val se = 1.0 / math.sqrt(graft.ops.SketchOps.KmvK - 1.0)
+    Seq("A", "B", "UNION").foreach { s =>
+      val (est, exact) = rows(s)
+      assert(math.abs(est - exact).toDouble / exact < 4 * se, s"$s est=$est exact=$exact")
+    }
+    val (estI, exactI) = rows("INTERSECT")
+    assert(math.abs(estI - exactI).toDouble / exactI.max(1L) < 12 * se,
+      s"INTERSECT est=$estI exact=$exactI")
+    a.unpersist(); b.unpersist()
+  }
+
   test("KMV join estimate: exact arms correct, estimates within sketch error bounds") {
     import org.apache.spark.sql.functions._
     val r = graft.ops.SketchOps.kmvJoinEstimate(spark, sf).collect()
