@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -678,7 +678,64 @@ object Sampling {
        |  CAST($NeymanBudget * n_h // n_tot AS BIGINT) AS alloc_proportional
        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------------
+  // UNIVERSE (join-aware) sampling — the distributed-sampling subtlety
+  // naive pipelines get wrong: sampling each table independently per
+  // ROW breaks referential integrity (a kept lineitem's order is kept
+  // with probability p, so ~(1−p) of the joined sample ORPHANS), while
+  // sampling the KEY UNIVERSE with one shared coin keeps the join of
+  // samples exactly equal to the sample of the join. The audit samples
+  // orders and lineitem at p = 1/8 both ways with the family's affine
+  // coin and reports: the universe arm's orphan count (structurally 0),
+  // the Bernoulli arm's (large), and the join sizes. All exact
+  // integers; at 100 TB both arms are one filtered pass + one key join
+  // (the sampled-orders side broadcasts at any realistic p·|orders|).
+  def universeJoinSample(s: SparkSession, dir: String): DataFrame = {
+    def keyCoin(c: Column) = (c * lit(HashA) + lit(HashB)) % lit(Mod) % lit(8L)
+    def rowCoin(c: Column) =
+      ((c * lit(131L)) * lit(HashA) + lit(HashB)) % lit(Mod) % lit(8L)
+    val o = s.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey"))
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val oS = o.filter(keyCoin(col("o_orderkey")) === 0L)
+    val liUniverse = li.filter(keyCoin(col("l_orderkey")) === 0L)
+    val liBernoulli = li.filter(
+      rowCoin(col("l_orderkey") * lit(8L) + col("l_linenumber")) === 0L)
+    def agg1(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    agg1(o, "n_orders")
+      .crossJoin(agg1(oS, "n_orders_sampled"))
+      .crossJoin(agg1(liUniverse, "n_li_universe"))
+      .crossJoin(agg1(liBernoulli, "n_li_bernoulli"))
+      .crossJoin(agg1(liUniverse.join(oS,
+        col("l_orderkey") === col("o_orderkey")), "n_join_universe"))
+      .crossJoin(agg1(liUniverse.join(oS,
+        col("l_orderkey") === col("o_orderkey"), "left_anti"), "n_orphans_universe"))
+      .crossJoin(agg1(liBernoulli.join(oS,
+        col("l_orderkey") === col("o_orderkey"), "left_anti"), "n_orphans_bernoulli"))
+  }
+
+  val universeJoinSampleSql: String =
+    s"""WITH oS AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE (o_orderkey * $HashA + $HashB) % $Mod % 8 = 0),
+       |liU AS (
+       |  SELECT l_orderkey FROM lineitem
+       |  WHERE (l_orderkey * $HashA + $HashB) % $Mod % 8 = 0),
+       |liB AS (
+       |  SELECT l_orderkey FROM lineitem
+       |  WHERE ((l_orderkey * 8 + l_linenumber) * 131 * $HashA + $HashB) % $Mod % 8 = 0)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM oS) AS n_orders_sampled,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM liU) AS n_li_universe,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM liB) AS n_li_bernoulli,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM liU JOIN oS ON o_orderkey = l_orderkey) AS n_join_universe,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM liU WHERE l_orderkey NOT IN (SELECT o_orderkey FROM oS)) AS n_orphans_universe,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM liB WHERE l_orderkey NOT IN (SELECT o_orderkey FROM oS)) AS n_orphans_bernoulli""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_universe_join" -> (universeJoinSample _),
     "sample_neyman" -> (neymanAllocation _),
     "sample_token_budget" -> (tokenBudget _),
     "sample_curriculum" -> (curriculum _),
@@ -694,6 +751,7 @@ object Sampling {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_universe_join" -> universeJoinSampleSql,
     "sample_neyman" -> neymanAllocationSql,
     "sample_token_budget" -> tokenBudgetSql,
     "sample_curriculum" -> curriculumSql,

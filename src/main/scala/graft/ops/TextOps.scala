@@ -171,6 +171,69 @@ object TextOps {
   }
 
   // ------------------------------------------------------------------
+  // Language-ID quality eval — precision / recall / F1 of the n-gram
+  // marker classifier against the corpus labels, per language. The
+  // confusion margins are exact integers from text_language_id's own
+  // prediction frame; the three metrics are milli-quantized positive
+  // integer divisions (Spark DIV ≡ DuckDB // on this domain), with the
+  // degenerate arms (no predictions / no occurrences of a language)
+  // emitting 0 identically on both engines. Shape: one rollup over the
+  // doc-spine prediction frame — nothing corpus²-sized anywhere.
+  def langidEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = languageId(s, dir)
+      .select(col("labeled_lang"), col("predicted_lang"))
+    val tp = pred.filter(col("labeled_lang") === col("predicted_lang"))
+      .groupBy(col("labeled_lang").as("lang")).agg(count(lit(1)).as("tp"))
+    val lbl = pred.groupBy(col("labeled_lang").as("lang"))
+      .agg(count(lit(1)).as("n_labeled"))
+    val prd = pred.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_predicted"))
+    lbl.join(prd, Seq("lang"), "full_outer")
+      .join(tp, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_labeled"), lit(0L)).as("n_labeled"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec_milli",
+        when(col("n_predicted") > 0, expr("1000 * tp DIV n_predicted")).otherwise(0L))
+      .withColumn("rec_milli",
+        when(col("n_labeled") > 0, expr("1000 * tp DIV n_labeled")).otherwise(0L))
+      .withColumn("f1_milli",
+        when(col("prec_milli") + col("rec_milli") > 0,
+          expr("2 * prec_milli * rec_milli DIV (prec_milli + rec_milli)"))
+          .otherwise(0L))
+      .orderBy(col("lang"))
+  }
+
+  val langidEvalSql: String =
+    s"""WITH pred AS (SELECT labeled_lang, predicted_lang FROM ($languageIdSql)),
+       |lbl AS (SELECT labeled_lang AS lang, CAST(count(*) AS BIGINT) AS n_labeled
+       |        FROM pred GROUP BY 1),
+       |prd AS (SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS n_predicted
+       |        FROM pred GROUP BY 1),
+       |tp AS (SELECT labeled_lang AS lang, CAST(count(*) AS BIGINT) AS tp
+       |       FROM pred WHERE labeled_lang = predicted_lang GROUP BY 1),
+       |m AS (
+       |  SELECT coalesce(lbl.lang, prd.lang) AS lang,
+       |    coalesce(n_labeled, 0) AS n_labeled,
+       |    coalesce(n_predicted, 0) AS n_predicted,
+       |    coalesce(tp.tp, 0) AS tp
+       |  FROM lbl FULL OUTER JOIN prd ON prd.lang = lbl.lang
+       |  LEFT JOIN tp ON tp.lang = coalesce(lbl.lang, prd.lang)),
+       |pr AS (
+       |  SELECT lang, n_labeled, n_predicted, tp,
+       |    CASE WHEN n_predicted > 0 THEN (1000 * tp) // n_predicted ELSE 0 END AS prec_milli,
+       |    CASE WHEN n_labeled > 0 THEN (1000 * tp) // n_labeled ELSE 0 END AS rec_milli
+       |  FROM m)
+       |SELECT lang, n_labeled, n_predicted, tp,
+       |  CAST(prec_milli AS BIGINT) AS prec_milli,
+       |  CAST(rec_milli AS BIGINT) AS rec_milli,
+       |  CAST(CASE WHEN prec_milli + rec_milli > 0
+       |    THEN (2 * prec_milli * rec_milli) // (prec_milli + rec_milli)
+       |    ELSE 0 END AS BIGINT) AS f1_milli
+       |FROM pr ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------------
   // PII detection + redaction: emails, NANP phone numbers, IPv4s.
   // Patterns are deliberately unambiguous (fixed structure, no
   // backtracking-dependent alternations) so Java regex and RE2 produce
@@ -1584,6 +1647,7 @@ object TextOps {
     "text_fingerprints" -> (fingerprints _),
     "text_rolling_hash" -> (rollingHash _),
     "text_language_id" -> (languageId _),
+    "text_langid_eval" -> (langidEval _),
     "text_redact_pii" -> (redactPii _)
   )
 
@@ -1611,6 +1675,7 @@ object TextOps {
     "text_fingerprints" -> fingerprintsSql,
     "text_rolling_hash" -> rollingHashSql,
     "text_language_id" -> languageIdSql,
+    "text_langid_eval" -> langidEvalSql,
     "text_redact_pii" -> redactPiiSql,
     "text_vocabulary" -> vocabularySql
   )

@@ -1462,6 +1462,33 @@ class OpsSpec extends SparkSuite {
     a.unpersist(); b.unpersist()
   }
 
+  test("universe sampling: zero orphans by construction, Bernoulli orphans ~(1-p)") {
+    val r = graft.ops.Sampling.universeJoinSample(spark, sf).collect().head
+    val nOrders = r.getLong(0); val nSampled = r.getLong(1)
+    val liU = r.getLong(2); val liB = r.getLong(3)
+    val joinU = r.getLong(4); val orphU = r.getLong(5); val orphB = r.getLong(6)
+    assert(orphU == 0L, "universe sampling must never orphan a lineitem")
+    assert(joinU == liU, "every universe-sampled lineitem joins")
+    // both arms sample ~1/8
+    assert(math.abs(nSampled * 8.0 / nOrders - 1.0) < 0.25)
+    assert(liB > 0 && orphB > 0)
+    // independent row sampling orphans ~(1 - p) = 7/8 of its rows
+    assert(math.abs(orphB.toDouble / liB - 7.0 / 8.0) < 0.1,
+      s"expected ~7/8 orphans, got $orphB of $liB")
+  }
+
+  test("langid eval: margins tile the corpus and metrics are bounded") {
+    val rows = graft.ops.TextOps.langidEval(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n, "labeled margin must tile the corpus")
+    assert(rows.map(_.getLong(2)).sum == n, "predicted margin must tile the corpus")
+    rows.foreach { r =>
+      val (lbl, prd, tp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp <= math.min(lbl, prd))
+      Seq(4, 5, 6).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000))
+    }
+  }
+
   test("KMV join estimate: exact arms correct, estimates within sketch error bounds") {
     import org.apache.spark.sql.functions._
     val r = graft.ops.SketchOps.kmvJoinEstimate(spark, sf).collect()

@@ -25,7 +25,9 @@ class PlanQualitySpec extends SparkSuite {
     // funnel summary: three 1-row aggregates crossed into one row
     "q42_funnel",
     // per-domain rows × the broadcast 1-row corpus-total aggregate
-    "filter_domain_mix")
+    "filter_domain_mix",
+    // sampling audit: seven 1-row count aggregates crossed into one row
+    "sample_universe_join")
 
   private def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
     val inner = p match {
