@@ -1028,7 +1028,37 @@ object GraphOps {
        |FROM non c2 JOIN deg da ON da.n = c2.a JOIN deg db ON db.n = c2.b
        |ORDER BY n_common DESC, aa_micro DESC, a, b LIMIT ${LinkPred.TopK}""".stripMargin
 
+  /** GroupCap observability — the audit face of the [[CoGraph.GroupCap]]
+    * contract every co-occurrence kernel carries: the distribution of
+    * membership-group sizes in power-of-two buckets (floor-log2 via bit
+    * LENGTH — exact integers, no IEEE log at bucket edges), each bucket
+    * flagged kept/dropped under the cap, with group and membership
+    * counts. This is the query an operator runs BEFORE trusting the
+    * capped kernels on a new corpus: the dropped share in the top
+    * buckets is exactly the data the contract excludes. One grouped
+    * pass over the distinct membership; output is log₂(max size)-sized. */
+  def groupCapAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.groupBy(col("o")).agg(count(lit(1)).as("sz"))
+      .withColumn("size_bucket", (length(bin(col("sz"))) - lit(1)).cast("long"))
+      .withColumn("kept", col("sz") <= lit(CoGraph.GroupCap))
+      .groupBy(col("size_bucket"), col("kept"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_memberships"))
+      .orderBy(col("size_bucket"), col("kept"))
+  }
+
+  val groupCapAuditSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |g AS (SELECT o, CAST(count(*) AS BIGINT) AS sz FROM li GROUP BY 1)
+       |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_bucket,
+       |  sz <= ${CoGraph.GroupCap} AS kept,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(sz) AS BIGINT) AS n_memberships
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_groupcap_audit" -> (groupCapAudit _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_modularity" -> (modularity _),
     "graph_assortativity" -> (assortativity _),
@@ -1253,6 +1283,7 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_groupcap_audit" -> groupCapAuditSql,
     "graph_link_prediction" -> linkPredictionSql,
     "graph_modularity" -> modularitySql,
     "graph_assortativity" -> assortativitySql,

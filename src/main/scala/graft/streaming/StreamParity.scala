@@ -614,16 +614,30 @@ object StreamParity {
     * non-late occurrence; under time-ordered batches no original is
     * ever late), and the final table is the distinct original rows.
     * StreamOrderedSpec pins the two behaviors the proof leans on. */
-  def streamDedupParity(s: SparkSession, dir: String): DataFrame = {
-    val inDir = freshDir(s, "stream_dedup/in")
-    val outDir = freshDir(s, "stream_dedup/out")
-    val ckpt = freshDir(s, "stream_dedup/ckpt")
+  def streamDedupParity(s: SparkSession, dir: String): DataFrame =
+    streamDedupParityN(s, dir, NumBatches, 0L, "")
+
+  /** NOTE the oracle is NOT slicing-independent — the no-re-emission
+    * theorem is layout-free, but the late filter also drops ORIGINALS
+    * whose ts falls behind the watermark a hash slicing lets race ahead
+    * (the fuzz sweep, seed 5417, refuted the stronger claim: 2572/10000
+    * rows under a salted layout). The DISTINCT oracle therefore requires
+    * the TIME-ORDERED layout (salt = 0), where no original is ever late;
+    * the salt parameter exists only so the refutation stays runnable. */
+  private[graft] def streamDedupParityN(s: SparkSession, dir: String,
+      numBatches: Int, salt: Long, tag: String): DataFrame = {
+    val inDir = freshDir(s, s"stream_dedup$tag/in")
+    val outDir = freshDir(s, s"stream_dedup$tag/out")
+    val ckpt = freshDir(s, s"stream_dedup$tag/ckpt")
     val wOrd = Window.orderBy(col("ts"), col("event_id"))
-    val based = orderedEvents(s, dir)
-      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
-    val dups = based.filter(col("_b") < lit(NumBatches - 1))
+    val based =
+      if (salt == 0L) orderedEvents(s, dir)
+        .withColumn("_b", (ntile(numBatches).over(wOrd) - 1).cast("int"))
+      else orderedEvents(s, dir)
+        .withColumn("_b", pmod(hash(col("event_id"), lit(salt)), lit(numBatches)))
+    val dups = based.filter(col("_b") < lit(numBatches - 1))
       .withColumn("_b", col("_b") + lit(1))
-    landOrdered(s, based.unionByName(dups), inDir, NumBatches)
+    landOrdered(s, based.unionByName(dups), inDir, numBatches)
     val stream = s.readStream.schema(based.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.dedupStream(stream)

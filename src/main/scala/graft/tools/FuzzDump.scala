@@ -678,6 +678,13 @@ object FuzzDump {
       case _ => Spec(name,
         li => StreamParity.streamHllParityN(li.sparkSession, sfDir, nb, salt, tag),
         StreamParity.streamHllParitySql)
+      // stream_dedup_parity deliberately NOT here: this family's own
+      // sweep (seed 5417) refuted the candidate claim that its DISTINCT
+      // oracle is slicing-independent — no-re-emission IS layout-free,
+      // but the late filter drops ORIGINALS whose ts falls behind the
+      // watermark a salted slicing lets race ahead (8/10 pass, the two
+      // dedup variants read 2572/10000 rows). Dedup's oracle is only
+      // valid under the time-ordered layout the graded query uses.
     }
   }
 
