@@ -662,7 +662,60 @@ object StreamParity {
       |  CAST(round(value * 100) AS BIGINT) AS cents
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Streaming transition mining (flatMapGroupsWithState custom keyed
+    * state — the escape-hatch API, previously spec-only) over
+    * TIME-ORDERED quartile batches: per-user last-event state carries
+    * across batches, each batch folds its rows in (ts, event_id) order,
+    * and the concatenation of time-quartile slices of a (ts, event_id)
+    * global order IS that order per user — so the emitted transition
+    * multiset equals the batch lag-window's exactly. Time order also
+    * keeps every row ahead of the late filter, and the 45-day retention
+    * timeout can't fire inside the fixture's 30-day span (timeout ts =
+    * last + 45 d is always past the final watermark), so no state is
+    * evicted mid-run. Readout = exact transition multiset with event-ms
+    * keys, aggregated to unique rows. */
+  def streamTransitionsParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_transitions/in")
+    val outDir = freshDir(s, "stream_transitions/out")
+    val ckpt = freshDir(s, "stream_transitions/ckpt")
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    val ev = orderedEvents(s, dir)
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.transitionsStream(stream.as[StreamOps.Event]).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .groupBy(col("user_id"), col("from_event"), col("to_event"), col("ms"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("ms"), col("from_event"), col("to_event"))
+  }
+
+  val streamTransitionsParitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS from_event,
+      |    event_type AS to_event, ms
+      |  FROM e)
+      |SELECT user_id, from_event, to_event, ms, CAST(count(*) AS BIGINT) AS n
+      |FROM t WHERE from_event IS NOT NULL
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY user_id, ms, from_event, to_event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_transitions_parity" -> (streamTransitionsParity _),
     "stream_dedup_parity" -> (streamDedupParity _),
     "stream_rollup_parity" -> (streamRollupParity _),
     "stream_chain_ingest" -> (streamChainIngest _),
@@ -675,6 +728,7 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_transitions_parity" -> streamTransitionsParitySql,
     "stream_dedup_parity" -> streamDedupParitySql,
     "stream_rollup_parity" -> streamRollupParitySql,
     "stream_chain_ingest" -> streamChainIngestSql,
