@@ -636,7 +636,92 @@ object TimeSeries {
        |FROM agg""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Quantile treatment effect — the A/B family's distribution-location
+  // readout: exact per-arm LOWER quantiles (median, p90) of per-user
+  // spend from the same value histogram the rank tests use, plus the
+  // differences. Means hide what quantiles show (a heavy tail can move
+  // a mean without touching the median), and the lower-quantile
+  // convention keeps every emitted number an exact BIGINT cents value —
+  // no interpolation, no doubles, no cross-engine rounding surface.
+  // Lower quantile at q per arm of n values = the value whose running
+  // count first reaches ceil(q·n) = (q_num·n + q_den − 1) DIV q_den.
+  // Cost: the histogram is distinct-value-sized; the cumulative runs on
+  // the same bounded-global window as Mann-Whitney/KS.
+  def quantileEffect(s: SparkSession, dir: String): DataFrame =
+    quantileEffectOf(Relational.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  private[graft] def quantileEffectOf(perUser0: DataFrame): DataFrame = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    import graft.ops.Windows
+    val perUser = perUser0
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+    val hist = perUser.groupBy(col("arm"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("arm"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("f", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    def q(num: Int, den: Int, name: String) =
+      min(when(col("f") >= expr(s"($num * n + ${den - 1}) DIV $den"), col("cents")))
+        .as(name)
+    val perArm = cum.groupBy(col("arm"))
+      .agg(max(col("n")).as("n_users"),
+        q(1, 2, "median_cents"), q(9, 10, "p90_cents"))
+    val wide = perArm.groupBy()
+      .agg(
+        sum(when(col("arm") === 0, col("n_users"))).as("n_a"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n_b"),
+        sum(when(col("arm") === 0, col("median_cents"))).as("median_a"),
+        sum(when(col("arm") === 1, col("median_cents"))).as("median_b"),
+        sum(when(col("arm") === 0, col("p90_cents"))).as("p90_a"),
+        sum(when(col("arm") === 1, col("p90_cents"))).as("p90_b"))
+    wide
+      .withColumn("median_diff", col("median_b") - col("median_a"))
+      .withColumn("p90_diff", col("p90_b") - col("p90_a"))
+  }
+
+  val quantileEffectSql: String = {
+    import graft.queries.Behavioral.{AbHashA, AbHashB, AbMod}
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm
+       |  FROM events GROUP BY 1),
+       |hist AS (SELECT arm, cents, count(*) AS cnt FROM pu GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT arm, cents,
+       |    sum(cnt) OVER (PARTITION BY arm ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f,
+       |    sum(cnt) OVER (PARTITION BY arm) AS n
+       |  FROM hist),
+       |pa AS (
+       |  SELECT arm, CAST(max(n) AS BIGINT) AS n_users,
+       |    min(CASE WHEN f >= (1 * n + 1) // 2 THEN cents END) AS median_cents,
+       |    min(CASE WHEN f >= (9 * n + 9) // 10 THEN cents END) AS p90_cents
+       |  FROM cum GROUP BY 1),
+       |wide AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN median_cents END) AS BIGINT) AS median_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN median_cents END) AS BIGINT) AS median_b,
+       |    CAST(sum(CASE WHEN arm = 0 THEN p90_cents END) AS BIGINT) AS p90_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN p90_cents END) AS BIGINT) AS p90_b
+       |  FROM pa)
+       |SELECT n_a, n_b, median_a, median_b, p90_a, p90_b,
+       |  CAST(median_b - median_a AS BIGINT) AS median_diff,
+       |  CAST(p90_b - p90_a AS BIGINT) AS p90_diff
+       |FROM wide""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_qte" -> (quantileEffect _),
     "events_autocorr" -> (autocorr _),
     "events_benford" -> (benford _),
     "events_forecast_mase" -> (forecastMase _),
@@ -648,6 +733,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_qte" -> quantileEffectSql,
     "events_autocorr" -> autocorrSql,
     "events_benford" -> benfordSql,
     "events_forecast_mase" -> forecastMaseSql,

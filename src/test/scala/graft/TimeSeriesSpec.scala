@@ -259,6 +259,25 @@ class TimeSeriesSpec extends SparkSuite {
     }
   }
 
+  test("qte: lower quantiles match a brute-force sorted-pick per arm") {
+    def arm(u: Long): Long =
+      ((u * Behavioral.AbHashA + Behavioral.AbHashB) % Behavioral.AbMod) % 2
+    val perUser = (1L to 40L).map(u => (u, (u * 37 % 11) * 100 + u))
+    val got = TimeSeries.quantileEffectOf(perUser.toDF("user_id", "cents"))
+      .collect().head
+    def lowerQ(xs: Seq[Long], num: Int, den: Int): Long = {
+      val s = xs.sorted
+      s(((num * s.size + den - 1) / den - 1).toInt)
+    }
+    val a = perUser.filter(p => arm(p._1) == 0).map(_._2)
+    val b = perUser.filter(p => arm(p._1) == 1).map(_._2)
+    assert(got.getLong(0) == a.size && got.getLong(1) == b.size)
+    assert(got.getLong(2) == lowerQ(a, 1, 2) && got.getLong(3) == lowerQ(b, 1, 2))
+    assert(got.getLong(4) == lowerQ(a, 9, 10) && got.getLong(5) == lowerQ(b, 9, 10))
+    assert(got.getLong(6) == lowerQ(b, 1, 2) - lowerQ(a, 1, 2))
+    assert(got.getLong(7) == lowerQ(b, 9, 10) - lowerQ(a, 9, 10))
+  }
+
   test("ks_test: matches a brute-force ECDF sup recomputation") {
     val perUser = Seq(
       (1L, 100L), (2L, 200L), (3L, 100L), (4L, 300L), (5L, 200L),
