@@ -1130,6 +1130,7 @@ object DedupOps {
     "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
+    "dedup_minhash_calibration" -> (minhashCalibration _),
     "dedup_minhash_oph" -> (ophDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashNearDup _),
@@ -1209,6 +1210,79 @@ object DedupOps {
   val minhashLshSql: String =
     "WITH " + dupPairCtes +
       "\nSELECT a, b, inter, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY a, b"
+
+  // ------------------------------------------------------------------
+  // MinHash CALIBRATION — the eval the whole dedup family rides on:
+  // per candidate pair, the signature-estimated similarity (matching
+  // minhash coordinates out of NumPerms) against the EXACT Jaccard,
+  // rolled up per match count. A healthy sketch shows mean exact
+  // similarity rising monotonically with matches (E[matches/k] =
+  // Jaccard — the MinHash theorem); a broken permutation family or a
+  // densification bug shows up as a flat or inverted curve long before
+  // it silently wrecks recall. Exact side is pure integers
+  // (1000·inter DIV union); pairs with NO shared shingle are kept at 0
+  // (they are exactly the calibration's interesting low end).
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val base = corpus(s, dir)
+    val cand = minhashCandidates(base).localCheckpoint()
+    val inCand = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val restricted = base.join(inCand, Seq("doc_id"), "left_semi")
+    val sh = shingles(restricted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("n"))
+    val sig = signatureArray(restricted)
+    val est = cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("_ga")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("_gb")), Seq("b"))
+      .withColumn("est_matches",
+        size(filter(zip_with(col("_ga"), col("_gb"), (x, y) => x === y),
+          b => b)).cast("long"))
+    est
+      .join(sets.select(col("doc_id").as("a"), col("set").as("_sa"), col("n").as("na")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("set").as("_sb"), col("n").as("nb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("jacc_milli",
+        expr("1000 * inter DIV (na + nb - inter)"))
+      .groupBy(col("est_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jacc_milli")).as("_sum"),
+        min(col("jacc_milli")).as("min_exact_milli"),
+        max(col("jacc_milli")).as("max_exact_milli"))
+      .withColumn("mean_exact_milli", expr("_sum DIV n_pairs"))
+      .select(col("est_matches"), col("n_pairs"), col("mean_exact_milli"),
+        col("min_exact_milli"), col("max_exact_milli"))
+      .orderBy(col("est_matches"))
+  }
+
+  /** Oracle: the shared signature/shingle CTEs, the 32-term coordinate
+    * match sum, and the integer-milli exact Jaccard with inter=0 pairs
+    * retained (LEFT join on the intersection counts). */
+  val minhashCalibrationSql: String = {
+    val matchSum = (0 until NumPerms)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $dupPairCtes,
+       |estm AS (
+       |  SELECT c.a, c.b, CAST($matchSum AS BIGINT) AS est_matches
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b),
+       |itc0 AS (SELECT c.a, c.b, coalesce(itc.inter, 0) AS inter
+       |  FROM cand c LEFT JOIN itc ON itc.a = c.a AND itc.b = c.b),
+       |jm AS (
+       |  SELECT i.a, i.b,
+       |    (1000 * i.inter) // (sa.n + sb.n - i.inter) AS jacc_milli
+       |  FROM itc0 i JOIN sizes sa ON sa.doc_id = i.a
+       |  JOIN sizes sb ON sb.doc_id = i.b)
+       |SELECT e.est_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jacc_milli) // count(*) AS BIGINT) AS mean_exact_milli,
+       |  CAST(min(jacc_milli) AS BIGINT) AS min_exact_milli,
+       |  CAST(max(jacc_milli) AS BIGINT) AS max_exact_milli
+       |FROM estm e JOIN jm ON jm.a = e.a AND jm.b = e.b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Full-pipeline oracle for the OPH variant: same shingles, ONE hash
     * split into (bin, payload), per-bin minima, the identical rotation
@@ -1354,6 +1428,7 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),
     "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_minhash_calibration" -> minhashCalibrationSql,
     "dedup_minhash_oph" -> ophLshSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,

@@ -1462,6 +1462,25 @@ class OpsSpec extends SparkSuite {
     a.unpersist(); b.unpersist()
   }
 
+  test("minhash calibration: mean exact similarity rises with coordinate matches") {
+    val rows = graft.ops.DedupOps.minhashCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, n, mean, mn, mx) =>
+      assert(est >= 0 && est <= graft.ops.DedupOps.NumPerms)
+      assert(n > 0 && mn <= mean && mean <= mx && mx <= 1000)
+    }
+    // the MinHash theorem's footprint: the per-bucket mean must not
+    // DECREASE as matches increase (allowing equal neighbors on the
+    // tiny-sf buckets)
+    val means = rows.sortBy(_._1).map(_._3).toSeq
+    means.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(1) >= w(0) - 30,
+        s"calibration curve inverted: $means")
+    }
+    assert(means.last > means.head, "curve must rise overall")
+  }
+
   test("universe sampling: zero orphans by construction, Bernoulli orphans ~(1-p)") {
     val r = graft.ops.Sampling.universeJoinSample(spark, sf).collect().head
     val nOrders = r.getLong(0); val nSampled = r.getLong(1)
