@@ -714,7 +714,66 @@ object StreamParity {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY user_id, ms, from_event, to_event""".stripMargin
 
+  /** Streaming AS-OF enrichment (q22's incremental twin: per-user
+    * last-click state, each purchase matched as it arrives) over
+    * batches time-ordered by the SAME key the operator's in-batch fold
+    * uses — (ts, kind, event_id) with clicks before purchases at equal
+    * ms. Ordering the ntile by the fold's own key is load-bearing: a
+    * same-ms click/purchase pair split across batches in any other
+    * order would let the purchase miss its simultaneous click. With it,
+    * quartile slices concatenate to the fold's global order per user,
+    * so the match set equals the batch as-of exactly; the oracle is the
+    * IGNORE-NULLS running-last-click window. */
+  def streamAsofParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_asof/in")
+    val outDir = freshDir(s, "stream_asof/out")
+    val ckpt = freshDir(s, "stream_asof/ckpt")
+    val kind = when(col("event_type") === "click", 0).otherwise(1)
+    val wOrd = Window.orderBy(col("ts"), kind, col("event_id"))
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.asofStream(stream.as[StreamOps.Event]).toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("purchase_id"),
+        col("last_click_id"), col("last_click_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val streamAsofParitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT user_id, event_id, ms, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+      |    last_value(CASE WHEN kind = 0 THEN ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ms, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ms
+      |  FROM e)
+      |SELECT user_id, event_id AS purchase_id,
+      |  CAST(last_click_id AS BIGINT) AS last_click_id,
+      |  CAST(last_click_ms AS BIGINT) AS last_click_ms
+      |FROM m WHERE kind = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_asof_parity" -> (streamAsofParity _),
     "stream_transitions_parity" -> (streamTransitionsParity _),
     "stream_dedup_parity" -> (streamDedupParity _),
     "stream_rollup_parity" -> (streamRollupParity _),
@@ -728,6 +787,7 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_asof_parity" -> streamAsofParitySql,
     "stream_transitions_parity" -> streamTransitionsParitySql,
     "stream_dedup_parity" -> streamDedupParitySql,
     "stream_rollup_parity" -> streamRollupParitySql,
