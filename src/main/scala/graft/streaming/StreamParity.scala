@@ -419,6 +419,59 @@ object StreamParity {
       expr("CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)").as("value"))
   }
 
+  /** Batch-assignment rule for the ordered-replay twins — the round-13
+    * verdict's top item: the SPARK-42376 two-watermark model was verified
+    * at exactly ONE schedule point per query (NumBatches=4, one bucketing
+    * each). Parameterizing the schedule lets the FuzzDump `streamord`
+    * family test the MODEL across randomized (numBatches, slicing)
+    * points: each rule is pure integer/rank math expressible identically
+    * in Spark (the `_b` column landOrdered keys on) and DuckDB (the `b`
+    * expression the schedule-aware oracle keys on). */
+  sealed trait Slicing {
+    /** Spark-side bucket column in [0, nb). */
+    def bCol(nb: Int): Column
+    /** DuckDB-side bucket expression over the raw `events` table. */
+    def bSqlDuck(nb: Int): String
+  }
+  /** The graded layout: dense event ids mod the batch count. */
+  case object SliceHashMod extends Slicing {
+    def bCol(nb: Int): Column = pmod(col("event_id"), lit(nb.toLong)).cast("int")
+    def bSqlDuck(nb: Int): String = s"event_id % $nb"
+  }
+  /** Pseudo-random re-mix: ((a·id) mod P) mod nb, P prime — a different
+    * row-to-batch assignment per multiplier, same math on both engines
+    * (ids and a are bounded so the product stays far below 2^63). */
+  final case class SliceAffine(a: Long) extends Slicing {
+    private val P = 1000003L
+    def bCol(nb: Int): Column =
+      pmod(pmod(lit(a) * col("event_id"), lit(P)), lit(nb.toLong)).cast("int")
+    def bSqlDuck(nb: Int): String = s"(($a * event_id) % $P) % $nb"
+  }
+  /** Event-time quartiles (ntile over the global (ts, event_id) order —
+    * the layout the session/dedup/transitions twins are graded under). */
+  case object SliceTime extends Slicing {
+    def bCol(nb: Int): Column =
+      (ntile(nb).over(Window.orderBy(col("ts"), col("event_id"))) - 1).cast("int")
+    def bSqlDuck(nb: Int): String =
+      s"ntile($nb) OVER (ORDER BY epoch_ms(ts), event_id) - 1"
+  }
+
+  /** The watermark-trajectory CTEs shared by the window/sliding oracles,
+    * parameterized by schedule. The `spine` makes the positional
+    * `2 PRECEDING` frame index BATCHES, not present-b rows: a slicing
+    * that leaves bucket k empty still consumes micro-batch k (landOrdered
+    * lands an empty file), and the running max must skip it without
+    * shifting the frame — `max` over the LEFT JOIN's NULLs does exactly
+    * that. (With the graded dense slicing the spine is a no-op; it exists
+    * so randomized schedules can't silently break the model.) */
+  private def wmCtes(nb: Int, slicing: Slicing, delayMs: Long): String =
+    s"""bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
+       |spine AS (SELECT unnest(generate_series(0, ${nb - 1})) AS b),
+       |wmt AS (SELECT b, coalesce(max(mx) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - $delayMs, 0) AS wm
+       |  FROM spine LEFT JOIN bmax USING (b)),
+       |fwm AS (SELECT max(ms) - $delayMs AS f FROM ev)""".stripMargin
+
   /** Tumbling 5-min windows + 10-min watermark (StreamOps.windowedCounts
     * — the operator StreamingSpec covers, now driver-graded), executed
     * over NumBatches HASH-sliced ordered batches (`event_id % N`): every
@@ -427,13 +480,17 @@ object StreamParity {
     * LATE data — the drop path is the load-bearing semantics here. The
     * readout re-keys window bounds to epoch ms (tz-proof) and re-casts
     * the exact-integer double sum to cents. */
-  def streamWindowParity(s: SparkSession, dir: String): DataFrame = {
-    val inDir = freshDir(s, "stream_window/in")
-    val outDir = freshDir(s, "stream_window/out")
-    val ckpt = freshDir(s, "stream_window/ckpt")
+  def streamWindowParity(s: SparkSession, dir: String): DataFrame =
+    streamWindowParityN(s, dir, NumBatches, SliceHashMod, "")
+
+  private[graft] def streamWindowParityN(s: SparkSession, dir: String,
+      numBatches: Int, slicing: Slicing, tag: String): DataFrame = {
+    val inDir = freshDir(s, s"stream_window$tag/in")
+    val outDir = freshDir(s, s"stream_window$tag/out")
+    val ckpt = freshDir(s, s"stream_window$tag/ckpt")
     val ev = orderedEvents(s, dir)
-      .withColumn("_b", pmod(col("event_id"), lit(NumBatches.toLong)).cast("int"))
-    landOrdered(s, ev, inDir, NumBatches)
+      .withColumn("_b", slicing.bCol(numBatches))
+    landOrdered(s, ev, inDir, numBatches)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.windowedCounts(stream)
@@ -462,16 +519,15 @@ object StreamParity {
     * max(ms) − 10 min. Window arithmetic is pure epoch-ms floor math on
     * both engines. */
   val streamWindowParitySql: String =
+    streamWindowParityOracleSql(NumBatches, SliceHashMod)
+
+  private[graft] def streamWindowParityOracleSql(nb: Int, slicing: Slicing): String =
     s"""WITH ev AS (
        |  SELECT event_id, epoch_ms(ts) AS ms, event_type,
        |    CAST(round(value * 100) AS BIGINT) AS cents,
-       |    event_id % $NumBatches AS b
+       |    ${slicing.bSqlDuck(nb)} AS b
        |  FROM events),
-       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
-       |wmt AS (SELECT b, coalesce(max(mx) OVER (ORDER BY b
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm
-       |  FROM bmax),
-       |fwm AS (SELECT max(ms) - 600000 AS f FROM ev),
+       |${wmCtes(nb, slicing, 600000L)},
        |kept AS (
        |  SELECT (ev.ms // 300000) * 300000 AS ws, ev.event_type, ev.cents
        |  FROM ev JOIN wmt USING (b)
@@ -487,13 +543,17 @@ object StreamParity {
     * (row, window) pair — a late row is kept for its still-open trailing
     * windows and dropped for the already-evicted leading ones — which is
     * exactly what the per-window `end > wm` predicate models. */
-  def streamSlidingParity(s: SparkSession, dir: String): DataFrame = {
-    val inDir = freshDir(s, "stream_sliding/in")
-    val outDir = freshDir(s, "stream_sliding/out")
-    val ckpt = freshDir(s, "stream_sliding/ckpt")
+  def streamSlidingParity(s: SparkSession, dir: String): DataFrame =
+    streamSlidingParityN(s, dir, NumBatches, SliceHashMod, "")
+
+  private[graft] def streamSlidingParityN(s: SparkSession, dir: String,
+      numBatches: Int, slicing: Slicing, tag: String): DataFrame = {
+    val inDir = freshDir(s, s"stream_sliding$tag/in")
+    val outDir = freshDir(s, s"stream_sliding$tag/out")
+    val ckpt = freshDir(s, s"stream_sliding$tag/ckpt")
     val ev = orderedEvents(s, dir)
-      .withColumn("_b", pmod(col("event_id"), lit(NumBatches.toLong)).cast("int"))
-    landOrdered(s, ev, inDir, NumBatches)
+      .withColumn("_b", slicing.bCol(numBatches))
+    landOrdered(s, ev, inDir, numBatches)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.slidingCounts(stream)
@@ -513,15 +573,14 @@ object StreamParity {
   }
 
   val streamSlidingParitySql: String =
+    streamSlidingParityOracleSql(NumBatches, SliceHashMod)
+
+  private[graft] def streamSlidingParityOracleSql(nb: Int, slicing: Slicing): String =
     s"""WITH ev AS (
        |  SELECT event_id, epoch_ms(ts) AS ms, event_type,
-       |    event_id % $NumBatches AS b
+       |    ${slicing.bSqlDuck(nb)} AS b
        |  FROM events),
-       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
-       |wmt AS (SELECT b, coalesce(max(mx) OVER (ORDER BY b
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm
-       |  FROM bmax),
-       |fwm AS (SELECT max(ms) - 600000 AS f FROM ev),
+       |${wmCtes(nb, slicing, 600000L)},
        |expd AS (
        |  SELECT ((ev.ms // 60000) - g.k) * 60000 AS ws, ev.event_type, ev.b
        |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k) g),
@@ -547,14 +606,24 @@ object StreamParity {
     * watermark-dependent effect left is FINAL eviction: sessions whose
     * end (last_ts + gap) is still inside the closing watermark
     * (max − gap) are unemitted state — the oracle's cutoff predicate. */
-  def streamSessionParity(s: SparkSession, dir: String): DataFrame = {
-    val inDir = freshDir(s, "stream_session/in")
-    val outDir = freshDir(s, "stream_session/out")
-    val ckpt = freshDir(s, "stream_session/ckpt")
-    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+  def streamSessionParity(s: SparkSession, dir: String): DataFrame =
+    streamSessionParityN(s, dir, NumBatches, "")
+
+  /** Session takes only a batch-COUNT parameter: its oracle (plain batch
+    * gaps-and-islands + final cutoff) is valid for ANY time-ordered
+    * slicing — the no-late-drop and eviction-agreement arguments in the
+    * scaladoc never mention N — but NOT for hash slicings, where late
+    * originals drop and premature evictions split sessions (the same
+    * class of refutation the dedup fuzz recorded). The `streamord` fuzz
+    * family therefore varies N here and the full slicing elsewhere. */
+  private[graft] def streamSessionParityN(s: SparkSession, dir: String,
+      numBatches: Int, tag: String): DataFrame = {
+    val inDir = freshDir(s, s"stream_session$tag/in")
+    val outDir = freshDir(s, s"stream_session$tag/out")
+    val ckpt = freshDir(s, s"stream_session$tag/ckpt")
     val ev = orderedEvents(s, dir)
-      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
-    landOrdered(s, ev, inDir, NumBatches)
+      .withColumn("_b", SliceTime.bCol(numBatches))
+    landOrdered(s, ev, inDir, numBatches)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.sessionCounts(stream)

