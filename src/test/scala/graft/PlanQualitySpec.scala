@@ -96,11 +96,11 @@ class PlanQualitySpec extends SparkSuite {
     // probe are broadcasts. A fourth exchange here means the closure
     // stopped broadcasting or the edge checkpoint was dropped.
     "graph_triangles" -> 3,
-    // Post-checkpoint plan (r13: the GroupCap-filtered membership is
-    // truncated once and feeds both pair-expansion sides): (a,b) count
-    // agg + per-part rollup, TakeOrdered; the expansion join itself
-    // broadcasts at spec sf.
-    "graph_butterflies" -> 2,
+    // Post-checkpoint plan (r14: the (a,b) co-occurrence count IS the
+    // family-shared CoTables.pairs materialization): the visible plan
+    // is just the per-part rollup feeding TakeOrdered. A second
+    // exchange means the pair expansion escaped the shared projection.
+    "graph_butterflies" -> 1,
     // Post-checkpoint plan (the keyed rows materialize once behind a
     // lineage truncation): the 1-row extent agg, the bucket agg, the
     // output sort; the 1-row crosses are broadcast BNLJs.
@@ -412,10 +412,10 @@ class PlanQualitySpec extends SparkSuite {
     // Top paths: the (user, day) session collect + the path rollup
     // feeding TakeOrdered — a join appearing here is a de-optimization.
     "events_top_paths" -> 2,
-    // Modularity: und/labels truncated; visible plan is the degree agg,
-    // the community-degree agg, and the two 1-row stat aggs; labels
-    // join everywhere as broadcasts.
-    "graph_modularity" -> 4)
+    // Modularity: und/deg/labels all truncated (r14: deg now rides the
+    // family-shared CoTables); visible plan is the community-degree
+    // agg and the two 1-row stat aggs; labels join as broadcasts.
+    "graph_modularity" -> 3)
 
   test("headline queries plan exactly their pinned shuffle counts") {
     val drift = PinnedShuffles.keys.toSeq.sorted
