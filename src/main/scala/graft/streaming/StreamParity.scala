@@ -44,10 +44,12 @@ import graft.etl.{Scratch, WarehouseFs}
   *    under processAllAvailable; also pinned by spec). Rows landing
   *    after their window's eviction always fail the filter
   *    (filter_wm(k) ≥ evict_wm(j) ≥ end for k > j), so each window is
-  *    emitted at most once and a plain append sink is replay-exact. The
-  *    funnel twin stays spec-only: its flatMapGroupsWithState drop set
-  *    depends on per-user state *timeout interleaving*, not just the
-  *    watermark trajectory, and has no closed-form batch SQL.
+  *    emitted at most once and a plain append sink is replay-exact.
+  *    Round 14 closed the last spec-only operator: the funnel's
+  *    *timeout interleaving* IS a pure function of the fixture under
+  *    ordered replay (StreamTimeoutSpec's measured model), so
+  *    [[streamFunnelParity]] runs with event-time timeouts firing and
+  *    an oracle that replays the eviction schedule in SQL.
   *
   * Micro-batching is forced and deterministic: the fixture is landed as
   * `NumBatches` hash-bucketed parquet files and streamed back with
@@ -388,7 +390,7 @@ object StreamParity {
     * watermark trajectory into a fixture-derivable function (see the
     * header). The coalesce(1) is harness landing, not operator shape:
     * fixture batches are small by construction. */
-  private def landOrdered(s: SparkSession, df: DataFrame, inDir: String, n: Int): Unit = {
+  private[graft] def landOrdered(s: SparkSession, df: DataFrame, inDir: String, n: Int): Unit = {
     val (fs, root) = WarehouseFs.resolve(s, inDir)
     WarehouseFs.mkdirs(fs, root)
     for (k <- 0 until n) {
@@ -841,7 +843,143 @@ object StreamParity {
       |  CAST(last_click_ms AS BIGINT) AS last_click_ms
       |FROM m WHERE kind = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Batch count for the funnel twin: 16 × ~1.9-day slices makes whole-
+    * batch user gaps common (the eviction predicate needs a batch with
+    * no data for the user), where the quartile layout had none. */
+  val FunnelBatches = 16
+  /** Episode retention = the funnel window itself: a user idle past the
+    * window restarts — measured on the fixture: 43 evictions fire and
+    * 132 batch-skips do NOT (both sides of the comparator exercised). */
+  val FunnelRetMs: Long = graft.queries.Behavioral.FunnelWindowMs
+
+  /** Streaming funnel (flatMapGroupsWithState with EVENT-TIME TIMEOUTS
+    * firing inside the graded run) — the last spec-only StreamOps
+    * operator, registrable after StreamTimeoutSpec measured the timeout
+    * semantics under ordered replay: (1) a group's timeout fires at the
+    * first batch where it has NO data and timeout_ts < evict_wm(k) =
+    * max(ms over batches < k) − delay, STRICT; (2) a group WITH data in
+    * that batch gets the data call on its old state (episode continues);
+    * (3) the input late filter is 2-lag (filter_wm(k) = evict_wm(k−1))
+    * keyed on raw ts, strict. Under time-ordered batches the late
+    * filter never drops (row ms ≥ cmax(k−1) > filter_wm(k)) and the
+    * wm+1 arm of setTimeoutTimestamp never wins (user's batch max ≥
+    * cmax(j−1) ≥ evict_wm(j) + delay), so the eviction schedule reduces
+    * to: episode breaks before the user's data batch m iff m ≥ j+2 and
+    * cmax(m−2) − delay > last_user_ms(j) + retention — which is exactly
+    * the predicate the oracle's `brk` CTE replays. Within an episode
+    * the fold is the greedy earliest-anchor chain over the batch
+    * prefix; one row is emitted per data batch where the level rose.
+    * The stream carries only the funnel's step events — the natural
+    * production feed, and the sparsity that makes evictions real. */
+  def streamFunnelParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_funnel/in")
+    val outDir = freshDir(s, "stream_funnel/out")
+    val ckpt = freshDir(s, "stream_funnel/ckpt")
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_type").isin(graft.queries.Behavioral.FunnelSteps: _*))
+      .withColumn("_b", SliceTime.bCol(FunnelBatches))
+    landOrdered(s, ev, inDir, FunnelBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.funnelStream(stream.as[StreamOps.Event],
+        graft.queries.Behavioral.FunnelWindowMs,
+        java.time.Duration.ofMillis(FunnelRetMs))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("level"), col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"), col("level"), col("t1"), col("t2"), col("t3"))
+  }
+
+  /** The oracle replays the eviction schedule in SQL: episode breaks by
+    * the measured timeout predicate (brk), then the greedy chain over
+    * each episode's batch PREFIX (s1→s2→s3), emitting rows where the
+    * level rose vs the previous data batch. Sort keys are total: level
+    * repeats per user only across episodes, which have distinct t1. */
+  val streamFunnelParitySql: String = {
+    val W = graft.queries.Behavioral.FunnelWindowMs
+    val steps = graft.queries.Behavioral.FunnelSteps
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+       |    ntile($FunnelBatches) OVER (ORDER BY epoch_ms(ts), event_id) - 1 AS b
+       |  FROM events
+       |  WHERE event_type IN (${steps.map(x => s"'$x'").mkString(", ")})),
+       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
+       |cmax AS (SELECT b, max(mx) OVER (ORDER BY b) AS cm FROM bmax),
+       |ub AS (SELECT user_id, b, max(ms) AS umax FROM ev GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT user_id, b AS m,
+       |    lag(b) OVER (PARTITION BY user_id ORDER BY b) AS j,
+       |    lag(umax) OVER (PARTITION BY user_id ORDER BY b) AS jmax
+       |  FROM ub),
+       |brk AS (
+       |  SELECT user_id, m,
+       |    CASE WHEN j IS NULL THEN 0
+       |         WHEN m >= j + 2 AND
+       |           (SELECT cm FROM cmax WHERE b = m - 2) - 600000
+       |             > jmax + $FunnelRetMs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM seq),
+       |epi AS (
+       |  SELECT user_id, m AS b,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY m) AS ep
+       |  FROM brk),
+       |eve AS (
+       |  SELECT ev.user_id, ev.ms, ev.event_type, ev.b, epi.ep
+       |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
+       |ks AS (SELECT DISTINCT user_id, ep, b AS k FROM eve),
+       |pre AS (
+       |  SELECT eve.user_id, eve.ep, ks.k, eve.ms, eve.event_type
+       |  FROM eve JOIN ks ON eve.user_id = ks.user_id AND eve.ep = ks.ep
+       |    AND eve.b <= ks.k),
+       |s1 AS (
+       |  SELECT user_id, ep, k,
+       |    min(CASE WHEN event_type = '${steps(0)}' THEN ms END) AS t1
+       |  FROM pre GROUP BY 1, 2, 3),
+       |s2 AS (
+       |  SELECT p.user_id, p.ep, p.k, s1.t1,
+       |    min(CASE WHEN p.event_type = '${steps(1)}' AND p.ms > s1.t1
+       |             AND p.ms <= s1.t1 + $W THEN p.ms END) AS t2
+       |  FROM pre p JOIN s1 ON p.user_id = s1.user_id AND p.ep = s1.ep
+       |    AND p.k = s1.k
+       |  GROUP BY 1, 2, 3, 4),
+       |s3 AS (
+       |  SELECT p.user_id, p.ep, p.k, s2.t1, s2.t2,
+       |    min(CASE WHEN p.event_type = '${steps(2)}' AND p.ms > s2.t2
+       |             AND p.ms <= s2.t1 + $W THEN p.ms END) AS t3
+       |  FROM pre p JOIN s2 ON p.user_id = s2.user_id AND p.ep = s2.ep
+       |    AND p.k = s2.k
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |lv AS (
+       |  SELECT user_id, ep, k,
+       |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+       |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+       |    t1, t2, t3
+       |  FROM s3),
+       |em AS (
+       |  SELECT user_id, level, t1, t2, t3,
+       |    coalesce(lag(level) OVER (PARTITION BY user_id, ep ORDER BY k), 0)
+       |      AS plev
+       |  FROM lv)
+       |SELECT user_id, CAST(level AS BIGINT) AS level,
+       |  CAST(coalesce(t1, -1) AS BIGINT) AS t1,
+       |  CAST(coalesce(t2, -1) AS BIGINT) AS t2,
+       |  CAST(coalesce(t3, -1) AS BIGINT) AS t3
+       |FROM em WHERE level > plev
+       |ORDER BY user_id, level, t1, t2, t3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel_parity" -> (streamFunnelParity _),
     "stream_asof_parity" -> (streamAsofParity _),
     "stream_transitions_parity" -> (streamTransitionsParity _),
     "stream_dedup_parity" -> (streamDedupParity _),
@@ -856,6 +994,7 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_funnel_parity" -> streamFunnelParitySql,
     "stream_asof_parity" -> streamAsofParitySql,
     "stream_transitions_parity" -> streamTransitionsParitySql,
     "stream_dedup_parity" -> streamDedupParitySql,
