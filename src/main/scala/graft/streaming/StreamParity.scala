@@ -393,19 +393,41 @@ object StreamParity {
   private[graft] def landOrdered(s: SparkSession, df: DataFrame, inDir: String, n: Int): Unit = {
     val (fs, root) = WarehouseFs.resolve(s, inDir)
     WarehouseFs.mkdirs(fs, root)
+    // ONE job lands every bucket (repartition on _b puts each bucket in
+    // a single task, so each _b= dir holds exactly one part file) — the
+    // r14 fix for the 16-batch twins, whose n sequential single-bucket
+    // jobs dominated their wall time. Buckets a slicing left empty (or
+    // that unexpectedly split) fall back to the original per-bucket
+    // landing so batch INDEXING is always preserved: micro-batch k must
+    // exist even when bucket k has no rows.
+    val tmp = s"$inDir/_tmp"
+    df.repartition(n, col("_b")).write.mode("overwrite")
+      .partitionBy("_b").parquet(tmp)
+    val (tfs, tp) = WarehouseFs.resolve(s, tmp)
     for (k <- 0 until n) {
-      val tmp = s"$inDir/_tmp"
-      df.filter(col("_b") === lit(k)).drop("_b")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val (tfs, tp) = WarehouseFs.resolve(s, tmp)
-      val part = WarehouseFs.list(tfs, tp).map(_.getPath)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
       val dest = new Path(root, f"batch-$k%02d.parquet")
-      WarehouseFs.rename(tfs, part, dest)
-      WarehouseFs.deleteTree(tfs, tp)
+      val bdir = new Path(tp, s"_b=$k")
+      val parts =
+        if (WarehouseFs.exists(tfs, bdir))
+          WarehouseFs.list(tfs, bdir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+        else Seq.empty
+      parts match {
+        case Seq(one) => WarehouseFs.rename(tfs, one, dest)
+        case _ =>
+          val tmp1 = s"$inDir/_tmp1"
+          df.filter(col("_b") === lit(k)).drop("_b")
+            .coalesce(1).write.mode("overwrite").parquet(tmp1)
+          val (t1fs, t1p) = WarehouseFs.resolve(s, tmp1)
+          val part = WarehouseFs.list(t1fs, t1p).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file in $tmp1"))
+          WarehouseFs.rename(t1fs, part, dest)
+          WarehouseFs.deleteTree(t1fs, t1p)
+      }
       fs.setTimes(dest, OrderedMtimeBase + k * 60000L, -1L)
     }
+    WarehouseFs.deleteTree(tfs, tp)
   }
 
   /** Events prepared for the watermark twins: epoch-ms event time as a
@@ -843,14 +865,54 @@ object StreamParity {
       |  CAST(last_click_ms AS BIGINT) AS last_click_ms
       |FROM m WHERE kind = 1 ORDER BY purchase_id""".stripMargin
 
-  /** Batch count for the funnel twin: 16 × ~1.9-day slices makes whole-
-    * batch user gaps common (the eviction predicate needs a batch with
-    * no data for the user), where the quartile layout had none. */
-  val FunnelBatches = 16
-  /** Episode retention = the funnel window itself: a user idle past the
-    * window restarts — measured on the fixture: 43 evictions fire and
-    * 132 batch-skips do NOT (both sides of the comparator exercised). */
-  val FunnelRetMs: Long = graft.queries.Behavioral.FunnelWindowMs
+  /** Batch count for the timeout-exercising twins: 16 × ~1.9-day slices
+    * make whole-batch user gaps common (the eviction predicate needs a
+    * batch with no data for the user), where the quartile layout had
+    * none. */
+  val EpisodeBatches = 16
+  /** Episode retention for the timeout twins — for the funnel it equals
+    * the funnel window itself (a user idle past the window restarts).
+    * Measured on the fixtures: funnel feed 43/434 evictions fire and
+    * 132/1191 batch-skips do NOT (sf0.01/sf0.1 — both comparator sides
+    * exercised); the sparser id%3 feed fires 186/1820. */
+  val EpisodeRetMs: Long = graft.queries.Behavioral.FunnelWindowMs
+
+  /** The eviction-schedule CTEs shared by every timeout-exercising
+    * oracle: the feed (`feedWhere`), batched by ntile over `ntileKey`,
+    * with per-batch maxima (`bmax`/`cmax`), and the measured eviction
+    * predicate (StreamTimeoutSpec): a user's episode BREAKS before
+    * their data batch m iff m ≥ j+2 (a data-free batch exists for the
+    * timeout to fire in) and cmax(m−2) − delay > last_user_ms(j) + ret
+    * (strict — evict_wm of the last such batch exceeds the timeout).
+    * `epi` assigns each (user, data batch) its episode ordinal. */
+  private def episodeCtes(nb: Int, retMs: Long, feedWhere: String,
+      ntileKey: String = "epoch_ms(ts), event_id"): String =
+    s"""ev AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    ntile($nb) OVER (ORDER BY $ntileKey) - 1 AS b
+       |  FROM events
+       |  $feedWhere),
+       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
+       |cmax AS (SELECT b, max(mx) OVER (ORDER BY b) AS cm FROM bmax),
+       |ub AS (SELECT user_id, b, max(ms) AS umax FROM ev GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT user_id, b AS m,
+       |    lag(b) OVER (PARTITION BY user_id ORDER BY b) AS j,
+       |    lag(umax) OVER (PARTITION BY user_id ORDER BY b) AS jmax
+       |  FROM ub),
+       |brk AS (
+       |  SELECT user_id, m,
+       |    CASE WHEN j IS NULL THEN 0
+       |         WHEN m >= j + 2 AND
+       |           (SELECT cm FROM cmax WHERE b = m - 2) - 600000
+       |             > jmax + $retMs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM seq),
+       |epi AS (
+       |  SELECT user_id, m AS b,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY m) AS ep
+       |  FROM brk)""".stripMargin
 
   /** Streaming funnel (flatMapGroupsWithState with EVENT-TIME TIMEOUTS
     * firing inside the graded run) — the last spec-only StreamOps
@@ -878,13 +940,13 @@ object StreamParity {
     val ckpt = freshDir(s, "stream_funnel/ckpt")
     val ev = orderedEvents(s, dir)
       .filter(col("event_type").isin(graft.queries.Behavioral.FunnelSteps: _*))
-      .withColumn("_b", SliceTime.bCol(FunnelBatches))
-    landOrdered(s, ev, inDir, FunnelBatches)
+      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
+    landOrdered(s, ev, inDir, EpisodeBatches)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.funnelStream(stream.as[StreamOps.Event],
         graft.queries.Behavioral.FunnelWindowMs,
-        java.time.Duration.ofMillis(FunnelRetMs))
+        java.time.Duration.ofMillis(EpisodeRetMs))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -908,31 +970,8 @@ object StreamParity {
   val streamFunnelParitySql: String = {
     val W = graft.queries.Behavioral.FunnelWindowMs
     val steps = graft.queries.Behavioral.FunnelSteps
-    s"""WITH ev AS (
-       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
-       |    ntile($FunnelBatches) OVER (ORDER BY epoch_ms(ts), event_id) - 1 AS b
-       |  FROM events
-       |  WHERE event_type IN (${steps.map(x => s"'$x'").mkString(", ")})),
-       |bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY 1),
-       |cmax AS (SELECT b, max(mx) OVER (ORDER BY b) AS cm FROM bmax),
-       |ub AS (SELECT user_id, b, max(ms) AS umax FROM ev GROUP BY 1, 2),
-       |seq AS (
-       |  SELECT user_id, b AS m,
-       |    lag(b) OVER (PARTITION BY user_id ORDER BY b) AS j,
-       |    lag(umax) OVER (PARTITION BY user_id ORDER BY b) AS jmax
-       |  FROM ub),
-       |brk AS (
-       |  SELECT user_id, m,
-       |    CASE WHEN j IS NULL THEN 0
-       |         WHEN m >= j + 2 AND
-       |           (SELECT cm FROM cmax WHERE b = m - 2) - 600000
-       |             > jmax + $FunnelRetMs
-       |         THEN 1 ELSE 0 END AS is_new
-       |  FROM seq),
-       |epi AS (
-       |  SELECT user_id, m AS b,
-       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY m) AS ep
-       |  FROM brk),
+    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs,
+          s"WHERE event_type IN (${steps.map(x => s"'$x'").mkString(", ")})")},
        |eve AS (
        |  SELECT ev.user_id, ev.ms, ev.event_type, ev.b, epi.ep
        |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
@@ -978,7 +1017,210 @@ object StreamParity {
        |ORDER BY user_id, level, t1, t2, t3""".stripMargin
   }
 
+  /** Feed for the totals/SCD2 timeout twins: every third event (all
+    * types) — sparse enough that whole-batch user gaps are common
+    * (186 evictions fire at sf0.01, 1820 at sf0.1). */
+  private val SparseFeed = "WHERE event_id % 3 = 0"
+
+  /** Streaming running totals (the flatMapGroupsWithState running-state
+    * shape) with EVICTIONS firing: a user idle past EpisodeRetMs across
+    * a data-free batch is dropped and their totals restart — the
+    * bounded-state contract, graded. One row per (user, data batch):
+    * the running (n, total) since episode start; the oracle replays the
+    * eviction schedule (episodeCtes) and recomputes each episode's
+    * batch-prefix totals. Identical emitted rows across episodes are
+    * possible and fine: both engines produce the same multiset and the
+    * sort is deterministic up to interchangeable duplicates. */
+  def streamTotalsParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_totals/in")
+    val outDir = freshDir(s, "stream_totals/out")
+    val ckpt = freshDir(s, "stream_totals/ckpt")
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_id") % 3 === 0)
+      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
+    landOrdered(s, ev, inDir, EpisodeBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.runningTotals(stream.as[StreamOps.Event],
+        java.time.Duration.ofMillis(EpisodeRetMs))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("n"),
+        col("total").cast("long").as("total_cents"))
+      .orderBy(col("user_id"), col("n"), col("total_cents"))
+  }
+
+  val streamTotalsParitySql: String =
+    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs, SparseFeed)},
+       |eve AS (
+       |  SELECT ev.user_id, ev.cents, ev.b, epi.ep
+       |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
+       |ks AS (SELECT DISTINCT user_id, ep, b AS k FROM eve),
+       |cum AS (
+       |  SELECT eve.user_id, eve.ep, ks.k,
+       |    count(*) AS n, sum(eve.cents) AS total
+       |  FROM eve JOIN ks ON eve.user_id = ks.user_id AND eve.ep = ks.ep
+       |    AND eve.b <= ks.k
+       |  GROUP BY 1, 2, 3)
+       |SELECT user_id, CAST(n AS BIGINT) AS n,
+       |  CAST(total AS BIGINT) AS total_cents
+       |FROM cum ORDER BY user_id, n, total_cents""".stripMargin
+
+  /** Streaming SCD Type-2 with EVICTIONS firing — scd2Stream's signature
+    * semantics graded: an attribute change CLOSES the open version (one
+    * non-current row), and eviction FINALIZES it (the open version
+    * emitted with valid_to NULL / is_current true, state dropped, the
+    * returning user restarting at version 1). Under the measured
+    * schedule every episode except possibly the user's last ends by
+    * eviction; the last is finalized iff the FINAL no-data batch's
+    * watermark strictly passes its timeout (last_ms + ret < max(all) −
+    * delay) — the oracle's `fin` predicate. */
+  def streamScd2Parity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_scd2/in")
+    val outDir = freshDir(s, "stream_scd2/out")
+    val ckpt = freshDir(s, "stream_scd2/ckpt")
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_id") % 3 === 0)
+      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
+    landOrdered(s, ev, inDir, EpisodeBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.scd2Stream(stream.as[StreamOps.Event],
+        java.time.Duration.ofMillis(EpisodeRetMs))
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("version"), col("attr"),
+        col("valid_from_ms"), col("valid_to_ms"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_ms"), col("version"))
+  }
+
+  val streamScd2ParitySql: String =
+    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs, SparseFeed)},
+       |eve AS (
+       |  SELECT ev.user_id, ev.event_id, ev.ms, ev.event_type, epi.ep
+       |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
+       |fwm AS (SELECT max(ms) - 600000 AS f FROM ev),
+       |vb AS (
+       |  SELECT user_id, ep, ms, event_id, event_type,
+       |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id, ep
+       |        ORDER BY ms, event_id) IS DISTINCT FROM event_type
+       |      THEN 1 ELSE 0 END AS is_new_v
+       |  FROM eve),
+       |ver AS (
+       |  SELECT user_id, ep, ms, event_type,
+       |    SUM(is_new_v) OVER (PARTITION BY user_id, ep ORDER BY ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+       |  FROM vb),
+       |vrow AS (
+       |  SELECT user_id, ep, version, min(event_type) AS attr,
+       |    min(ms) AS valid_from_ms, count(*) AS n_events
+       |  FROM ver GROUP BY 1, 2, 3),
+       |vx AS (
+       |  SELECT user_id, ep, version, attr, valid_from_ms, n_events,
+       |    lead(valid_from_ms) OVER (PARTITION BY user_id, ep
+       |      ORDER BY version) AS valid_to_ms,
+       |    max(version) OVER (PARTITION BY user_id, ep) AS max_v,
+       |    max(ep) OVER (PARTITION BY user_id) AS max_ep
+       |  FROM vrow),
+       |ulast AS (SELECT user_id, max(ms) AS last_ms FROM ev GROUP BY 1),
+       |fin AS (
+       |  SELECT vx.*, (vx.ep < vx.max_ep OR ulast.last_ms + $EpisodeRetMs
+       |      < (SELECT f FROM fwm)) AS episode_evicted
+       |  FROM vx JOIN ulast ON vx.user_id = ulast.user_id)
+       |SELECT user_id, CAST(version AS BIGINT) AS version, attr,
+       |  valid_from_ms,
+       |  CASE WHEN version < max_v THEN valid_to_ms END AS valid_to_ms,
+       |  CAST(n_events AS BIGINT) AS n_events,
+       |  version = max_v AS is_current
+       |FROM fin
+       |WHERE version < max_v OR episode_evicted
+       |ORDER BY user_id, valid_from_ms, version""".stripMargin
+
+  /** Streaming multi-touch attribution (attributionStream: per-user
+    * trailing touch window, integer milli-credit split on each purchase)
+    * over batches time-ordered by the operator's OWN fold key — touches
+    * before purchases at equal ms, the asof precedent. Retention is the
+    * 45-day default (no eviction: attribution's window discipline is
+    * the state bound; the timeout twins above grade the eviction path).
+    * The oracle is the plain interval join + rank split. */
+  def streamAttributionParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = freshDir(s, "stream_attrib/in")
+    val outDir = freshDir(s, "stream_attrib/out")
+    val ckpt = freshDir(s, "stream_attrib/ckpt")
+    val kind = when(col("event_type") === "purchase", 1).otherwise(0)
+    val wOrd = Window.orderBy(col("ts"), kind, col("event_id"))
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    landOrdered(s, ev, inDir, NumBatches)
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.attributionStream(stream.as[StreamOps.Event])
+      .toDF()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("p_id"), col("t_id"),
+        col("touch_type"), col("credit_milli"))
+      .orderBy(col("user_id"), col("p_id"), col("t_id"))
+  }
+
+  val streamAttributionParitySql: String = {
+    val W = graft.queries.Behavioral.AttributionWindowMs
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type
+       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       |p AS (SELECT user_id, event_id AS p_id, ms AS pm
+       |      FROM e WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, ms AS tm,
+       |        event_type AS touch_type
+       |      FROM e WHERE event_type <> 'purchase'),
+       |m AS (
+       |  SELECT p.user_id, p.p_id, t.t_id, t.touch_type,
+       |    count(*) OVER (PARTITION BY p.p_id) AS n,
+       |    row_number() OVER (PARTITION BY p.p_id
+       |      ORDER BY t.tm DESC, t.t_id DESC) AS rk
+       |  FROM p JOIN t ON p.user_id = t.user_id
+       |    AND t.tm <= p.pm AND t.tm > p.pm - $W)
+       |SELECT user_id, p_id, t_id, touch_type,
+       |  CAST(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END
+       |    AS BIGINT) AS credit_milli
+       |FROM m ORDER BY user_id, p_id, t_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_totals_parity" -> (streamTotalsParity _),
+    "stream_scd2_parity" -> (streamScd2Parity _),
+    "stream_attribution_parity" -> (streamAttributionParity _),
     "stream_funnel_parity" -> (streamFunnelParity _),
     "stream_asof_parity" -> (streamAsofParity _),
     "stream_transitions_parity" -> (streamTransitionsParity _),
@@ -994,6 +1236,9 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_totals_parity" -> streamTotalsParitySql,
+    "stream_scd2_parity" -> streamScd2ParitySql,
+    "stream_attribution_parity" -> streamAttributionParitySql,
     "stream_funnel_parity" -> streamFunnelParitySql,
     "stream_asof_parity" -> streamAsofParitySql,
     "stream_transitions_parity" -> streamTransitionsParitySql,
