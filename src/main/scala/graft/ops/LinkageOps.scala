@@ -77,6 +77,61 @@ object LinkageOps {
     (mB.join(ok, Seq("block")), tag(p0, pBrand))
   }
 
+  /** Blocking observability — the audit face of the hierarchical-
+    * blocking contract (the graph_groupcap_audit pattern extended to
+    * linkage, r13 verdict next-round #7): level-0 master block sizes in
+    * power-of-two buckets with kept = size ≤ MaxBlock (oversized blocks
+    * REFINE by brand, not drop), then the post-refinement blocks — the
+    * actual join key — with kept = survives the residual cap (a refined
+    * block still over MaxBlock drops its masters from the join). The
+    * refined stage's dropped share is exactly the data the contract
+    * excludes; this is the query an operator runs on a new corpus
+    * before trusting the blocked join. One grouped pass per stage over
+    * block STATS (block-count-sized, never master-scale rows). */
+  def blockingAudit(s: SparkSession, dir: String): DataFrame = {
+    val master = s.read.parquet(s"$dir/part.parquet")
+      .select(col("p_partkey"), lower(col("p_name")).as("name"), col("p_brand"))
+    val m0 = master.withColumn("b0", blockKey("name"))
+    val s0 = Lineage.truncate(
+      m0.groupBy(col("b0")).agg(count(lit(1)).as("bn")))
+    val over = s0.filter(col("bn") > MaxBlock)
+      .select(col("b0"), lit(1L).as("_ov"))
+    val sR = m0.join(broadcast(over), Seq("b0"), "left")
+      .withColumn("block",
+        when(col("_ov").isNotNull, concat(col("b0"), lit("#"), col("p_brand")))
+          .otherwise(col("b0")))
+      .groupBy(col("block")).agg(count(lit(1)).as("bn"))
+    s0.select(lit("level0").as("stage"), col("bn"))
+      .unionByName(sR.select(lit("refined").as("stage"), col("bn")))
+      .withColumn("size_bucket", (length(bin(col("bn"))) - lit(1)).cast("long"))
+      .withColumn("kept", col("bn") <= lit(MaxBlock))
+      .groupBy(col("stage"), col("size_bucket"), col("kept"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("bn")).as("n_masters"))
+      .orderBy(col("stage"), col("size_bucket"), col("kept"))
+  }
+
+  val blockingAuditSql: String =
+    s"""WITH master AS (
+       |  SELECT p_partkey, lower(p_name) AS name, p_brand FROM part),
+       |mb0 AS (
+       |  SELECT p_partkey, p_brand,
+       |    string_split(name, ' ')[1] || '|' ||
+       |      substring(string_split(name, ' ')[-1], 1, 1) AS b0
+       |  FROM master),
+       |s0 AS (SELECT b0, CAST(count(*) AS BIGINT) AS bn FROM mb0 GROUP BY 1),
+       |ov AS (SELECT b0 FROM s0 WHERE bn > $MaxBlock),
+       |mb AS (
+       |  SELECT CASE WHEN ov.b0 IS NOT NULL THEN mb0.b0 || '#' || p_brand
+       |              ELSE mb0.b0 END AS block
+       |  FROM mb0 LEFT JOIN ov ON mb0.b0 = ov.b0),
+       |sr AS (SELECT block, CAST(count(*) AS BIGINT) AS bn FROM mb GROUP BY 1),
+       |u AS (SELECT 'level0' AS stage, bn FROM s0
+       |      UNION ALL SELECT 'refined', bn FROM sr)
+       |SELECT stage, CAST(length(bin(bn)) - 1 AS BIGINT) AS size_bucket,
+       |  bn <= $MaxBlock AS kept, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(bn) AS BIGINT) AS n_masters
+       |FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
     fuzzyMatchAt(s, dir, MaxBlock)
 
@@ -423,12 +478,14 @@ object LinkageOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "match_fuzzy_blocked" -> (fuzzyMatch _),
+    "match_blocking_audit" -> (blockingAudit _),
     "match_fs_em" -> (fsEm _),
     "match_golden_record" -> (goldenRecord _)
   )
 
   val oracle: Map[String, String] = Map(
     "match_fuzzy_blocked" -> fuzzyMatchSql,
+    "match_blocking_audit" -> blockingAuditSql,
     "match_fs_em" -> fsEmSql,
     "match_golden_record" -> goldenRecordSql
   )
