@@ -933,20 +933,29 @@ object StreamParity {
     * prefix; one row is emitted per data batch where the level rose.
     * The stream carries only the funnel's step events — the natural
     * production feed, and the sparsity that makes evictions real. */
-  def streamFunnelParity(s: SparkSession, dir: String): DataFrame = {
+  def streamFunnelParity(s: SparkSession, dir: String): DataFrame =
+    streamFunnelParityN(s, dir, EpisodeBatches, 1L, EpisodeRetMs, "")
+
+  /** Parameterized over (batch count, feed sparsity `event_id % m = 0`
+    * with m=1 meaning the full step feed, retention) — the `streamord`
+    * fuzz axis for the EVICTION-schedule model, mirroring what the
+    * slicing axis does for the watermark model. */
+  private[graft] def streamFunnelParityN(s: SparkSession, dir: String,
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_funnel/in")
-    val outDir = freshDir(s, "stream_funnel/out")
-    val ckpt = freshDir(s, "stream_funnel/ckpt")
+    val inDir = freshDir(s, s"stream_funnel$tag/in")
+    val outDir = freshDir(s, s"stream_funnel$tag/out")
+    val ckpt = freshDir(s, s"stream_funnel$tag/ckpt")
     val ev = orderedEvents(s, dir)
       .filter(col("event_type").isin(graft.queries.Behavioral.FunnelSteps: _*))
-      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
-    landOrdered(s, ev, inDir, EpisodeBatches)
+      .filter(pmod(col("event_id"), lit(mod)) === 0)
+      .withColumn("_b", SliceTime.bCol(nb))
+    landOrdered(s, ev, inDir, nb)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.funnelStream(stream.as[StreamOps.Event],
         graft.queries.Behavioral.FunnelWindowMs,
-        java.time.Duration.ofMillis(EpisodeRetMs))
+        java.time.Duration.ofMillis(retMs))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -967,11 +976,16 @@ object StreamParity {
     * each episode's batch PREFIX (s1→s2→s3), emitting rows where the
     * level rose vs the previous data batch. Sort keys are total: level
     * repeats per user only across episodes, which have distinct t1. */
-  val streamFunnelParitySql: String = {
+  val streamFunnelParitySql: String =
+    streamFunnelParityOracleSql(EpisodeBatches, 1L, EpisodeRetMs)
+
+  private[graft] def streamFunnelParityOracleSql(nb: Int, mod: Long,
+      retMs: Long): String = {
     val W = graft.queries.Behavioral.FunnelWindowMs
     val steps = graft.queries.Behavioral.FunnelSteps
-    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs,
-          s"WHERE event_type IN (${steps.map(x => s"'$x'").mkString(", ")})")},
+    s"""WITH ${episodeCtes(nb, retMs,
+          s"WHERE event_type IN (${steps.map(x => s"'$x'").mkString(", ")})" +
+            s" AND event_id % $mod = 0")},
        |eve AS (
        |  SELECT ev.user_id, ev.ms, ev.event_type, ev.b, epi.ep
        |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
@@ -1017,11 +1031,6 @@ object StreamParity {
        |ORDER BY user_id, level, t1, t2, t3""".stripMargin
   }
 
-  /** Feed for the totals/SCD2 timeout twins: every third event (all
-    * types) — sparse enough that whole-batch user gaps are common
-    * (186 evictions fire at sf0.01, 1820 at sf0.1). */
-  private val SparseFeed = "WHERE event_id % 3 = 0"
-
   /** Streaming running totals (the flatMapGroupsWithState running-state
     * shape) with EVICTIONS firing: a user idle past EpisodeRetMs across
     * a data-free batch is dropped and their totals restart — the
@@ -1031,19 +1040,23 @@ object StreamParity {
     * batch-prefix totals. Identical emitted rows across episodes are
     * possible and fine: both engines produce the same multiset and the
     * sort is deterministic up to interchangeable duplicates. */
-  def streamTotalsParity(s: SparkSession, dir: String): DataFrame = {
+  def streamTotalsParity(s: SparkSession, dir: String): DataFrame =
+    streamTotalsParityN(s, dir, EpisodeBatches, 3L, EpisodeRetMs, "")
+
+  private[graft] def streamTotalsParityN(s: SparkSession, dir: String,
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_totals/in")
-    val outDir = freshDir(s, "stream_totals/out")
-    val ckpt = freshDir(s, "stream_totals/ckpt")
+    val inDir = freshDir(s, s"stream_totals$tag/in")
+    val outDir = freshDir(s, s"stream_totals$tag/out")
+    val ckpt = freshDir(s, s"stream_totals$tag/ckpt")
     val ev = orderedEvents(s, dir)
-      .filter(col("event_id") % 3 === 0)
-      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
-    landOrdered(s, ev, inDir, EpisodeBatches)
+      .filter(pmod(col("event_id"), lit(mod)) === 0)
+      .withColumn("_b", SliceTime.bCol(nb))
+    landOrdered(s, ev, inDir, nb)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.runningTotals(stream.as[StreamOps.Event],
-        java.time.Duration.ofMillis(EpisodeRetMs))
+        java.time.Duration.ofMillis(retMs))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -1061,7 +1074,11 @@ object StreamParity {
   }
 
   val streamTotalsParitySql: String =
-    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs, SparseFeed)},
+    streamTotalsParityOracleSql(EpisodeBatches, 3L, EpisodeRetMs)
+
+  private[graft] def streamTotalsParityOracleSql(nb: Int, mod: Long,
+      retMs: Long): String =
+    s"""WITH ${episodeCtes(nb, retMs, s"WHERE event_id % $mod = 0")},
        |eve AS (
        |  SELECT ev.user_id, ev.cents, ev.b, epi.ep
        |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
@@ -1085,19 +1102,23 @@ object StreamParity {
     * eviction; the last is finalized iff the FINAL no-data batch's
     * watermark strictly passes its timeout (last_ms + ret < max(all) −
     * delay) — the oracle's `fin` predicate. */
-  def streamScd2Parity(s: SparkSession, dir: String): DataFrame = {
+  def streamScd2Parity(s: SparkSession, dir: String): DataFrame =
+    streamScd2ParityN(s, dir, EpisodeBatches, 3L, EpisodeRetMs, "")
+
+  private[graft] def streamScd2ParityN(s: SparkSession, dir: String,
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
     import s.implicits._
-    val inDir = freshDir(s, "stream_scd2/in")
-    val outDir = freshDir(s, "stream_scd2/out")
-    val ckpt = freshDir(s, "stream_scd2/ckpt")
+    val inDir = freshDir(s, s"stream_scd2$tag/in")
+    val outDir = freshDir(s, s"stream_scd2$tag/out")
+    val ckpt = freshDir(s, s"stream_scd2$tag/ckpt")
     val ev = orderedEvents(s, dir)
-      .filter(col("event_id") % 3 === 0)
-      .withColumn("_b", SliceTime.bCol(EpisodeBatches))
-    landOrdered(s, ev, inDir, EpisodeBatches)
+      .filter(pmod(col("event_id"), lit(mod)) === 0)
+      .withColumn("_b", SliceTime.bCol(nb))
+    landOrdered(s, ev, inDir, nb)
     val stream = s.readStream.schema(ev.drop("_b").schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val q = StreamOps.scd2Stream(stream.as[StreamOps.Event],
-        java.time.Duration.ofMillis(EpisodeRetMs))
+        java.time.Duration.ofMillis(retMs))
       .toDF()
       .writeStream
       .outputMode(OutputMode.Append)
@@ -1116,7 +1137,11 @@ object StreamParity {
   }
 
   val streamScd2ParitySql: String =
-    s"""WITH ${episodeCtes(EpisodeBatches, EpisodeRetMs, SparseFeed)},
+    streamScd2ParityOracleSql(EpisodeBatches, 3L, EpisodeRetMs)
+
+  private[graft] def streamScd2ParityOracleSql(nb: Int, mod: Long,
+      retMs: Long): String =
+    s"""WITH ${episodeCtes(nb, retMs, s"WHERE event_id % $mod = 0")},
        |eve AS (
        |  SELECT ev.user_id, ev.event_id, ev.ms, ev.event_type, epi.ep
        |  FROM ev JOIN epi ON ev.user_id = epi.user_id AND ev.b = epi.b),
@@ -1145,7 +1170,7 @@ object StreamParity {
        |  FROM vrow),
        |ulast AS (SELECT user_id, max(ms) AS last_ms FROM ev GROUP BY 1),
        |fin AS (
-       |  SELECT vx.*, (vx.ep < vx.max_ep OR ulast.last_ms + $EpisodeRetMs
+       |  SELECT vx.*, (vx.ep < vx.max_ep OR ulast.last_ms + $retMs
        |      < (SELECT f FROM fwm)) AS episode_evicted
        |  FROM vx JOIN ulast ON vx.user_id = ulast.user_id)
        |SELECT user_id, CAST(version AS BIGINT) AS version, attr,

@@ -712,16 +712,33 @@ object FuzzDump {
     }
     val tag = f"_fzo$i%02d"
     val name = f"fuzz_streamord_$i%02d"
-    i % 3 match {
+    // Eviction-twin axis (funnel/totals/scd2): batch count 6..20, feed
+    // sparsity event_id % m (m 1..5), retention 0.5/1/2 days — every
+    // point a different eviction SCHEDULE the oracle must replay
+    // exactly. The measured timeout model (StreamTimeoutSpec) is what's
+    // under test here, the way the slicing axis tests SPARK-42376.
+    val enb = 6 + rng.nextInt(15)
+    val mod = 1L + rng.nextInt(5)
+    val ret = Seq(43200000L, 86400000L, 172800000L)(rng.nextInt(3))
+    i % 6 match {
       case 0 => Spec(name,
         li => StreamParity.streamWindowParityN(li.sparkSession, sfDir, nb, slicing, tag),
         StreamParity.streamWindowParityOracleSql(nb, slicing))
       case 1 => Spec(name,
         li => StreamParity.streamSlidingParityN(li.sparkSession, sfDir, nb, slicing, tag),
         StreamParity.streamSlidingParityOracleSql(nb, slicing))
-      case _ => Spec(name,
+      case 2 => Spec(name,
         li => StreamParity.streamSessionParityN(li.sparkSession, sfDir, nb, tag),
         StreamParity.streamSessionParitySql)
+      case 3 => Spec(name,
+        li => StreamParity.streamFunnelParityN(li.sparkSession, sfDir, enb, mod, ret, tag),
+        StreamParity.streamFunnelParityOracleSql(enb, mod, ret))
+      case 4 => Spec(name,
+        li => StreamParity.streamTotalsParityN(li.sparkSession, sfDir, enb, mod, ret, tag),
+        StreamParity.streamTotalsParityOracleSql(enb, mod, ret))
+      case _ => Spec(name,
+        li => StreamParity.streamScd2ParityN(li.sparkSession, sfDir, enb, mod, ret, tag),
+        StreamParity.streamScd2ParityOracleSql(enb, mod, ret))
     }
   }
 
