@@ -1242,7 +1242,118 @@ object StreamParity {
        |FROM m ORDER BY user_id, p_id, t_id""".stripMargin
   }
 
+  /** STREAM-STREAM interval join (impressionClickJoin: clicks within
+    * [0, 10 min] after an impression, per user — the operator class
+    * with TWO watermarked inputs and condition-derived state bounds),
+    * graded via aligned ordered replay: views and clicks are batched by
+    * ONE global time-quartile assignment over the combined feed, landed
+    * as two directories with identical per-batch mtimes, and each file
+    * source advances one file per trigger — so batch k holds both
+    * sides' quartile-k rows.
+    *
+    * Why the oracle is the plain batch interval join — the no-loss
+    * theorem: for a match (i, c) with c in batch k_c > k_i, eviction of
+    * i before k_c needs evict_wm(k_c) > imp_ts + 10 min; but time
+    * ordering puts click_ts ≥ max(ms over batches < k_c) =
+    * evict_wm(k_c) + 20 min > imp_ts + 30 min, contradicting the join
+    * bound click_ts ≤ imp_ts + 10 min. So no in-window pair ever loses
+    * its state partner, no row is late (time order), inner-join matches
+    * emit exactly once on arrival, and Spark's conservative state
+    * retention (or the min-of-both-watermarks policy) can only keep
+    * MORE state — never changing the match set. */
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val impDir = freshDir(s, "stream_join/imp")
+    val clkDir = freshDir(s, "stream_join/clk")
+    val outDir = freshDir(s, "stream_join/out")
+    val ckpt = freshDir(s, "stream_join/ckpt")
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    val ev = orderedEvents(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("_b", (ntile(NumBatches).over(wOrd) - 1).cast("int"))
+    landOrdered(s, ev.filter(col("event_type") === "view"), impDir, NumBatches)
+    landOrdered(s, ev.filter(col("event_type") === "click"), clkDir, NumBatches)
+    val schema = ev.drop("_b").schema
+    val imps = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(impDir)
+    val clks = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(clkDir)
+    val q = StreamOps.impressionClickJoin(imps, clks)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        unix_millis(col("imp_ts")).as("imp_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+      .orderBy(col("imp_id"), col("click_id"))
+  }
+
+  val streamJoinParitySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |i AS (SELECT user_id, event_id AS imp_id, ms AS imp_ms
+      |      FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id AS cu, event_id AS click_id, ms AS click_ms
+      |      FROM e WHERE event_type = 'click')
+      |SELECT imp_id, click_id, i.user_id, imp_ms, click_ms
+      |FROM i JOIN c ON i.user_id = cu
+      |  AND click_ms >= imp_ms AND click_ms <= imp_ms + 600000
+      |ORDER BY imp_id, click_id""".stripMargin
+
+  /** STREAM-STATIC broadcast enrichment (enrichWithDim: left join onto
+    * a dimension, missing keys surfaced as 'unknown') — the stateless
+    * operator class: each micro-batch plans an ordinary broadcast join,
+    * so the result is row-wise independent of slicing entirely and the
+    * oracle is the plain batch left join. The dim derives
+    * deterministically from the fixture (user_id % 4, with residue 3
+    * absent so the left-outer 'unknown' path is exercised on real
+    * rows). */
+  def streamEnrichParity(s: SparkSession, dir: String): DataFrame = {
+    val inDir = freshDir(s, "stream_enrich/in")
+    val outDir = freshDir(s, "stream_enrich/out")
+    val ckpt = freshDir(s, "stream_enrich/ckpt")
+    val ev = orderedEvents(s, dir)
+      .withColumn("_b", SliceHashMod.bCol(NumBatches))
+    landOrdered(s, ev, inDir, NumBatches)
+    val dim = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(4L)) =!= 3)
+      .withColumn("segment",
+        concat(lit("seg"), pmod(col("user_id"), lit(4L))))
+    val stream = s.readStream.schema(ev.drop("_b").schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamOps.enrichWithDim(stream, dim)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("long").as("cents"), col("segment"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamEnrichParitySql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS cents,
+      |  CASE WHEN user_id % 4 = 3 THEN 'unknown'
+      |       ELSE 'seg' || CAST(user_id % 4 AS VARCHAR) END AS segment
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_parity" -> (streamJoinParity _),
+    "stream_enrich_parity" -> (streamEnrichParity _),
     "stream_totals_parity" -> (streamTotalsParity _),
     "stream_scd2_parity" -> (streamScd2Parity _),
     "stream_attribution_parity" -> (streamAttributionParity _),
@@ -1261,6 +1372,8 @@ object StreamParity {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_join_parity" -> streamJoinParitySql,
+    "stream_enrich_parity" -> streamEnrichParitySql,
     "stream_totals_parity" -> streamTotalsParitySql,
     "stream_scd2_parity" -> streamScd2ParitySql,
     "stream_attribution_parity" -> streamAttributionParitySql,
