@@ -842,7 +842,129 @@ object SimilarityOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Bitext / parallel-pair mining (margin-based mining, Artetxe &
+  // Schwenk 2019, the LASER/CCMatrix recipe): two "languages" simulated
+  // by the label parity split; for a bounded PROBE SHARD of side A,
+  // every B candidate is scored by the DIFFERENCE margin — cosine minus
+  // the mean of both endpoints' k-NN cosines — which suppresses hubs
+  // (a vector close to everything mines nothing). The margin runs in
+  // exact micro-integer space with NO division: margin_scaled =
+  // 2K·cos_u − ΣtopK(x) − ΣtopK(y) (pure BIGINT subtraction — sign-safe
+  // across engines, order-free sums over a deterministically chosen
+  // top-K set). Emitted: each probe's best candidate plus the MUTUAL
+  // flag (forward and backward argmax agree — the paper's retrieval
+  // consistency check).
+  //
+  // 100 TB shape: the probe shard is the unit of fan-out (a production
+  // miner shards side A and replaces the exact row/column top-K with
+  // ANN neighborhoods — the sim_ann_ivf/lsh machinery); per-shard work
+  // is |B| × probes, never |A| × |B|, and the k-NN sums are windows over
+  // the shard's score matrix. The B-side neighborhood is computed against
+  // the probe shard (the mini-batch mining variant) — a documented
+  // operator contract, mirrored exactly in the oracle.
+  object Bitext {
+    val ProbeCutoff = 128L // A-side probes: label even, vec_id < 128
+    val MarginK = 4
+  }
+
+  def bitextMining(s: SparkSession, dir: String): DataFrame =
+    bitextMiningOf(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  def bitextMiningOf(emb: DataFrame): DataFrame = {
+    import Bitext._
+    val a = emb.filter(pmod(col("label"), lit(2L)) === 0)
+      .filter(col("vec_id") < ProbeCutoff)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.filter(pmod(col("label"), lit(2L)) === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val scored = b.crossJoin(broadcast(a))
+      .withColumn("cos", cosineFF(col("a_emb"), col("b_emb")))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(round(1000000 * cos) AS BIGINT)").as("cos_u"))
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_u").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_u").desc, col("a_id"))
+    val ranked = scored
+      .withColumn("_ra", row_number().over(wa))
+      .withColumn("_rb", row_number().over(wb))
+    val ska = ranked.filter(col("_ra") <= MarginK)
+      .groupBy(col("a_id")).agg(sum(col("cos_u")).as("ska"))
+    val skb = ranked.filter(col("_rb") <= MarginK)
+      .groupBy(col("b_id")).agg(sum(col("cos_u")).as("skb"))
+    val margins = scored
+      .join(broadcast(ska), Seq("a_id"))
+      .join(broadcast(skb), Seq("b_id"))
+      .withColumn("margin_scaled",
+        lit(2L * MarginK) * col("cos_u") - col("ska") - col("skb"))
+    val wFwd = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_scaled").desc, col("b_id"))
+    val wBwd = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin_scaled").desc, col("a_id"))
+    val best = margins
+      .withColumn("_fwd", row_number().over(wFwd))
+      .withColumn("_bwd", row_number().over(wBwd))
+    val backBest = best.filter(col("_bwd") === 1)
+      .select(col("b_id"), col("a_id").as("_back_a"))
+    best.filter(col("_fwd") === 1)
+      .join(broadcast(backBest), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_u"), col("margin_scaled"),
+        (col("_back_a") === col("a_id")).as("mutual"))
+      .orderBy(col("a_id"))
+  }
+
+  val bitextMiningSql: String = {
+    import Bitext._
+    def cos(x: String, y: String): String =
+      s"""list_reduce(list_transform(list_zip($x, $y),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+         |    / (sqrt(list_reduce(list_transform($x,
+         |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+         |     * sqrt(list_reduce(list_transform($y,
+         |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+    s"""WITH a AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb FROM embeddings
+       |  WHERE label % 2 = 0 AND vec_id < $ProbeCutoff),
+       |b AS (
+       |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+       |  WHERE label % 2 = 1),
+       |scored AS (
+       |  SELECT a_id, b_id,
+       |    CAST(round(1000000 * ${cos("a_emb", "b_emb")}) AS BIGINT) AS cos_u
+       |  FROM b, a),
+       |ranked AS (
+       |  SELECT a_id, b_id, cos_u,
+       |    row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS ra,
+       |    row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rb
+       |  FROM scored),
+       |ska AS (SELECT a_id, sum(cos_u) AS ska FROM ranked
+       |        WHERE ra <= $MarginK GROUP BY 1),
+       |skb AS (SELECT b_id, sum(cos_u) AS skb FROM ranked
+       |        WHERE rb <= $MarginK GROUP BY 1),
+       |margins AS (
+       |  SELECT s.a_id, s.b_id, s.cos_u,
+       |    ${2L * MarginK} * s.cos_u - ska.ska - skb.skb AS margin_scaled
+       |  FROM scored s JOIN ska ON s.a_id = ska.a_id
+       |    JOIN skb ON s.b_id = skb.b_id),
+       |best AS (
+       |  SELECT a_id, b_id, cos_u, margin_scaled,
+       |    row_number() OVER (PARTITION BY a_id
+       |      ORDER BY margin_scaled DESC, b_id) AS fwd,
+       |    row_number() OVER (PARTITION BY b_id
+       |      ORDER BY margin_scaled DESC, a_id) AS bwd
+       |  FROM margins),
+       |back AS (SELECT b_id, a_id AS back_a FROM best WHERE bwd = 1)
+       |SELECT f.a_id, f.b_id, f.cos_u,
+       |  CAST(f.margin_scaled AS BIGINT) AS margin_scaled,
+       |  back.back_a = f.a_id AS mutual
+       |FROM best f JOIN back ON f.b_id = back.b_id
+       |WHERE f.fwd = 1
+       |ORDER BY f.a_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bitext_mining" -> (bitextMining _),
     "sim_ann_matryoshka" -> (annMatryoshka _),
     "sim_ann_brute_force" -> (annBruteForce _),
     "sim_ann_lsh" -> (annLsh _),
@@ -884,6 +1006,7 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_bitext_mining" -> bitextMiningSql,
     "sim_ann_matryoshka" -> annMatryoshkaSql,
     "sim_ann_brute_force" -> annBruteForceSql,
     "sim_ann_lsh" -> annLshSql,
