@@ -225,9 +225,16 @@ object GraphOps {
     * Lineage.truncate discipline as before — per-QUERY results are
     * unchanged, only the rebuild disappears. */
   private[graft] case class CoTables(pairs: DataFrame, und: DataFrame,
-      deg: DataFrame, se: DataFrame)
+      deg: DataFrame, se: DataFrame, rddIds: Set[Int])
 
   private[graft] def coTablesOf(membership: DataFrame): CoTables = {
+    // snapshot the persisted-RDD set around the build: the delta is the
+    // cache entry's OWN checkpoint blocks, which (a) lets a cache hit
+    // verify its blocks still exist (lineage is truncated — an
+    // unpersisted entry cannot recompute, it must REBUILD) and (b) lets
+    // the bench's per-query unpersist spare exactly these ids
+    val sc = membership.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val li = Lineage.truncate(cappedMembership(membership))
     val pairs = Lineage.truncate(
       li.as("x").join(li.as("y"),
@@ -242,26 +249,43 @@ object GraphOps {
     // walks loops evaluate their base edge set several times per round
     val se = Lineage.truncate(
       pairs.filter(col("w") >= Cores.MinSupport).select(col("a"), col("b")))
-    CoTables(pairs, und, deg, se)
+    val after = sc.getPersistentRDDs.keySet.toSet
+    CoTables(pairs, und, deg, se, after -- before)
   }
 
   private val coCache =
     new java.util.concurrent.ConcurrentHashMap[String, CoTables]()
 
   /** Cached projection for the standard lineitem membership at `dir`.
-    * The session identity is re-checked on hit (a checkpointed frame is
-    * only valid on the session that built it); spec-scoped sessions with
+    * A hit must pass TWO liveness checks: the session identity (a
+    * checkpointed frame is only valid on the session that built it) and
+    * block existence (a harness that unpersisted the blocks — e.g. a
+    * bench variant without the [[protectedRddIds]] carve-out — leaves a
+    * cache entry that can never recompute; rebuild instead of throwing
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Spec-scoped sessions with
     * custom memberships use [[coTablesOf]] directly and never cache. */
   private[graft] def coTables(s: SparkSession, dir: String): CoTables = {
     val key = System.identityHashCode(s) + ":" + dir
     val hit = coCache.get(key)
-    if (hit != null && (hit.und.sparkSession eq s)) hit
+    val live = hit != null && (hit.und.sparkSession eq s) &&
+      hit.rddIds.subsetOf(s.sparkContext.getPersistentRDDs.keySet)
+    if (live) hit
     else {
       val t = coTablesOf(s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       coCache.put(key, t)
       t
     }
+  }
+
+  /** RDD ids of this session's live shared projections — the bench's
+    * per-query unpersist spares exactly these (bounded: one CoTables
+    * per source dir), so the family sharing survives a sweep. */
+  private[graft] def protectedRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    coCache.values.asScala
+      .filter(_.und.sparkSession eq s)
+      .flatMap(_.rddIds).toSet
   }
 
   // ------------------------------------------------------------------
