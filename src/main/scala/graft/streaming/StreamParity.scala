@@ -74,6 +74,24 @@ object StreamParity {
     p
   }
 
+  /** Run `body` with the stream-sized shuffle-partition count, restoring
+    * the session setting after. A stateful query's state partitioning is
+    * fixed by spark.sql.shuffle.partitions at its FIRST checkpoint —
+    * exactly the per-workload knob a production stream sets. The parity
+    * fixtures' micro-batches hold at most a few thousand rows, so the
+    * session's 32 means 32 state files per operator per batch (the
+    * 16-batch twins wrote 17×32 of them); 8 is the honest sizing here
+    * and costs ~25% of the twins' wall clock, not correctness — every
+    * parity oracle is partitioning-independent by construction (that is
+    * what the fuzz families prove). */
+  private val StreamShufflePartitions = "8"
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Bucketing column for the split-invariance FUZZ sweep: salt = 0 is
     * the graded layout (hash-repartition on the key itself); a nonzero
     * salt re-mixes the key so the same rows land in a different slicing.
@@ -91,7 +109,7 @@ object StreamParity {
     streamRollupParityN(s, dir, NumBatches, 0L, "")
 
   private[graft] def streamRollupParityN(s: SparkSession, dir: String,
-      numBatches: Int, salt: Long, tag: String): DataFrame = {
+      numBatches: Int, salt: Long, tag: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, s"stream_rollup$tag/in")
     val table = freshDir(s, s"stream_rollup$tag/table")
     val ckpt = freshDir(s, s"stream_rollup$tag/ckpt")
@@ -129,7 +147,7 @@ object StreamParity {
     * the batch flatten of the same height range (heights are disjoint
     * across slices and dedup is intra-key, so the union is
     * split-invariant). Oracle recomputes from the chain_raw dump. */
-  def streamChainIngest(s: SparkSession, dir: String): DataFrame = {
+  def streamChainIngest(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, "stream_chain/in")
     val wh = freshDir(s, "stream_chain/wh")
     val ckpt = freshDir(s, "stream_chain/ckpt")
@@ -175,7 +193,7 @@ object StreamParity {
     streamCmsParityN(s, dir, NumBatches, 0L, "")
 
   private[graft] def streamCmsParityN(s: SparkSession, dir: String,
-      numBatches: Int, salt: Long, tag: String): DataFrame = {
+      numBatches: Int, salt: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_cms$tag/in")
     val cellsDir = freshDir(s, s"stream_cms$tag/cells")
@@ -237,7 +255,7 @@ object StreamParity {
     streamQhistParityN(s, dir, NumBatches, 0L, "")
 
   private[graft] def streamQhistParityN(s: SparkSession, dir: String,
-      numBatches: Int, salt: Long, tag: String): DataFrame = {
+      numBatches: Int, salt: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_qhist$tag/in")
     val cellsDir = freshDir(s, s"stream_qhist$tag/cells")
@@ -297,7 +315,7 @@ object StreamParity {
     streamHllParityN(s, dir, NumBatches, 0L, "")
 
   private[graft] def streamHllParityN(s: SparkSession, dir: String,
-      numBatches: Int, salt: Long, tag: String): DataFrame = {
+      numBatches: Int, salt: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_hll$tag/in")
     val outDir = freshDir(s, s"stream_hll$tag/out")
@@ -508,7 +526,7 @@ object StreamParity {
     streamWindowParityN(s, dir, NumBatches, SliceHashMod, "")
 
   private[graft] def streamWindowParityN(s: SparkSession, dir: String,
-      numBatches: Int, slicing: Slicing, tag: String): DataFrame = {
+      numBatches: Int, slicing: Slicing, tag: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, s"stream_window$tag/in")
     val outDir = freshDir(s, s"stream_window$tag/out")
     val ckpt = freshDir(s, s"stream_window$tag/ckpt")
@@ -571,7 +589,7 @@ object StreamParity {
     streamSlidingParityN(s, dir, NumBatches, SliceHashMod, "")
 
   private[graft] def streamSlidingParityN(s: SparkSession, dir: String,
-      numBatches: Int, slicing: Slicing, tag: String): DataFrame = {
+      numBatches: Int, slicing: Slicing, tag: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, s"stream_sliding$tag/in")
     val outDir = freshDir(s, s"stream_sliding$tag/out")
     val ckpt = freshDir(s, s"stream_sliding$tag/ckpt")
@@ -641,7 +659,7 @@ object StreamParity {
     * class of refutation the dedup fuzz recorded). The `streamord` fuzz
     * family therefore varies N here and the full slicing elsewhere. */
   private[graft] def streamSessionParityN(s: SparkSession, dir: String,
-      numBatches: Int, tag: String): DataFrame = {
+      numBatches: Int, tag: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, s"stream_session$tag/in")
     val outDir = freshDir(s, s"stream_session$tag/out")
     val ckpt = freshDir(s, s"stream_session$tag/ckpt")
@@ -718,7 +736,7 @@ object StreamParity {
     * the TIME-ORDERED layout (salt = 0), where no original is ever late;
     * the salt parameter exists only so the refutation stays runnable. */
   private[graft] def streamDedupParityN(s: SparkSession, dir: String,
-      numBatches: Int, salt: Long, tag: String): DataFrame = {
+      numBatches: Int, salt: Long, tag: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, s"stream_dedup$tag/in")
     val outDir = freshDir(s, s"stream_dedup$tag/out")
     val ckpt = freshDir(s, s"stream_dedup$tag/ckpt")
@@ -767,7 +785,7 @@ object StreamParity {
     * last + 45 d is always past the final watermark), so no state is
     * evicted mid-run. Readout = exact transition multiset with event-ms
     * keys, aggregated to unique rows. */
-  def streamTransitionsParity(s: SparkSession, dir: String): DataFrame = {
+  def streamTransitionsParity(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, "stream_transitions/in")
     val outDir = freshDir(s, "stream_transitions/out")
@@ -817,7 +835,7 @@ object StreamParity {
     * quartile slices concatenate to the fold's global order per user,
     * so the match set equals the batch as-of exactly; the oracle is the
     * IGNORE-NULLS running-last-click window. */
-  def streamAsofParity(s: SparkSession, dir: String): DataFrame = {
+  def streamAsofParity(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, "stream_asof/in")
     val outDir = freshDir(s, "stream_asof/out")
@@ -941,7 +959,7 @@ object StreamParity {
     * fuzz axis for the EVICTION-schedule model, mirroring what the
     * slicing axis does for the watermark model. */
   private[graft] def streamFunnelParityN(s: SparkSession, dir: String,
-      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_funnel$tag/in")
     val outDir = freshDir(s, s"stream_funnel$tag/out")
@@ -1044,7 +1062,7 @@ object StreamParity {
     streamTotalsParityN(s, dir, EpisodeBatches, 3L, EpisodeRetMs, "")
 
   private[graft] def streamTotalsParityN(s: SparkSession, dir: String,
-      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_totals$tag/in")
     val outDir = freshDir(s, s"stream_totals$tag/out")
@@ -1106,7 +1124,7 @@ object StreamParity {
     streamScd2ParityN(s, dir, EpisodeBatches, 3L, EpisodeRetMs, "")
 
   private[graft] def streamScd2ParityN(s: SparkSession, dir: String,
-      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = {
+      nb: Int, mod: Long, retMs: Long, tag: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, s"stream_scd2$tag/in")
     val outDir = freshDir(s, s"stream_scd2$tag/out")
@@ -1189,7 +1207,7 @@ object StreamParity {
     * 45-day default (no eviction: attribution's window discipline is
     * the state bound; the timeout twins above grade the eviction path).
     * The oracle is the plain interval join + rank split. */
-  def streamAttributionParity(s: SparkSession, dir: String): DataFrame = {
+  def streamAttributionParity(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     import s.implicits._
     val inDir = freshDir(s, "stream_attrib/in")
     val outDir = freshDir(s, "stream_attrib/out")
@@ -1261,7 +1279,7 @@ object StreamParity {
     * emit exactly once on arrival, and Spark's conservative state
     * retention (or the min-of-both-watermarks policy) can only keep
     * MORE state — never changing the match set. */
-  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     val impDir = freshDir(s, "stream_join/imp")
     val clkDir = freshDir(s, "stream_join/clk")
     val outDir = freshDir(s, "stream_join/out")
@@ -1315,7 +1333,7 @@ object StreamParity {
     * deterministically from the fixture (user_id % 4, with residue 3
     * absent so the left-outer 'unknown' path is exercised on real
     * rows). */
-  def streamEnrichParity(s: SparkSession, dir: String): DataFrame = {
+  def streamEnrichParity(s: SparkSession, dir: String): DataFrame = withStreamShuffle(s) {
     val inDir = freshDir(s, "stream_enrich/in")
     val outDir = freshDir(s, "stream_enrich/out")
     val ckpt = freshDir(s, "stream_enrich/ckpt")
