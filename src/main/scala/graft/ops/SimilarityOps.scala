@@ -963,7 +963,80 @@ object SimilarityOps {
        |ORDER BY f.a_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Embedding isotropy audit (Mu & Viswanath 2018 "all-but-the-top";
+  // Ethayarajh 2019): anisotropic embeddings — all vectors leaning into
+  // a common direction — break cosine retrieval, and the standard
+  // diagnostic is the mean pairwise cosine. The naive form is an
+  // all-pairs sum; the SUM-VECTOR IDENTITY removes it entirely:
+  // Σ_{i≠j} cos(vi, vj) = ‖Σ v̂i‖² − Σ‖v̂i‖², so the whole audit is one
+  // normalize-quantize pass + a d-row aggregate — the 100 TB shape is a
+  // single map-side-combined sum per dimension, NO pair ever
+  // materializes. Determinism: components are micro-quantized AFTER
+  // normalization (per-dim sums are exact BIGINTs, order-free), the
+  // self term Σq² is an exact BIGINT, and ‖s‖² folds the d per-dim sums
+  // in dimension order left-to-right — the same fixed-order double fold
+  // both engines run (the cosineFF/list_reduce precedent).
+  private val MeanPairCosSql: String =
+    """(sum_norm_sq - CAST(self_q AS DOUBLE))
+      |/ (CAST(1000000 AS DOUBLE) * 1000000 * n_vecs * (n_vecs - 1))""".stripMargin
+
+  def isotropyAudit(s: SparkSession, dir: String): DataFrame =
+    isotropyAuditOf(s.read.parquet(s"$dir/embeddings.parquet"))
+
+  def isotropyAuditOf(emb: DataFrame): DataFrame = {
+    val nrm = emb.select(col("vec_id"), col("embedding"),
+        expr("""aggregate(embedding, CAST(0 AS DOUBLE),
+          (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""").as("n2"))
+      .filter(col("n2") > 0)
+    val comps = nrm.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")),
+        col("n2"))
+      .select(col("vec_id"), col("d"),
+        expr("CAST(round(1000000 * CAST(x AS DOUBLE) / sqrt(n2)) AS BIGINT)").as("q"))
+    val selfq = comps.agg(
+      sum(expr("q * q")).as("self_q"),
+      countDistinct(col("vec_id")).as("n_vecs"))
+    val sumsq = comps.groupBy(col("d")).agg(sum(col("q")).as("s"))
+      .agg(expr("""aggregate(
+          transform(sort_array(collect_list(struct(d, s))),
+            t -> CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)),
+          CAST(0 AS DOUBLE), (a, x) -> a + x)""").as("sum_norm_sq"))
+    selfq.crossJoin(sumsq) // two 1-row frames
+      .select(col("n_vecs"), col("self_q"), col("sum_norm_sq"),
+        expr(MeanPairCosSql).as("mean_pair_cos"))
+  }
+
+  val isotropyAuditSql: String =
+    s"""WITH nrm AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |comps AS (
+       |  -- parallel unnests zip in lockstep (DuckDB 1.0 has no WITH
+       |  -- ORDINALITY): component and its dimension index together
+       |  SELECT vec_id,
+       |    unnest(generate_series(0, len(embedding) - 1)) AS d,
+       |    CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE)
+       |      / sqrt(n2)) AS BIGINT) AS q
+       |  FROM nrm WHERE n2 > 0),
+       |selfq AS (
+       |  SELECT CAST(sum(q * q) AS BIGINT) AS self_q,
+       |    CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+       |  FROM comps),
+       |sd AS (SELECT d, CAST(sum(q) AS BIGINT) AS s FROM comps GROUP BY 1),
+       |nsq AS (
+       |  SELECT list_reduce(list_transform(list(s ORDER BY d),
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (a, b) -> a + b)
+       |    AS sum_norm_sq
+       |  FROM sd)
+       |SELECT n_vecs, self_q, sum_norm_sq,
+       |  $MeanPairCosSql AS mean_pair_cos
+       |FROM selfq CROSS JOIN nsq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_isotropy_audit" -> (isotropyAudit _),
     "sim_bitext_mining" -> (bitextMining _),
     "sim_ann_matryoshka" -> (annMatryoshka _),
     "sim_ann_brute_force" -> (annBruteForce _),
@@ -1007,6 +1080,7 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "sim_bitext_mining" -> bitextMiningSql,
+    "sim_isotropy_audit" -> isotropyAuditSql,
     "sim_ann_matryoshka" -> annMatryoshkaSql,
     "sim_ann_brute_force" -> annBruteForceSql,
     "sim_ann_lsh" -> annLshSql,
