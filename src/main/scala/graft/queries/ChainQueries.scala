@@ -436,6 +436,29 @@ object ChainQueries {
     * bucket, exact on both engines). Mean is an integer DIV of exact
     * second counts. At 100 TB the blocks table is the SMALL spine
     * (rows = chain height), so the single window shuffle is trivial. */
+  /** Uncle/ommer statistics per 100-block range — the chain-health
+    * dashboard rollup over the one array column the reference stores on
+    * blocks (uncles, main.rs:69, mapped main.rs:180-184): blocks with
+    * uncles, total uncles, milli uncle rate (network-latency /
+    * mining-centralization signal) and milli gas utilization (demand
+    * signal), all exact integers with positive operands (Spark DIV ==
+    * DuckDB //). One hash aggregation on the range key. */
+  def chainUncleStats(s: SparkSession, dir: String): DataFrame =
+    raw(s, "blocks")
+      .select(floor(col("number") / 100).cast("long").as("range100"),
+        size(col("uncles")).cast("long").as("n_unc"),
+        col("gasUsed").cast("long").as("gu"),
+        col("gasLimit").cast("long").as("gl"))
+      .groupBy(col("range100"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("n_unc")).as("n_uncles"),
+        sum(when(col("n_unc") > 0, 1L).otherwise(0L)).as("n_uncled_blocks"),
+        expr("1000 * CAST(sum(n_unc) AS BIGINT) DIV count(1)")
+          .as("uncle_rate_milli"),
+        expr("1000 * CAST(sum(gu) AS BIGINT) DIV CAST(sum(gl) AS BIGINT)")
+          .as("gas_util_milli"))
+      .orderBy(col("range100"))
+
   def chainBlockCadence(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("range100")).orderBy(col("number"))
@@ -789,6 +812,7 @@ object ChainQueries {
     "chain_token_balances" -> (chainTokenBalances _),
     "chain_fee_market" -> (chainFeeMarket _),
     "chain_block_cadence" -> (chainBlockCadence _),
+    "chain_uncle_stats" -> (chainUncleStats _),
     "chain_top_contracts" -> (chainTopContracts _),
     "chain_validator_withdrawals" -> (chainValidatorWithdrawals _),
     "chain_address_activity" -> (chainAddressActivity _),
@@ -1104,6 +1128,21 @@ object ChainQueries {
          |    FROM ${tbl("events")} GROUP BY 1, 2))
          |WHERE rn <= 3
          |ORDER BY range100, n_events DESC, contract""".stripMargin,
+    "chain_uncle_stats" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(number / 100) AS BIGINT) AS range100,
+         |    CAST(len(uncles) AS BIGINT) AS n_unc,
+         |    CAST(gasUsed AS BIGINT) AS gu, CAST(gasLimit AS BIGINT) AS gl
+         |  FROM ${tbl("blocks")})
+         |SELECT range100, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(n_unc) AS BIGINT) AS n_uncles,
+         |  CAST(sum(CASE WHEN n_unc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_uncled_blocks,
+         |  CAST(1000 * CAST(sum(n_unc) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS BIGINT) AS uncle_rate_milli,
+         |  CAST(1000 * CAST(sum(gu) AS BIGINT) // CAST(sum(gl) AS BIGINT)
+         |    AS BIGINT) AS gas_util_milli
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "chain_block_cadence" ->
       s"""WITH g AS (
          |  SELECT CAST(floor(number / 100) AS BIGINT) AS range100,
