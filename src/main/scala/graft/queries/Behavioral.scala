@@ -861,6 +861,81 @@ object Behavioral {
   // √n-scale, so int64 holds past 10⁹ users — only an adversarially
   // broken split (diff ~ n) could overflow, and THAT fires the fence
   // at far smaller diffs first. One distinct + one rollup: scan-shaped.
+  /** Difference-in-differences (the quasi-experimental workhorse —
+    * Card & Krueger 1994 canonically): pre/post × treat/control panel
+    * means of per-user spend, with the interaction estimate
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre). Arms are the
+    * family's deterministic hash coin; the period split is the
+    * fixture's time MIDPOINT ((min+max) DIV 2 — positive epoch ms, so
+    * Spark DIV == DuckDB //). Panel means use the arm's full distinct
+    * user count as the denominator (users silent in a period
+    * contribute zero — the balanced-panel convention), so everything
+    * reduces to four exact BIGINT spend sums and two exact user
+    * counts; the single double division is ONE shared expression
+    * string ([[DidSql]]) spliced into both engines. At 100 TB: one
+    * conditional aggregation over the event stream + one distinct-user
+    * count — no per-user frame ever materializes. */
+  private val DidSql: String =
+    """CAST((s_t_post - s_t_pre) * n_c - (s_c_post - s_c_pre) * n_t AS DOUBLE)
+      |/ (CAST(n_t AS DOUBLE) * n_c)""".stripMargin
+
+  def abDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(s, dir)
+      .select(col("user_id"), col("_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val midDf = ev.agg(expr("(min(_ms) + max(_ms)) DIV 2").as("mid"))
+    val armed = ev.crossJoin(broadcast(midDf)) // 1-row broadcast
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+      .withColumn("post", (col("_ms") >= col("mid")).cast("long"))
+    def cell(a: Int, p: Int) =
+      sum(when(col("arm") === a && col("post") === p, col("cents"))
+        .otherwise(0L))
+    val sums = armed.agg(
+      cell(1, 0).as("s_t_pre"), cell(1, 1).as("s_t_post"),
+      cell(0, 0).as("s_c_pre"), cell(0, 1).as("s_c_post"))
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("arm", expr(s"(user_id * $AbHashA + $AbHashB) % $AbMod % 2"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"))
+    sums.crossJoin(broadcast(users)) // two 1-row frames
+      .select(col("n_t"), col("n_c"),
+        col("s_t_pre"), col("s_t_post"), col("s_c_pre"), col("s_c_post"),
+        expr("(s_t_post - s_t_pre) * n_c - (s_c_post - s_c_pre) * n_t")
+          .as("did_num"),
+        expr(DidSql).as("did_cents"))
+  }
+
+  val abDidSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM ev),
+       |armed AS (
+       |  SELECT user_id, cents,
+       |    (user_id * $AbHashA + $AbHashB) % $AbMod % 2 AS arm,
+       |    CASE WHEN ms >= mid THEN 1 ELSE 0 END AS post
+       |  FROM ev, mid),
+       |sums AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_t_pre,
+       |    CAST(sum(CASE WHEN arm = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_t_post,
+       |    CAST(sum(CASE WHEN arm = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c_pre,
+       |    CAST(sum(CASE WHEN arm = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_c_post
+       |  FROM armed),
+       |u AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN (user_id * $AbHashA + $AbHashB) % $AbMod % 2 = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN (user_id * $AbHashA + $AbHashB) % $AbMod % 2 = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+       |  FROM (SELECT DISTINCT user_id FROM ev))
+       |SELECT n_t, n_c, s_t_pre, s_t_post, s_c_pre, s_c_post,
+       |  CAST((s_t_post - s_t_pre) * n_c - (s_c_post - s_c_pre) * n_t
+       |    AS BIGINT) AS did_num,
+       |  $DidSql AS did_cents
+       |FROM sums CROSS JOIN u""".stripMargin
+
   def abSrm(s: SparkSession, dir: String): DataFrame = {
     val du = Relational.events(s, dir)
       .select(expr("_ms DIV 86400000").as("day"), col("user_id"))
@@ -1471,6 +1546,7 @@ object Behavioral {
     "events_sequential_obf" -> (sequentialObf _),
     "events_bootstrap_ci" -> (bootstrapCi _),
     "events_ab_srm" -> (abSrm _),
+    "events_ab_did" -> (abDid _),
     "events_point_in_time_join" -> (pointInTimeJoin _),
     "events_bot_cadence" -> (botCadence _),
     "events_ab_cuped" -> (abCuped _),
@@ -1493,6 +1569,7 @@ object Behavioral {
     "events_sequential_obf" -> sequentialObfSql,
     "events_bootstrap_ci" -> bootstrapCiSql,
     "events_ab_srm" -> abSrmSql,
+    "events_ab_did" -> abDidSql,
     "events_point_in_time_join" -> pointInTimeJoinSql,
     "events_bot_cadence" -> botCadenceSql,
     "events_ab_cuped" -> abCupedSql,
