@@ -60,7 +60,14 @@ object StreamScaleBench {
           StreamParity.streamWindowParityN(spark, d, n,
             StreamParity.SliceHashMod, s"_ssb$n").count()),
         ("session", (d, n) =>
-          StreamParity.streamSessionParityN(spark, d, n, s"_ssb$n").count()))
+          StreamParity.streamSessionParityN(spark, d, n, s"_ssb$n").count()),
+        // the timeout twins: per-user fMGWS state + evictions firing
+        ("funnel", (d, n) =>
+          StreamParity.streamFunnelParityN(spark, d, n, 1L,
+            StreamParity.EpisodeRetMs, s"_ssb$n").count()),
+        ("totals", (d, n) =>
+          StreamParity.streamTotalsParityN(spark, d, n, 3L,
+            StreamParity.EpisodeRetMs, s"_ssb$n").count()))
     } yield (name, sf, nb, () => run(s"/root/testdata/$sf", nb))
     println("query\tsf\tnumBatches\twall_best_s\tstate_rows_max\tstate_mem_max_b\tprogress_events")
     cases.foreach { case (name, sf, nb, run) =>
