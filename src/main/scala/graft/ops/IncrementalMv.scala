@@ -315,6 +315,65 @@ object IncrementalMv {
   // partition overwrite. The DuckDB oracle recomputes one-shot over the
   // undeleted rows, so the hash match is the retraction theorem
   // (Gupta/Mumick counting algebra) checked per run.
+  /** Top-k under DELETES — the textbook non-delete-maintainable view
+    * made maintainable by the counting algebra: a delete of a top-k row
+    * needs the (k+1)-th candidate, which the k-row view alone cannot
+    * produce, so the maintained state is the FULL key-domain support
+    * table (supplier → signed revenue partials, bucket-partitioned) and
+    * the served top-k is a TakeOrdered over it. The DELETE delta
+    * (returned rows) applies as NEGATIVE partials to exactly the
+    * delta-touched buckets (delta-keyed reads, the family's discipline);
+    * fully-returned suppliers sit at n_rows = 0 and the liveness filter
+    * drops them before the serve. Oracle: one-shot top-k recompute over
+    * the undeleted rows. */
+  def topkDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Windows
+    val mvPath = graft.etl.Scratch.path(s, "mv/supplier_revenue_deletes")
+    val fact = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_returnflag"), col("l_extendedprice"))
+    // 1. full insert-phase state (every row, returns included)
+    suppPartials(fact)
+      .write.mode("overwrite").partitionBy("bucket").parquet(mvPath)
+    // 2. DELETE delta: returned rows as negative partials
+    val delta = suppPartials(fact.filter(col("l_returnflag") === "R"))
+      .withColumn("n_rows", -col("n_rows"))
+      .withColumn("price_cents", -col("price_cents"))
+    val touched = delta.select(col("bucket")).distinct()
+    val stored = s.read.parquet(mvPath)
+      .join(touched, Seq("bucket"), "left_semi")
+    Lineage.truncate(stored.unionByName(delta)
+      .groupBy(col("bucket"), col("l_suppkey"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("price_cents")).as("price_cents")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(mvPath)
+    // 3. serve: liveness filter, then TakeOrdered over the support table
+    s.read.parquet(mvPath)
+      .filter(col("n_rows") > 0)
+      .select(col("l_suppkey"), col("n_rows"), col("price_cents"))
+      .orderBy(col("price_cents").desc, col("l_suppkey"))
+      .limit(TopKSuppliers)
+      .withColumn("rank", row_number().over(
+        Windows.boundedGlobal(col("price_cents").desc, col("l_suppkey"))))
+      .select(col("rank").cast("long").as("rank"), col("l_suppkey"),
+        col("n_rows"), col("price_cents"))
+      .orderBy(col("rank"))
+  }
+
+  val topkDeleteSql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY price_cents DESC, l_suppkey) AS BIGINT) AS rank,
+       |  l_suppkey, n_rows, price_cents
+       |FROM (
+       |  SELECT l_suppkey,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS price_cents
+       |  FROM lineitem WHERE l_returnflag <> 'R'
+       |  GROUP BY 1)
+       |ORDER BY price_cents DESC, l_suppkey
+       |LIMIT $TopKSuppliers""".stripMargin
+
   def deleteRetraction(s: SparkSession, dir: String): DataFrame = {
     val mvPath = graft.etl.Scratch.path(s, "mv/retract_supp_by_month")
     val fact = s.read.parquet(s"$dir/lineitem.parquet")
@@ -361,6 +420,7 @@ object IncrementalMv {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_delete_retraction" -> (deleteRetraction _),
+    "mv_topk_delete" -> (topkDelete _),
     "mv_distinct_maintain" -> (distinctMaintain _),
     "mv_incremental_refresh" -> (incrementalRefresh _),
     "mv_join_refresh" -> (joinRefresh _),
@@ -369,6 +429,7 @@ object IncrementalMv {
 
   val oracle: Map[String, String] = Map(
     "mv_delete_retraction" -> deleteRetractionSql,
+    "mv_topk_delete" -> topkDeleteSql,
     "mv_distinct_maintain" -> distinctMaintainSql,
     "mv_incremental_refresh" -> incrementalRefreshSql,
     "mv_join_refresh" -> joinRefreshSql,
