@@ -635,6 +635,33 @@ object Relational {
   // ------------------------------------------------------------------
   // q29: the SQL text entry path (§3.4) — parsed by Spark's own parser,
   // with a scalar subquery, over temp views.
+  /** LATERAL correlated subquery — the per-row top-N shape (each order's
+    * two priciest lineitems) through Spark's lateral-join support:
+    * Catalyst decorrelates the ORDER BY + LIMIT subquery into a
+    * partitioned window rank, so the declarative per-row query plans as
+    * the same distributed top-k-per-group every engine wants. DuckDB
+    * runs the identical LATERAL text. */
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders49_v")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem49_v")
+    s.sql(q49Text("orders49_v", "lineitem49_v"))
+  }
+
+  private def q49Text(orders: String, lineitem: String): String =
+    s"""SELECT o_orderkey, l.l_linenumber,
+       |  CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+       |FROM $orders o,
+       |  LATERAL (
+       |    SELECT l_linenumber, l_extendedprice
+       |    FROM $lineitem
+       |    WHERE l_orderkey = o.o_orderkey
+       |    ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC, l_linenumber
+       |    LIMIT 2) l
+       |WHERE o_orderkey % 50 = 0
+       |ORDER BY o_orderkey, l_linenumber""".stripMargin
+
+  private val q49Sql = q49Text("orders", "lineitem")
+
   def q29(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
@@ -1330,6 +1357,7 @@ object Relational {
     "q33_setops_all" -> (q33 _),
     "q34_window_analytic" -> (q34 _),
     "q29_sql_scalar_subquery" -> (q29 _),
+    "q49_lateral_topn" -> (q49 _),
     "q30_topk_custom_operator" -> (q30 _),
     "q31_approx_distinct" -> (q31 _),
     "q01_pricing_summary" -> (q01 _),
@@ -1382,6 +1410,7 @@ object Relational {
     "q33_setops_all" -> q33Sql,
     "q34_window_analytic" -> q34Sql,
     "q29_sql_scalar_subquery" -> q29Sql,
+    "q49_lateral_topn" -> q49Sql,
     "q30_topk_custom_operator" -> q07Sql, // identical semantics to q07
 
     "q01_pricing_summary" -> q01Sql,
