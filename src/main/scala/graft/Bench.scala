@@ -15,6 +15,63 @@ object Bench {
     "sim_ann_lsh", "cluster_kmeans", "chain_ingest_1k", "chain_gas_by_range",
     "text_tfidf", "pipeline_refinery")
 
+  /** Raw in-sweep ratio above which a query earns an ISOLATED fresh-JVM
+    * confirmation measure (VERDICT r14: the sweep's raw `vs_baseline` is
+    * weather-dominated for sub-second queries — r14 read 9 queries >1.3×
+    * that isolated runs read at ~1.0×; the artifact should carry the
+    * decomposition, not prose). */
+  private[graft] val ConfirmThreshold = 1.3
+
+  /** Queries whose raw min-over-reps ratio exceeds [[ConfirmThreshold]]. */
+  private[graft] def confirmCandidates(ratios: Seq[(String, Double)]): Seq[String] =
+    ratios.filter(_._2 > ConfirmThreshold).map(_._1).sorted
+
+  /** Parse the `[time-json]` lines a forked [[tools.TimeQuery]] prints —
+    * name → best-of-reps seconds. Non-matching lines (Spark log noise on
+    * the merged stream) are skipped; a malformed payload is dropped, not
+    * fatal (a missing confirmation must not fail the bench). */
+  private[graft] def parseTimeJson(lines: Seq[String]): Map[String, Double] =
+    lines.flatMap { l =>
+      val i = l.indexOf(tools.TimeQuery.JsonTag)
+      if (i < 0) None
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(l.substring(i + tools.TimeQuery.JsonTag.length))
+        Some(node.get("name").asText() -> node.get("best").asDouble())
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+
+  /** Isolated fresh-JVM best-of-3 for `names`: forks `java` with THIS
+    * JVM's exact flags (add-opens, heap, code cache) and classpath
+    * running [[tools.TimeQuery]] — a genuinely separate process outside
+    * the sweep's scheduler/GC context, the same regime baselines use.
+    * Bounded: only outlier queries, one fork total. Failure → empty map
+    * (the raw ratios stand, conservatively). */
+  private def freshJvmBest(names: Seq[String], sfDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.tools.TimeQuery", "3") ++ names
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.redirectErrorStream(true)
+    try {
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      parseTimeJson(out.linesIterator.toSeq)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] confirmation fork failed: ${e.getMessage}")
+        Map.empty
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -188,7 +245,25 @@ object Bench {
       baseline.get(k).filter(_ > 0).map(b => (k, v / b))
     }
     val ratioMax = if (ratios.nonEmpty) ratios.map(_._2).max else -1.0
-    val regressed = gateTrips()
+    // Isolated confirmation pass: every raw ratio > ConfirmThreshold is
+    // re-measured in ONE forked fresh JVM (reps=3 each) and the artifact
+    // carries `confirmed_vs_baseline` alongside the raw ratio — the
+    // baseline regime is fresh-JVM minima, so only a reading that
+    // survives OUTSIDE the sweep's contention window is a plan signal.
+    val confirmCands = confirmCandidates(ratios)
+    val confirmedBest: Map[String, Double] =
+      if (confirmCands.isEmpty) Map.empty else freshJvmBest(confirmCands, sfDir)
+    val confirmedRatios = confirmCands.flatMap { k =>
+      for (b <- baseline.get(k).filter(_ > 0); v <- confirmedBest.get(k))
+        yield (k, v / b)
+    }
+    // The regression gate reads CONFIRMED ratios: a >2x in-sweep trip
+    // with an isolated reading <=2x is weather, not a regression. A trip
+    // whose confirmation is missing (fork failed) keeps its flag.
+    val regressed = gateTrips().filter { k =>
+      confirmedBest.get(k).forall(v =>
+        baseline.get(k).filter(_ > 0).forall(b => v / b > 2.0))
+    }
     val regressedJson = regressed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val trippedJson = tripped0.map("\"" + _ + "\"").mkString("[", ",", "]")
     val allLoads = repLoads.toList :+ loadavg()
@@ -198,7 +273,7 @@ object Bench {
     val load1Json = allLoads.map(_.split(" ").headOption.getOrElse("-1"))
       .mkString("[", ",", "]")
     val shortJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"loadavg1":$load1Json,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirmed_vs_baseline":${qjson(confirmedRatios)},"loadavg1":$load1Json,"detail":"BENCH.out.json"}"""
     // per-query successful-sample count: `reps` is the attempt count;
     // a rep that failed contributes no sample, so a min over fewer
     // samples is visibly weaker evidence
@@ -207,7 +282,7 @@ object Bench {
       if (n > 0) Some((name, "\"" + name + "\":" + n)) else None
     }.map(_._2).mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"host_loadavg":$loadsJson}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirm_threshold":$ConfirmThreshold,"confirmed_best":${qjson(confirmCands.flatMap(k => confirmedBest.get(k).map(k -> _)))},"confirmed_vs_baseline":${qjson(confirmedRatios)},"host_loadavg":$loadsJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     // every timed rep has consumed its result — drop the bounded scratch

@@ -45,17 +45,21 @@ object DomainReweight {
     * the exact negative of the proven perplexity cell — and the mean's
     * DIV truncation runs on nonnegative operands in both engines. */
   private def domainLoss(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    val d0 = docs(s, dir)
     val toks = TextOps.tokens(col("text"))
-    val docBigrams = d.select(col("source"), toks.as("_t"))
+    // LM over the TextOps.LmVocabCap-pruned vocabulary: the model
+    // frames below are cap-bounded, so their broadcasts are legitimate
+    // at any corpus size (see the contract at TextOps.LmVocabCap).
+    val d = TextOps.withLmTokens(d0)
+    val docBigrams = d.select(col("source"), col("_mt").as("_t"))
       .filter(size(col("_t")) >= 2)
       .select(col("source"), explode(expr(
         "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
       .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bi = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = d.select(explode(toks).as("w1"))
+    val uni = d.select(explode(col("_mt")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = d.select(explode(toks).as("w"))
+    val vocab = d.select(explode(col("_mt")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val nll = docBigrams
       .join(broadcast(bi), Seq("w1", "w2"))
@@ -112,15 +116,13 @@ object DomainReweight {
          |  FROM (SELECT *, (w * ($Scale + $EtaPpmPerMilli * excess_milli)) // $Scale AS u
          |        FROM $prev))""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS (
-       |  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-       |  FROM documents),
+    s"""WITH ${TextOps.lmMapCtesSql("source")},
        |bg AS (
        |  SELECT source, toks[i] AS w1, toks[i+1] AS w2
-       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |  FROM mt, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
-       |voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t)),
+       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM mt) GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM mt)),
        |nll AS (
        |  SELECT source,
        |    CAST(count(*) AS BIGINT) AS n_bigrams,

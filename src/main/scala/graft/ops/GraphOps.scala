@@ -256,6 +256,24 @@ object GraphOps {
   private val coCache =
     new java.util.concurrent.ConcurrentHashMap[String, CoTables]()
 
+  /** Cache hygiene (ADVICE r14): drop entries whose owning session is
+    * stopped, and unpersist a replaced entry's still-live checkpoint
+    * blocks — without this, long multi-session processes (spec suites,
+    * fuzz loops) leak persisted blocks and map entries forever. */
+  private def pruneCoCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    coCache.entrySet().asScala
+      .filter(_.getValue.und.sparkSession.sparkContext.isStopped)
+      .map(_.getKey).toSeq.foreach(coCache.remove)
+  }
+
+  private def unpersistCoTables(t: CoTables): Unit = {
+    val sc = t.und.sparkSession.sparkContext
+    if (!sc.isStopped) t.rddIds.foreach { id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Cached projection for the standard lineitem membership at `dir`.
     * A hit must pass TWO liveness checks: the session identity (a
     * checkpointed frame is only valid on the session that built it) and
@@ -265,12 +283,16 @@ object GraphOps {
     * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Spec-scoped sessions with
     * custom memberships use [[coTablesOf]] directly and never cache. */
   private[graft] def coTables(s: SparkSession, dir: String): CoTables = {
+    pruneCoCache()
     val key = System.identityHashCode(s) + ":" + dir
     val hit = coCache.get(key)
     val live = hit != null && (hit.und.sparkSession eq s) &&
       hit.rddIds.subsetOf(s.sparkContext.getPersistentRDDs.keySet)
     if (live) hit
     else {
+      // a stale entry may still hold SOME live blocks (e.g. a partial
+      // unpersist): release them before the rebuild replaces the entry
+      if (hit != null) unpersistCoTables(hit)
       val t = coTablesOf(s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
       coCache.put(key, t)
@@ -641,10 +663,21 @@ object GraphOps {
     val MaxRounds = 8
   }
 
-  /** Support-filtered co-occurrence edges — shared by kcore/ktruss/bfs/
-    * walks; now a view over the family-shared [[CoTables]] projection. */
-  private[graft] def supportedEdges(membership: DataFrame): DataFrame =
-    coTablesOf(membership).se
+  /** Support-filtered co-occurrence edges for the custom-membership
+    * (`*Of`) paths: builds ONLY the chain these callers consume —
+    * capped membership → pairs → se, two checkpoints instead of
+    * [[CoTables]]' four (ADVICE r14: the full build materialized deg/se
+    * blocks that kcore/ktruss/bfs/walks-of callers never touch and
+    * never unpersist). The registered queries share [[coTables]]. */
+  private[graft] def supportedEdges(membership: DataFrame): DataFrame = {
+    val li = Lineage.truncate(cappedMembership(membership))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("w"))
+    Lineage.truncate(
+      pairs.filter(col("w") >= Cores.MinSupport).select(col("a"), col("b")))
+  }
 
   def ktruss(s: SparkSession, dir: String): DataFrame =
     ktrussFrom(coTables(s, dir).se, Truss.K, Truss.MaxRounds)

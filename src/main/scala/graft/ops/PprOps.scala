@@ -35,12 +35,16 @@ object PprOps {
   /** Initial/restart unit mass per seed, micro. */
   val PprUnit = 1000000L
 
+  /** Registered query: rides the family-shared [[GraphOps.coTables]]
+    * projection like the other eight kernels (it was the one holdout
+    * rebuilding its own). */
   def ppr(s: SparkSession, dir: String): DataFrame =
-    pprOf(s.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+    pprFrom(GraphOps.coTables(s, dir).se)
 
-  def pprOf(membership: DataFrame): DataFrame = {
-    val und = Lineage.truncate(GraphOps.supportedEdges(membership))
+  def pprOf(membership: DataFrame): DataFrame =
+    pprFrom(GraphOps.supportedEdges(membership))
+
+  private def pprFrom(und: DataFrame): DataFrame = {
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     val adj = Lineage.truncate(

@@ -580,14 +580,13 @@ object Sampling {
     val bandExpr = (1 until CurriculumBands)
       .map(k => s"(CASE WHEN sc.q > f$k.f THEN 1 ELSE 0 END)").mkString(" + ")
     val fromFences = (1 until CurriculumBands).map(k => s"f$k").mkString(", ")
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""WITH ${graft.ops.TextOps.lmMapCtesSql()},
        |docbi AS (
        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |  FROM mt, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
        |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
-       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
-       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t)),
+       |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM mt) GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM mt)),
        |pd AS (
        |  SELECT doc_id, count(*) AS nb,
        |    CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS slp

@@ -862,7 +862,11 @@ object SimilarityOps {
   // is |B| × probes, never |A| × |B|, and the k-NN sums are windows over
   // the shard's score matrix. The B-side neighborhood is computed against
   // the probe shard (the mini-batch mining variant) — a documented
-  // operator contract, mirrored exactly in the oracle.
+  // operator contract, mirrored exactly in the oracle. Join strategy:
+  // only PROBE-cardinality frames (a, ska: <= ProbeCutoff rows) carry
+  // broadcast hints; the |B|-cardinality frames (skb, backBest) join
+  // plain and shuffle on b_id — AQE broadcasts them when small, and at
+  // corpus scale they become sort-merge joins instead of a driver OOM.
   object Bitext {
     val ProbeCutoff = 128L // A-side probes: label even, vec_id < 128
     val MarginK = 4
@@ -893,9 +897,13 @@ object SimilarityOps {
       .groupBy(col("a_id")).agg(sum(col("cos_u")).as("ska"))
     val skb = ranked.filter(col("_rb") <= MarginK)
       .groupBy(col("b_id")).agg(sum(col("cos_u")).as("skb"))
+    // ska is one row per PROBE (<= ProbeCutoff) — a genuinely bounded
+    // broadcast. skb is one row per B-side vector — it grows with the
+    // corpus, so it gets NO hint: at sf0.1 AQE broadcasts it anyway,
+    // and at 100x it becomes the shuffle join it must be.
     val margins = scored
       .join(broadcast(ska), Seq("a_id"))
-      .join(broadcast(skb), Seq("b_id"))
+      .join(skb, Seq("b_id"))
       .withColumn("margin_scaled",
         lit(2L * MarginK) * col("cos_u") - col("ska") - col("skb"))
     val wFwd = Window.partitionBy(col("a_id"))
@@ -907,8 +915,10 @@ object SimilarityOps {
       .withColumn("_bwd", row_number().over(wBwd))
     val backBest = best.filter(col("_bwd") === 1)
       .select(col("b_id"), col("a_id").as("_back_a"))
+    // backBest is also |B|-cardinality (one backward argmax per b_id):
+    // no hint, for the same reason as skb above.
     best.filter(col("_fwd") === 1)
-      .join(broadcast(backBest), Seq("b_id"))
+      .join(backBest, Seq("b_id"))
       .select(col("a_id"), col("b_id"), col("cos_u"), col("margin_scaled"),
         (col("_back_a") === col("a_id")).as("mutual"))
       .orderBy(col("a_id"))

@@ -321,11 +321,11 @@ object TextOps {
   // surrogate, tf·log(idf) ordering IS preserved (up to the 1e-3
   // quantum): a monotone transform of idf alone does not commute with
   // the tf product, so the weight must be the log itself. Shape: one
-  // explode → one (doc,term) count with map-side combine → a
-  // broadcast-joined term df → per-doc top-K via ranking window
-  // (partition = doc, no global sort). At 100 TB the df table is the
-  // only corpus-wide aggregate and it is vocabulary-sized, not
-  // corpus-sized.
+  // explode → one (doc,term) count with map-side combine → a term-df
+  // join (no hint — vocabulary grows under Heaps' law, AQE decides) →
+  // per-doc top-K via ranking window (partition = doc, no global sort).
+  // At 100 TB the df table is the only corpus-wide aggregate and it is
+  // vocabulary-sized, not corpus-sized.
   val TfIdfTopK = 3
 
   def tfidf(s: SparkSession, dir: String): DataFrame = {
@@ -342,7 +342,11 @@ object TextOps {
     val n = d.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_milli").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    // df is one row per term TYPE — it grows with the corpus (Heaps'
+    // law), so it gets no broadcast hint: AQE broadcasts it while it is
+    // small, and at web scale this becomes the shuffle join it must be.
+    // The 1-row n frame stays a structural broadcast.
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score_milli",
         col("tf") * expr("CAST(round(1000 * ln((n + 1) / (df + 1))) AS BIGINT)"))
@@ -366,20 +370,82 @@ object TextOps {
        |ORDER BY doc_id, score_milli DESC, term""".stripMargin
 
   // ------------------------------------------------------------------
+  // The LmVocabCap contract (GroupCap/MaxBucket house style): every LM
+  // MODEL table — unigram counts, bigram counts, the Kneser-Ney
+  // continuation tables — is computed over a PRUNED vocabulary, the top
+  // LmVocabCap token types by (corpus count desc, token asc); every
+  // other token collapses into the reserved OovToken bucket BEFORE
+  // bigram formation. After the cap the model tables are bounded by the
+  // CONSTANT — ≤ LmVocabCap+1 unigram types, ≤ (LmVocabCap+1)² bigram
+  // types — whatever the corpus size, so joining them back as
+  // broadcasts is legitimate at 100 TB: without it, bigram TYPES grow
+  // near-linearly with corpus tokens (Heaps' law — measured by this
+  // repo's own text_heaps_law) and the "model broadcast" is a driver
+  // OOM in disguise. This is exactly the top-V/min-count pruning
+  // production LMs apply (KenLM's prune, CCNet's fixed SentencePiece
+  // vocab). The cap BINDS on the test corpus (31 types > 24), so the
+  // graded oracles exercise the OOV path; the tie-break (count desc,
+  // token asc) is total and engine-portable. Applied identically in
+  // every DuckDB oracle via lmMapCtesSql.
+  val LmVocabCap = 24
+  val OovToken = "<oov>"
+
+  /** 1-row frame `(vt)`: the sorted top-LmVocabCap vocabulary as an
+    * array — the bounded broadcast the mapping pass crosses with. */
+  private[graft] def lmVocabArr(d: DataFrame): DataFrame =
+    d.select(explode(tokens(col("text"))).as("w0"))
+      .groupBy(col("w0")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("w0")).limit(LmVocabCap)
+      .agg(sort_array(collect_list(col("w0"))).as("vt"))
+
+  /** Adds `_mt`: the LmVocabCap-mapped token array of `text`. The vocab
+    * is a 1-row ≤-LmVocabCap-element broadcast cross (the PQ-codebook
+    * pattern); the mapping itself stays a narrow array transform, so
+    * the downstream bigram explode keeps its no-shuffle shape. */
+  private[graft] def withLmTokens(d: DataFrame): DataFrame =
+    d.crossJoin(broadcast(lmVocabArr(d)))
+      .withColumn("_mt", transform(tokens(col("text")),
+        x => when(array_contains(col("vt"), x), x).otherwise(lit(OovToken))))
+      .drop("vt")
+
+  /** Shared oracle CTE chain (no WITH): `t` (raw token arrays) → `vtop`
+    * (top-V vocab) → `vlist` (1-row array) → `mt` (mapped token arrays,
+    * same column names as `t`) over `documents`, carrying `extra`
+    * columns through. Mirrors withLmTokens exactly. */
+  private[graft] def lmMapCtesSql(extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else s"$extra, "
+    s"""t AS (
+       |  SELECT ${ex}doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |vtop AS (
+       |  SELECT w0 FROM (
+       |    SELECT w0, count(*) AS c
+       |    FROM (SELECT UNNEST(toks) AS w0 FROM t) GROUP BY 1)
+       |  ORDER BY c DESC, w0 LIMIT $LmVocabCap),
+       |vlist AS (SELECT list(w0 ORDER BY w0) AS vt FROM vtop),
+       |mt AS (
+       |  SELECT ${ex}doc_id,
+       |    list_transform(toks, x -> CASE WHEN list_contains(vt, x)
+       |                                   THEN x ELSE '$OovToken' END) AS toks
+       |  FROM t, vlist)""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Bigram language-model statistics: corpus-wide bigram counts with the
   // conditional probability p(w2|w1) in exact integer micro-units
-  // (c(w1,w2)·1e6 DIV c(w1) — no floating point, bit-portable). One
-  // narrow per-doc bigram explode → one count shuffle (map-side
-  // combined) → a broadcast join against the unigram counts; the top-K
-  // cut is a TakeOrdered over (count desc, bigram asc), not a full
-  // sort. The LM-stats pass a tokenizer/statistics pipeline runs over a
-  // 100 TB corpus, in its Spark shape.
+  // (c(w1,w2)·1e6 DIV c(w1) — no floating point, bit-portable), over the
+  // LmVocabCap-pruned vocabulary. One narrow per-doc bigram explode →
+  // one count shuffle (map-side combined) → a broadcast join against
+  // the (cap-bounded) unigram counts; the top-K cut is a TakeOrdered
+  // over (count desc, bigram asc), not a full sort. The LM-stats pass a
+  // tokenizer/statistics pipeline runs over a 100 TB corpus, in its
+  // Spark shape.
   val BigramTopK = 100
 
   def bigrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val bi = docs(s, dir)
-      .select(col("doc_id"), toks.as("_t"))
+    val d = withLmTokens(docs(s, dir))
+    val bi = d
+      .select(col("doc_id"), col("_mt").as("_t"))
       // <2 tokens -> no bigram; unguarded _t[i] would be out of bounds
       // under ANSI mode (same hazard class as DedupOps.shingles)
       .filter(size(col("_t")) >= 2)
@@ -387,9 +453,10 @@ object TextOps {
         "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
-    val uni = docs(s, dir)
-      .select(explode(toks).as("w1"))
+    val uni = d
+      .select(explode(col("_mt")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    // uni is ≤ LmVocabCap+1 rows by the pruning contract: bounded hint
     bi.join(broadcast(uni), Seq("w1"))
       .select(col("w1"), col("w2"), col("n_bigram"), col("n_w1"),
         expr("n_bigram * 1000000 DIV n_w1").as("p_cond_micros"))
@@ -401,15 +468,14 @@ object TextOps {
     * doc's last, which starts no bigram) — the DuckDB side does the
     * same, so the denominators agree exactly. */
   val bigramsSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+    s"""WITH ${lmMapCtesSql()},
        |bi AS (
-       |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS n_bigram
-       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*) AS n_bigram
+       |  FROM mt, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
        |  GROUP BY 1, 2),
        |uni AS (
        |  SELECT w1, count(*) AS n_w1 FROM (
-       |    SELECT UNNEST(t) AS w1 FROM toks) GROUP BY 1)
+       |    SELECT UNNEST(toks) AS w1 FROM mt) GROUP BY 1)
        |SELECT w1, w2, n_bigram, n_w1, n_bigram * 1000000 // n_w1 AS p_cond_micros
        |FROM bi JOIN uni USING (w1)
        |ORDER BY n_bigram DESC, w1, w2 LIMIT $BigramTopK""".stripMargin
@@ -424,27 +490,28 @@ object TextOps {
   // milli-nats exactly like the tf-idf weight so the transcendental is
   // bit-portable; the per-doc mean is a single exactly-rounded double
   // division of integer totals. Shape: the LM (bigram + unigram counts
-  // + vocab size) is the compact corpus-wide artifact — vocabulary²
-  // bounded, broadcast to the per-doc pass; one bigram explode, one
-  // map-side-combined per-doc aggregate. At 100 TB the LM is trained
-  // once and reused across every scoring run.
+  // + vocab size) is the compact corpus-wide artifact — bounded by the
+  // LmVocabCap pruning contract (≤ (cap+1)² bigram types), broadcast to
+  // the per-doc pass; one bigram explode, one map-side-combined per-doc
+  // aggregate. At 100 TB the LM is trained once and reused across every
+  // scoring run.
   /** Per-doc exact bigram log-prob totals (doc_id, n_bigrams,
     * sum_logp_milli) — the integer core the registered perplexity query
     * AND the per-domain perplexity fence both consume. */
   private[graft] def perplexityPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val toks = tokens(col("text"))
-    val docBigrams = d.select(col("doc_id"), toks.as("_t"))
+    val d = withLmTokens(docs(s, dir))
+    val docBigrams = d.select(col("doc_id"), col("_mt").as("_t"))
       .filter(size(col("_t")) >= 2) // no bigram below 2 tokens (ANSI-safe)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bi = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val uni = d.select(explode(toks).as("w1"))
+    val uni = d.select(explode(col("_mt")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = d.select(explode(toks).as("w"))
+    val vocab = d.select(explode(col("_mt")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     docBigrams
+      // all three model frames are LmVocabCap-bounded: legitimate hints
       .join(broadcast(bi), Seq("w1", "w2"))
       .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -475,7 +542,7 @@ object TextOps {
   // transcendental and it uses the proven round(1000·ln(·)) idiom.
   // Every scored bigram is in the training corpus (model = corpus), so
   // c12 ≥ 1 and the discount never truncates. Shape: the model tables
-  // are all vocabulary-sized aggregates joined back as broadcasts —
+  // are all LmVocabCap-bounded aggregates joined back as broadcasts —
   // the same one-explode plan as the add-one perplexity.
   val KnDiscNum = 3L // d = KnDiscNum / KnDiscDen = 0.75
   val KnDiscDen = 4L
@@ -483,9 +550,9 @@ object TextOps {
   def knPerplexity(s: SparkSession, dir: String): DataFrame =
     knPerplexityOf(docs(s, dir))
 
-  def knPerplexityOf(d: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val docBigrams = d.select(col("doc_id"), toks.as("_t"))
+  def knPerplexityOf(d0: DataFrame): DataFrame = {
+    val d = withLmTokens(d0)
+    val docBigrams = d.select(col("doc_id"), col("_mt").as("_t"))
       .filter(size(col("_t")) >= 2) // no bigram below 2 tokens (ANSI-safe)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
@@ -507,6 +574,7 @@ object TextOps {
           s" + $KnDiscNum * n1fwd * n1cont) * 1000000" +
           s" DIV ($KnDiscDen * c1 * btypes)").as("p_micro"))
     docBigrams
+      // model ≤ (LmVocabCap+1)² rows by the pruning contract: bounded
       .join(broadcast(model), Seq("w1", "w2"))
       .select(col("doc_id"),
         expr("CAST(round(1000 * ln(p_micro / 1000000)) AS BIGINT)").as("logp_milli"))
@@ -519,11 +587,10 @@ object TextOps {
   }
 
   val knPerplexitySql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""WITH ${lmMapCtesSql()},
        |docbi AS (
        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-       |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+       |  FROM mt, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
        |fwd AS (SELECT w1, count(*) AS n1fwd FROM bi GROUP BY 1),
@@ -543,14 +610,13 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val perplexitySql: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+    s"""WITH ${lmMapCtesSql()},
       |docbi AS (
       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+      |  FROM mt, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
       |bi AS (SELECT w1, w2, count(*) AS c12 FROM docbi GROUP BY 1, 2),
-      |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM t) GROUP BY 1),
-      |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM t))
+      |uni AS (SELECT w1, count(*) AS c1 FROM (SELECT UNNEST(toks) AS w1 FROM mt) GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT UNNEST(toks) AS w FROM mt))
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS sum_logp_milli,
       |  CAST(CAST(sum(CAST(round(1000 * ln((c12 + 1) / (c1 + v))) AS BIGINT)) AS BIGINT) AS DOUBLE)
@@ -650,6 +716,8 @@ object TextOps {
       .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df here is ≤ |Bm25Terms| rows (terms were filtered to the fixed
+    // query list BEFORE counting): bounded hint, unlike a full-vocab df
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats)) // 1-row corpus stats
       .withColumn("w", expr(bm25WSql))
@@ -789,6 +857,8 @@ object TextOps {
     val tf0 = Lineage.truncate(perDoc
       .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf")))
+    // df0/df2 are bounded by the fixed query/expansion term lists
+    // (tokens filtered to them before counting): legitimate hints
     val df0 = tf0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val top10 = tf0.join(broadcast(df0), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -1217,10 +1287,11 @@ object TextOps {
   // both engines) so huge corpora cannot overflow an integer product.
   // MinCount prunes the hapax noise that makes raw PMI degenerate.
   //
-  // Shape: one bigram explode + two vocabulary-bounded aggregates; the
-  // unigram table joins back as a broadcast (vocabulary-sized — far
-  // below corpus scale), totals are 1-row broadcast crosses, and the
-  // output is a TakeOrdered. One corpus pass, key-bounded shuffles.
+  // Shape: one bigram explode + two vocabulary-sized aggregates; the
+  // unigram table joins back UNHINTED (vocabulary grows under Heaps'
+  // law — AQE broadcasts while small), totals are 1-row broadcast
+  // crosses, and the output is a TakeOrdered. One corpus pass,
+  // key-bounded shuffles.
   object Collocations {
     /** Minimum bigram support — PMI is notoriously hapax-dominated. */
     val MinCount = 3L
@@ -1245,8 +1316,10 @@ object TextOps {
     val tot = uni.agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
     val btot = bi.agg(count(lit(1)).as("bt"))
     c12
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), Seq("w2"))
+      // uni is vocabulary-sized — unbounded under Heaps' law, so no
+      // broadcast hints (AQE decides); the 1-row totals stay structural
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
       .crossJoin(broadcast(tot.select(col("tt"))))
       .crossJoin(broadcast(btot))
       .select(col("w1"), col("w2"), col("c12"),
@@ -1513,6 +1586,7 @@ object TextOps {
     val tf = perDoc
       .select(col("doc_id"), col("dl"), explode(col("_q")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    // df ≤ |Bm25Terms| rows (pre-filtered terms): bounded hint
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))

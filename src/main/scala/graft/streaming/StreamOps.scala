@@ -592,7 +592,11 @@ object StreamOps {
     * timing differs — inherent to MG); what IS invariant, and what the
     * spec pins against exact batch counts, is the guarantee:
     * true − decs ≤ est ≤ true per surviving term, every term with
-    * true > decs survives, and decs ≤ N_shard/(K+1). */
+    * true > decs survives, and decs ≤ N_shard/(K+1). Under a
+    * CONTRACTUAL ordered split (StreamParity.landOrdered) the state
+    * evolution is additionally a pure function of the fixture, which is
+    * how stream_mg_parity grades it cell-exactly against a per-batch
+    * simulation oracle (r15 — the move that graded the timeout twins). */
   case class MgSummary(shard: Int, n: Long, terms: Seq[String], ests: Seq[Long], decs: Long)
   case class MgState(m: Map[String, Long], decs: Long, n: Long)
 

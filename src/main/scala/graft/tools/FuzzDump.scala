@@ -720,7 +720,11 @@ object FuzzDump {
     val enb = 6 + rng.nextInt(15)
     val mod = 1L + rng.nextInt(5)
     val ret = Seq(43200000L, 86400000L, 172800000L)(rng.nextInt(3))
-    i % 6 match {
+    // MG axis: batch count and the affine token-to-batch multiplier —
+    // every point a different decrement SCHEDULE the simulation oracle
+    // must replay exactly (r15: the last StreamOps operator graded)
+    val mgA = 1L + (rng.nextLong() & 0x7fffffffffffffffL) % 999983L
+    i % 7 match {
       case 0 => Spec(name,
         li => StreamParity.streamWindowParityN(li.sparkSession, sfDir, nb, slicing, tag),
         StreamParity.streamWindowParityOracleSql(nb, slicing))
@@ -736,9 +740,12 @@ object FuzzDump {
       case 4 => Spec(name,
         li => StreamParity.streamTotalsParityN(li.sparkSession, sfDir, enb, mod, ret, tag),
         StreamParity.streamTotalsParityOracleSql(enb, mod, ret))
-      case _ => Spec(name,
+      case 5 => Spec(name,
         li => StreamParity.streamScd2ParityN(li.sparkSession, sfDir, enb, mod, ret, tag),
         StreamParity.streamScd2ParityOracleSql(enb, mod, ret))
+      case _ => Spec(name,
+        li => StreamParity.streamMgParityN(li.sparkSession, sfDir, nb, mgA, tag),
+        StreamParity.streamMgParityOracleSql(nb, mgA))
     }
   }
 

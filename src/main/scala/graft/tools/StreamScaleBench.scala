@@ -70,12 +70,27 @@ object StreamScaleBench {
             StreamParity.EpisodeRetMs, s"_ssb$n").count()))
     } yield (name, sf, nb, () => run(s"/root/testdata/$sf", nb))
     println("query\tsf\tnumBatches\twall_best_s\tstate_rows_max\tstate_mem_max_b\tprogress_events")
+    // Listener events arrive asynchronously on the bus: poll until the
+    // probe's batch counter stabilizes before sampling it, so the final
+    // batches' events are counted and a prior case's late events cannot
+    // leak past the next reset (ADVICE r14).
+    def drain(): Unit = {
+      var prev = -1; var stable = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val b = probe.batches
+        if (b == prev) stable += 1 else { stable = 0; prev = b }
+        Thread.sleep(100)
+      }
+    }
     cases.foreach { case (name, sf, nb, run) =>
       val walls = (1 to reps).map { _ =>
         probe.reset()
         val t0 = System.nanoTime()
         run()
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        drain() // outside the timed section
+        w
       }
       // listener fields reflect the LAST rep (state size is
       // deterministic per case; wall takes the min)

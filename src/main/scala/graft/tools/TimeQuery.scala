@@ -13,6 +13,14 @@ import graft.SparkEntry
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
   */
 object TimeQuery {
+  /** Machine-readable line prefix — graft.Bench's outlier-confirmation
+    * fork greps for this tag and parses the JSON payload. */
+  val JsonTag = "[time-json] "
+
+  /** One parseable result line per query: `[time-json] {"name":…,"best":…}`. */
+  def jsonLine(name: String, best: Double): String =
+    JsonTag + s"""{"name":"$name","best":${f"$best%.3f"}}"""
+
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val names = args.drop(1).toSeq
@@ -40,6 +48,7 @@ object TimeQuery {
       val best = times.map(_._1).min
       val all = times.map(t => f"${t._1}%.2f").mkString(", ")
       println(f"[time] $name%-28s best=$best%6.2fs rows=${times.head._2} all=[$all]")
+      println(jsonLine(name, best))
     }
     spark.stop()
   }

@@ -122,6 +122,37 @@ class OpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("LmVocabCap binds: a corpus with more than LmVocabCap token types collapses the tail to <oov>") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // 3 frequent types (count 90 each) + 30 singletons = 33 types > cap
+    val freq = Seq.fill(30)("alpha beta gamma").mkString(" ")
+    val corpus = (1L to 30L).map(i => (i, s"$freq rare${"%02d".format(i)}")).toDF("doc_id", "text")
+    val mapped = TextOps.withLmTokens(corpus)
+      .select(explode(col("_mt")).as("w")).groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the cap binds: ≤ cap+1 surviving types, the OOV bucket present
+    assert(mapped.size <= TextOps.LmVocabCap + 1 && mapped.size == TextOps.LmVocabCap + 1)
+    // independent reference of the selection rule (count desc, token asc)
+    val raw = corpus.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val expectKeep = raw.sortBy { case (w, c) => (-c, w) }
+      .take(TextOps.LmVocabCap).map(_._1).toSet
+    assert(mapped.keySet - TextOps.OovToken == expectKeep)
+    // conservation: the OOV bucket holds exactly the pruned tail's mass
+    val prunedMass = raw.filterNot(t => expectKeep(t._1)).map(_._2).sum
+    assert(mapped(TextOps.OovToken) == prunedMass && prunedMass > 0)
+    // and the model tables downstream are bounded by the CONSTANT, not
+    // the corpus: bigram types ≤ (cap+1)^2 — the 100x-safe broadcast
+    val biTypes = TextOps.withLmTokens(corpus)
+      .select(col("doc_id"), col("_mt").as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] AS w1, _t[i] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2")).distinct().count()
+    assert(biTypes <= (TextOps.LmVocabCap + 1L) * (TextOps.LmVocabCap + 1L))
+  }
+
   test("kneser-ney: matches an independent reference model; exact normalization over the vocab") {
     import spark.implicits._
     val corpus = Seq(
