@@ -72,46 +72,64 @@ object FilterOps {
 
   /** The full metrics + verdict frame over any (doc_id, text) corpus —
     * shared by the standalone query and the end-to-end refinery. */
-  def qualityMetricsFrom(d: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+  def qualityMetricsFrom(d: DataFrame): DataFrame =
+    qualityMetricsThrough(d).select(
+      col("doc_id"), col("n_tokens"), col("mean_tok_len_milli"),
+      col("symbol_ratio_milli"), col("alpha_frac_milli"),
+      col("n_stop_distinct"), col("top_token_frac_milli"),
+      col("top_bigram_frac_milli"), col("n_rules_failed"), col("keep"))
+
+  /** Max multiplicity of any element of a string-array expression,
+    * computed NARROWLY: sort the array, take the longest equal-run.
+    * Value-identical to the old explode → per-(doc, gram) count → max
+    * pipeline at ZERO shuffles — the repetition metrics were the only
+    * reason the quality DAG shuffled at all, and what they shuffled was
+    * corpus-TOKEN-cardinality rows (r14 verdict: chi-square's residual
+    * is this shared DAG). Per-row sort is O(len·log len) on data already
+    * in hand — the shape that survives 100 TB. */
+  private def maxRunExpr(arr: String): String =
+    s"""aggregate(
+       |  sort_array($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+       |    named_struct('prev', x, 'run', s.run + 1L, 'best', greatest(s.best, s.run + 1L)),
+       |    named_struct('prev', x, 'run', 1L, 'best', greatest(s.best, 1L))),
+       |  s -> s.best)""".stripMargin
+
+  /** [[qualityMetricsFrom]] as a PASS-THROUGH: appends the metric +
+    * verdict columns, PRESERVING every input column (lang, source, …) —
+    * the whole computation is narrow per-row column algebra now, so
+    * consumers that need `keep` alongside other document attributes
+    * (chi-square, per-lang rollups) read them from one projection
+    * instead of self-joining the corpus on doc_id. */
+  private[graft] def qualityMetricsThrough(d: DataFrame): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
-    // Narrow per-doc metrics: one pass over the token array, no shuffle.
-    val narrow = d.select(col("doc_id"), col("text"), toks.as("_t"))
-      .select(
-        col("doc_id"),
-        size(col("_t")).cast("long").as("n_tokens"),
-        expr("aggregate(transform(_t, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
-          .as("sum_tok_len"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_symbols"),
-        size(filter(col("_t"), t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+    val withRaw = d
+      .withColumn("_t", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("_t")).cast("long"))
+      .withColumn("_sum_tok_len",
+        expr("aggregate(transform(_t, t -> CAST(length(t) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("_n_symbols",
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long"))
+      .withColumn("_n_alpha",
+        size(filter(col("_t"), t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_stop_distinct",
         size(array_distinct(filter(col("_t"), t => array_contains(stopArr, t))))
-          .cast("long").as("n_stop_distinct"))
-    // Repetition metrics need per-(doc, gram) counts — the same
-    // explode → map-side-combined aggregate shape as the tf-idf pass;
-    // at 100 TB these are the only shuffles and both key on doc_id
-    // afterwards, so the final joins co-partition.
-    val topTok = d.select(col("doc_id"), explode(toks).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
-    val topBig = d.select(col("doc_id"), toks.as("_t"))
-      // <2 tokens -> no bigram; unguarded _t[i] is out of bounds under
-      // ANSI mode. Short docs keep their metric row via the LEFT join +
-      // coalesce below (top_big = 0, denominator floored at 1).
-      .filter(size(col("_t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(_t) - 1), i -> concat_ws(' ', _t[i-1], _t[i]))")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_big"))
-    val m = narrow.join(topTok, Seq("doc_id")).join(topBig, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_tokens"),
-        expr("sum_tok_len * 1000 DIV n_tokens").as("mean_tok_len_milli"),
-        expr("n_symbols * 1000 DIV n_tokens").as("symbol_ratio_milli"),
-        expr("n_alpha * 1000 DIV n_tokens").as("alpha_frac_milli"),
-        col("n_stop_distinct"),
-        expr("top_tok * 1000 DIV n_tokens").as("top_token_frac_milli"),
-        expr("coalesce(top_big, 0L) * 1000 DIV greatest(n_tokens - 1, 1)")
-          .as("top_bigram_frac_milli"))
+          .cast("long"))
+      .withColumn("_top_tok", expr(maxRunExpr("_t")))
+      // <2 tokens -> no bigram (and sequence(1, 0) would count DOWN):
+      // guard to a typed empty array, whose max-run is 0 — the same
+      // value the old LEFT-join + coalesce path produced.
+      .withColumn("_top_big", expr(maxRunExpr(
+        "IF(size(_t) >= 2, transform(sequence(1, size(_t) - 1), i -> concat_ws(' ', _t[i-1], _t[i])), CAST(array() AS ARRAY<STRING>))")))
+    val m = withRaw
+      .withColumn("mean_tok_len_milli", expr("_sum_tok_len * 1000 DIV n_tokens"))
+      .withColumn("symbol_ratio_milli", expr("_n_symbols * 1000 DIV n_tokens"))
+      .withColumn("alpha_frac_milli", expr("_n_alpha * 1000 DIV n_tokens"))
+      .withColumn("top_token_frac_milli", expr("_top_tok * 1000 DIV n_tokens"))
+      .withColumn("top_bigram_frac_milli",
+        expr("_top_big * 1000 DIV greatest(n_tokens - 1, 1)"))
+      .drop("_t", "_sum_tok_len", "_n_symbols", "_n_alpha", "_top_tok", "_top_big")
     val rules = Seq(
       col("n_tokens") >= MinTokens && col("n_tokens") <= MaxTokens,
       col("mean_tok_len_milli") >= MinWordLenMilli && col("mean_tok_len_milli") <= MaxWordLenMilli,
@@ -204,8 +222,7 @@ object FilterOps {
   // doc-keyed join (co-partitioned with the metric joins) and a
   // (lang, keep) aggregation whose output is mixture-table sized.
   def qualityByLang(s: SparkSession, dir: String): DataFrame =
-    qualityMetricsFrom(docs(s, dir))
-      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    qualityMetricsThrough(docs(s, dir)) // lang rides the narrow pass-through
       .groupBy(col("lang"), col("keep"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("tok_total"),
@@ -1319,26 +1336,34 @@ object FilterOps {
       |  / (CAST(n AS DOUBLE) * rt * ct))) AS BIGINT)""".stripMargin
 
   def chiSquare(s: SparkSession, dir: String): DataFrame = {
-    val base = qualityMetricsFrom(docs(s, dir))
-      .select(col("doc_id"), col("keep"))
-      .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-    // cells is langs×2 rows but feeds FOUR consumers (margins, total,
-    // grid): truncate so the quality-metric dag runs ONCE, not four
-    // times (un-truncated plan: 26 shuffles; truncated: the dag's own
-    // plus three 1-exchange margin aggs)
-    val cells = Lineage.truncate(
-      base.groupBy(col("lang"), col("keep")).agg(count(lit(1)).as("o")))
-    val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
-    val ct = cells.groupBy(col("keep")).agg(sum(col("o")).as("ct"))
-    val n = cells.agg(sum(col("o")).as("n"))
-    val grid = rt.crossJoin(broadcast(ct)) // full r×c grid: bounded dims
-      .join(cells, Seq("lang", "keep"), "left")
-      .withColumn("o", coalesce(col("o"), lit(0L)))
-      .crossJoin(broadcast(n))
-    grid.agg(
+    // keep is BINARY, so the (lang, keep) grid pivots into one row per
+    // lang with both cells — absent combos are 0 by construction (no
+    // full-grid LEFT join needed), and the whole query is: ONE narrow
+    // corpus pass (the pass-through quality frame carries lang, no
+    // doc_id self-join) → a lang-keyed map-side-combined pivot agg →
+    // a 1-row broadcast of the column margins → stack back to grid
+    // rows → the final sum. Two exchanges, no checkpoint. The r14
+    // shape (cells checkpoint + margin re-aggs + r×c grid joins) paid
+    // ~0.3 s of job/broadcast latency to share a then-expensive DAG;
+    // with the DAG narrow, the structure IS the cost.
+    val cells = qualityMetricsThrough(docs(s, dir))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("o_t"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("o_f"))
+    val tot = cells.agg(sum(col("o_t")).as("ct_t"), sum(col("o_f")).as("ct_f"),
+      count(lit(1)).as("n_langs"))
+    cells.crossJoin(broadcast(tot)) // 1-row margins: structural broadcast
+      .withColumn("rt", col("o_t") + col("o_f"))
+      .withColumn("n", col("ct_t") + col("ct_f"))
+      // unpivot to the (lang, keep, o, ct) grid the χ² term reads; a
+      // zero column margin contributes no term (the cell simply does
+      // not exist in the r×c grid — the pre-pivot semantics)
+      .selectExpr("lang", "rt", "n", "n_langs",
+        "stack(2, true, o_t, ct_t, false, o_f, ct_f) AS (keep, o, ct)")
+      .agg(
         max(col("n")).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(expr(chiTermMicroExpr)).as("chi2_micro"))
+        max(col("n_langs")).as("n_langs"),
+        sum(expr(s"IF(ct = 0, 0L, $chiTermMicroExpr)")).as("chi2_micro"))
       .withColumn("dof", (col("n_langs") - lit(1L)) * lit(1L)) // keep is binary: c−1 = 1
       .select(col("n_docs"), col("n_langs"), col("dof"), col("chi2_micro"))
   }

@@ -196,11 +196,12 @@ class PlanQualitySpec extends SparkSuite {
     // are the small table by construction).
     "chain_txindex_audit" -> 2,
     "chain_basefee_audit" -> 3,
-    // Chi-square post-checkpoint: the quality-metric dag runs ONCE into
-    // the truncated langs×2 cells (its own shuffles), then margin aggs;
-    // the grid crosses are broadcast BNLJs. 26 means the truncation was
-    // dropped and the metric dag re-executes per margin.
-    "filter_chi_square" -> 7,
+    // Chi-square (r15 narrow rewrite): the shuffle-free quality DAG
+    // feeds ONE lang-keyed pivot agg, the 1-row margin cross is a
+    // broadcast BNLJ, and the final grid sum is the only other
+    // exchange. More means the grid joins or the metric explode
+    // shuffles crept back.
+    "filter_chi_square" -> 4,
     // Heaps: term explode agg, first-appearance agg, per-doc agg, the
     // doc-spine cumulative window + its sums-agg feed; the doc join
     // broadcasts at spec sf.
