@@ -855,6 +855,97 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------------
+  // Fingerprint-keyed ExactSubstr — the 100 TB shuffle-key variant made
+  // a GRADED equivalence certificate instead of a scaladoc footnote:
+  // dedup_exact_substr's scale story swaps the L-token gram STRING in
+  // the shuffle key for a compact fingerprint; this query runs BOTH
+  // keyings over the corpus and reports, in one row, exactly what that
+  // swap costs and what the verify step buys:
+  //   n_grams − n_fps        = fingerprint collisions among distinct
+  //                            gram texts (birthday-expected > 0 at the
+  //                            fixture's gram count against HashMod —
+  //                            the audit is exercised, not vacuous);
+  //   dup_pos_fp             = duplicated positions under the RAW
+  //                            fp-keyed test (overcounts iff a
+  //                            collision pairs different docs);
+  //   dup_pos_verified       = fp-bucketed + exact-text verification —
+  //                            provably equals dup_pos_exact (fp is a
+  //                            function of the gram, so grouping by
+  //                            (fp, gram) IS grouping by gram): the
+  //                            certificate that hash-bucket + verify
+  //                            loses nothing, the same contract every
+  //                            banded-LSH family here relies on.
+  // The fingerprint composes per-token PolyHash folds (the shingles()
+  // trick: L multiply-adds per gram, token hashes shared by the L
+  // windows each token sits in), identical in DuckDB.
+  def substrFpAudit(s: SparkSession, dir: String): DataFrame =
+    substrFpAuditOf(docs(s, dir))
+
+  def substrFpAuditOf(d: DataFrame): DataFrame = {
+    val L = ExactSubstr.L
+    val grams = Lineage.truncate(
+      d.select(col("doc_id"), TextOps.tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= L)
+        .withColumn("_th", transform(col("_t"),
+          tok => graft.functions.PolyHash.polyHash(tok, 31, HashMod)))
+        .select(col("doc_id"), expr(
+          s"explode(transform(sequence(1, size(_t) - ${L - 1}), i -> struct(" +
+            s"array_join(slice(_t, i, $L), ' ') AS gram, " +
+            s"aggregate(slice(_th, i, $L), CAST(0 AS BIGINT), " +
+            s"(a, x) -> (a * 131 + x) % $HashMod) AS fp)))").as("g"))
+        .select(col("doc_id"), col("g.gram").as("gram"), col("g.fp").as("fp")))
+    // exact/verified keying: (fp, gram) ≡ gram (fp is functional)
+    val byGram = grams.groupBy(col("gram"), col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("np"))
+    // raw fp keying: doc sets union across colliding grams
+    val byFp = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("np"))
+    val eAgg = byGram.agg(
+      sum(col("np")).as("n_pos"),
+      count(lit(1)).as("n_grams"),
+      countDistinct(col("fp")).as("n_fps"),
+      sum(when(col("nd") >= 2, col("np")).otherwise(0L)).as("dup_pos_verified"))
+    val fAgg = byFp.agg(
+      sum(when(col("nd") >= 2, col("np")).otherwise(0L)).as("dup_pos_fp"))
+    eAgg.crossJoin(broadcast(fAgg)) // 1-row audit cross
+      .withColumn("fp_collisions", col("n_grams") - col("n_fps"))
+      .select(col("n_pos"), col("n_grams"), col("n_fps"), col("fp_collisions"),
+        col("dup_pos_verified").as("dup_pos_exact"),
+        col("dup_pos_fp"), col("dup_pos_verified"))
+  }
+
+  val substrFpAuditSql: String = {
+    val L = ExactSubstr.L
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id, t,
+       |         list_transform(t, tok -> ${polyHashSql("tok", 31, HashMod)}) AS hs
+       |       FROM toks),
+       |grams AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_slice(t, i, i + ${L - 1}), ' ') AS gram,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i, i + ${L - 1})),
+       |      (a, x) -> (a * 131 + x) % $HashMod) AS fp
+       |  FROM th, UNNEST(CASE WHEN len(t) >= $L
+       |    THEN range(1, len(t) - ${L - 2}) ELSE [] END) s(i)),
+       |bygram AS (SELECT gram, fp, count(DISTINCT doc_id) AS nd, count(*) AS np
+       |           FROM grams GROUP BY 1, 2),
+       |byfp AS (SELECT fp, count(DISTINCT doc_id) AS nd, count(*) AS np
+       |         FROM grams GROUP BY 1),
+       |e AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |        CAST(count(*) AS BIGINT) AS n_grams,
+       |        CAST(count(DISTINCT fp) AS BIGINT) AS n_fps,
+       |        CAST(sum(CASE WHEN nd >= 2 THEN np ELSE 0 END) AS BIGINT) AS dup_pos_verified
+       |      FROM bygram),
+       |f AS (SELECT CAST(sum(CASE WHEN nd >= 2 THEN np ELSE 0 END) AS BIGINT) AS dup_pos_fp
+       |      FROM byfp)
+       |SELECT n_pos, n_grams, n_fps, n_grams - n_fps AS fp_collisions,
+       |  dup_pos_verified AS dup_pos_exact, dup_pos_fp, dup_pos_verified
+       |FROM e CROSS JOIN f""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // Content-defined chunking dedup (the Rabin/FastCDC primitive behind
   // every dedup store — restic, borg, LBFS): chunk boundaries are cut
   // where a rolling hash of the trailing CdcW chars hits 0 mod CdcMod,
@@ -1127,6 +1218,7 @@ object DedupOps {
     "sim_allpairs_sparse" -> (allPairsSparse _),
     "dedup_winnow_spans" -> (winnowSpans _),
     "dedup_exact_substr" -> (exactSubstrSpans _),
+    "dedup_substr_fp" -> (substrFpAudit _),
     "dedup_cdc_chunks" -> (cdcChunks _),
     "dedup_exact" -> (exactDedup _),
     "dedup_minhash_lsh" -> (minhashDedup _),
@@ -1423,6 +1515,7 @@ object DedupOps {
     "sim_allpairs_sparse" -> allPairsSparseSql,
     "dedup_winnow_spans" -> winnowSpansSql,
     "dedup_exact_substr" -> exactSubstrSql,
+    "dedup_substr_fp" -> substrFpAuditSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_exact" -> (twinBaseSql + "\n" + exactDedupSql),
     "dedup_ngram_jaccard" -> (twinBaseSql + ngramJaccardSql),

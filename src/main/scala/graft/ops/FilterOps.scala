@@ -1335,7 +1335,10 @@ object FilterOps {
       |   * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct))
       |  / (CAST(n AS DOUBLE) * rt * ct))) AS BIGINT)""".stripMargin
 
-  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+  def chiSquare(s: SparkSession, dir: String): DataFrame =
+    chiSquareOf(docs(s, dir))
+
+  private[graft] def chiSquareOf(d: DataFrame): DataFrame = {
     // keep is BINARY, so the (lang, keep) grid pivots into one row per
     // lang with both cells — absent combos are 0 by construction (no
     // full-grid LEFT join needed), and the whole query is: ONE narrow
@@ -1346,7 +1349,7 @@ object FilterOps {
     // shape (cells checkpoint + margin re-aggs + r×c grid joins) paid
     // ~0.3 s of job/broadcast latency to share a then-expensive DAG;
     // with the DAG narrow, the structure IS the cost.
-    val cells = qualityMetricsThrough(docs(s, dir))
+    val cells = qualityMetricsThrough(d)
       .groupBy(col("lang"))
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("o_t"),
         sum(when(!col("keep"), 1L).otherwise(0L)).as("o_f"))

@@ -1045,7 +1045,56 @@ object SimilarityOps {
        |  $MeanPairCosSql AS mean_pair_cos
        |FROM selfq CROSS JOIN nsq""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Recall@k audit of the LSH path against exact brute force — the
+  // standard ANN index evaluation (the FAISS-style recall@k protocol):
+  // per probe, |approx top-k ∩ exact top-k| / k in exact milli-units.
+  // The calibration-curve pattern (dedup_minhash_calibration) applied
+  // to the vector index: the index is only trustworthy WITH its
+  // measured recall, so the audit is a first-class graded query, not a
+  // spec assertion. 100 TB shape: both inputs are probe-bounded
+  // (ProbeIds × TopK rows), so every join here is on bounded frames —
+  // the corpus-scale work lives inside the two audited paths, which
+  // keep their own bucketed/broadcast shapes.
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val bf = bruteForceTopK(emb).select(col("q_id"), col("c_id"))
+    val ls = lshTopK(emb).select(col("q_id"), col("c_id"))
+    val nb = bf.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val nl = ls.groupBy(col("q_id")).agg(count(lit(1)).as("n_lsh"))
+    val inter = bf.join(ls, Seq("q_id", "c_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    // all three frames are ProbeIds-bounded: legitimate hints
+    nb.join(broadcast(nl), Seq("q_id"), "left")
+      .join(broadcast(inter), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("recall_milli", expr("1000 * n_common DIV n_exact"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: the two graded pipelines composed verbatim as CTE
+    * subqueries (nested WITH), then the set intersection per probe.
+    * (lazy: composes annBruteForceSql/annLshSql, declared further down
+    * the object — a strict val here would capture them as null at
+    * object init.) */
+  lazy val annRecallSql: String =
+    s"""WITH bf AS ($annBruteForceSql),
+       |ls AS ($annLshSql),
+       |nb AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1),
+       |nl AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_lsh FROM ls GROUP BY 1),
+       |iv AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_common
+       |       FROM bf JOIN ls USING (q_id, c_id) GROUP BY 1)
+       |SELECT q_id, n_exact,
+       |  CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
+       |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(1000 * coalesce(n_common, 0) // n_exact AS BIGINT) AS recall_milli
+       |FROM nb LEFT JOIN nl USING (q_id) LEFT JOIN iv USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall" -> (annRecall _),
     "sim_isotropy_audit" -> (isotropyAudit _),
     "sim_bitext_mining" -> (bitextMining _),
     "sim_ann_matryoshka" -> (annMatryoshka _),
@@ -1089,6 +1138,7 @@ object SimilarityOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_ann_recall" -> annRecallSql,
     "sim_bitext_mining" -> bitextMiningSql,
     "sim_isotropy_audit" -> isotropyAuditSql,
     "sim_ann_matryoshka" -> annMatryoshkaSql,

@@ -1683,6 +1683,62 @@ class OpsSpec extends SparkSuite {
     assert(rows.exists(_._3 > 0L), "expected at least one duplicated span")
   }
 
+  test("substr-fp audit: hand corpus — dual keying agrees, verified equals exact") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1/2 share the 8-gram at position 1; their position-2 grams
+      // differ in the trailing token -> unique
+      1L -> "a b c d e f g h i",
+      2L -> "a b c d e f g h x",
+      // doc 3: all grams unique
+      3L -> "z y x w v u t s",
+      // doc 4: below L -> contributes no positions
+      4L -> "p q").toDF("doc_id", "text")
+    val row = DedupOps.substrFpAuditOf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (nPos, nGrams, nFps, coll, dupExact, dupFp, dupVer) = row
+    assert(nPos == 5L)    // 2 + 2 + 1 positions
+    assert(nGrams == 4L)  // abcdefgh, bcdefghi, bcdefghx, zyxwvuts
+    assert(dupExact == 2L) // the two "a..h" positions
+    assert(dupVer == dupExact, "fp-bucket + text verify must equal exact")
+    // 4 grams against a ~1e9 modulus: no collision -> fp path agrees
+    assert(coll == 0L && nFps == nGrams && dupFp == dupExact)
+  }
+
+  test("substr-fp audit: fixture — the certificate holds and the audit is exercised") {
+    import spark.implicits._
+    val (nPos, nGrams, nFps, coll, dupExact, dupFp, dupVer) =
+      DedupOps.substrFpAudit(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(nPos > 0L && nGrams > 0L && nFps > 0L)
+    assert(coll == nGrams - nFps && coll >= 0L)
+    assert(dupVer == dupExact, "verification must recover the exact keying")
+    assert(dupFp >= dupExact, "raw fp keying can only overcount")
+    assert(dupExact > 0L, "templated fixture phrasing duplicates real grams")
+  }
+
+  test("ann recall audit: per-probe rows match a set-intersection recomputation") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = SimilarityOps.bruteForceTopK(emb)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ls = SimilarityOps.lshTopK(emb)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SimilarityOps.annRecall(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == bf.keys.toSeq.sorted, "one row per probe, ordered")
+    rows.foreach { case (q, nExact, nLsh, nCommon, milli) =>
+      val inter = bf(q).intersect(ls.getOrElse(q, Set.empty)).size.toLong
+      assert(nExact == bf(q).size.toLong)
+      assert(nLsh == ls.getOrElse(q, Set.empty).size.toLong)
+      assert(nCommon == inter, s"probe $q intersection")
+      assert(milli == 1000L * inter / nExact)
+      assert(milli >= 0L && milli <= 1000L)
+    }
+  }
+
   test("zipf slope: planted geometric frequencies recover slope -ln2/ln-rank fit exactly") {
     import spark.implicits._
     // frequencies 8,4,2,1 over ranks 1..4 — recompute the milli-log OLS
