@@ -400,13 +400,21 @@ object TextOps {
 
   /** Adds `_mt`: the LmVocabCap-mapped token array of `text`. The vocab
     * is a 1-row ≤-LmVocabCap-element broadcast cross (the PQ-codebook
-    * pattern); the mapping itself stays a narrow array transform, so
-    * the downstream bigram explode keeps its no-shuffle shape. */
+    * pattern), and the WHOLE mapped frame is lineage-truncated: every
+    * LM query forks it into several consumers (bigram counts, unigram
+    * counts, vocab size, the per-doc scoring pass), and without the
+    * truncation each branch re-ran the vocab aggregate AND the
+    * tokenize+map transform over the corpus (observed as a confirmed
+    * ~2× on the whole family in the r15 sweep). This is the
+    * materialize-the-mapped-corpus-once pattern a production LM
+    * pipeline uses at 100 TB — the mapped corpus is the artifact, the
+    * model tables are aggregates over it. */
   private[graft] def withLmTokens(d: DataFrame): DataFrame =
-    d.crossJoin(broadcast(lmVocabArr(d)))
-      .withColumn("_mt", transform(tokens(col("text")),
-        x => when(array_contains(col("vt"), x), x).otherwise(lit(OovToken))))
-      .drop("vt")
+    Lineage.truncate(
+      d.crossJoin(broadcast(lmVocabArr(d)))
+        .withColumn("_mt", transform(tokens(col("text")),
+          x => when(array_contains(col("vt"), x), x).otherwise(lit(OovToken))))
+        .drop("vt"))
 
   /** Shared oracle CTE chain (no WITH): `t` (raw token arrays) → `vtop`
     * (top-V vocab) → `vlist` (1-row array) → `mt` (mapped token arrays,
