@@ -662,6 +662,44 @@ object Relational {
 
   private val q49Sql = q49Text("orders", "lineitem")
 
+  // ------------------------------------------------------------------
+  // q50: WITH RECURSIVE — Spark 4.x's recursive-CTE support (the
+  // UnionLoop logical operator) driven end-to-end and hash-matched
+  // against DuckDB running the IDENTICAL text. The recursion walks each
+  // customer's order chain in (o_orderdate, o_orderkey) order,
+  // accumulating an exact running total in cents: seed = every
+  // customer's first order, step = join the frontier to the rank-(step
+  // +1) order. Linear chains by construction (each row has exactly one
+  // successor), so the iteration count is the max orders-per-customer
+  // (~tens) and the working frontier is customer-cardinality — the
+  // shape where distributed recursion is honest: each UnionLoop
+  // iteration is one co-partitioned hash join on o_custkey, no path
+  // explosion possible. Totals in exact BIGINT cents (Decimal(18,2) ×
+  // 100), so the cross-engine hash has no float drift.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders50_v")
+    s.sql(q50Text("orders50_v"))
+  }
+
+  private def q50Text(orders: String): String =
+    s"""WITH RECURSIVE ord AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+       |  FROM $orders),
+       |r AS (
+       |  SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS step, cents AS run_cents
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.o_custkey, o.o_orderkey, r.step + 1, r.run_cents + o.cents
+       |  FROM r JOIN ord o
+       |    ON o.o_custkey = r.o_custkey AND o.rn = r.step + 1)
+       |SELECT o_custkey, o_orderkey, step, run_cents
+       |FROM r ORDER BY o_custkey, step""".stripMargin
+
+  private val q50Sql = q50Text("orders")
+
   def q29(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
@@ -1358,6 +1396,7 @@ object Relational {
     "q34_window_analytic" -> (q34 _),
     "q29_sql_scalar_subquery" -> (q29 _),
     "q49_lateral_topn" -> (q49 _),
+    "q50_recursive_chain" -> (q50 _),
     "q30_topk_custom_operator" -> (q30 _),
     "q31_approx_distinct" -> (q31 _),
     "q01_pricing_summary" -> (q01 _),
@@ -1411,6 +1450,7 @@ object Relational {
     "q34_window_analytic" -> q34Sql,
     "q29_sql_scalar_subquery" -> q29Sql,
     "q49_lateral_topn" -> q49Sql,
+    "q50_recursive_chain" -> q50Sql,
     "q30_topk_custom_operator" -> q07Sql, // identical semantics to q07
 
     "q01_pricing_summary" -> q01Sql,

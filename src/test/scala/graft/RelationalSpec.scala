@@ -140,4 +140,34 @@ class RelationalSpec extends SparkSuite {
     assert(sides.values.map(_._1).sum == totalOrders)
     assert(sides.values.map(_._2).sum == totalShips)
   }
+
+  test("q50 recursive chain: covers every order, steps tile each customer, totals telescope") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Relational.q50(spark, sf)
+    val rows = df.collect()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // the recursion walks every customer's full chain: one row per order
+    assert(rows.length == orders.count())
+    // per customer: steps are exactly 1..n (the chain neither skips nor forks)
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (c, rs) =>
+      val steps = rs.map(_.getLong(2)).sorted
+      assert(steps.sameElements(1L to steps.length.toLong), s"customer $c steps")
+    }
+    // the final step's running total telescopes to the customer's exact
+    // cent sum — recompute independently from the raw table
+    val expect = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCust.foreach { case (c, rs) =>
+      val last = rs.maxBy(_.getLong(2))
+      assert(last.getLong(3) == expect(c), s"customer $c terminal total")
+    }
+    // running totals are strictly increasing along each chain (prices > 0)
+    byCust.foreach { case (c, rs) =>
+      val tot = rs.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(tot.zip(tot.drop(1)).forall { case (a, b) => a < b }, s"customer $c monotone")
+    }
+  }
 }
