@@ -700,6 +700,15 @@ object Relational {
 
   private val q50Sql = q50Text("orders")
 
+  // Probed and rejected (r15): a cycle-safe reachability twin via
+  // `WITH RECURSIVE ... UNION` — Spark 4.1 raises
+  // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE (UNION ALL only), and on a
+  // cyclic co-occurrence graph UNION ALL recursion enumerates paths,
+  // not nodes (unbounded). Graph fixpoints stay with the iterative
+  // DataFrame kernels (GraphOps CC/BFS), which ARE the semi-naive
+  // evaluation with frontier dedup per round — recursive SQL here is
+  // graded exactly where its semantics are complete: linear chains.
+
   def q29(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
     t(s, dir, "customer").createOrReplaceTempView("customer_v")
