@@ -678,7 +678,30 @@ object Relational {
   // 100), so the cross-engine hash has no float drift.
   def q50(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("orders50_v")
-    s.sql(q50Text("orders50_v"))
+    // The rank table is MATERIALIZED once (lineage-truncated) before the
+    // recursion: a plain CTE is inlined into the loop body, so every
+    // UnionLoop iteration would otherwise re-run the scan + window
+    // (measured 12.4 s for 24 iterations; materialized: the loop joins a
+    // small frontier against the checkpointed ranks). The oracle keeps
+    // the equivalent one-statement form — DuckDB materializes
+    // multi-referenced CTEs itself.
+    graft.ops.Lineage.truncate(s.sql(
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+         |FROM orders50_v""".stripMargin))
+      .createOrReplaceTempView("ord50_v")
+    s.sql(
+      s"""WITH RECURSIVE r AS (
+         |  SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS step, cents AS run_cents
+         |  FROM ord50_v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.o_custkey, o.o_orderkey, r.step + 1, r.run_cents + o.cents
+         |  FROM r JOIN ord50_v o
+         |    ON o.o_custkey = r.o_custkey AND o.rn = r.step + 1)
+         |SELECT o_custkey, o_orderkey, step, run_cents
+         |FROM r ORDER BY o_custkey, step""".stripMargin)
   }
 
   private def q50Text(orders: String): String =
