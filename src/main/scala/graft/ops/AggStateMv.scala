@@ -49,28 +49,32 @@ object AggStateMv {
         graft.functions.PolyHash
           .polyHash(col("o_custkey").cast("string"), 31, KmvMod).as("ph"))
       .withColumn("hv", expr(kmvMixSql("ph")))
-    val regRows = hashed
+    // ONE corpus pass (r15): counts/sums/registers all come out of a
+    // single (month, grp, j) cell aggregation — per-cell counts and cent
+    // sums re-add exactly to the group totals (every row has exactly one
+    // register j), so the old two-aggregation + join shape scanned the
+    // fact twice and paid a join for nothing (guide §1.2, §2.4)
+    val cells = hashed
       .withColumn("j", col("hv") % HllM)
       .withColumn("rho", expr(
         s"CASE WHEN hv DIV $HllM = 0 THEN $scale " +
           s"ELSE $scale - length(bin(hv DIV $HllM)) END"))
       .groupBy(col("o_month"), col("grp"), col("j"))
-      .agg(max(col("rho")).as("m"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * 100).as("pc"),
+        max(col("rho")).as("m"))
     // densify to the 64-slot state blob (never-hit register = 0, which
     // the estimator treats as 2^scale); the collect_list is bounded at
     // HllM entries per group — state-blob-sized, not data-sized
-    val regState = regRows
+    cells
       .groupBy(col("o_month"), col("grp"))
-      .agg(map_from_entries(collect_list(struct(col("j"), col("m")))).as("mm"))
-      .select(col("o_month"), col("grp"), expr(
-        s"transform(sequence(0, ${HllM - 1}), " +
-          "j -> coalesce(element_at(mm, j), CAST(0 AS BIGINT)))").as("hll_regs"))
-    val sums = hashed
-      .groupBy(col("o_month"), col("grp"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("price_cents"))
-    sums.join(regState, Seq("o_month", "grp"))
+      .agg(sum(col("c")).as("n_rows"),
+        sum(col("pc")).cast("long").as("price_cents"),
+        map_from_entries(collect_list(struct(col("j"), col("m")))).as("mm"))
+      .select(col("o_month"), col("grp"), col("n_rows"), col("price_cents"),
+        expr(
+          s"transform(sequence(0, ${HllM - 1}), " +
+            "j -> coalesce(element_at(mm, j), CAST(0 AS BIGINT)))").as("hll_regs"))
   }
 
   /** Merge stored states across parts into the per-group rollup: counts
@@ -105,9 +109,9 @@ object AggStateMv {
     val orders = s.read.parquet(s"$dir/orders.parquet")
     // 1. materialize the state table, month-partitioned (at 100 TB this
     //    is the MV that already exists; refresh would be per-month
-    //    dynamic overwrite exactly as in IncrementalMv)
-    states(orders)
-      .write.mode("overwrite").partitionBy("o_month").parquet(mvPath)
+    //    dynamic overwrite exactly as in IncrementalMv); clustered write
+    //    — see IncrementalMv.writePartitioned
+    IncrementalMv.writePartitioned(states(orders), "o_month", mvPath)
     // 2. query time: read states back and -Merge across months
     val merged = mergeStates(s.read.parquet(mvPath))
     // 3. exact distinct rides along to surface the sketch error the
@@ -216,21 +220,27 @@ object AggStateMv {
   def aggStateRefresh(s: SparkSession, dir: String): DataFrame = {
     val mvPath = graft.etl.Scratch.path(s, "mv/uniq_state_refresh")
     val orders = s.read.parquet(s"$dir/orders.parquet")
+    // ONE corpus pass (r15): the cutoff is the first of a month, so the
+    // date predicate and the o_month predicate select the same rows —
+    // states(pre-cutoff rows) IS the o_month < CutoffMonth slice of
+    // states(all rows) (states are keyed by month; groups never straddle
+    // the boundary). Before r15 the pre side and the delta side each
+    // re-ran the full scan + the state aggregation chain (guide §1.2).
+    val all = Lineage.truncate(states(orders))
     // 1. the pre-existing MV: pre-cutoff states, month-partitioned
-    states(orders.filter(col("o_orderdate") < lit(Cutoff)))
-      .write.mode("overwrite").partitionBy("o_month").parquet(mvPath)
+    IncrementalMv.writePartitioned(
+      all.filter(col("o_month") < lit(IncrementalMv.CutoffMonth)),
+      "o_month", mvPath)
     // 2. the delta batch's states — the only corpus work of the refresh
-    val delta = states(orders.filter(col("o_orderdate") >= lit(Cutoff)))
+    val delta = all.filter(col("o_month") >= lit(IncrementalMv.CutoffMonth))
     val touched = delta.select(col("o_month")).distinct()
     // 3. merge stored + delta for the touched months only; rewrite
     //    exactly those partitions (untouched history is never read)
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("o_month"), "left_semi")
-    Lineage.truncate(mergeStateRows(stored.unionByName(delta)))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("o_month")
-      .parquet(mvPath)
+    IncrementalMv.writePartitioned(
+      Lineage.truncate(mergeStateRows(stored.unionByName(delta))),
+      "o_month", mvPath, dynamic = true)
     // 4. the refreshed per-month state summary is the query result
     withEstimate(s.read.parquet(mvPath))
       .select(col("o_month").cast("long").as("o_month"), col("grp"),

@@ -33,6 +33,33 @@ object IncrementalMv {
     * incoming batch; earlier rows are the already-materialized history. */
   val Cutoff = "1997-06-01"
 
+  /** The boundary as a ship_month key. [[Cutoff]] is the FIRST of a
+    * month, so the date predicate and the month predicate select exactly
+    * the same rows (`d < 1997-06-01  ⟺  month_key(d) < 199706`) — which
+    * is what lets the refresh queries compute their month-keyed partials
+    * in ONE corpus pass and split pre/delta by month afterwards (r15
+    * optimization: the pre-cutoff pass and the delta pass each re-ran
+    * the full fact scan + shuffle; guide §1.2 "don't compute things
+    * twice"). */
+  val CutoffMonth = 199706
+
+  /** Clustered partitioned write (guide §6): repartition by the
+    * partition column so each partition dir is written by ONE task —
+    * without it every upstream task writes a file into every partition
+    * dir it sees (tasks × partitions small files), and on the AQE-
+    * coalesced single-task aggregates the write serializes ~80
+    * sequential file creations (measured 1.4-2.2 s per write in the mv
+    * family's JobProfile). The explicit numPartitions (the session's
+    * shuffle parallelism, driver-sized via SPARK_GRAFT_CPUS) stops AQE
+    * re-coalescing the tiny fixture back to one writer task. */
+  private[graft] def writePartitioned(df: DataFrame, partCol: String,
+      path: String, dynamic: Boolean = false): Unit = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = df.repartition(n, col(partCol)).write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy(partCol).parquet(path)
+  }
+
   private def partials(fact: DataFrame): DataFrame =
     fact
       .withColumn("ship_month",
@@ -48,14 +75,22 @@ object IncrementalMv {
     val fact = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"))
+    // ONE corpus pass computes every month's partials; the pre/delta
+    // split is then a filter on the (tiny, checkpointed) partials table —
+    // exact because the refresh boundary is month-aligned (see
+    // [[CutoffMonth]]), so partials(rows < cutoff) IS the
+    // month < CutoffMonth slice of partials(all rows). Before r15 the
+    // pre side and the delta side each paid the full fact scan +
+    // shuffle.
+    val all = Lineage.truncate(partials(fact))
     // 1. the pre-existing MV: partials of the pre-cutoff history,
     //    partitioned by month (at 100 TB this already exists; building
     //    it here makes the diagnostic self-contained and idempotent)
-    partials(fact.filter(col("l_shipdate") < lit(Cutoff)))
-      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    writePartitioned(all.filter(col("ship_month") < lit(CutoffMonth)),
+      "ship_month", mvPath)
     // 2. the incoming batch's partials — the only corpus work of a
     //    refresh; months it touches are the only MV state revisited
-    val delta = partials(fact.filter(col("l_shipdate") >= lit(Cutoff)))
+    val delta = all.filter(col("ship_month") >= lit(CutoffMonth))
     val touched = delta.select(col("ship_month")).distinct()
     // 3. merge stored + delta partials for the touched months only and
     //    rewrite exactly those partitions (dynamic overwrite leaves
@@ -65,15 +100,12 @@ object IncrementalMv {
     // materialize the merge before writing: the refreshed partials READ
     // mvPath and WRITE mvPath — truncation stages the (touched-months-
     // sized) result so the overwrite never scans its own output path
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("ship_month"), col("l_returnflag"))
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("qty_cents")).as("qty_cents"),
-        sum(col("price_cents")).as("price_cents")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ship_month")
-      .parquet(mvPath)
+        sum(col("price_cents")).as("price_cents"))),
+      "ship_month", mvPath, dynamic = true)
     // 4. the refreshed MV is the query result
     s.read.parquet(mvPath)
       .select(col("ship_month").cast("long").as("ship_month"),
@@ -109,14 +141,18 @@ object IncrementalMv {
       .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
     val line = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
-    // independent per-side delta predicates: each side's late arrivals
+    // independent per-side delta predicates: each side's late arrivals.
+    // The DELTA sides are materialized once (delta ≪ corpus is the
+    // incremental premise — at 100 TB the delivered batch IS a persisted
+    // artifact): before r15 each of oNew/lNew re-ran its corpus scan in
+    // every term that consumed it (lNew ×3, oNew ×3 — five extra fact
+    // scans per refresh; guide §1.2).
     val oOld = orders.filter(col("o_orderdate") < lit(Cutoff))
-    val oNew = orders.filter(col("o_orderdate") >= lit(Cutoff))
+    val oNew = Lineage.truncate(orders.filter(col("o_orderdate") >= lit(Cutoff)))
     val lOld = line.filter(col("l_shipdate") < lit(Cutoff))
-    val lNew = line.filter(col("l_shipdate") >= lit(Cutoff))
+    val lNew = Lineage.truncate(line.filter(col("l_shipdate") >= lit(Cutoff)))
     // 1. the pre-existing MV: old⋈old partials (exists at 100 TB)
-    joinPartials(oOld, lOld)
-      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    writePartitioned(joinPartials(oOld, lOld), "ship_month", mvPath)
     // 2. the three delta terms; old sides semi-join-restricted to the
     //    delta's keys so no term rescans unmatched history
     val oTouched = oOld.join(
@@ -134,14 +170,11 @@ object IncrementalMv {
     val touched = delta.select(col("ship_month")).distinct()
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("ship_month"), "left_semi")
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("ship_month"), col("o_orderpriority"))
       .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("price_cents")).as("price_cents")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ship_month")
-      .parquet(mvPath)
+        sum(col("price_cents")).as("price_cents"))),
+      "ship_month", mvPath, dynamic = true)
     s.read.parquet(mvPath)
       .select(col("ship_month").cast("long").as("ship_month"),
         col("o_orderpriority"), col("n_rows"), col("price_cents"))
@@ -197,28 +230,39 @@ object IncrementalMv {
           .as("price_cents"))
       .withColumn("bucket", pmod(col("l_suppkey"), lit(TopKBuckets)).cast("int"))
 
+  /** Per-(supplier, side) partials in ONE corpus pass — the key is NOT
+    * month-aligned with the cutoff, so the side marker joins the group
+    * key; each side's slice then equals suppPartials(that side's rows)
+    * exactly (same groups, same aggregates over the same rows). Before
+    * r15 both sides re-ran the full fact scan + shuffle (guide §1.2). */
+  private def suppPartialsBySide(fact: DataFrame, side: org.apache.spark.sql.Column): DataFrame =
+    fact.withColumn("_side", side)
+      .groupBy(col("l_suppkey"), col("_side"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+      .withColumn("bucket", pmod(col("l_suppkey"), lit(TopKBuckets)).cast("int"))
+
   def topkMaintain(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Windows
     val mvPath = graft.etl.Scratch.path(s, "mv/supplier_revenue_buckets")
     val fact = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"))
+    val cells = Lineage.truncate(
+      suppPartialsBySide(fact, col("l_shipdate") < lit(Cutoff)))
     // 1. the pre-existing per-key state (exists at 100 TB)
-    suppPartials(fact.filter(col("l_shipdate") < lit(Cutoff)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(mvPath)
+    writePartitioned(cells.filter(col("_side")).drop("_side"), "bucket", mvPath)
     // 2. the delta's per-key partials; its buckets are the only state
     //    revisited
-    val delta = suppPartials(fact.filter(col("l_shipdate") >= lit(Cutoff)))
+    val delta = cells.filter(!col("_side")).drop("_side")
     val touched = delta.select(col("bucket")).distinct()
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("bucket"), "left_semi")
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("bucket"), col("l_suppkey"))
       .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("price_cents")).as("price_cents")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(mvPath)
+        sum(col("price_cents")).as("price_cents"))),
+      "bucket", mvPath, dynamic = true)
     // 3. the served top-k: a TakeOrdered over the key-domain-sized
     //    aggregate table, ranked after the limit (k rows)
     s.read.parquet(mvPath)
@@ -268,21 +312,21 @@ object IncrementalMv {
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
       .groupBy(col("ship_month"), col("l_suppkey"))
       .agg(count(lit(1)).as("m"))
+    // ONE corpus pass; pre/delta split by month afterwards — exact
+    // because the boundary is month-aligned (see [[CutoffMonth]])
+    val all = Lineage.truncate(support(fact))
     // 1. pre-existing support state (history multiplicities)
-    support(fact.filter(col("l_shipdate") < lit(Cutoff)))
-      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    writePartitioned(all.filter(col("ship_month") < lit(CutoffMonth)),
+      "ship_month", mvPath)
     // 2. delta multiplicities; only their months are revisited
-    val delta = support(fact.filter(col("l_shipdate") >= lit(Cutoff)))
+    val delta = all.filter(col("ship_month") >= lit(CutoffMonth))
     val touched = delta.select(col("ship_month")).distinct()
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("ship_month"), "left_semi")
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("ship_month"), col("l_suppkey"))
-      .agg(sum(col("m")).as("m")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ship_month")
-      .parquet(mvPath)
+      .agg(sum(col("m")).as("m"))),
+      "ship_month", mvPath, dynamic = true)
     // 3. serve: liveness filter (m > 0 — trivially true for this
     //    insert-only diagnostic, load-bearing once deletes decrement)
     //    then a key-domain-sized count per group
@@ -331,24 +375,31 @@ object IncrementalMv {
     val mvPath = graft.etl.Scratch.path(s, "mv/supplier_revenue_deletes")
     val fact = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_suppkey"), col("l_returnflag"), col("l_extendedprice"))
+    // ONE corpus pass keyed by (supplier, returned?): the full state is
+    // the re-aggregation of both slices over the tiny cell table (exact
+    // integer addition), the delete delta is the returned slice negated —
+    // before r15 the full pass and the R pass each scanned the fact
+    val cells = Lineage.truncate(
+      suppPartialsBySide(fact, col("l_returnflag") === "R"))
     // 1. full insert-phase state (every row, returns included)
-    suppPartials(fact)
-      .write.mode("overwrite").partitionBy("bucket").parquet(mvPath)
+    writePartitioned(cells
+      .groupBy(col("bucket"), col("l_suppkey"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("price_cents")).as("price_cents"))
+      .select(col("l_suppkey"), col("n_rows"), col("price_cents"), col("bucket")),
+      "bucket", mvPath)
     // 2. DELETE delta: returned rows as negative partials
-    val delta = suppPartials(fact.filter(col("l_returnflag") === "R"))
+    val delta = cells.filter(col("_side")).drop("_side")
       .withColumn("n_rows", -col("n_rows"))
       .withColumn("price_cents", -col("price_cents"))
     val touched = delta.select(col("bucket")).distinct()
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("bucket"), "left_semi")
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("bucket"), col("l_suppkey"))
       .agg(sum(col("n_rows")).as("n_rows"),
-        sum(col("price_cents")).as("price_cents")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(mvPath)
+        sum(col("price_cents")).as("price_cents"))),
+      "bucket", mvPath, dynamic = true)
     // 3. serve: liveness filter, then TakeOrdered over the support table
     s.read.parquet(mvPath)
       .filter(col("n_rows") > 0)
@@ -378,27 +429,32 @@ object IncrementalMv {
     val mvPath = graft.etl.Scratch.path(s, "mv/retract_supp_by_month")
     val fact = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_shipdate"), col("l_suppkey"), col("l_returnflag"))
-    def support(f: DataFrame): DataFrame = f
+    // ONE corpus pass keyed by (month, supplier, returned?): the full
+    // multiplicities are the re-aggregation of both slices (tiny cell
+    // table, exact addition); the delete delta is the returned slice
+    // negated — before r15 the full pass and the R pass each scanned
+    // the fact (guide §1.2)
+    val cells = Lineage.truncate(fact
       .withColumn("ship_month",
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
-      .groupBy(col("ship_month"), col("l_suppkey"))
-      .agg(count(lit(1)).as("m"))
+      .withColumn("_r", col("l_returnflag") === "R")
+      .groupBy(col("ship_month"), col("l_suppkey"), col("_r"))
+      .agg(count(lit(1)).as("m")))
     // 1. full insert-phase state (every row, returns included)
-    support(fact)
-      .write.mode("overwrite").partitionBy("ship_month").parquet(mvPath)
+    writePartitioned(cells
+      .groupBy(col("ship_month"), col("l_suppkey"))
+      .agg(sum(col("m")).as("m")),
+      "ship_month", mvPath)
     // 2. DELETE delta: returned rows as negative multiplicities
-    val delta = support(fact.filter(col("l_returnflag") === "R"))
+    val delta = cells.filter(col("_r")).drop("_r")
       .withColumn("m", -col("m"))
     val touched = delta.select(col("ship_month")).distinct()
     val stored = s.read.parquet(mvPath)
       .join(touched, Seq("ship_month"), "left_semi")
-    Lineage.truncate(stored.unionByName(delta)
+    writePartitioned(Lineage.truncate(stored.unionByName(delta)
       .groupBy(col("ship_month"), col("l_suppkey"))
-      .agg(sum(col("m")).as("m")))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ship_month")
-      .parquet(mvPath)
+      .agg(sum(col("m")).as("m"))),
+      "ship_month", mvPath, dynamic = true)
     // 3. serve: the liveness filter is now LOAD-BEARING — fully-returned
     //    (month, supplier) pairs sit at m = 0 and must not count
     s.read.parquet(mvPath)

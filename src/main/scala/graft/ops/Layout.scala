@@ -117,7 +117,14 @@ object Layout {
     * lands at `path` as an external table. */
   def bucketedWrite(df: DataFrame, table: String, path: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    // Pre-partition by the bucket key into exactly `buckets` partitions:
+    // repartition's HashPartitioning is the same pmod(hash, n) rule the
+    // bucketed writer assigns files by, so each task holds exactly one
+    // bucket and writes ONE file — without it every upstream task writes
+    // a file per bucket it sees (tasks × buckets small files; guide §6),
+    // which also bloats the later bucketed-join scan's file count.
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path).saveAsTable(table)
 
@@ -336,9 +343,18 @@ object Layout {
     * instead of leaking a fresh driver-local temp dir each run. */
   def dppJoin(s: SparkSession, dir: String): (DataFrame, String) = {
     val path = graft.etl.Scratch.path(s, "dpp/lineitem_by_month")
+    // Cluster the write by the partition column (guide §6): without it
+    // every scan task writes a file into EVERY month dir (tasks × ~80
+    // partitions of tiny files — measured 3.2 s of layout_dpp's 4.0 s);
+    // clustered, each month is written by exactly one task (one file per
+    // partition, tasks spread across the cluster). The explicit
+    // numPartitions (the session's shuffle parallelism, driver-sized via
+    // SPARK_GRAFT_CPUS) keeps AQE from coalescing the tiny fixture back
+    // to one sequential writer task.
     s.read.parquet(s"$dir/lineitem.parquet")
       .withColumn("ship_month",
         (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("ship_month"))
       .write.mode("overwrite").partitionBy("ship_month").parquet(path)
     val fact = s.read.parquet(path)
     val D = "decimal(18,2)"

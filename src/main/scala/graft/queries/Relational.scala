@@ -702,6 +702,15 @@ object Relational {
          |    ON o.o_custkey = r.o_custkey AND o.rn = r.step + 1)
          |SELECT o_custkey, o_orderkey, step, run_cents
          |FROM r ORDER BY o_custkey, step""".stripMargin)
+    // r15 optimization probes, measured and REJECTED (Q50Probe, sf0.1):
+    // - /*+ BROADCAST(r) */ on the frontier: 3.0-3.1 s vs 4.5 s unhinted —
+    //   but the frontier is CUSTOMER-cardinality at step 1 (corpus-growing),
+    //   exactly the forced-broadcast class the r14 verdict marked weak;
+    //   AQE already broadcasts it when genuinely small. Left unhinted.
+    // - pre-hash-partitioning ord50_v by o_custkey (so iterations reuse the
+    //   big side's layout): 7.1-32 s — the per-iteration 32-partition scans
+    //   dominate. Rejected.
+    // - AQE off for the recursion: 9.1 s vs 3.7-5.0 s on. AQE stays on.
   }
 
   private def q50Text(orders: String): String =
