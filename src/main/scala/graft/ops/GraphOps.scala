@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Session toggle (default ON) for pinning the wedge-expansion
+    * exchanges to the session's full shuffle parallelism: AQE coalesces
+    * those exchanges by their INPUT bytes (edge-table-sized) while the
+    * stage they feed does the wedge EXPANSION — orders of magnitude more
+    * bytes OUT than in (measured: link_prediction's wedge stage wrote
+    * 643 MB of pair partials from a 30 MB exchange on 16 of 32 cores).
+    * Parameterized so the A/B stays reproducible per session. */
+  val ExpansionRepartitionConf = "spark.graft.expansionRepartition"
+  private def expansionRepartition(s: SparkSession): Boolean =
+    s.conf.get(ExpansionRepartitionConf, "true") == "true"
+
   /** Connected components of an undirected pair graph given as (a, b)
     * rows. Returns (node, label) with label = min node id reachable —
     * a canonical, deterministic component id. */
@@ -380,6 +391,12 @@ object GraphOps {
     // Both wedge arms shuffle on src from the SAME checkpointed plan, so
     // the second exchange is reused; the wedge stream itself is never
     // shuffled again — it flows straight into the closure probe below.
+    // r15 probe (WedgeProbe): pinning this exchange to the session's
+    // full parallelism (the link_prediction fix) measured NEUTRAL-to-
+    // WORSE here (3.35-3.48 s off vs 3.54-5.23 s on) — triangles'
+    // oriented wedge stream is ~half link_prediction's and the extra
+    // edge-table exchange costs more than the parallelism buys. Left
+    // AQE-sized on purpose.
     val wedges = ori.as("e1").join(ori.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
@@ -1064,11 +1081,27 @@ object GraphOps {
     val deg = t.deg
     // directed adjacency with the CENTER's degree attached; hub centers
     // dropped before the self-join (the wedge-cost bound)
-    val adj = und.select(col("a").as("ctr"), col("b").as("nb"))
+    // The ctr exchange carries an EXPLICIT partition count (r15): AQE
+    // coalesces it by its INPUT bytes (hub-capped adjacency, ~30 MB at
+    // sf0.1 → 16 partitions) while the stage it feeds does the wedge
+    // EXPANSION + pair partial-aggregation (measured 643 MB of partials
+    // OUT of a 30 MB input — 27.8 s on 16 of 32 cores, the single
+    // hottest stage in the suite). Output-exploding stages get the
+    // session's full parallelism; AQE cannot infer expansion from input
+    // stats at any scale. WedgeProbe A/B (interleaved, one JVM, sf0.1):
+    // on = 5.0-6.7 s stable; off = 7.6-43 s — the coalesced layout also
+    // concentrates hot wedge centers, so the off-arm is skew-prone, not
+    // just narrower. (Triangles measured the OPPOSITE — see
+    // trianglesFrom — hence per-kernel, not blanket.)
+    val adj0 = und.select(col("a").as("ctr"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("ctr"), col("a").as("nb")))
       .join(broadcast(deg.select(col("n").as("ctr"), col("d").as("dc"))),
         Seq("ctr"))
       .filter(col("dc") <= lit(HubCap))
+    val adj =
+      if (!expansionRepartition(und.sparkSession)) adj0
+      else adj0.repartition(
+        und.sparkSession.sessionState.conf.numShufflePartitions, col("ctr"))
     // wedge centers have ≥2 distinct neighbors, so ln(dc) > 0 always
     val cand = adj.as("e1").join(adj.as("e2"),
         col("e1.ctr") === col("e2.ctr") && col("e1.nb") < col("e2.nb"))
