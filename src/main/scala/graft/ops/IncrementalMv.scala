@@ -51,7 +51,15 @@ object IncrementalMv {
     * sequential file creations (measured 1.4-2.2 s per write in the mv
     * family's JobProfile). The explicit numPartitions (the session's
     * shuffle parallelism, driver-sized via SPARK_GRAFT_CPUS) stops AQE
-    * re-coalescing the tiny fixture back to one writer task. */
+    * re-coalescing the tiny fixture back to one writer task.
+    *
+    * 100 TB note (ADVICE r15): clustering by the partition column ALONE
+    * serializes a hot partition's whole write through one task. At that
+    * scale repartition by (partCol, a deterministic salt or a secondary
+    * high-cardinality column) with maxRecordsPerFile bounding file
+    * sizes — parallel within a partition dir, file count still bounded.
+    * The fixture's partitions are KB-sized, so the single-task-per-dir
+    * shape is the right local sizing and keeps file count minimal. */
   private[graft] def writePartitioned(df: DataFrame, partCol: String,
       path: String, dynamic: Boolean = false): Unit = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -88,8 +96,9 @@ object IncrementalMv {
     //    it here makes the diagnostic self-contained and idempotent)
     writePartitioned(all.filter(col("ship_month") < lit(CutoffMonth)),
       "ship_month", mvPath)
-    // 2. the incoming batch's partials — the only corpus work of a
-    //    refresh; months it touches are the only MV state revisited
+    // 2. the incoming batch's partials — a filter over the shared
+    //    one-pass partials table (the corpus work happened once in
+    //    `all`); months it touches are the only MV state revisited
     val delta = all.filter(col("ship_month") >= lit(CutoffMonth))
     val touched = delta.select(col("ship_month")).distinct()
     // 3. merge stored + delta partials for the touched months only and

@@ -114,7 +114,15 @@ object Layout {
     * subsequent join, which at 100 TB turns the recurring fact-fact
     * join from the dominant network cost into a local merge. Bucketing
     * rides the catalog (`bucketBy` requires `saveAsTable`); the data
-    * lands at `path` as an external table. */
+    * lands at `path` as an external table.
+    *
+    * Tradeoff note (ADVICE r15): the repartition below caps write
+    * parallelism at the bucket count and concentrates a hash-skewed
+    * bucket in one task — acceptable here because the fixture's bucket
+    * count ≥ the useful local parallelism for its data size; a cluster
+    * deployment should size `buckets` to at least the session
+    * parallelism (or accept the one-off skewed write as the price of
+    * every later join being exchange-free). */
   def bucketedWrite(df: DataFrame, table: String, path: String, key: String,
       buckets: Int): Unit =
     // Pre-partition by the bucket key into exactly `buckets` partitions:

@@ -33,7 +33,10 @@ object JobProfile {
           .flatMap(p => Option(p.getProperty("callSite.short"))))
         .getOrElse("")
       jobs.put(e.jobId, Job(e.jobId, desc, e.time))
-      e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+      // a shared/skipped stage can be listed by several jobs: attribute
+      // it to the job that listed it FIRST (ADVICE r15 — put() would
+      // let the last job steal metrics of stages it never ran)
+      e.stageIds.foreach(sid => stageToJob.putIfAbsent(sid, e.jobId))
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = {
       val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time

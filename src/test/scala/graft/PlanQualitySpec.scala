@@ -68,7 +68,12 @@ class PlanQualitySpec extends SparkSuite {
     "q25_sessionization" -> 2,
     "q30_topk_custom_operator" -> 2, // TopKPerGroupExec: shuffle on group + sort
     "dedup_exact" -> 2,
-    "dedup_minhash_lsh" -> 3, // narrow MinHashSig candidates (-2) + array-intersect verify (-1) vs the exploded form's 6
+    // r16: served from the family-shared DupTables checkpoint — the one
+    // visible shuffle is the output sort; the signature/bucket/verify
+    // dag's shuffles live in the shared build (guarded by
+    // DupTablesCacheSpec + the dedup_clusters pins below). Was 3 when
+    // every consumer re-ran the dag privately.
+    "dedup_minhash_lsh" -> 1,
     "dedup_minhash_oph" -> 3, // same shape over OPH signatures (bucket agg, collision-set shingle distinct feed, output sort)
     "sim_ann_lsh" -> 3,
     "text_tfidf" -> 4,
